@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+One place to encode the engine's execution-model decisions so every entry
+point (tests, bench, driver contract) runs with the same, scale-aware
+configuration:
+
+- AQE on (runtime re-planning: partition coalescing, skew-join splitting,
+  join-strategy switching) — the single most important knob for the
+  100 TB target, and harmless locally.
+- ``spark.sql.shuffle.partitions`` sized to local cores; at cluster scale
+  AQE coalescing makes the static number a ceiling, not a fixed cost.
+- UTC session timezone so timestamp semantics match the DuckDB oracle
+  (DuckDB timestamps are UTC-naive).
+- Arrow enabled for any pandas interchange (vectorized UDF boundary).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl_example_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the configured SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all cores).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(int(cpus), 8)
+        except ValueError:
+            shuffle_partitions = 32
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # Parquet writes: zstd compresses ~2x better than snappy at similar
+        # scan cost — at 100 TB this is a storage/IO-bandwidth win.
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

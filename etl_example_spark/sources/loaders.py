@@ -1,0 +1,63 @@
+"""Declarative sources.
+
+The reference's only source is "read a .sql file, split on ';', execute each
+statement against Postgres" (``src/job.py:46-98``, operator S1 in SURVEY §2.1).
+Here the idiomatic equivalents:
+
+- parquet loaders for the testdata star schema (columnar scan, predicate
+  pushdown and column pruning reach the file scan via Catalyst),
+- typed literal-row loaders (``spark.createDataFrame`` with an explicit
+  schema) replacing file-of-INSERTs,
+- a thin SQL-script runner (sources/sql_script.py) for parity with S1.
+
+At 100 TB the parquet path is the real one: a date-partitioned,
+optionally bucketed table layout; the loader keeps the API identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_example_spark.schemas import TESTDATA_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table (``{sf_dir}/{name}.parquet``).
+
+    A plain ``spark.read.parquet`` so every downstream filter/projection is
+    eligible for pushdown into the vectorized parquet reader.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's reader
+    rejects by default; read it as nanos-since-epoch and convert to a
+    microsecond timestamp (schema repair at the source boundary — the same
+    derive-don't-mutate pattern as operators/curation.py).
+    """
+    # Timestamp semantics must match the UTC-naive DuckDB oracle regardless
+    # of what session the caller hands us (the driver's session is vanilla).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: list[str] | None = None,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Load testdata tables; optionally register each as a temp view so the
+    SQL API (``spark.sql``) sees the same catalog the DataFrame API uses."""
+    tables: dict[str, DataFrame] = {}
+    for name in names or TESTDATA_TABLES:
+        df = load_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        tables[name] = df
+    return tables
