@@ -1,0 +1,81 @@
+"""Benchmark runner — the driver's per-round feedback loop.
+
+Runs the headline (bench-flagged) queries from the registry at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per BASELINE.md, the reference's comparable numbers are warm-server query
+latencies (~39-500 ms on 101k rows); we mirror that: one untimed warm-up
+execution per query (JIT, code-gen, file-footer caching), then the median
+of 3 timed runs. ``value`` is the sum of per-query medians.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from etl_example_spark.plans.registry import load_all
+from etl_example_spark.session import get_spark
+from etl_example_spark.sources.loaders import warm_tables
+
+
+def time_query(spark, query, sf_dir: str, runs: int = 3) -> float:
+    def once() -> float:
+        t0 = time.perf_counter()
+        df = query.spark_builder(spark, sf_dir)
+        # count() forces full execution of every operator without paying
+        # driver-side collection cost for large results.
+        df.count()
+        return time.perf_counter() - t0
+
+    once()  # warm-up (excluded, mirroring BASELINE.md's warm-server timings)
+    times = sorted(once() for _ in range(runs))
+    return times[runs // 2]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="etl_example_spark-bench", shuffle_partitions=8)
+
+    # Warm the buffer pool (BASELINE.md compares warm-server latencies).
+    # partitions=8: the single-row-group testdata files scan as one task
+    # cold; 8 cached blocks restore parallelism without task-overhead bloat.
+    warm_tables(spark, sf_dir, partitions=8)
+
+    registry = load_all()
+    bench_queries = {n: q for n, q in registry.items() if q.bench}
+
+    per_query: dict[str, float] = {}
+    for name in sorted(bench_queries):
+        per_query[name] = round(time_query(spark, bench_queries[name], sf_dir), 4)
+
+    sf_label = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf_value: float | str = float(sf_label)
+    except ValueError:
+        sf_value = sf_label
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_latency_sum",
+                "value": round(sum(per_query.values()), 4),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf_value,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
