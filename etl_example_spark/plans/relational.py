@@ -1,9 +1,523 @@
-"""Extended relational surface — filled in beyond reference parity.
+"""Extended relational surface — beyond reference parity.
 
-The reference has none of these (SURVEY §2.8 lists the absent categories);
-they are stock Catalyst constructs that complete the engine's SQL surface:
-windows, set ops, semi/anti/outer joins, distinct and approximate
-aggregates, rollup/cube, HAVING, CTEs/subqueries, JSON extraction.
+The reference has none of these (SURVEY §2.8 enumerates the absent
+categories); they complete the engine's SQL surface as stock Catalyst
+constructs: window functions (ranking, running frames), semi/anti/outer
+joins, distinct aggregation, rollup, HAVING, CTEs + scalar subqueries,
+set operations, pivot, JSON extraction, sessionization, tumbling windows.
+
+Scale notes (100 TB): every query here keeps the big-table side
+shuffle-minimal — dims broadcast, aggregations partial-before-exchange,
+windows partitioned by high-cardinality keys (never a global
+unpartitioned window over the fact table; the only ORDER-BY-all window
+is over an already-aggregated monthly frame of a few hundred rows).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_example_spark.functions.numeric import as_scaled_long
+from etl_example_spark.plans.registry import register
+from etl_example_spark.sources.loaders import load_table
+
+
+@register(
+    "q7_window_topk_per_group",
+    "Top-3 suppliers per nation by account balance — ranking window "
+    "(row_number over partitioned desc order). The canonical 'top-k per "
+    "group' pattern: no global sort, one shuffle on the partition key.",
+    oracle="""
+        SELECT n_name AS nation, s_name AS supplier, s_acctbal, rk
+        FROM (
+            SELECT n_name, s_name, s_acctbal,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n_name
+                       ORDER BY s_acctbal DESC, s_suppkey
+                   ) AS rk
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        )
+        WHERE rk <= 3
+        ORDER BY nation, rk
+    """,
+)
+def q7_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("s_name").alias("supplier"),
+            "s_acctbal",
+            "rk",
+        )
+        .orderBy("nation", "rk")
+    )
+
+
+@register(
+    "q8_window_running_total",
+    "Monthly revenue + running cumulative total — analytic window with a "
+    "running frame over a pre-aggregated (tiny) monthly series. The "
+    "unpartitioned ORDER BY window is safe *because* it runs after "
+    "aggregation: a few hundred rows, not the fact table.",
+    oracle="""
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS mes,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders
+            GROUP BY mes
+        )
+        SELECT mes,
+               CAST(cents AS DOUBLE) / 100 AS monthly_total,
+               CAST(SUM(cents) OVER (
+                   ORDER BY mes ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS DOUBLE) / 100 AS running_total
+        FROM monthly
+        ORDER BY mes
+    """,
+)
+def q8_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mes")
+    ).agg(F.sum(as_scaled_long("o_totalprice")).alias("cents"))
+    w = Window.orderBy("mes").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "mes",
+        (F.col("cents").cast("double") / 100).alias("monthly_total"),
+        (F.sum("cents").over(w).cast("double") / 100).alias("running_total"),
+    ).orderBy("mes")
+
+
+@register(
+    "q9_semi_join",
+    "Customers with at least one URGENT-priority order — left-semi join "
+    "(SQL EXISTS). Semi joins ship only the join key of the probe side; "
+    "at scale the orders side is pre-filtered before the shuffle.",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+        ORDER BY c_custkey
+    """,
+)
+def q9_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_semi"
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q10_anti_join",
+    "Customers with no URGENT-priority order — left-anti join (SQL NOT "
+    "EXISTS). The dual of q9; anti joins are how dedup-against-reference "
+    "and incremental-load dedup are expressed at scale.",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+        ORDER BY c_custkey
+    """,
+)
+def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q11_outer_join_agg",
+    "Per-customer order count and lifetime value including order-less "
+    "customers — left outer join + aggregate with NULL→0 normalization.",
+    oracle="""
+        SELECT c_custkey,
+               COUNT(o_orderkey) AS n_orders,
+               CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)), 0)
+                    AS DOUBLE) / 100 AS lifetime_value
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+        ORDER BY c_custkey
+    """,
+)
+def q11_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            (
+                F.coalesce(
+                    F.sum(as_scaled_long("o_totalprice")), F.lit(0)
+                ).cast("double")
+                / 100
+            ).alias("lifetime_value"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q12_distinct_agg",
+    "Distinct aggregation: unique customers and order counts per order "
+    "status. COUNT(DISTINCT) expands to a two-phase aggregate in Catalyst "
+    "(partial distinct per partition, then global) — no driver collection.",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def q12_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q13_rollup",
+    "Hierarchical totals: customer counts by region → nation with ROLLUP "
+    "(subtotals + grand total). Grouping-set expansion happens before the "
+    "exchange, so the shuffle carries one row per (set, group), not a "
+    "multiple of the input.",
+    oracle="""
+        SELECT r_name, n_name, COUNT(c_custkey) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+        .orderBy(
+            F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+        )
+    )
+
+
+@register(
+    "q14_having",
+    "Aggregate filter: part brands carried by more than 40 parts, with "
+    "average retail price — GROUP BY … HAVING (post-aggregation filter).",
+    oracle="""
+        SELECT p_brand, COUNT(*) AS n_parts,
+               CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 / COUNT(*) AS avg_price
+        FROM part
+        GROUP BY p_brand
+        HAVING COUNT(*) > 40
+        ORDER BY p_brand
+    """,
+)
+def q14_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            (
+                F.sum(as_scaled_long("p_retailprice")).cast("double")
+                / 100
+                / F.count("*")
+            ).alias("avg_price"),
+        )
+        .filter(F.col("n_parts") > 40)
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "q15_cte_subquery",
+    "Nations with above-average customer counts — CTE + scalar subquery. "
+    "The scalar aggregate broadcasts as a literal into the filter; no "
+    "per-row subquery execution.",
+    oracle="""
+        WITH counts AS (
+            SELECT n_name, COUNT(*) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        )
+        SELECT n_name, n_customers
+        FROM counts
+        WHERE n_customers > (SELECT AVG(n_customers) FROM counts)
+        ORDER BY n_name
+    """,
+)
+def q15_cte_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    counts = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    avg_df = counts.agg(F.avg("n_customers").alias("avg_n"))
+    return (
+        counts.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("n_customers") > F.col("avg_n"))
+        .select("n_name", "n_customers")
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q16_set_ops",
+    "Set operations over customer key sets: customers with both open and "
+    "finished orders (INTERSECT), and with open but no finished orders "
+    "(EXCEPT), tagged and unioned (UNION ALL).",
+    oracle="""
+        WITH o_open AS (SELECT DISTINCT o_custkey FROM orders
+                        WHERE o_orderstatus = 'O'),
+             o_done AS (SELECT DISTINCT o_custkey FROM orders
+                        WHERE o_orderstatus = 'F')
+        SELECT 'both' AS tag, o_custkey FROM
+            (SELECT o_custkey FROM o_open INTERSECT
+             SELECT o_custkey FROM o_done)
+        UNION ALL
+        SELECT 'open_only' AS tag, o_custkey FROM
+            (SELECT o_custkey FROM o_open EXCEPT
+             SELECT o_custkey FROM o_done)
+        ORDER BY tag, o_custkey
+    """,
+)
+def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o_open = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .distinct()
+    )
+    o_done = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .distinct()
+    )
+    both = o_open.intersect(o_done).select(
+        F.lit("both").alias("tag"), "o_custkey"
+    )
+    open_only = o_open.exceptAll(o_done).select(
+        F.lit("open_only").alias("tag"), "o_custkey"
+    )
+    return both.unionByName(open_only).orderBy("tag", "o_custkey")
+
+
+@register(
+    "q17_topk_orders",
+    "Global top-10 orders by total price with deterministic tie-break — "
+    "ORDER BY … LIMIT lowers to TakeOrderedAndProject (per-partition "
+    "top-k, then k·partitions merged on the driver; no global sort).",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+)
+def q17_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q18_json_extract",
+    "JSON field extraction from the events props column — semi-structured "
+    "access (get_json_object / ->> ), aggregated per event type.",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q19_pivot",
+    "Pivot: daily event counts spread across event-type columns — "
+    "groupBy().pivot() with an explicit value list (one aggregation pass; "
+    "explicit values avoid the extra distinct-discovery job at scale).",
+    oracle="""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS error
+        FROM events
+        GROUP BY day
+        ORDER BY day
+    """,
+)
+def q19_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+        .orderBy("day")
+    )
+
+
+@register(
+    "q20_sessionize",
+    "Gap-based sessionization: per-user session counts with a 30-minute "
+    "inactivity threshold — lag window + conditional cumulative sum. The "
+    "standard batch sessionization; the streaming twin (session_window) "
+    "lives in etl_example_spark/streaming.",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                        ) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        )
+        SELECT user_id,
+               CAST(1 + SUM(new_sess) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM flagged
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def q20_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = events.withColumn(
+        "new_sess", F.when(gap > 30 * 60, 1).otherwise(0)
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            (1 + F.sum("new_sess")).alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q21_tumbling_window",
+    "Tumbling time-window aggregation: hourly event counts + exact value "
+    "sums via F.window (struct start/end), the batch twin of the "
+    "streaming tumbling window.",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+                   AS total_value
+        FROM events
+        GROUP BY hour_start
+        ORDER BY hour_start
+    """,
+)
+def q21_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(as_scaled_long("value")).cast("double") / 100).alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("w.start").alias("hour_start"), "n_events", "total_value")
+        .orderBy("hour_start")
+    )
+
+
+@register(
+    "q22_approx_distinct",
+    "Approximate distinct counts (HyperLogLog++) next to exact — the "
+    "at-scale cardinality primitive (constant memory per group vs the "
+    "exact two-phase expansion). Oracle checks the exact column; the "
+    "approximate column is asserted within 5% relative error in tests "
+    "(approx values are engine-specific, so they stay out of the oracle).",
+    oracle=None,  # approx values differ across engines by design
+)
+def q22_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_returnflag")
+    )

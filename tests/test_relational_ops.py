@@ -1,0 +1,46 @@
+"""Operator-specific assertions beyond the differential oracle."""
+
+from __future__ import annotations
+
+from etl_example_spark.plans.registry import load_all
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """HLL++ estimates stay within 5% of exact (default rsd is 5%)."""
+    q = load_all()["q22_approx_distinct"]
+    for row in q.spark_builder(spark, sf_dir).collect():
+        exact, approx = row["exact_parts"], row["approx_parts"]
+        assert abs(approx - exact) <= max(0.05 * exact, 2), row
+
+
+def test_broadcast_joins_planned(spark, sf_dir):
+    """Dim joins must plan as BroadcastHashJoin — a sort-merge join here
+    means a full shuffle of the fact table at 100 TB."""
+    reg = load_all()
+    for name in ("q2_top_products", "q3_top_stores", "q4_seasonality"):
+        df = reg[name].spark_builder(spark, sf_dir)
+        physical = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "BroadcastHashJoin" in physical, f"{name}: no broadcast join"
+        assert "SortMergeJoin" not in physical, f"{name}: unexpected SMJ"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """q0's shipdate filter must reach the parquet scan (PushedFilters)."""
+    df = load_all()["q0_pricing_summary"].spark_builder(spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in physical or (
+        "LessThanOrEqual(l_shipdate" in physical
+    ), physical
+
+
+def test_column_pruning(spark, sf_dir):
+    """q2 reads only the 2 needed lineitem columns, not all 11."""
+    df = load_all()["q2_top_products"].spark_builder(spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", physical)
+    assert m, "no parquet ReadSchema in plan"
+    lineitem_schema = [s for s in re.findall(r"ReadSchema: struct<([^>]*)>", physical)]
+    smallest = min(lineitem_schema, key=lambda s: s.count(","))
+    assert smallest.count(",") <= 2, f"scan reads too many columns: {smallest}"
