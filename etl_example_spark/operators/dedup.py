@@ -1,0 +1,268 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four families, all shuffle-architected for 100 TB:
+
+- **Exact** (`exact_dedup`): hash-groupBy on a normalized fingerprint.
+  One shuffle on the 32-char digest, not the document bytes.
+- **N-gram Jaccard** (`jaccard_pairs`): the exact near-dup ground truth.
+  Candidate pairs come from an inverted shingle→doc join (only documents
+  sharing ≥1 shingle ever meet), then exact Jaccard via intersection
+  counts. No O(n²) cross join at any point.
+- **MinHash + LSH** (`minhash_signatures`, `lsh_candidate_pairs`,
+  `minhash_lsh_dedup`): sub-quadratic near-dup at scale. Signatures are
+  the lexicographic min of ``md5(seed || shingle)`` per seed — a pure
+  built-in-function construction (no UDF, portable to the SQL oracle).
+  Banding groups signature slices; only same-bucket docs join.
+- **SimHash** (`simhash`): n-bit locality-sensitive digest from per-token
+  md5 hex-digit parities; near-dups collide on the digest (or within
+  small Hamming distance).
+
+Embedding-cosine near-dup lives in operators/similarity.py.
+
+Everything uses deterministic md5-derived hashing so Spark results are
+bit-reproducible and oracle-comparable; swapping in xxhash64 for speed at
+production scale changes no plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_example_spark.operators.text import normalized_fingerprint, tokens
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the document text."""
+    toks = tokens(col)
+    count = F.size(toks)
+    grams = F.when(count < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), count - n),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i + 1, n)
+            ),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact (normalized) text — the
+    hash-groupBy exact dedup. Returns (fingerprint, keep_id, n_copies)."""
+    return (
+        df.select(
+            normalized_fingerprint(text_col).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _shingle_doc(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Exploded (doc_id, shingle) inverted index, deduplicated per doc."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (doc_a < doc_b, jaccard ≥
+    threshold), via the inverted-index self-join:
+
+        inter(a,b) = |shared shingles|;  J = inter / (|A| + |B| - inter)
+
+    The only quadratic term is within shingle buckets — bounded by shingle
+    frequency, not corpus size. At 100 TB, frequent-shingle skew is the
+    risk: cap or drop shingles above a document-frequency ceiling (they
+    contribute candidates that exact verification would reject anyway).
+    """
+    sh = _shingle_doc(df, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    scaled = int(round(threshold * 1_000_000))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        # integer cross-multiplication keeps the threshold test exact
+        .filter(
+            F.col("inter") * 1_000_000
+            >= F.lit(scaled) * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "size_a",
+            "size_b",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per document: for seed s, the lexicographic min of
+    ``md5(s || '|' || shingle)`` over the document's shingles. Uniform hex
+    strings make lexicographic min ≡ numeric min of the 128-bit hash."""
+    shingles = word_shingles(text_col, n)
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                shingles,
+                lambda sh_col, s=s: F.md5(F.concat(F.lit(f"{s}|"), sh_col)),
+            )
+        ).alias(f"mh_{s}")
+        for s in range(num_hashes)
+    ]
+    return df.select(F.col(id_col).alias("doc_id"), *sig_cols)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature and bucket-join: docs agreeing on ALL rows of at
+    least one band become candidates. One narrow map (band digests) + one
+    self-equi-join per union leg on (band_id, band_hash) — never all-pairs."""
+    rows_per_band = num_hashes // bands
+    band_frames = []
+    for band in range(bands):
+        cols = [
+            F.col(f"mh_{band * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_frames.append(
+            signatures.select(
+                "doc_id",
+                F.lit(band).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    banded = band_frames[0]
+    for frame in band_frames[1:]:
+        banded = banded.unionByName(frame)
+
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    threshold: float = 0.6,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: LSH candidates, then *exact* Jaccard
+    verification of only those candidates (the standard verify-after-LSH
+    discipline — banding alone admits false positives)."""
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+
+    sh = _shingle_doc(df, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    scaled = int(round(threshold * 1_000_000))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("inter") * 1_000_000
+            >= F.lit(scaled) * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+        )
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash(col: str, bits: int = 16) -> Column:
+    """SimHash digest as a bit-string: bit i is the sign of the sum over
+    tokens of ±1 by the parity of hex digit i of ``md5(token)``. Near-dup
+    texts (mostly-shared token multisets) agree on most bits. ``bits`` ≤ 32
+    (md5 yields 32 hex digits).
+
+    Built as ONE server-side SQL expression: combining multiple
+    Python-built ``F.aggregate(F.transform(...))`` columns in a single
+    projection cross-wires their lambda variables (PySpark client-side
+    lambda naming collision) — SQL-parsed lambdas scope correctly.
+    """
+    toks_sql = (
+        f"CASE WHEN length(trim(lower({col}))) = 0 "
+        f"THEN array() ELSE split(trim(lower({col})), '\\\\s+') END"
+    )
+    return F.expr(
+        f"""
+        concat_ws('', transform(sequence(1, {bits}), i ->
+            CASE WHEN aggregate(
+                transform({toks_sql}, t ->
+                    CASE WHEN substring(md5(t), i, 1) IN
+                        ('8','9','a','b','c','d','e','f')
+                    THEN 1 ELSE -1 END),
+                0, (acc, x) -> acc + x) >= 0
+            THEN '1' ELSE '0' END))
+        """
+    )
+
+
+def simhash_buckets(
+    df: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group documents by identical SimHash digest; buckets with >1 doc are
+    near-dup clusters (Hamming-0 collisions; wider radii via band-split of
+    the digest, same LSH machinery as MinHash banding)."""
+    return (
+        df.select(simhash(text_col, bits).alias("simhash"), F.col(id_col))
+        .groupBy("simhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("simhash")
+    )

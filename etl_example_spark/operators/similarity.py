@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine``: built-in-function cosine similarity (zip_with product,
+  left-fold sum — fixed summation order in index order, so results are
+  bit-deterministic and match a C-loop oracle).
+- ``brute_force_topk``: exact top-k neighbors of a query vector. The
+  baseline: one broadcast of the query + a narrow map over the corpus +
+  TakeOrderedAndProject. Scales linearly; at 100 TB it's one scan.
+- ``cosine_near_dup_pairs``: all-pairs ≥ threshold. Quadratic by nature;
+  the scale path is ``signed_projection_buckets`` (random-hyperplane LSH)
+  to restrict pairs to same-bucket candidates.
+- ``signed_projection_buckets`` / ``ann_topk``: sub-linear ANN — an
+  n-bit sign signature from deterministic ±1 hyperplanes (md5-parity
+  derived, so no RNG state ships to executors); candidates come from the
+  query's bucket, optionally within Hamming radius 1.
+
+No UDFs anywhere: dot products run as Catalyst higher-order functions.
+For very wide vectors (≥1k dims) a Pandas-UDF BLAS path wins; at 64-dim
+the JVM expression is faster than the Arrow round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a[i]·b[i], folded in index order (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    ))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    da, db = _as_double(a), _as_double(b)
+    return dot(da, db) / (norm(da) * norm(db))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_id: int | None = None,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors of one corpus vector (default: the
+    min-id vector, so the query is deterministic without parameters)."""
+    if query_id is None:
+        query = embeddings.orderBy(id_col).limit(1)
+    else:
+        query = embeddings.filter(F.col(id_col) == query_id)
+    q = query.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(vec_col, "query_vec"), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "neighbor_id")
+        .limit(k)
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All embedding pairs with cosine ≥ threshold (id_a < id_b). Exact and
+    quadratic — correct at any scale, affordable at verification scale; use
+    the LSH bucket variant to pre-filter candidates at corpus scale."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    sim = F.round(cosine("vec_a", "vec_b"), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _hyperplane_sign(plane: int, dim: int) -> Column:
+    """Deterministic ±1: parity of the first hex digit of md5('plane|dim').
+    Pure-literal per (plane, dim) — constant-folded by Catalyst."""
+    import hashlib
+
+    h = hashlib.md5(f"{plane}|{dim}".encode()).hexdigest()
+    return F.lit(1.0 if int(h[0], 16) >= 8 else -1.0)
+
+
+def signed_projection_buckets(
+    embeddings: DataFrame,
+    bits: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector: bit j is the sign of
+    Σ_i ±1·v[i] with a deterministic ±1 pattern per hyperplane."""
+    v = _as_double(vec_col)
+    bit_cols = []
+    for j in range(bits):
+        proj = sum(
+            (F.element_at(v, i + 1) * _hyperplane_sign(j, i) for i in range(dims)),
+            start=F.lit(0.0),
+        )
+        bit_cols.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col), F.concat(*bit_cols).alias("bucket")
+    )
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    query_id: int | None = None,
+    k: int = 10,
+    bits: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to the query's
+    LSH bucket plus Hamming-1 neighbor buckets (probing widens recall).
+    The candidate set is corpus_size / 2^bits per probe on average —
+    sub-linear scan at scale, same TakeOrdered tail as brute force."""
+    bucketed = signed_projection_buckets(embeddings, bits, dims, id_col, vec_col)
+    if query_id is None:
+        query = bucketed.orderBy(id_col).limit(1)
+    else:
+        query = bucketed.filter(F.col(id_col) == query_id)
+    q = query.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.col("bucket").alias("query_bucket"),
+    )
+    # Hamming ≤ 1: equal, or differing in exactly one bit position.
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split(F.col("bucket"), ""),
+            F.split(F.col("query_bucket"), ""),
+            lambda x, y: F.when(x == y, 0).otherwise(1),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        bucketed.crossJoin(F.broadcast(q))
+        .filter((F.col(id_col) != F.col("query_id")) & (hamming <= 1))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(vec_col, "query_vec"), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "neighbor_id")
+        .limit(k)
+    )

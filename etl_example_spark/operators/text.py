@@ -1,0 +1,114 @@
+"""Text-analysis operators for LLM training-data curation.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen) — no Python UDFs. Each operator is a narrow
+projection: at 100 TB these run as a single scan with no shuffle.
+
+Determinism contract: every derived value is integer, boolean, string, or
+an exact ratio of integers, so results hash-compare across engines (the
+DuckDB oracles in plans/llm_ops.py mirror the same expressions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Deliberately tiny and public-knowledge (most-frequent words);
+# the point is the operator shape (vectorized per-token membership count),
+# not lexical completeness.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "une"],
+    "de": ["der", "die", "und", "das", "von", "mit", "den", "ist"],
+}
+#: deterministic tie-break: first match in this order wins
+LANG_ORDER: list[str] = ["en", "es", "fr", "de"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of lowercased, trimmed text; empty text → []."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(F.lower(c))
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def alpha_char_count(col: Column | str) -> Column:
+    """Number of ASCII-alphabetic characters."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+
+
+def lang_score(col: Column | str, lang: str) -> Column:
+    """Count of tokens that are marker stopwords of ``lang``."""
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(
+        F.filter(tokens(col), lambda t: F.array_contains(markers, t))
+    )
+
+
+def language_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of marker-stopword hit counts, ties
+    and all-zero scores resolved by LANG_ORDER preference ('und' if no
+    marker hits at all)."""
+    scores = [(lang, lang_score(col, lang)) for lang in LANG_ORDER]
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # fold right-to-left so earlier languages win ties via strict '>'
+    for lang, score in reversed(scores):
+        is_better = score > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: lengths, token stats, alpha ratio,
+    and a composite keep/drop flag (the C4-style length+structure gate)."""
+    n_chars = F.length(F.col(text_col))
+    n_tok = token_count(text_col)
+    n_alpha = alpha_char_count(text_col)
+    mean_tok_len_x100 = F.when(n_tok > 0, (n_alpha * 100) / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        n_alpha.alias("n_alpha"),
+        mean_tok_len_x100.alias("mean_token_len_x100"),
+        (
+            (n_tok >= 5)
+            & (n_chars >= 20)
+            & (n_chars <= 1_000_000)
+            & (n_alpha * 2 > n_chars)  # mostly-alphabetic gate
+        ).alias("is_quality"),
+    )
+
+
+def normalized_fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-collapsed lowercase text —
+    the exact-dedup key (near-dup keys live in operators/dedup.py)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))
+
+
+def kgram_min_fingerprint(col: Column | str, k: int = 8) -> Column:
+    """Rolling-hash-style fingerprint: the lexicographic min of md5 over
+    all character k-grams (the anchor selection step of winnowing,
+    computed with built-in array functions — no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
+        lambda i: norm.substr(i, F.lit(k)),
+    )
+    return F.array_min(F.transform(grams, F.md5))

@@ -1,9 +1,406 @@
-"""LLM-training-data pipeline operators as registered queries.
+"""LLM-training-data pipeline operators as registered, oracle-checked queries.
 
-Deduplication, similarity search, and text analysis over the synthetic
-``documents`` / ``embeddings`` tables (TESTDATA.md). Implementations live
-in etl_example_spark.operators.{dedup,similarity,text}; this module
-registers the oracle-checked query surface.
+Coverage (BASELINE.json north-star): deduplication (exact, n-gram
+Jaccard, MinHash-LSH, SimHash, embedding-cosine), similarity search
+(brute-force top-k; the ANN variant is rows-only + recall-tested),
+text analysis (token counting, quality scoring, language ID,
+fingerprinting), multimodal stats. Implementations:
+etl_example_spark/operators/{text,dedup,similarity,multimodal}.py.
+
+The DuckDB oracles reconstruct the SAME md5-derived hashing pipelines in
+SQL (portable by construction: lexicographic mins over hex digests,
+integer cross-multiplied thresholds, fixed-order float folds verified
+bit-identical), so even MinHash-LSH and SimHash are hash-compared against
+an independent engine rather than rows-only-checked.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_example_spark.operators import dedup, multimodal, similarity, text
+from etl_example_spark.plans.registry import register
+from etl_example_spark.sources.loaders import load_table
+
+# --- shared DuckDB fragments (mirror operators/text.py exactly) ----------
+
+SQL_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+SQL_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+SQL_SHINGLES3 = (
+    "CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+    "ELSE list_distinct(list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END"
+)
+JACCARD_COND = "i * 1000000 >= 600000 * (sa.n + sb.n - i)"
+
+
+@register(
+    "d23_dedup_exact_stats",
+    "Exact-dedup profile per source: total vs distinct documents by "
+    "normalized-text fingerprint (operators/dedup.exact_dedup family). "
+    "One shuffle on the 32-char digest — document bytes never shuffle.",
+    oracle=f"""
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5({SQL_NORM})) AS n_distinct
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+    category="dedup",
+)
+def d23_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(text.normalized_fingerprint("text")).alias(
+                "n_distinct"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "d24_dedup_exact_keep",
+    "Exact dedup, keep-first policy: lowest doc_id per normalized-text "
+    "fingerprint with copy counts — the materialized dedup decision table.",
+    oracle=f"""
+        SELECT md5({SQL_NORM}) AS fingerprint,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY fingerprint
+        ORDER BY fingerprint
+    """,
+    category="dedup",
+)
+def d24_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).orderBy("fingerprint")
+
+
+@register(
+    "d25_jaccard_pairs",
+    "Exact word-3-gram Jaccard near-duplicate pairs (J >= 0.6) via the "
+    "inverted shingle-index self-join — candidates only ever form between "
+    "documents sharing a shingle; the threshold test is exact integer "
+    "cross-multiplication (operators/dedup.jaccard_pairs).",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id, unnest({SQL_SHINGLES3}) AS shingle FROM t),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        )
+        SELECT doc_a, doc_b,
+               i AS inter, sa.n AS size_a, sb.n AS size_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE {JACCARD_COND}
+        ORDER BY doc_a, doc_b
+    """,
+    category="dedup",
+    bench=True,
+)
+def d25_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, threshold=0.6, n=3)
+
+
+@register(
+    "d26_minhash_lsh_pairs",
+    "MinHash(16)+LSH(4 bands) near-dup pairs with exact-Jaccard "
+    "verification (J >= 0.6) — the sub-quadratic scale path: signatures "
+    "are per-seed lexicographic mins of md5(seed|shingle); only same-"
+    "(band,hash)-bucket documents ever join "
+    "(operators/dedup.minhash_lsh_dedup).",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id, unnest({SQL_SHINGLES3}) AS shingle FROM t),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        sig AS (
+            SELECT doc_id, s,
+                   MIN(md5(CAST(s AS VARCHAR) || '|' || shingle)) AS mh
+            FROM sh CROSS JOIN (SELECT unnest(range(16)) AS s) seeds
+            GROUP BY doc_id, s
+        ),
+        bands AS (
+            SELECT doc_id, s // 4 AS band_id,
+                   md5(string_agg(mh, '|' ORDER BY s)) AS band_hash
+            FROM sig GROUP BY doc_id, s // 4
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+            FROM cands c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE {JACCARD_COND}
+        ORDER BY doc_a, doc_b
+    """,
+    category="dedup",
+    bench=True,
+)
+def d26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(
+        docs, threshold=0.6, num_hashes=16, bands=4, n=3
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    hex_set = "('8','9','a','b','c','d','e','f')"
+    sums = ",\n               ".join(
+        f"SUM(CASE WHEN substring(md5(tok), {i + 1}, 1) IN {hex_set} "
+        f"THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    concat = " || ".join(
+        f"(CASE WHEN s{i} >= 0 THEN '1' ELSE '0' END)" for i in range(bits)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM documents
+        ),
+        bits AS (
+            SELECT doc_id,
+               {sums}
+            FROM toks GROUP BY doc_id
+        ),
+        hashed AS (SELECT doc_id, {concat} AS simhash FROM bits)
+        SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+        FROM hashed
+        GROUP BY simhash
+        HAVING COUNT(*) > 1
+        ORDER BY simhash
+    """
+
+
+@register(
+    "d27_simhash_buckets",
+    "SimHash(16-bit) near-dup clusters: per-token md5 hex-digit parities "
+    "vote each digest bit; identical digests cluster "
+    "(operators/dedup.simhash). Wider Hamming radii reuse the same "
+    "band-split machinery as MinHash-LSH.",
+    oracle=_simhash_sql(16),
+    category="dedup",
+)
+def d27_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_buckets(docs, bits=16)
+
+
+@register(
+    "d28_text_quality",
+    "Per-document quality features: char/token/alpha counts, mean token "
+    "length, composite keep flag (operators/text.quality_metrics) — the "
+    "C4-style quality gate as a single narrow projection.",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, text, {SQL_TOKS} AS toks,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       AS n_alpha
+            FROM documents
+        )
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(toks) AS n_tokens,
+               n_alpha,
+               CASE WHEN len(toks) > 0
+                    THEN (n_alpha * 100) / len(toks)
+                    ELSE 0.0 END AS mean_token_len_x100,
+               (len(toks) >= 5 AND length(text) >= 20
+                AND length(text) <= 1000000
+                AND n_alpha * 2 > length(text)) AS is_quality
+        FROM t
+        ORDER BY doc_id
+    """,
+    category="text",
+)
+def d28_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_metrics(docs).orderBy("doc_id")
+
+
+def _langid_sql() -> str:
+    score_cols = []
+    for lang in text.LANG_ORDER:
+        markers = ", ".join(f"'{m}'" for m in text.LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(toks, t -> t IN ({markers}))) AS s_{lang}"
+        )
+    scores = ",\n                   ".join(score_cols)
+    mx = "GREATEST(" + ", ".join(f"s_{lg}" for lg in text.LANG_ORDER) + ")"
+    pick = "CASE WHEN " + mx + " = 0 THEN 'und' "
+    for lang in text.LANG_ORDER[:-1]:
+        pick += f"WHEN s_{lang} = {mx} THEN '{lang}' "
+    pick += f"ELSE '{text.LANG_ORDER[-1]}' END"
+    return f"""
+        WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+        scored AS (
+            SELECT doc_id,
+                   {scores}
+            FROM t
+        )
+        SELECT doc_id, s_en, s_es, s_fr, s_de,
+               {pick} AS pred_lang
+        FROM scored
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "d29_langid",
+    "Heuristic language ID: marker-stopword hit counts per language, "
+    "argmax with deterministic preference-order tie-break "
+    "(operators/text.language_id). Vectorized per-token membership — "
+    "no Python in the loop.",
+    oracle=_langid_sql(),
+    category="text",
+)
+def d29_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        *[
+            text.lang_score("text", lang).alias(f"s_{lang}")
+            for lang in text.LANG_ORDER
+        ],
+        text.language_id("text").alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "d30_fingerprint",
+    "Document fingerprints: exact-dedup digest (md5 of collapsed text) + "
+    "winnowing-style min-k-gram anchor (lexicographic min of md5 over all "
+    "char 8-grams) — both pure built-in array expressions "
+    "(operators/text.normalized_fingerprint / kgram_min_fingerprint).",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_NORM} AS norm FROM documents)
+        SELECT doc_id,
+               md5(norm) AS fingerprint,
+               list_min(list_transform(
+                   range(1, greatest(length(norm) - 7, 1) + 1),
+                   i -> md5(substring(norm, i, 8)))) AS kgram_min
+        FROM t
+        ORDER BY doc_id
+    """,
+    category="text",
+)
+def d30_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.normalized_fingerprint("text").alias("fingerprint"),
+        text.kgram_min_fingerprint("text", k=8).alias("kgram_min"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "s31_cosine_topk",
+    "Exact similarity search: cosine top-10 neighbors of the min-id "
+    "vector — broadcast query + narrow map + TakeOrderedAndProject "
+    "(operators/similarity.brute_force_topk). The float fold is fixed-"
+    "order and verified bit-identical to the oracle's C loop.",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings ORDER BY vec_id LIMIT 1
+        )
+        SELECT qid AS query_id,
+               e.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), qv), 6) AS cosine_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != qid
+        ORDER BY cosine_sim DESC, neighbor_id
+        LIMIT 10
+    """,
+    category="similarity",
+    bench=True,
+)
+def s31_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, k=10)
+
+
+@register(
+    "s32_embedding_near_dup",
+    "Embedding-cosine near-duplicate pairs (cos >= 0.4, id_a < id_b) — "
+    "the semantic-dedup primitive (operators/similarity."
+    "cosine_near_dup_pairs). Exact all-pairs here; the LSH-bucketed "
+    "variant (signed_projection_buckets) is the corpus-scale pre-filter.",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        ORDER BY id_a, id_b
+    """,
+    category="similarity",
+)
+def s32_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.4)
+
+
+@register(
+    "s33_ann_topk",
+    "Approximate nearest neighbors: random-hyperplane LSH buckets "
+    "(deterministic md5-parity hyperplanes), Hamming<=1 probing, exact "
+    "re-rank of candidates (operators/similarity.ann_topk). 4-bit buckets "
+    "here: this corpus is random/near-orthogonal (sign-LSH's worst case), "
+    "so fewer bits buy recall; clustered real embeddings support more "
+    "bits. Approximate by design → no SQL oracle; recall vs brute force "
+    "is asserted in tests/test_llm_ops.py.",
+    oracle=None,
+    category="similarity",
+)
+def s33_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_topk(emb, k=10, bits=4, dims=64)
+
+
+@register(
+    "m34_multimodal_stats",
+    "Multimodal metadata stats: per-modality item counts and byte totals "
+    "computed purely from the metadata struct — binary payloads are "
+    "never deserialized (operators/multimodal.media_stats over "
+    "attach_binary_payload).",
+    oracle="""
+        SELECT 'image' AS modality,
+               COUNT(*) AS n_items,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(MIN(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+               CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+        FROM documents
+    """,
+    category="multimodal",
+)
+def m34_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs)
+    return multimodal.media_stats(media)

