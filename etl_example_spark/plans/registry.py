@@ -77,6 +77,7 @@ def load_all() -> dict[str, Query]:
         llm_ops,
         parity,
         relational,
+        streaming_ops,
     )
 
     return QUERIES

@@ -1,0 +1,173 @@
+"""Structured Streaming queries as registered, oracle-checked entries.
+
+Each builder runs a real streaming query (file-stream source →
+watermarked event-time transformation → memory sink) to completion with
+Trigger.AvailableNow, then returns the sink as a DataFrame. The DuckDB
+oracles state the streaming semantics in batch SQL, *including the
+append-mode emission rule*: with final watermark ``max(ts) - delay``
+(AvailableNow runs a trailing no-data micro-batch that advances the
+watermark past the last event), the emitted set is exactly the windows
+with ``window_end <= max(ts) - delay`` — so late-data/watermark behavior
+itself is hash-checked against an independent engine, not just eyeballed.
+
+Implementations: etl_example_spark/streaming/{sources,windows,stateful,
+sinks}.py. Batch twins: q20 (sessionize), q21 (tumbling) in
+plans/relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_example_spark.plans.registry import register
+from etl_example_spark.streaming.sinks import run_to_memory
+from etl_example_spark.streaming.sources import read_events_stream
+from etl_example_spark.streaming.stateful import first_seen_dedup
+from etl_example_spark.streaming.windows import (
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+
+SQL_EXACT_VALUE_SUM = (
+    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100"
+)
+
+
+@register(
+    "st35_stream_tumbling",
+    "Streaming tumbling 1h windows, complete mode: file-stream source -> "
+    "F.window agg -> memory sink via AvailableNow. No watermark: complete "
+    "mode re-emits the whole result table, so the final sink equals the "
+    "batch aggregation exactly (streaming/windows.tumbling_counts).",
+    oracle=f"""
+        SELECT date_trunc('hour', ts) AS window_start,
+               COUNT(*) AS n_events,
+               {SQL_EXACT_VALUE_SUM} AS total_value
+        FROM events
+        GROUP BY window_start
+        ORDER BY window_start
+    """,
+    category="streaming",
+)
+def st35_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    result = run_to_memory(tumbling_counts(stream), output_mode="complete")
+    return result.orderBy("window_start")
+
+
+@register(
+    "st36_stream_sliding_watermark",
+    "Streaming sliding windows (1h wide / 30min slide) with a 2h "
+    "watermark, append mode: a window is emitted only once the watermark "
+    "passes its end, so the output set itself encodes the late-data "
+    "contract. The oracle expands the slide assignment (two 30min-grid "
+    "starts per event) and applies the same cutoff "
+    "window_end <= max(ts) - 2h (streaming/windows.sliding_counts).",
+    oracle=f"""
+        WITH mx AS (SELECT MAX(ts) AS mt FROM events),
+        g AS (
+            SELECT ts, value,
+                   make_timestamp(
+                       epoch_us(ts) // 1800000000 * 1800000000
+                       - o.off * 1800000000) AS window_start
+            FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+        )
+        SELECT window_start,
+               window_start + INTERVAL 1 HOUR AS window_end,
+               COUNT(*) AS n_events,
+               {SQL_EXACT_VALUE_SUM} AS total_value
+        FROM g
+        GROUP BY window_start
+        HAVING window_start + INTERVAL 1 HOUR
+               <= (SELECT mt FROM mx) - INTERVAL 2 HOUR
+        ORDER BY window_start
+    """,
+    category="streaming",
+)
+def st36_stream_sliding_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    result = run_to_memory(sliding_counts(stream), output_mode="append")
+    return result.orderBy("window_start")
+
+
+@register(
+    "st37_stream_session_windows",
+    "Streaming per-user session windows (30min gap, 2h watermark, append "
+    "mode): F.session_window merges events closer than the gap; window "
+    "end = last event + gap; sessions emit when the watermark passes "
+    "their end. Oracle: gaps-and-islands with new-session at gap >= "
+    "30min plus the same cutoff (streaming/windows.session_windows; "
+    "batch twin q20).",
+    oracle=f"""
+        WITH mx AS (SELECT MAX(ts) AS mt FROM events),
+        flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                        ) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM flagged
+        ),
+        agg AS (
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   COUNT(*) AS n_events,
+                   {SQL_EXACT_VALUE_SUM} AS total_value
+            FROM sess
+            GROUP BY user_id, sess_id
+        )
+        SELECT user_id, session_start, session_end, n_events, total_value
+        FROM agg
+        WHERE session_end <= (SELECT mt FROM mx) - INTERVAL 2 HOUR
+        ORDER BY user_id, session_start
+    """,
+    category="streaming",
+)
+def st37_stream_session_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    result = run_to_memory(session_windows(stream), output_mode="append")
+    return result.orderBy("user_id", "session_start")
+
+
+@register(
+    "st38_stream_first_seen_dedup",
+    "Custom stateful streaming operator (applyInPandasWithState): "
+    "keep-first exact dedup per (user_id, event_type) with per-key "
+    "GroupState persisting across micro-batches — the streaming analog "
+    "of batch keep-first dedup. Deterministic: within-batch rows are "
+    "ordered by (ts, event_id) before the first is chosen "
+    "(streaming/stateful.first_seen_dedup).",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_type, ts, event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        SELECT user_id, event_type,
+               ts AS first_ts, event_id AS first_event_id
+        FROM ranked
+        WHERE rn = 1
+        ORDER BY user_id, event_type
+    """,
+    category="streaming",
+)
+def st38_stream_first_seen_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    result = run_to_memory(first_seen_dedup(stream), output_mode="update")
+    return result.orderBy("user_id", "event_type")

@@ -1,0 +1,72 @@
+"""Streaming sources.
+
+``read_events_stream`` turns the testdata events table into a file-stream
+source: ``spark.readStream.schema(...).parquet(path)``. File streams
+require an explicit schema; the physical ``ts`` column is
+TIMESTAMP(NANOS), which Spark's reader only accepts as nanos-since-epoch
+long (``spark.sql.legacy.parquet.nanosAsLong``), so the source repairs it
+to a microsecond timestamp at the boundary — the same derive-don't-mutate
+repair as the batch loader (sources/loaders.py).
+
+At scale this is the landing-zone pattern: new parquet files appear in a
+directory (one per upstream micro-batch / Kafka offset range), the file
+source tracks progress in the checkpoint, and ``maxFilesPerTrigger``
+bounds per-batch work. The testdata directory is a single file, so
+AvailableNow processes it as one batch — fine for semantics tests; real
+deployments get incremental batches for free from the same code.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: physical schema of events.parquet under nanosAsLong (ts: long nanos)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _staging_dir(sf_dir: str) -> str:
+    """File-stream sources watch a *directory*; the testdata table is a
+    single file in a directory shared with other tables. Stage a per-sf
+    landing dir (under the system temp root) holding a symlink to
+    events.parquet — the same shape a real landing zone has, one file per
+    arriving batch."""
+    slug = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    staging = os.path.join(
+        tempfile.gettempdir(), "etl_stream_src", slug
+    )
+    os.makedirs(staging, exist_ok=True)
+    link = os.path.join(staging, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(os.path.abspath(sf_dir), "events.parquet"), link)
+    return staging
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream source over ``{sf_dir}/events.parquet`` with the ts
+    column repaired to a proper timestamp (event-time ready)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(_staging_dir(sf_dir))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,211 @@
+"""Streaming semantics the single-batch oracle can't see: state surviving
+query restarts (checkpoint recovery), watermark late-data drops, and the
+foreachBatch parquet sink. Each test writes its own landing directory and
+drives the stream twice with a shared checkpoint — the minimal local
+stand-in for a long-running incremental pipeline."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from etl_example_spark.streaming.sinks import stream_to_parquet
+from etl_example_spark.streaming.stateful import first_seen_dedup
+from etl_example_spark.streaming.windows import tumbling_counts
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _t(hour: int, minute: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 3, 1, hour, minute)
+
+
+def _land(spark, path: str, rows: list[tuple]) -> None:
+    """Append one file to the landing dir (one arriving micro-batch)."""
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _read_stream(spark, path: str):
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+
+
+def _run_to_parquet(spark, sdf, out: str, ckpt: str, mode: str) -> list:
+    """Drive one AvailableNow run into a parquet foreachBatch sink (the
+    memory sink can't recover from checkpoints; foreachBatch can) and
+    return the rows this run emitted."""
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out):
+        return []
+    return spark.read.schema(sdf.schema).parquet(out).collect()
+
+
+def test_stateful_dedup_state_survives_restart(spark, tmp_path):
+    """GroupState persists in the checkpoint: a key emitted in run 1 is
+    NOT re-emitted when it reappears after a restart."""
+    land = str(tmp_path / "land")
+    ckpt = str(tmp_path / "ckpt")
+
+    _land(spark, land, [(1, _t(9), 1, "click", 1.0), (2, _t(9), 2, "view", 1.0)])
+    out1 = _run_to_parquet(
+        spark,
+        first_seen_dedup(_read_stream(spark, land)),
+        str(tmp_path / "out1"),
+        ckpt,
+        "update",
+    )
+    assert {(r.user_id, r.event_type, r.first_event_id) for r in out1} == {
+        (1, "click", 1),
+        (2, "view", 2),
+    }
+
+    # key (1, click) reappears + one genuinely new key
+    _land(spark, land, [(3, _t(10), 1, "click", 1.0), (4, _t(10), 3, "click", 1.0)])
+    out2 = _run_to_parquet(
+        spark,
+        first_seen_dedup(_read_stream(spark, land)),
+        str(tmp_path / "out2"),
+        ckpt,
+        "update",
+    )
+    assert {(r.user_id, r.event_type, r.first_event_id) for r in out2} == {
+        (3, "click", 4)
+    }
+
+
+def test_watermark_drops_late_rows_across_restart(spark, tmp_path):
+    """Append-mode window agg with a 10min watermark: a row arriving after
+    the watermark passed its window is dropped, not re-opened."""
+    land = str(tmp_path / "land")
+    ckpt = str(tmp_path / "ckpt")
+
+    # 3 rows in the 09:00 window; a 13:00 row pushes the watermark to 12:50
+    _land(
+        spark,
+        land,
+        [
+            (1, _t(9, 5), 1, "click", 1.0),
+            (2, _t(9, 25), 1, "click", 1.0),
+            (3, _t(9, 45), 2, "view", 1.0),
+            (4, _t(13, 0), 2, "view", 1.0),
+        ],
+    )
+    agg1 = tumbling_counts(
+        _read_stream(spark, land).withWatermark("ts", "10 minutes")
+    )
+    out1 = {
+        r.window_start.hour: r.n_events
+        for r in _run_to_parquet(
+            spark, agg1, str(tmp_path / "out1"), ckpt, "append"
+        )
+    }
+    assert out1[9] == 3  # 09:00 window closed and emitted
+
+    # late row for the already-closed 09:00 window + a 16:00 row that
+    # closes the 13:00 window
+    _land(
+        spark,
+        land,
+        [(5, _t(9, 30), 1, "click", 1.0), (6, _t(16, 0), 1, "click", 1.0)],
+    )
+    agg2 = tumbling_counts(
+        _read_stream(spark, land).withWatermark("ts", "10 minutes")
+    )
+    out2 = {
+        r.window_start.hour: r.n_events
+        for r in _run_to_parquet(
+            spark, agg2, str(tmp_path / "out2"), ckpt, "append"
+        )
+    }
+    assert 9 not in out2, "late row must not re-open the 09:00 window"
+    assert out2[13] == 1  # on-time row emitted once its window closed
+
+
+def test_foreachbatch_parquet_sink(spark, tmp_path):
+    """stream_to_parquet lands each micro-batch as (partitioned) parquet."""
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "out")
+    _land(
+        spark,
+        land,
+        [
+            (1, _t(9), 1, "click", 1.0),
+            (2, _t(9), 2, "view", 2.0),
+            (3, _t(10), 3, "click", 3.0),
+        ],
+    )
+    stream_to_parquet(
+        _read_stream(spark, land),
+        out,
+        checkpoint=str(tmp_path / "ckpt"),
+        partition_by=["event_type"],
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert set(back.select("event_type").distinct().toPandas()["event_type"]) == {
+        "click",
+        "view",
+    }
+    # partitionBy produced hive-style directories
+    assert any(p.startswith("event_type=") for p in os.listdir(out))
+
+
+def test_streaming_source_is_incremental(spark, tmp_path):
+    """A second AvailableNow run over the same checkpoint processes only
+    files that arrived since the first run (exactly-once over files)."""
+    land = str(tmp_path / "land")
+    ckpt = str(tmp_path / "ckpt")
+    _land(spark, land, [(1, _t(9), 1, "click", 1.0)])
+    out1 = _run_to_parquet(
+        spark, _read_stream(spark, land), str(tmp_path / "out1"), ckpt, "append"
+    )
+    assert [r.event_id for r in out1] == [1]
+
+    _land(spark, land, [(2, _t(10), 1, "click", 1.0)])
+    out2 = _run_to_parquet(
+        spark, _read_stream(spark, land), str(tmp_path / "out2"), ckpt, "append"
+    )
+    # only the newly-arrived file was read on resume
+    assert [r.event_id for r in out2] == [2]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "st35_stream_tumbling",
+        "st36_stream_sliding_watermark",
+        "st37_stream_session_windows",
+        "st38_stream_first_seen_dedup",
+    ],
+)
+def test_streaming_registry_queries_run(spark, sf_dir, name):
+    """Registry streaming queries run end-to-end at smoke scale (their
+    value-level oracle checks live in test_queries_oracle)."""
+    from etl_example_spark.plans.registry import load_all
+
+    df = load_all()[name].spark_builder(spark, sf_dir)
+    assert df.columns
+    assert df.count() >= 0
