@@ -33,18 +33,26 @@ from etl_example_spark.operators.text import normalized_fingerprint, tokens
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the document text."""
-    toks = tokens(col)
-    count = F.size(toks)
-    grams = F.when(count < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), count - n),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i + 1, n)
-            ),
+    """Distinct word n-gram shingles of the document text.
+
+    The token array is bound ONCE per row as a lambda variable (the
+    single-element ``transform`` wrapper): referencing the raw ``tokens()``
+    expression inside the per-position lambda would re-run the regex split
+    for every shingle position — O(tokens²) splits per document, a ~10×
+    slowdown measured at sf0.1."""
+
+    def grams(toks: Column) -> Column:
+        count = F.size(toks)
+        return F.array_distinct(
+            F.when(count < n, F.array(F.concat_ws(" ", toks))).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), count - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                )
+            )
         )
-    )
-    return F.array_distinct(grams)
+
+    return F.element_at(F.transform(F.array(tokens(col)), grams), 1)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -71,6 +79,27 @@ def _shingle_doc(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame
     )
 
 
+def shingle_index(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = True,
+) -> DataFrame:
+    """The (doc_id, shingle) inverted index, materialized once.
+
+    Every near-dup operator consumes this index multiple times (sizes,
+    both self-join legs, candidate verification); recomputing the
+    tokenize→shingle→explode pipeline per consumer dominated runtime (~4s
+    per pass at sf0.1). ``localCheckpoint`` pins the computed index in
+    executor storage and truncates lineage — blocks are released by the
+    ContextCleaner when the DataFrame is garbage collected. At 100 TB the
+    same role is played by staging the index to parquet (one wide scan,
+    many cheap re-reads); the operator shape is unchanged."""
+    sh = _shingle_doc(df, text_col, id_col, n)
+    return sh.localCheckpoint(eager=True) if materialize else sh
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.6,
@@ -88,7 +117,7 @@ def jaccard_pairs(
     risk: cap or drop shingles above a document-frequency ceiling (they
     contribute candidates that exact verification would reject anyway).
     """
-    sh = _shingle_doc(df, text_col, id_col, n)
+    sh = shingle_index(df, n, text_col, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 
     a = sh.alias("a")
@@ -126,21 +155,28 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: for seed s, the lexicographic min of
     ``md5(s || '|' || shingle)`` over the document's shingles. Uniform hex
-    strings make lexicographic min ≡ numeric min of the 128-bit hash."""
-    shingles = word_shingles(text_col, n)
-    sig_cols = [
-        F.array_min(
-            F.transform(
-                shingles,
-                lambda sh_col, s=s: F.md5(F.concat(F.lit(f"{s}|"), sh_col)),
+    strings make lexicographic min ≡ numeric min of the 128-bit hash.
+
+    Computed over the exploded shingle index as ONE hash aggregate with
+    ``num_hashes`` ``min()`` columns: md5 is a codegen'd JVM expression
+    here, and the partial-aggregate (map-side min) means only 5000×16 hex
+    strings shuffle, not the index. (An array-expression formulation
+    without the explode re-evaluates the shingle pipeline per signature
+    column — interpreted higher-order functions get no common-subexpression
+    reuse — measured >10× slower at sf0.1.)"""
+    sh = index if index is not None else shingle_index(df, n, text_col, id_col)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(
+                f"mh_{s}"
             )
-        ).alias(f"mh_{s}")
-        for s in range(num_hashes)
-    ]
-    return df.select(F.col(id_col).alias("doc_id"), *sig_cols)
+            for s in range(num_hashes)
+        ]
+    )
 
 
 def lsh_candidate_pairs(
@@ -150,21 +186,26 @@ def lsh_candidate_pairs(
     least one band become candidates. One narrow map (band digests) + one
     self-equi-join per union leg on (band_id, band_hash) — never all-pairs."""
     rows_per_band = num_hashes // bands
-    band_frames = []
-    for band in range(bands):
-        cols = [
-            F.col(f"mh_{band * rows_per_band + r}") for r in range(rows_per_band)
-        ]
-        band_frames.append(
-            signatures.select(
-                "doc_id",
-                F.lit(band).alias("band_id"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
-            )
+    # one pass: emit all band digests per row, then explode — a union of
+    # per-band selects would recompute the signature aggregation per leg
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh_{band * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
         )
-    banded = band_frames[0]
-    for frame in band_frames[1:]:
-        banded = banded.unionByName(frame)
+        for band in range(bands)
+    ]
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bd")
+    ).select("doc_id", "bd.band_id", "bd.band_hash")
 
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -193,10 +234,9 @@ def minhash_lsh_dedup(
     """MinHash-LSH near-dup pairs: LSH candidates, then *exact* Jaccard
     verification of only those candidates (the standard verify-after-LSH
     discipline — banding alone admits false positives)."""
-    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    sh = shingle_index(df, n, text_col, id_col)
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, index=sh)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
-
-    sh = _shingle_doc(df, text_col, id_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -231,6 +271,10 @@ def simhash(col: str, bits: int = 16) -> Column:
     Python-built ``F.aggregate(F.transform(...))`` columns in a single
     projection cross-wires their lambda variables (PySpark client-side
     lambda naming collision) — SQL-parsed lambdas scope correctly.
+
+    The token digests are bound once per row (outer ``transform`` lambda):
+    inlining the split+md5 into each bit's aggregate would re-split and
+    re-hash the document per bit — a ``bits``× blowup.
     """
     toks_sql = (
         f"CASE WHEN length(trim(lower({col}))) = 0 "
@@ -238,14 +282,13 @@ def simhash(col: str, bits: int = 16) -> Column:
     )
     return F.expr(
         f"""
-        concat_ws('', transform(sequence(1, {bits}), i ->
-            CASE WHEN aggregate(
-                transform({toks_sql}, t ->
-                    CASE WHEN substring(md5(t), i, 1) IN
+        element_at(transform(array(transform({toks_sql}, t -> md5(t))), hs ->
+            concat_ws('', transform(sequence(1, {bits}), i ->
+                CASE WHEN aggregate(hs, 0, (acc, h) ->
+                    acc + CASE WHEN substring(h, i, 1) IN
                         ('8','9','a','b','c','d','e','f')
-                    THEN 1 ELSE -1 END),
-                0, (acc, x) -> acc + x) >= 0
-            THEN '1' ELSE '0' END))
+                    THEN 1 ELSE -1 END) >= 0
+                THEN '1' ELSE '0' END))), 1)
         """
     )
 
