@@ -69,6 +69,44 @@ def attach_binary_payload(
     )
 
 
+MODALITIES = ["image", "audio", "video"]
+MODALITY_FORMATS = {"image": "png", "audio": "wav", "video": "mp4"}
+
+
+def attach_mixed_media(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mixed-modality demo table: documents become image/audio/video items
+    by ``doc_id % 3``, with modality-appropriate metadata (dims for visual
+    media, duration for timed media). Same payload-beside-struct shape as
+    :func:`attach_binary_payload`, but exercising all three modalities."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in MODALITIES]),
+        (F.pmod(F.col(id_col), 3) + 1).cast("int"),
+    )
+    fmt = F.element_at(
+        F.array(*[F.lit(MODALITY_FORMATS[m]) for m in MODALITIES]),
+        (F.pmod(F.col(id_col), 3) + 1).cast("int"),
+    )
+    n_bytes = F.length(payload).cast("long")
+    timed = modality.isin("audio", "video")
+    visual = modality.isin("image", "video")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            modality.alias("modality"),
+            fmt.alias("format"),
+            n_bytes.alias("n_bytes"),
+            F.when(visual, F.lit(64)).alias("width"),
+            F.when(visual, F.lit(64)).alias("height"),
+            # demo contract: 10ms of media per payload byte
+            F.when(timed, n_bytes * 10).alias("duration_ms"),
+        ).alias("media"),
+    )
+
+
 def decode_stub(payload: bytes, fmt: str) -> object:
     """Where a real codec belongs (PIL.Image.open / av.open / soundfile).
     Not available in this container — STUB by contract."""
@@ -119,6 +157,94 @@ def extract_features(
             )
 
     return media_df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+        T.StructField("frame_hash", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    media_df: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Frame sampling for video payloads: one output row per sampled frame
+    (``min(duration // every_ms + 1, max_frames)`` frames per item).
+
+    ``mapInPandas`` fan-OUT: input rows become multiple output rows inside
+    the Arrow batch, so the expansion happens executor-side with no
+    explode-shuffle. A real build calls the codec (``decode_stub``) to
+    seek and decode each frame; here the frame payload is the
+    deterministic stand-in ``md5(hex(payload) | frame_idx)`` so the
+    plumbing (schemas, fan-out, batching) is testable and oracle-checkable
+    via the hex-string hash chain (DuckDB md5 is VARCHAR-only).
+    """
+    import hashlib
+
+    videos = media_df.filter(F.col("media.modality") == "video").select(
+        "doc_id", "payload", F.col("media.duration_ms").alias("duration_ms")
+    )
+
+    def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_payload": [],
+                "frame_hash": [],
+            }
+            for doc_id, payload, duration in zip(
+                pdf["doc_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                n = min(int(duration) // every_ms + 1, max_frames)
+                for i in range(n):
+                    key = f"{bytes(payload).hex().upper()}|{i}"
+                    digest = hashlib.md5(key.encode())
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(i)
+                    out["frame_payload"].append(digest.digest())
+                    out["frame_hash"].append(digest.hexdigest())
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(frames, FRAME_SCHEMA)
+
+
+def resize_media(
+    media_df: DataFrame, width: int = 32, height: int = 32
+) -> DataFrame:
+    """Resize plumbing for visual payloads (image/video): same schema out
+    as in, with updated dimensions and the re-encoded payload. The resize
+    kernel is the stubbed codec step (``decode_stub`` marks where
+    PIL/ffmpeg belongs); the stand-in emits ``md5(payload)`` bytes so the
+    pipeline stays deterministic end-to-end."""
+    import hashlib
+
+    out_schema = media_df.schema
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized_payloads = []
+            metas = []
+            for payload, media in zip(pdf["payload"], pdf["media"]):
+                meta = dict(media)
+                if meta["modality"] in ("image", "video"):
+                    resized = hashlib.md5(bytes(payload)).digest()
+                    meta["width"], meta["height"] = width, height
+                    meta["n_bytes"] = len(resized)
+                    resized_payloads.append(resized)
+                else:
+                    resized_payloads.append(bytes(payload))
+                metas.append(meta)
+            pdf = pdf.copy()
+            pdf["payload"] = resized_payloads
+            pdf["media"] = metas
+            yield pdf
+
+    return media_df.mapInPandas(kernel, out_schema)
 
 
 def media_stats(media_df: DataFrame) -> DataFrame:

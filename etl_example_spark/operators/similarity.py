@@ -132,6 +132,103 @@ def signed_projection_buckets(
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (max cosine, ties to the lower centroid id).
+
+    Centroids are the ``n_centroids`` lowest-id corpus vectors —
+    deterministic seeding; production IVF runs a few Lloyd iterations
+    (or pyspark.ml KMeans) over the same assign step, which changes only
+    centroid *values*, not the plan shape. The assignment is one
+    broadcast-crossJoin (corpus × tiny centroid table — a narrow map, no
+    shuffle of the corpus) folded by a single hash aggregate (``max_by``),
+    so the corpus shuffles once, on its id, at 100 TB."""
+    centroids = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+    sim = F.round(cosine(vec_col, "centroid_vec"), 6)
+    return (
+        embeddings.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("centroid_id"),
+            sim.alias("c_sim"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.any_value(vec_col).alias(vec_col),
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("c_sim"), (-F.col("centroid_id")).alias("nid")),
+            ).alias("centroid_id"),
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int | None = None,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` cells whose centroids
+    are nearest the query, exact-rerank only their members. Expected scan
+    fraction is nprobe/n_centroids of the corpus — the inverted-file
+    trade: coarser cells = fewer probes = lower recall."""
+    assign = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    if query_id is None:
+        query = assign.orderBy(id_col).limit(1)
+    else:
+        query = assign.filter(F.col(id_col) == query_id)
+    q = query.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    centroids = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "centroid_id",
+            F.round(cosine("centroid_vec", "query_vec"), 6).alias("q_sim"),
+        )
+        .orderBy(F.desc("q_sim"), "centroid_id")
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    return (
+        assign.join(F.broadcast(probe_cells), "centroid_id")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(vec_col, "query_vec"), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "neighbor_id")
+        .limit(k)
+    )
+
+
 def ann_topk(
     embeddings: DataFrame,
     query_id: int | None = None,

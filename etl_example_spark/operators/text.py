@@ -28,6 +28,26 @@ LANG_MARKERS: dict[str, list[str]] = {
 LANG_ORDER: list[str] = ["en", "es", "fr", "de"]
 
 
+#: GPT-2-style pre-tokenizer shape: contractions, space-prefixed letter
+#: runs, digit runs, punctuation runs. No lookarounds — the pattern parses
+#: identically under Java regex (Spark) and RE2 (DuckDB), so token counts
+#: are cross-engine checkable. Pass as a LITERAL column (F.lit), never
+#: through a SQL string (escaping would mangle the backslash classes).
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish pre-tokenization: the regex word/number/punct split that
+    LLM tokenizers apply before merges — the standard corpus token-count
+    estimator."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0)
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    return F.size(bpe_tokens(col))
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of lowercased, trimmed text; empty text → []."""
     c = F.col(col) if isinstance(col, str) else col

@@ -317,6 +317,47 @@ def d30_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d39_bpe_token_stats",
+    "Token counting two ways: whitespace tokens vs BPE-ish regex "
+    "pre-tokens (GPT-2-shaped split: contractions / letter runs / digit "
+    "runs / punct runs), plus exact chars-per-token x100 — the corpus "
+    "token-budget estimator (operators/text.bpe_tokens). Pattern is "
+    "Java-regex/RE2 portable and passed as a literal column.",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len({SQL_TOKS}) AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+                       AS n_bpe_tokens
+            FROM documents
+        )
+        SELECT doc_id, n_chars, n_ws_tokens, n_bpe_tokens,
+               CASE WHEN n_bpe_tokens > 0
+                    THEN (n_chars * 100) / n_bpe_tokens
+                    ELSE 0 END AS chars_per_bpe_x100
+        FROM t
+        ORDER BY doc_id
+    """,
+    category="text",
+)
+def d39_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_bpe = text.bpe_token_count("text")
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        text.token_count("text").alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.when(n_bpe > 0, (n_chars * 100) / n_bpe)
+        .otherwise(F.lit(0))
+        .alias("chars_per_bpe_x100"),
+    ).orderBy("doc_id")
+
+
+@register(
     "s31_cosine_topk",
     "Exact similarity search: cosine top-10 neighbors of the min-id "
     "vector — broadcast query + narrow map + TakeOrderedAndProject "
@@ -385,6 +426,22 @@ def s33_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s40_ivf_topk",
+    "IVF approximate nearest neighbors: coarse-quantize the corpus to "
+    "deterministic centroid cells (broadcast crossJoin + max_by "
+    "aggregate), probe the nprobe cells nearest the query, exact-rerank "
+    "members (operators/similarity.ivf_topk). Scan fraction = "
+    "nprobe/n_centroids — the inverted-file scale path. Approximate by "
+    "design -> recall vs brute force asserted in tests, no SQL oracle.",
+    oracle=None,
+    category="similarity",
+)
+def s40_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, k=10, n_centroids=16, nprobe=8)
+
+
+@register(
     "m34_multimodal_stats",
     "Multimodal metadata stats: per-modality item counts and byte totals "
     "computed purely from the metadata struct — binary payloads are "
@@ -404,3 +461,61 @@ def m34_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_binary_payload(docs)
     return multimodal.media_stats(media)
+
+
+@register(
+    "m35_mixed_media_stats",
+    "Mixed-modality metadata rollup (image/audio/video by doc_id % 3): "
+    "item counts and byte totals per modality from the metadata struct "
+    "alone (operators/multimodal.attach_mixed_media + media_stats).",
+    oracle="""
+        SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+                               WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS modality,
+               COUNT(*) AS n_items,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(MIN(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+               CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+        FROM documents
+        GROUP BY modality
+        ORDER BY modality
+    """,
+    category="multimodal",
+)
+def m35_mixed_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.media_stats(multimodal.attach_mixed_media(docs))
+
+
+@register(
+    "m36_frame_sample",
+    "Video frame sampling via mapInPandas fan-out: one row per sampled "
+    "frame (1 frame/sec capped at 8), frame id = md5 over the hex-payload"
+    "|index chain — the decode seek is the stubbed codec step; the "
+    "Arrow-batched expansion is real (operators/multimodal.sample_frames).",
+    oracle="""
+        WITH v AS (
+            SELECT doc_id,
+                   hex(encode(text)) AS hx,
+                   least(octet_length(encode(text)) * 10 // 1000 + 1, 8)
+                       AS n_frames
+            FROM documents
+            WHERE doc_id % 3 = 2
+        )
+        SELECT doc_id,
+               CAST(unnest(range(n_frames)) AS INTEGER) AS frame_idx,
+               md5(hx || '|' || CAST(unnest(range(n_frames)) AS VARCHAR))
+                   AS frame_hash
+        FROM v
+        ORDER BY doc_id, frame_idx
+    """,
+    category="multimodal",
+)
+def m36_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_mixed_media(docs)
+    return (
+        multimodal.sample_frames(media, every_ms=1000, max_frames=8)
+        .select("doc_id", "frame_idx", "frame_hash")
+        .orderBy("doc_id", "frame_idx")
+    )

@@ -17,6 +17,7 @@ configuration:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -51,6 +52,14 @@ def get_spark(
         # Parquet writes: zstd compresses ~2x better than snappy at similar
         # scan cost — at 100 TB this is a storage/IO-bandwidth win.
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # saveAsTable target (bucketed tables) — never inside the repo.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "etl_example_spark_warehouse"),
+            ),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

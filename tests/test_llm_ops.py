@@ -46,6 +46,26 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.3, f"ANN recall collapsed: {recall} ({approx} vs {exact})"
 
 
+def test_ivf_recall_and_cell_restriction(spark, sf_dir):
+    """IVF: probing nprobe of n_centroids cells must (a) restrict the
+    candidate set to roughly nprobe/n_centroids of the corpus and (b)
+    retain recall well above the random-subset floor at nprobe/2."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    assign = similarity.ivf_assign(emb, n_centroids=16)
+    assert assign.count() == n  # every vector lands in exactly one cell
+    cells = assign.groupBy("centroid_id").count().collect()
+    assert len(cells) > 1, "degenerate quantization: all one cell"
+
+    exact = [r.neighbor_id for r in similarity.brute_force_topk(emb, k=10).collect()]
+    approx = [
+        r.neighbor_id
+        for r in similarity.ivf_topk(emb, k=10, n_centroids=16, nprobe=8).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
 def test_ann_is_subset_ranked_by_true_cosine(spark, sf_dir):
     """ANN results must be true cosines (exact re-rank), descending."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -71,6 +91,44 @@ def test_multimodal_feature_extraction_plumbing(spark, sf_dir):
 def test_decode_stub_raises(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"bytes", "png")
+
+
+def test_resize_plumbing_updates_visual_media_only(spark, sf_dir):
+    """resize_media: image/video payloads re-encoded with new dims; audio
+    passes through untouched; schema is identical in and out."""
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    media = multimodal.attach_mixed_media(docs)
+    resized = multimodal.resize_media(media, width=32, height=32)
+    assert resized.schema == media.schema
+    before = {r.doc_id: r for r in media.collect()}
+    for r in resized.collect():
+        src = before[r.doc_id]
+        if src.media.modality in ("image", "video"):
+            assert (r.media.width, r.media.height) == (32, 32)
+            assert r.media.n_bytes == 16  # md5-stamp stand-in payload
+            assert bytes(r.payload) != bytes(src.payload)
+        else:
+            assert bytes(r.payload) == bytes(src.payload)
+            assert r.media.duration_ms == src.media.duration_ms
+
+
+def test_frame_sample_fanout_counts(spark, sf_dir):
+    """sample_frames: one row per sampled frame, capped, videos only."""
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    media = multimodal.attach_mixed_media(docs)
+    frames = multimodal.sample_frames(media, every_ms=1000, max_frames=8)
+    got = (
+        frames.groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.max("frame_idx").alias("max_idx"))
+        .collect()
+    )
+    expected = {
+        r.doc_id: min(r.media.duration_ms // 1000 + 1, 8)
+        for r in media.collect()
+        if r.media.modality == "video"
+    }
+    assert {r.doc_id: r.n for r in got} == expected
+    assert all(r.max_idx == r.n - 1 for r in got)
 
 
 def test_simhash_near_dups_hamming_close(spark, sf_dir):
