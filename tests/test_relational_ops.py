@@ -24,6 +24,16 @@ def test_broadcast_joins_planned(spark, sf_dir):
         assert "SortMergeJoin" not in physical, f"{name}: unexpected SMJ"
 
 
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    """ORDER BY … LIMIT k must plan as TakeOrderedAndProject (per-partition
+    heap + single merge), never a global sort of the full result."""
+    reg = load_all()
+    for name in ("q2_top_products", "q3_top_stores", "q17_topk_orders"):
+        df = reg[name].spark_builder(spark, sf_dir)
+        physical = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "TakeOrderedAndProject" in physical, f"{name}: global sort for top-k"
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     """q0's shipdate filter must reach the parquet scan (PushedFilters)."""
     df = load_all()["q0_pricing_summary"].spark_builder(spark, sf_dir)
