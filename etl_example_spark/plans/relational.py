@@ -521,3 +521,104 @@ def q22_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q41_shipping_priority",
+    "TPC-H Q3-shaped shipping priority: 3-way customer/orders/lineitem "
+    "join with selective filters on both fact legs, revenue top-10. The "
+    "canonical join-reordering + partial-agg workload; revenue is the "
+    "exact scaled-integer sum of l_extendedprice*(1-l_discount).",
+    oracle="""
+        SELECT l_orderkey,
+               o_orderdate,
+               CAST(SUM(CAST(ROUND(
+                   l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                   AS DOUBLE) / 10000 AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < '1998-01-01'
+          AND l_shipdate  > '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    bench=True,
+)
+def q41_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    revenue_scaled = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < "1998-01-01")
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > "1998-01-01")
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum(revenue_scaled).cast("double") / 10000).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q42_local_supplier_volume",
+    "TPC-H Q5-shaped local supplier volume: 6-way join "
+    "(customer/orders/lineitem/supplier/nation/region) with the "
+    "same-nation constraint, revenue per nation in one region-year. "
+    "Exercises cost-based join ordering over mixed fact/dim sizes; all "
+    "four dims broadcast, the two fact legs shuffle on their join keys.",
+    oracle="""
+        SELECT n_name,
+               CAST(SUM(CAST(ROUND(
+                   l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                   AS DOUBLE) / 10000 AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= '1996-01-01'
+          AND o_orderdate <  '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    bench=True,
+)
+def q42_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue_scaled = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg((F.sum(revenue_scaled).cast("double") / 10000).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
