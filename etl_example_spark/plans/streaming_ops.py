@@ -24,6 +24,7 @@ from etl_example_spark.streaming.sinks import run_to_memory
 from etl_example_spark.streaming.sources import read_events_stream
 from etl_example_spark.streaming.stateful import first_seen_dedup
 from etl_example_spark.streaming.windows import (
+    click_view_attribution,
     session_windows,
     sliding_counts,
     tumbling_counts,
@@ -139,6 +140,41 @@ def st37_stream_session_windows(
     stream = read_events_stream(spark, sf_dir)
     result = run_to_memory(session_windows(stream), output_mode="append")
     return result.orderBy("user_id", "session_start")
+
+
+@register(
+    "st39_stream_stream_join",
+    "Stream-stream inner join with watermarked state: views attributed "
+    "to same-user clicks within the prior 10 minutes. The event-time "
+    "range condition lets Spark evict join state behind the watermark — "
+    "bounded state over two unbounded streams; inner-join matches emit "
+    "as found, so the single-batch run equals the batch time-range join "
+    "(streaming/windows.click_view_attribution).",
+    oracle="""
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               v.event_id AS view_id,
+               c.ts AS click_ts,
+               v.ts AS view_ts
+        FROM events c
+        JOIN events v
+          ON v.user_id = c.user_id
+         AND c.event_type = 'click' AND v.event_type = 'view'
+         AND v.ts > c.ts
+         AND v.ts <= c.ts + INTERVAL 10 MINUTE
+        ORDER BY click_id, view_id
+    """,
+    category="streaming",
+)
+def st39_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = read_events_stream(spark, sf_dir).filter(
+        "event_type = 'click'"
+    )
+    views = read_events_stream(spark, sf_dir).filter("event_type = 'view'")
+    result = run_to_memory(
+        click_view_attribution(clicks, views), output_mode="append"
+    )
+    return result.orderBy("click_id", "view_id")
 
 
 @register(

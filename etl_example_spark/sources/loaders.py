@@ -80,6 +80,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def load_csv(
+    spark: SparkSession,
+    path: str,
+    schema,
+    header: bool = True,
+    timestamp_format: str | None = None,
+) -> DataFrame:
+    """CSV source with an explicit schema — never ``inferSchema`` at
+    scale (inference is a full extra pass over the data). Malformed rows
+    surface as nulls under the default PERMISSIVE mode; pass
+    ``mode=FAILFAST`` semantics by validating downstream (curation ops)."""
+    reader = spark.read.schema(schema).option("header", str(header).lower())
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    return reader.csv(path)
+
+
+def load_json(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines source with an explicit schema: unknown fields are
+    pruned at parse time (schema projection), nested structs map to
+    StructType columns."""
+    return spark.read.schema(schema).json(path)
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,

@@ -75,6 +75,52 @@ def sliding_counts(
     )
 
 
+def click_view_attribution(
+    clicks: DataFrame,
+    views: DataFrame,
+    within: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each view to same-user clicks
+    that happened in the ``within`` window before it.
+
+    Both streams carry watermarks and the join condition bounds event-time
+    distance, so Spark can evict join state once the watermark passes a
+    row's attribution horizon — bounded state on two unbounded streams.
+    Emission itself is not watermark-gated for inner joins (matches emit
+    as they are found), so a single-batch run equals the batch time-range
+    self-join exactly — which is what the DuckDB oracle states.
+    """
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    v = (
+        views.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    return c.join(
+        v,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") > F.col("click_ts"))
+        & (F.col("view_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "view_id",
+        "click_ts",
+        "view_ts",
+    )
+
+
 def session_windows(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -1,0 +1,75 @@
+"""Source-format round-trips (CSV / JSON with explicit schemas) and a
+global plan hygiene audit: no registered query may fall back to a
+CartesianProduct (an unpartitionable all-pairs loop at scale)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_example_spark.plans.registry import load_all
+from etl_example_spark.sources.loaders import load_csv, load_json, load_table
+
+SUBSET_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _events_subset(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .limit(200)
+    )
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    src = _events_subset(spark, sf_dir)
+    path = str(tmp_path / "ev_csv")
+    src.write.option("header", "true").csv(path)
+    back = load_csv(spark, path, SUBSET_SCHEMA)
+    assert back.schema == SUBSET_SCHEMA
+    key = lambda r: (r.event_id, r.user_id, r.event_type, r.value)  # noqa: E731
+    assert sorted(map(key, back.collect())) == sorted(map(key, src.collect()))
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    src = _events_subset(spark, sf_dir)
+    path = str(tmp_path / "ev_json")
+    src.write.json(path)
+    back = load_json(spark, path, SUBSET_SCHEMA)
+    assert back.schema == SUBSET_SCHEMA
+    key = lambda r: (r.event_id, r.user_id, r.event_type, r.value)  # noqa: E731
+    assert sorted(map(key, back.collect())) == sorted(map(key, src.collect()))
+
+
+def test_json_schema_projection_prunes_unknown_fields(spark, tmp_path):
+    path = str(tmp_path / "extra")
+    spark.createDataFrame(
+        [(1, "a", "junk")], "event_id long, event_type string, noise string"
+    ).write.json(path)
+    narrow = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    rows = load_json(spark, path, narrow).collect()
+    assert rows == [(1, "a")] or [tuple(r) for r in rows] == [(1, "a")]
+
+
+def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
+    """Every batch query must avoid CartesianProduct — non-equi pair
+    generation is allowed only via broadcast nested-loop (small side
+    bounded), bucket joins, or candidate pre-filters."""
+    for name, q in load_all().items():
+        if q.category == "streaming":
+            continue  # streaming plans are audited by their own tests
+        df = q.spark_builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
