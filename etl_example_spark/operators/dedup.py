@@ -261,6 +261,119 @@ def minhash_lsh_dedup(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    rel_threshold_pct: int = 20,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-level near-dup pairs: MinHash-LSH candidates verified by
+    Levenshtein distance ≤ rel_threshold_pct% of the longer text.
+
+    Edit distance is O(len²) per pair — never run all-pairs; the LSH
+    pre-filter bounds verification to same-band-bucket candidates. The
+    threshold test is exact integer cross-multiplication
+    (dist * 100 <= pct * max_len), so results hash-compare across engines
+    (both Spark and DuckDB implement unit-cost Levenshtein identically).
+    """
+    sh = shingle_index(df, n, text_col, id_col)
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, index=sh)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    texts = df.select(F.col(id_col).alias("tid"), F.col(text_col).alias("t"))
+    a = texts.select(F.col("tid").alias("doc_a"), F.col("t").alias("text_a"))
+    b = texts.select(F.col("tid").alias("doc_b"), F.col("t").alias("text_b"))
+    dist = F.levenshtein("text_a", "text_b")
+    max_len = F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.alias("edit_dist"),
+            max_len.alias("max_len"),
+        )
+        .filter(
+            F.col("edit_dist") * 100 <= F.lit(rel_threshold_pct) * F.col("max_len")
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Near-duplicate pairs → transitive clusters: connected components by
+    iterative min-label propagation. Returns (doc_id, cluster_id) where
+    cluster_id is the smallest doc_id in the component — the canonical
+    keep-one-per-cluster decision table (keep where doc_id == cluster_id).
+
+    Each iteration is one join + one aggregate: every node takes the min
+    of its own label and its neighbors' labels; convergence needs
+    component-diameter iterations (near-dup clusters are shallow — pairs
+    and small cliques — so 2-4 in practice; ``max_iter`` bounds
+    pathological chains). ``localCheckpoint`` truncates the growing plan
+    lineage per iteration — without it the logical plan doubles every
+    round, the classic iterative-algorithm failure on Spark. At 100 TB
+    this is the same loop (state is one (node,label) table partitioned by
+    node); the alternating large-star/small-star variant cuts iteration
+    count on deep graphs without changing the operator shape.
+    """
+    edges_fwd = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = (
+        edges_fwd.union(
+            edges_fwd.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("dst_label")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_label"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash(col: str, bits: int = 16) -> Column:
     """SimHash digest as a bit-string: bit i is the sign of the sum over
     tokens of ±1 by the parity of hex digit i of ``md5(token)``. Near-dup

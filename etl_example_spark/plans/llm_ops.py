@@ -167,6 +167,98 @@ def d26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d32_edit_distance_pairs",
+    "Character-level near-dup pairs: MinHash-LSH candidates verified by "
+    "Levenshtein <= 20% of the longer text (integer cross-multiplied "
+    "threshold; both engines implement unit-cost Levenshtein "
+    "identically). Edit distance never runs all-pairs — candidates only "
+    "(operators/dedup.edit_distance_pairs).",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id, unnest({SQL_SHINGLES3}) AS shingle FROM t),
+        sig AS (
+            SELECT doc_id, s,
+                   MIN(md5(CAST(s AS VARCHAR) || '|' || shingle)) AS mh
+            FROM sh CROSS JOIN (SELECT unnest(range(16)) AS s) seeds
+            GROUP BY doc_id, s
+        ),
+        bands AS (
+            SELECT doc_id, s // 4 AS band_id,
+                   md5(string_agg(mh, '|' ORDER BY s)) AS band_hash
+            FROM sig GROUP BY doc_id, s // 4
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               levenshtein(da.text, db.text) AS edit_dist,
+               greatest(length(da.text), length(db.text)) AS max_len
+        FROM cands
+        JOIN documents da ON da.doc_id = doc_a
+        JOIN documents db ON db.doc_id = doc_b
+        WHERE levenshtein(da.text, db.text) * 100
+              <= 20 * greatest(length(da.text), length(db.text))
+        ORDER BY doc_a, doc_b
+    """,
+    category="dedup",
+)
+def d32_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.edit_distance_pairs(docs, rel_threshold_pct=20)
+
+
+@register(
+    "d31_dedup_clusters",
+    "Near-dup pairs -> transitive clusters: connected components via "
+    "iterative min-label propagation over the exact Jaccard pair graph "
+    "(J >= 0.6); cluster_id = min doc_id of the component, the "
+    "keep-one-per-cluster decision table (operators/dedup.dedup_clusters)."
+    " Oracle: DuckDB recursive CTE computing the same transitive closure.",
+    oracle=f"""
+        WITH RECURSIVE
+        t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id, unnest({SQL_SHINGLES3}) AS shingle FROM t),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE {JACCARD_COND}
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        walk AS (
+            SELECT src AS node, src AS reach FROM edges
+            UNION
+            SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+        )
+        SELECT node AS doc_id, MIN(reach) AS cluster_id
+        FROM walk
+        GROUP BY node
+        ORDER BY doc_id
+    """,
+    category="dedup",
+)
+def d31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.6, n=3)
+    return dedup.dedup_clusters(pairs).orderBy("doc_id")
+
+
 def _simhash_sql(bits: int = 16) -> str:
     hex_set = "('8','9','a','b','c','d','e','f')"
     sums = ",\n               ".join(

@@ -622,3 +622,31 @@ def q42_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(revenue_scaled).cast("double") / 10000).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+@register(
+    "q44_exact_percentiles",
+    "Exact order statistics per group: median and p95 of extended price "
+    "(Spark `percentile`, linear interpolation between order stats — "
+    "bit-identical to DuckDB quantile_cont on the same doubles). The "
+    "sketch-free baseline; approx_percentile is the at-scale variant "
+    "(one pass, bounded memory), kept out of the oracle like q22.",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS p50,
+               quantile_cont(l_extendedprice, 0.95) AS p95
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def q44_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        )
+        .orderBy("l_returnflag")
+    )
