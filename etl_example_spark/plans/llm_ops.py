@@ -611,3 +611,58 @@ def m36_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "frame_idx", "frame_hash")
         .orderBy("doc_id", "frame_idx")
     )
+
+
+def _ngrams_udtf_class():
+    """Python UDTF (Spark 4 user-defined table function): text -> one row
+    per word 3-gram with its position. Defined lazily so importing this
+    module never requires a live session."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, ngram string")
+    class NGrams:
+        def eval(self, text, n):  # noqa: ANN001 — UDTF contract
+            toks = text.strip().lower().split() if text and text.strip() else []
+            if len(toks) < n:
+                yield 0, " ".join(toks)
+            else:
+                for i in range(len(toks) - n + 1):
+                    yield i, " ".join(toks[i : i + n])
+
+    return NGrams
+
+
+@register(
+    "d33_udtf_ngrams",
+    "Python UDTF surface: LATERAL table function emitting one row per "
+    "positional word 3-gram. The UDTF machinery (Arrow-batched fan-out, "
+    "lateral correlation) is the unit under test — the oracle recomputes "
+    "the identical expansion in pure SQL, so the cross-check validates "
+    "the UDTF execution path itself.",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               CAST(unnest(CASE WHEN len(toks) < 3 THEN [0]
+                    ELSE range(len(toks) - 2) END) AS INT) AS pos,
+               unnest(CASE WHEN len(toks) < 3
+                    THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    END) AS ngram
+        FROM t
+        ORDER BY doc_id, pos
+    """,
+    category="text",
+)
+def d33_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("ngrams_udtf", _ngrams_udtf_class())
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_udtf_src"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, pos, ngram
+        FROM documents_udtf_src, LATERAL ngrams_udtf(text, 3)
+        ORDER BY doc_id, pos
+        """
+    )
