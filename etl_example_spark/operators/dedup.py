@@ -100,12 +100,29 @@ def shingle_index(
     return sh.localCheckpoint(eager=True) if materialize else sh
 
 
+def drop_hot_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df`` — the
+    skew guard for inverted-index self-joins: a shingle in D documents
+    contributes D² candidate pairs on one reduce task, so boilerplate
+    n-grams ('terms of service', license headers) dominate runtime while
+    contributing almost no near-dup signal. The hot set is tiny by
+    construction → broadcast anti-join, no extra shuffle of the index."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.6,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (doc_a < doc_b, jaccard ≥
     threshold), via the inverted-index self-join:
@@ -114,10 +131,14 @@ def jaccard_pairs(
 
     The only quadratic term is within shingle buckets — bounded by shingle
     frequency, not corpus size. At 100 TB, frequent-shingle skew is the
-    risk: cap or drop shingles above a document-frequency ceiling (they
-    contribute candidates that exact verification would reject anyway).
+    risk: ``max_shingle_df`` drops shingles above a document-frequency
+    ceiling before the self-join (Jaccard is then computed over the
+    remaining shingles — a deliberate recall/cost trade, standard in
+    web-scale dedup).
     """
     sh = shingle_index(df, n, text_col, id_col)
+    if max_shingle_df is not None:
+        sh = drop_hot_shingles(sh, max_shingle_df)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 
     a = sh.alias("a")

@@ -114,6 +114,44 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+MAD_SCHEMA = (
+    "doc_id long, source string, n_chars long, "
+    "med double, mad double, is_outlier boolean"
+)
+
+
+def mad_outliers(df: DataFrame, k: float = 3.0) -> DataFrame:
+    """Per-source robust outlier flags: |n_chars − median| > k·MAD.
+
+    The ``applyInPandas`` group-map pattern: each source's rows arrive as
+    one pandas frame (Arrow-batched), the kernel computes group statistics
+    that need the whole group at once (two nested medians — not a single
+    SQL window), and emits the annotated rows. Partitioning is by group
+    key, so sources process in parallel; a group must fit one executor's
+    memory — true for per-source metadata columns even at corpus scale
+    (it's doc_id + int, not the text). numpy's linear-interpolation median
+    matches SQL ``quantile_cont`` exactly, keeping the op oracle-checkable.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["n_chars"].to_numpy(dtype="float64")
+        med = float(np.median(x))
+        mad = float(np.median(np.abs(x - med)))
+        out = pdf[["doc_id", "source", "n_chars"]].copy()
+        out["med"] = med
+        out["mad"] = mad
+        out["is_outlier"] = np.abs(x - med) > k * mad
+        return out
+
+    return (
+        df.select("doc_id", "source", "n_chars")
+        .groupBy("source")
+        .applyInPandas(kernel, MAD_SCHEMA)
+    )
+
+
 def normalized_fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 of whitespace-collapsed lowercase text —
     the exact-dedup key (near-dup keys live in operators/dedup.py)."""

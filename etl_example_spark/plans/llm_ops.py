@@ -409,6 +409,38 @@ def d30_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d34_mad_outliers",
+    "Per-source robust outlier flags (|n_chars - median| > 3*MAD) via the "
+    "applyInPandas group-map pattern: whole-group statistics (two nested "
+    "medians) computed in an Arrow-batched pandas kernel, one group per "
+    "source (operators/text.mad_outliers). numpy median == SQL "
+    "quantile_cont, so the Python kernel itself is oracle-checked.",
+    oracle="""
+        WITH med AS (
+            SELECT source, quantile_cont(n_chars, 0.5) AS med
+            FROM documents GROUP BY source
+        ),
+        mad AS (
+            SELECT d.source,
+                   quantile_cont(abs(d.n_chars - m.med), 0.5) AS mad
+            FROM documents d JOIN med m USING (source)
+            GROUP BY d.source
+        )
+        SELECT d.doc_id, d.source, d.n_chars, m.med, a.mad,
+               (abs(d.n_chars - m.med) > 3 * a.mad) AS is_outlier
+        FROM documents d
+        JOIN med m USING (source)
+        JOIN mad a USING (source)
+        ORDER BY d.doc_id
+    """,
+    category="text",
+)
+def d34_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.mad_outliers(docs, k=3.0).orderBy("doc_id")
+
+
+@register(
     "d39_bpe_token_stats",
     "Token counting two ways: whitespace tokens vs BPE-ish regex "
     "pre-tokens (GPT-2-shaped split: contractions / letter runs / digit "

@@ -46,6 +46,19 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.3, f"ANN recall collapsed: {recall} ({approx} vs {exact})"
 
 
+def test_shingle_df_ceiling(spark, sf_dir):
+    """max_shingle_df: a ceiling above the corpus max df changes nothing;
+    a ceiling of 1 removes every shared shingle and with it every pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    full = {(r.doc_a, r.doc_b) for r in dedup.jaccard_pairs(docs, 0.6).collect()}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_pairs(docs, 0.6, max_shingle_df=10**6).collect()
+    }
+    assert capped == full
+    assert dedup.jaccard_pairs(docs, 0.6, max_shingle_df=1).count() == 0
+
+
 def test_ivf_recall_and_cell_restriction(spark, sf_dir):
     """IVF: probing nprobe of n_centroids cells must (a) restrict the
     candidate set to roughly nprobe/n_centroids of the corpus and (b)

@@ -1,0 +1,61 @@
+"""Regenerate PLANS.md: formatted physical plans of the flagship queries.
+
+Run from the repo root: ``python tools/gen_plans.py [sf_dir]``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from etl_example_spark.plans.registry import load_all  # noqa: E402
+from etl_example_spark.session import get_spark  # noqa: E402
+
+SHOW = {
+    "q0_pricing_summary": (
+        "Pushed filter + partial/final hash aggregate, whole-stage codegen "
+        "end-to-end."
+    ),
+    "q2_top_products": (
+        "80-row dim broadcast; TakeOrderedAndProject top-k (no global sort)."
+    ),
+    "q42_local_supplier_volume": (
+        "6-way join: every dim broadcast, one exchange total (the final "
+        "aggregate)."
+    ),
+    "q41_shipping_priority": (
+        "Selective filters pushed to both fact scans before the joins."
+    ),
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="gen-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_all()
+    out = [
+        "# PLANS — physical-plan evidence for the flagship queries",
+        "",
+        "Generated from `.explain('formatted')` at sf0.1 with the engine session",
+        "(AQE on, shuffle.partitions=32). Regenerate: `python tools/gen_plans.py`.",
+        "",
+    ]
+    for name, note in SHOW.items():
+        df = reg[name].spark_builder(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        tree = buf.getvalue().split("\n\n")[0]
+        out += [f"## {name}", "", note, "", "```", tree, "```", ""]
+    Path(__file__).resolve().parent.parent.joinpath("PLANS.md").write_text(
+        "\n".join(out)
+    )
+
+
+if __name__ == "__main__":
+    main()
