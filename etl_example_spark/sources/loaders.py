@@ -76,7 +76,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes).get("ts") == "bigint":
+            # physical TIMESTAMP(NANOS) surfaced as nanos-since-epoch
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df  # re-written copies carry a proper timestamp already
     return spark.read.parquet(path)
 
 

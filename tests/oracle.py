@@ -23,6 +23,8 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(path):  # Spark-written table = directory of parts
+            path = os.path.join(path, "*.parquet")
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )

@@ -1,0 +1,50 @@
+"""Degenerate-input checks: every registered query must run over a
+dataset with the right schemas and ZERO rows — the null-handling and
+empty-aggregation edge the fixtures never hit — and the oracle-bearing
+queries must still agree with DuckDB on that input."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_example_spark.plans.registry import load_all
+from etl_example_spark.schemas import TESTDATA_TABLES
+from etl_example_spark.sources.loaders import load_table
+from tests.oracle import duckdb_connection, run_differential
+
+# Known zero-row divergences (run-only on empty input, still differential
+# on real data):
+# - m34: scalar-aggregate oracle (no GROUP BY) emits one row over zero
+#   rows while the groupBy builder emits none — oracle-formulation artifact
+# - q13/q45: Spark plans rollup/grouping-sets as Expand+groupBy, so empty
+#   input yields no groups at all; DuckDB (and the SQL standard) emit the
+#   grand-total grouping as one zero-count row — engine-level difference
+SKIP_DIFFERENTIAL = {"m34_multimodal_stats", "q13_rollup", "q45_grouping_sets"}
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
+    """A testdata directory with every table present but empty."""
+    out = str(tmp_path_factory.mktemp("sf_empty"))
+    for name in TESTDATA_TABLES:
+        df = load_table(spark, sf_dir, name).limit(0)
+        df.coalesce(1).write.parquet(os.path.join(out, f"{name}.parquet"))
+    return out
+
+
+def test_every_query_survives_empty_tables(spark, empty_sf_dir):
+    con = duckdb_connection(empty_sf_dir)
+    failures = []
+    for name, q in load_all().items():
+        try:
+            if q.oracle and name not in SKIP_DIFFERENTIAL:
+                problems = run_differential(spark, con, q, empty_sf_dir)
+                if problems:
+                    failures.append(f"{name}: {problems[:2]}")
+            else:
+                q.spark_builder(spark, empty_sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — collecting all failures
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+    assert not failures, "\n".join(failures)
