@@ -1,0 +1,125 @@
+"""Temporal join operators Spark lacks as built-ins, composed Spark-first.
+
+- ``as_of_join``: each left row picks the latest right row at-or-before
+  its timestamp (per key). The naive formulation — non-equi join + argmax
+  — explodes to a range join (BroadcastNestedLoop at best). This
+  implementation is the union-sort composition: tag both sides, one
+  shuffle on the key, and a running ``last(..., ignorenulls=True)`` window
+  carries the most recent right payload forward onto left rows. O(n log n)
+  per key, no pair explosion, exactly one exchange — the plan you want at
+  100 TB.
+
+- ``binned_range_join``: equi-join acceleration for bounded time-range
+  predicates (``right_ts ∈ [left_ts, left_ts + width)``). Each left row
+  is expanded to the (few) time bins its window overlaps; the join becomes
+  an equi-join on (key, bin) followed by the exact range filter. Turns a
+  nested-loop range join into a shuffle join whose fan-out is
+  ``ceil(width/bin) + 1`` — the standard interval-bucketing trick.
+
+Both are deterministic (ties broken by explicit sort keys) and
+oracle-checked: DuckDB runs a native ASOF JOIN / plain range join over the
+same inputs (plans/relational.py q46/q47).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Left as-of join: attach to every left row the payload of the latest
+    right row with ``right_ts <= left_ts`` for the same key (nulls when no
+    such row). ``right`` must be unique per (key, right_ts) — pre-aggregate
+    if needed, or the carried payload is ill-defined.
+    """
+    l_tag = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_src"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
+        F.struct(*left.columns).alias("_left"),
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_src"),
+        *payload_cols,
+        F.lit(None).cast(l_tag.schema["_left"].dataType).alias("_left"),
+    )
+    # right rows sort before left rows at equal timestamps (<= semantics)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r_tag.unionByName(l_tag).select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"_carried_{c}")
+            for c in payload_cols
+        ],
+    )
+    return carried.filter(F.col("_src") == 1).select(
+        F.col("_left.*"),
+        *[F.col(f"_carried_{c}").alias(c) for c in payload_cols],
+    )
+
+
+def binned_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_left: str,
+    key_right: str,
+    left_ts: str,
+    right_ts: str,
+    width_seconds: int,
+    bin_seconds: int | None = None,
+) -> DataFrame:
+    """Inner join of right rows with ``left_ts <= right_ts < left_ts +
+    width`` on matching keys, executed as an equi-join on (key, time bin).
+
+    Left rows replicate into every bin their window overlaps
+    (``width/bin + 1`` bins); right rows land in exactly one bin. The
+    equi-join on (key, bin) prunes all non-overlapping pairs before the
+    exact predicate runs."""
+    bin_s = bin_seconds or width_seconds
+    # a half-open window of length `width` placed anywhere overlaps at most
+    # width//bin + 2 bins (the +2 covers both misaligned edges); the exact
+    # predicate below prunes the over-covered pairs
+    n_bins = width_seconds // bin_s + 2
+
+    def epoch_us(col: str):
+        # TIMESTAMP_NTZ has no direct long cast; coerce via TIMESTAMP
+        # (session tz is UTC, so wall time == epoch) then exact micros
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    l_bin = F.floor(epoch_us(left_ts) / (bin_s * 1_000_000))
+    l_expanded = left.withColumn(
+        "_lbin",
+        F.explode(F.sequence(l_bin, l_bin + F.lit(n_bins - 1))),
+    )
+    r_binned = right.withColumn(
+        "_rbin", F.floor(epoch_us(right_ts) / (bin_s * 1_000_000))
+    )
+    width_us = width_seconds * 1_000_000
+    return (
+        l_expanded.join(
+            r_binned,
+            (F.col(key_left) == F.col(key_right))
+            & (F.col("_lbin") == F.col("_rbin")),
+        )
+        .drop("_lbin", "_rbin")
+        .filter(
+            (epoch_us(right_ts) >= epoch_us(left_ts))
+            # exact integer microseconds — no truncation at the boundary
+            & (epoch_us(right_ts) < epoch_us(left_ts) + width_us)
+        )
+    )

@@ -685,3 +685,110 @@ def q45_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "q46_asof_join",
+    "As-of join (operators/temporal.as_of_join): every event carries the "
+    "latest at-or-before order-day stats of its user — union both sides, "
+    "ONE shuffle on the key, running last(ignorenulls) window; no range "
+    "explosion. Oracle: DuckDB's native ASOF LEFT JOIN over identical "
+    "inputs, so the composition is checked against a first-class "
+    "implementation.",
+    oracle="""
+        WITH od AS (
+            SELECT o_custkey AS user_id,
+                   o_orderdate,
+                   o_orderdate AS last_order_date,
+                   COUNT(*) AS n_orders_day,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100 AS day_spend
+            FROM orders
+            GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               od.last_order_date, od.n_orders_day, od.day_spend
+        FROM events e
+        ASOF LEFT JOIN od
+          ON e.user_id = od.user_id AND e.ts >= od.o_orderdate
+        ORDER BY e.event_id
+    """,
+)
+def q46_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.operators.temporal import as_of_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    order_days = (
+        orders.groupBy(
+            F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+        )
+        .agg(
+            F.count("*").alias("n_orders_day"),
+            (F.sum(as_scaled_long("o_totalprice")).cast("double") / 100).alias(
+                "day_spend"
+            ),
+        )
+        .withColumn("last_order_date", F.col("o_orderdate"))
+    )
+    return as_of_join(
+        events,
+        order_days,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["last_order_date", "n_orders_day", "day_spend"],
+    ).orderBy("event_id")
+
+
+@register(
+    "q47_range_bin_join",
+    "Range join via interval bucketing (operators/temporal."
+    "binned_range_join): events within 3 days after each order of the "
+    "same user, as an equi-join on (key, time-bin) + exact predicate — "
+    "the rewrite that turns a nested-loop range join into a shuffle "
+    "join. Oracle: the plain SQL range join.",
+    oracle="""
+        SELECT o_orderkey,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+                   AS total_value
+        FROM orders o
+        JOIN events e
+          ON e.user_id = o.o_custkey
+         AND e.ts >= o.o_orderdate
+         AND e.ts < o.o_orderdate + INTERVAL 3 DAY
+        GROUP BY o_orderkey
+        ORDER BY o_orderkey
+    """,
+)
+def q47_range_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.operators.temporal import binned_range_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    joined = binned_range_join(
+        orders,
+        events,
+        key_left="o_custkey",
+        key_right="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        width_seconds=3 * 86400,
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(as_scaled_long("value")).cast("double") / 100).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )

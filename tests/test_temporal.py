@@ -1,0 +1,72 @@
+"""Temporal join semantics on hand-built fixtures: the <=-tie rule of the
+as-of join, null behavior with no prior right row, and bin-expansion
+equivalence to the naive range join under awkward widths/alignments."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_example_spark.operators.temporal import as_of_join, binned_range_join
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 5, 1, 12, minute, second)
+
+
+def test_as_of_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10)), (1, _ts(20)), (1, _ts(5)), (2, _ts(30))],
+        "user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), "a"), (1, _ts(15), "b"), (3, _ts(0), "z")],
+        "user_id long, rts timestamp, tag string",
+    )
+    out = {
+        (r.user_id, r.ts): r.tag
+        for r in as_of_join(
+            left, right, key="user_id", left_ts="ts", right_ts="rts",
+            payload_cols=["tag"],
+        ).collect()
+    }
+    assert out[(1, _ts(10))] == "a"  # equal timestamp counts (<=)
+    assert out[(1, _ts(20))] == "b"  # latest prior wins
+    assert out[(1, _ts(5))] is None  # nothing at-or-before
+    assert out[(2, _ts(30))] is None  # key never on the right
+
+
+def test_binned_range_join_equals_naive(spark, sf_dir):
+    """For misaligned widths/bins, binning must reproduce the naive
+    non-equi join exactly (the exact predicate prunes over-coverage)."""
+    from etl_example_spark.sources.loaders import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    width = 100_000  # ~1.16 days — deliberately not bin-aligned
+    binned = binned_range_join(
+        orders, events,
+        key_left="o_custkey", key_right="user_id",
+        left_ts="o_orderdate", right_ts="ts",
+        width_seconds=width, bin_seconds=86_400,
+    )
+    naive = (
+        orders.join(events, orders.o_custkey == events.user_id)
+        .filter(
+            (F.col("ts") >= F.col("o_orderdate"))
+            & (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                < F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                + width * 1_000_000
+            )
+        )
+    )
+    key = lambda r: (r.o_orderkey, r.event_id)  # noqa: E731
+    assert sorted(key(r) for r in binned.collect()) == sorted(
+        key(r) for r in naive.collect()
+    )
