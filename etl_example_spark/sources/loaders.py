@@ -72,6 +72,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Timestamp semantics must match the UTC-naive DuckDB oracle regardless
     # of what session the caller hands us (the driver's session is vanilla).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Engine-owned execution sizing: an untouched 200-partition default on
+    # a vanilla session means 200 tasks (and 200 streaming state stores)
+    # per shuffle at test scale — override only the default; any value the
+    # caller set deliberately is respected.
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
