@@ -792,3 +792,76 @@ def q47_range_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q48_cube",
+    "CUBE aggregation: all four (returnflag x linestatus) grouping "
+    "combinations in one pass, GROUPING() flags marking the rollup axes "
+    "— completes the rollup (q13) / grouping-sets (q45) family.",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               COUNT(*) AS n_rows,
+               SUM(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+    """,
+)
+def q48_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.count("*").alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+        .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q49_window_breadth",
+    "Analytic-window breadth over per-customer order history: lag/lead "
+    "deltas, dense_rank, ntile quartiles, first_value — one window "
+    "definition, one shuffle on the partition key.",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+               CAST(ROUND(COALESCE(o_totalprice - LAG(o_totalprice) OVER w, 0)
+                    * 100) AS BIGINT) AS delta_prev_cents,
+               CAST(ROUND(COALESCE(LEAD(o_totalprice) OVER w
+                    - o_totalprice, 0) * 100) AS BIGINT) AS delta_next_cents,
+               DENSE_RANK() OVER w AS rk,
+               NTILE(4) OVER w AS quartile,
+               CAST(ROUND(FIRST_VALUE(o_totalprice) OVER w * 100) AS BIGINT)
+                   AS first_cents
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q49_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    price = F.col("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        cents(price).alias("price_cents"),
+        cents(F.coalesce(price - F.lag(price).over(w), F.lit(0))).alias(
+            "delta_prev_cents"
+        ),
+        cents(F.coalesce(F.lead(price).over(w) - price, F.lit(0))).alias(
+            "delta_next_cents"
+        ),
+        F.dense_rank().over(w).alias("rk"),
+        F.ntile(4).over(w).alias("quartile"),
+        cents(F.first(price).over(w)).alias("first_cents"),
+    ).orderBy("o_custkey", "o_orderkey")

@@ -207,3 +207,34 @@ def st38_stream_first_seen_dedup(
     stream = read_events_stream(spark, sf_dir)
     result = run_to_memory(first_seen_dedup(stream), output_mode="update")
     return result.orderBy("user_id", "event_type")
+
+
+@register(
+    "st40_stream_update_counts",
+    "Update-mode streaming aggregation (no watermark, no windows): "
+    "running per-event-type counts and exact value sums; each micro-batch "
+    "emits only the keys it changed. With one input batch the emitted set "
+    "equals the batch aggregation — which is what the oracle states.",
+    oracle=f"""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               {SQL_EXACT_VALUE_SUM} AS total_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    category="streaming",
+)
+def st40_stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.functions.numeric import as_scaled_long
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(as_scaled_long("value")).cast("double") / 100).alias(
+            "total_value"
+        ),
+    )
+    return run_to_memory(agg, output_mode="update").orderBy("event_type")

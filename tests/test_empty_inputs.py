@@ -18,10 +18,15 @@ from tests.oracle import duckdb_connection, run_differential
 # on real data):
 # - m34: scalar-aggregate oracle (no GROUP BY) emits one row over zero
 #   rows while the groupBy builder emits none — oracle-formulation artifact
-# - q13/q45: Spark plans rollup/grouping-sets as Expand+groupBy, so empty
-#   input yields no groups at all; DuckDB (and the SQL standard) emit the
-#   grand-total grouping as one zero-count row — engine-level difference
-SKIP_DIFFERENTIAL = {"m34_multimodal_stats", "q13_rollup", "q45_grouping_sets"}
+# - q13/q45/q48: Spark plans rollup/grouping-sets/cube as Expand+groupBy,
+#   so empty input yields no groups at all; DuckDB (and the SQL standard)
+#   emit the grand-total grouping as one zero-count row — engine difference
+SKIP_DIFFERENTIAL = {
+    "m34_multimodal_stats",
+    "q13_rollup",
+    "q45_grouping_sets",
+    "q48_cube",
+}
 
 
 @pytest.fixture(scope="module")
