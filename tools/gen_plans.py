@@ -30,6 +30,14 @@ SHOW = {
     "q41_shipping_priority": (
         "Selective filters pushed to both fact scans before the joins."
     ),
+    "q46_asof_join": (
+        "As-of join as union + running window: ONE exchange on the key, "
+        "no range explosion."
+    ),
+    "q47_range_bin_join": (
+        "Range join as an equi-join on (key, time-bin) + exact predicate — "
+        "no nested-loop join anywhere in the plan."
+    ),
 }
 
 
