@@ -15,8 +15,9 @@ two cases AQE can't fix:
   the big side and explodes the small side by salt so hot keys spread
   over ``salt`` tasks.
 
-Salts are deterministic (``pmod(hash(...), salt)``), so plans stay
-reproducible.
+Salts come from ``monotonically_increasing_id`` (per-row unique, so even
+fully identical duplicate rows — the degenerate hot-key shape — spread
+across all ``salt`` sub-groups); stable for a fixed input partitioning.
 """
 
 from __future__ import annotations
@@ -28,11 +29,14 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, salt: int) -> DataFrame:
-    """Deterministic salt column in [0, salt): hash of the row's full
-    content (all columns), independent of the grouping key — rows of one
-    hot key spread across ``salt`` sub-groups."""
+    """Salt column in [0, salt) from a per-row unique source
+    (``monotonically_increasing_id``): consecutive rows round-robin across
+    sub-groups, so even *identical* duplicate rows — which a content-hash
+    salt would collapse onto one reduce task — spread evenly. Any value in
+    [0, salt) is equally correct (the salt only routes, phase 2 merges), so
+    the id's dependence on input partitioning is harmless."""
     return df.withColumn(
-        "_salt", F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt))
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt))
     )
 
 

@@ -40,19 +40,26 @@ def as_of_join(
     such row). ``right`` must be unique per (key, right_ts) — pre-aggregate
     if needed, or the carried payload is ill-defined.
     """
-    l_tag = left.select(
-        F.col(key),
-        F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_src"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
-        F.struct(*left.columns).alias("_left"),
-    )
+    # Payload travels as ONE struct so a single last(ignorenulls) carries it
+    # atomically: if the newest right row has NULL in one payload column,
+    # that NULL is carried as-is rather than silently backfilled from an
+    # older right row (per-column last() would mix rows — a result no true
+    # ASOF join produces).
     r_tag = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_src"),
-        *payload_cols,
-        F.lit(None).cast(l_tag.schema["_left"].dataType).alias("_left"),
+        F.struct(*payload_cols).alias("_payload"),
+    )
+    l_tag = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_src"),
+        F.lit(None).cast(r_tag.schema["_payload"].dataType).alias("_payload"),
+        F.struct(*left.columns).alias("_left"),
+    )
+    r_tag = r_tag.withColumn(
+        "_left", F.lit(None).cast(l_tag.schema["_left"].dataType)
     )
     # right rows sort before left rows at equal timestamps (<= semantics)
     w = (
@@ -60,16 +67,12 @@ def as_of_join(
         .orderBy("_ts", "_src")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = r_tag.unionByName(l_tag).select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_carried_{c}")
-            for c in payload_cols
-        ],
+    carried = r_tag.unionByName(l_tag).withColumn(
+        "_carried", F.last("_payload", ignorenulls=True).over(w)
     )
     return carried.filter(F.col("_src") == 1).select(
         F.col("_left.*"),
-        *[F.col(f"_carried_{c}").alias(c) for c in payload_cols],
+        *[F.col("_carried")[c].alias(c) for c in payload_cols],
     )
 
 

@@ -66,4 +66,30 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    configure_session(spark)
+    return spark
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime settings to an externally-created session.
+
+    Entry points that receive a session they didn't build (the driver
+    contract in ``__spark_entry__.py``) call this ONCE at the boundary, so
+    the adjustment is an explicit, documented part of entering the engine —
+    not a hidden read side effect (loaders never touch session config for
+    these; see ADVICE on sources/loaders.py).
+
+    - UTC session timezone: timestamp semantics must match the UTC-naive
+      DuckDB oracle.
+    - ``nanosAsLong``: the testdata ``events.parquet`` is physical
+      TIMESTAMP(NANOS), which Spark's vectorized reader rejects without the
+      legacy flag; loaders convert the surfaced long to a micros timestamp.
+    - shuffle partitions: only rewrite the untouched 200 default (200 tasks
+      and 200 streaming state stores per shuffle at test scale); a caller
+      who set any other value keeps it.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     return spark

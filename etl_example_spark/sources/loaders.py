@@ -69,18 +69,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     warm = _WARM.get((id(spark), sf_dir, name))
     if warm is not None:
         return warm
-    # Timestamp semantics must match the UTC-naive DuckDB oracle regardless
-    # of what session the caller hands us (the driver's session is vanilla).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # Engine-owned execution sizing: an untouched 200-partition default on
-    # a vanilla session means 200 tasks (and 200 streaming state stores)
-    # per shuffle at test scale — override only the default; any value the
-    # caller set deliberately is respected.
-    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Requires spark.sql.legacy.parquet.nanosAsLong=true (set by
+        # session.get_spark / session.configure_session at the session
+        # boundary — loaders themselves never mutate caller config).
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             # physical TIMESTAMP(NANOS) surfaced as nanos-since-epoch

@@ -16,6 +16,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+from pyspark.errors import PySparkException
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -186,9 +187,23 @@ def run_sql_script(
             df = spark.sql(stmt)
             out.results.append(df)
             out.executed += 1
-        except Exception as exc:  # noqa: BLE001 — classify then re-raise
-            if any(code in str(exc) for code in skip_errors):
+        except PySparkException as exc:
+            # Classify by the STRUCTURED error condition, not a substring of
+            # str(exc): an unrelated failure whose message merely mentions a
+            # skip code (e.g. a chained error quoting
+            # TABLE_OR_VIEW_ALREADY_EXISTS) must still raise.
+            if _error_condition(exc) in skip_errors:
                 out.skipped += 1
                 continue
             raise
     return out
+
+
+def _error_condition(exc: PySparkException) -> str | None:
+    """The exception's error class/condition (e.g.
+    ``TABLE_OR_VIEW_ALREADY_EXISTS``). ``getCondition`` is the current
+    accessor; fall back to the pre-4.0 ``getErrorClass`` name."""
+    getter = getattr(exc, "getCondition", None) or getattr(
+        exc, "getErrorClass", None
+    )
+    return getter() if getter else None

@@ -63,3 +63,13 @@ def test_salt_spreads_hot_key(spark):
     )
     buckets = with_salt(hot, 8).select("_salt").distinct().count()
     assert buckets == 8
+
+
+def test_salt_spreads_identical_duplicate_rows(spark):
+    """Fully identical duplicate rows (the degenerate hot-key shape) must
+    still spread — a content-hash salt would collapse them onto one salt."""
+    dup = spark.range(10_000).select(
+        F.lit(1).alias("k"), F.lit("same").alias("v")
+    )
+    buckets = with_salt(dup, 8).select("_salt").distinct().count()
+    assert buckets == 8

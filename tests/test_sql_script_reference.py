@@ -66,6 +66,34 @@ def test_coalescer_groups_only_adjacent_same_target():
     ]
 
 
+def test_skip_matches_error_condition_not_message_text(spark):
+    """An unrelated failure whose MESSAGE merely mentions a skip code must
+    still raise — classification is by structured error condition. Here the
+    missing table is literally named TABLE_OR_VIEW_ALREADY_EXISTS, so the
+    NOT_FOUND error's message contains the skip string."""
+    with pytest.raises(Exception):
+        run_sql_script(
+            spark,
+            "SELECT * FROM TABLE_OR_VIEW_ALREADY_EXISTS",
+            is_path=False,
+        )
+
+
+def test_skip_by_condition_still_skips_real_duplicates(spark):
+    run_sql_script(
+        spark, "CREATE TABLE skip_dup_t (x INT) USING parquet", is_path=False
+    )
+    try:
+        result = run_sql_script(
+            spark,
+            "CREATE TABLE skip_dup_t (x INT) USING parquet",
+            is_path=False,
+        )
+        assert result.skipped == 1
+    finally:
+        run_sql_script(spark, "DROP TABLE IF EXISTS skip_dup_t", is_path=False)
+
+
 def test_splitter_tolerates_trailing_double_semicolon():
     assert split_sql_statements("SELECT 1;;") == ["SELECT 1"]
     # semicolons inside string literals don't split

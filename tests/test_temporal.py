@@ -37,6 +37,23 @@ def test_as_of_join_picks_latest_at_or_before(spark):
     assert out[(2, _ts(30))] is None  # key never on the right
 
 
+def test_as_of_join_payload_is_atomic(spark):
+    """If the newest right row has NULL in one payload column, that NULL
+    carries as-is — it must NOT backfill from an older right row (a
+    mixed-row payload no true ASOF join produces)."""
+    left = spark.createDataFrame([(1, _ts(30))], "user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(10), "old_a", "old_b"), (1, _ts(20), "new_a", None)],
+        "user_id long, rts timestamp, a string, b string",
+    )
+    row = as_of_join(
+        left, right, key="user_id", left_ts="ts", right_ts="rts",
+        payload_cols=["a", "b"],
+    ).collect()[0]
+    assert row.a == "new_a"
+    assert row.b is None  # from the same (newest) right row — not "old_b"
+
+
 def test_binned_range_join_equals_naive(spark, sf_dir):
     """For misaligned widths/bins, binning must reproduce the naive
     non-equi join exactly (the exact predicate prunes over-coverage)."""
