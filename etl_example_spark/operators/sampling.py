@@ -1,0 +1,80 @@
+"""Deterministic sampling operators for corpus curation.
+
+Training-data pipelines need samples that are (a) reproducible across
+runs and engines — no RNG state on executors, no seed-order dependence —
+and (b) executable as a pure filter, so they push down next to the scan
+and compose with any other predicate. Both come from hash thresholding:
+keep a row iff a fixed-width prefix of ``md5(stratum ':' id)`` falls
+below the stratum's rate threshold. The hash is uniform on [0, 16^8), so
+the kept fraction converges to the rate per stratum; membership of any
+given row is a pure function of (id, stratum, rate).
+
+This is the idiomatic 100 TB shape: one narrow filtered scan, zero
+shuffles, and adding/removing strata or re-running with more executors
+cannot change which rows are sampled (unlike ``df.sample``, whose output
+depends on partition layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: hex prefix width compared against the threshold; 8 hex digits = 32
+#: uniform bits, plenty of rate resolution (~2.3e-10)
+_PREFIX = 8
+
+
+def rate_to_hex_threshold(rate: float) -> str:
+    """8-hex-digit string h such that P[prefix < h] == rate (rate < 1)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1]: {rate}")
+    return format(min(int(rate * 16**_PREFIX), 16**_PREFIX - 1), f"0{_PREFIX}x")
+
+
+def hash_sample_predicate(
+    id_col: Column | str, stratum_col: Column | str, rate: float
+) -> Column:
+    """Boolean keep/drop decision, computable per-row with no state.
+
+    Boundary rates short-circuit to literals: 1.0 must keep every row
+    (int(1.0 * 16^8) formats to NINE hex digits, which string-compares
+    lexicographically, not numerically — '100000000' would keep only
+    prefixes starting with '0')."""
+    if rate >= 1.0:
+        return F.lit(True)
+    if rate <= 0.0:
+        return F.lit(False)
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    sc = F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
+    prefix = F.substring(
+        F.md5(F.concat(sc, F.lit(":"), idc.cast("string"))), 1, _PREFIX
+    )
+    return prefix < F.lit(rate_to_hex_threshold(rate))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sample: each stratum keeps ~its rate.
+
+    The rebalancing primitive of corpus curation (downsample boilerplate
+    sources, keep the long tail). Strata absent from ``rates`` use
+    ``default_rate`` (0.0 = drop, the safe default for unknown sources).
+    """
+    pred = F.lit(False)
+    for stratum, rate in sorted(rates.items()):
+        pred = F.when(
+            F.col(stratum_col) == stratum,
+            hash_sample_predicate(id_col, stratum_col, rate),
+        ).otherwise(pred)
+    if default_rate > 0.0:
+        known = F.col(stratum_col).isin(list(rates))
+        pred = F.when(
+            ~known, hash_sample_predicate(id_col, stratum_col, default_rate)
+        ).otherwise(pred)
+    return df.filter(pred)

@@ -21,7 +21,7 @@ the JVM expression is faster than the Arrow round-trip.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -74,6 +74,44 @@ def brute_force_topk(
         )
         .orderBy(F.desc("cosine_sim"), "neighbor_id")
         .limit(k)
+    )
+
+
+def batch_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors (the ``n_queries``
+    lowest-id corpus vectors — deterministic without parameters) in one
+    pass: broadcast the query block, one narrow map computes all
+    query×corpus similarities, and a per-query ranking window takes the
+    top k. The corpus is scanned once regardless of query count — the
+    right shape when serving many probes against 100 TB of vectors
+    (queries are the small side by definition)."""
+    q = (
+        embeddings.orderBy(id_col)
+        .limit(n_queries)
+        .select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(vec_col, "query_vec"), 6).alias("cosine_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .orderBy("query_id", "rk")
     )
 
 

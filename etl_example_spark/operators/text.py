@@ -152,6 +152,71 @@ def mad_outliers(df: DataFrame, k: float = 3.0) -> DataFrame:
     )
 
 
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition features per document: distinct-token and
+    distinct-2-gram fractions (heavily repeated docs are boilerplate or
+    degenerate generations). All ratios are exact integers (×1e6, floor
+    division), so results hash-compare across engines.
+
+    One narrow projection; the repeated ``tokens()`` subexpressions
+    collapse via whole-stage-codegen subexpression elimination, so the
+    regex split runs once per row."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    grams = F.when(n_tok < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_tok - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        )
+    )
+    n_gram = F.size(grams)
+    n_gram_distinct = F.size(F.array_distinct(grams))
+
+    def rep_frac(total: Column, distinct: Column) -> Column:
+        return (
+            F.when(
+                total > 0,
+                F.floor((total - distinct) * 1_000_000 / total),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        rep_frac(n_tok, n_distinct).alias("rep_token_x1e6"),
+        n_gram.alias("n_2grams"),
+        rep_frac(n_gram, n_gram_distinct).alias("rep_2gram_x1e6"),
+    )
+
+
+#: PII patterns — lookaround-free so Java regex (Spark) and RE2 (DuckDB)
+#: parse them identically.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[A-Za-z0-9./_-]+"
+
+
+def pii_counts(col: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_urls) found in the text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0)),
+        F.size(F.regexp_extract_all(c, F.lit(URL_RE), 0)),
+    )
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact emails then URLs with typed placeholder tags — the standard
+    pre-training scrub pass; one codegen'd projection, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+
+
 def normalized_fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 of whitespace-collapsed lowercase text —
     the exact-dedup key (near-dup keys live in operators/dedup.py)."""

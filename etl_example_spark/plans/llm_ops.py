@@ -698,3 +698,184 @@ def d33_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, pos
         """
     )
+
+
+@register(
+    "d40_repetition_metrics",
+    "Gopher-style repetition features per document: distinct-token and "
+    "distinct-2-gram fractions as exact x1e6 integers (repeated text = "
+    "boilerplate / degenerate generation signal). One narrow projection, "
+    "no shuffle (operators/text.repetition_metrics).",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_distinct_tokens,
+                   CASE WHEN len(toks) >= 2
+                        THEN list_transform(range(1, len(toks)),
+                             i -> toks[i] || ' ' || toks[i+1])
+                        ELSE [] END AS grams
+            FROM t
+        )
+        SELECT doc_id, n_tokens, n_distinct_tokens,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(floor((n_tokens - n_distinct_tokens)
+                         * 1000000 / n_tokens) AS BIGINT)
+                    ELSE 0 END AS rep_token_x1e6,
+               len(grams) AS n_2grams,
+               CASE WHEN len(grams) > 0
+                    THEN CAST(floor((len(grams) - len(list_distinct(grams)))
+                         * 1000000 / len(grams)) AS BIGINT)
+                    ELSE 0 END AS rep_2gram_x1e6
+        FROM m
+        ORDER BY doc_id
+    """,
+    category="text",
+)
+def d40_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_metrics(docs).orderBy("doc_id")
+
+
+@register(
+    "d41_pii_scrub",
+    "PII scrub pass: count and redact emails/URLs with typed placeholders "
+    "(operators/text.{pii_counts,scrub_pii}; patterns are lookaround-free "
+    "so Java regex and RE2 agree). The corpus is synthetic so PII is "
+    "injected deterministically first — both engines run the identical "
+    "augment->detect->redact pipeline; the scrub is verified by md5 of "
+    "the redacted text.",
+    oracle="""
+        WITH aug AS (
+            SELECT doc_id,
+                   text ||
+                   CASE WHEN doc_id % 7 = 0
+                        THEN ' contact user' || doc_id || '@example.com'
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 11 = 0
+                        THEN ' see https://site' || doc_id || '.example.org/p'
+                        ELSE '' END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   AS n_emails,
+               len(regexp_extract_all(t, 'https?://[A-Za-z0-9./_-]+'))
+                   AS n_urls,
+               md5(regexp_replace(
+                   regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   'https?://[A-Za-z0-9./_-]+', '<URL>', 'g'))
+                   AS scrubbed_md5
+        FROM aug
+        ORDER BY doc_id
+    """,
+    category="text",
+)
+def d41_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" see https://site"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(".example.org/p"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    n_emails, n_urls = text.pii_counts("t")
+    return aug.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+        F.md5(text.scrub_pii("t")).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "d42_stratified_sample",
+    "Deterministic hash-threshold stratified sampling: per-source rates "
+    "via md5-prefix comparison — reproducible across runs/engines/cluster "
+    "layouts (unlike df.sample), and a pure pushdown-able filter "
+    "(operators/sampling.stratified_sample).",
+    oracle="""
+        SELECT doc_id, source
+        FROM documents
+        WHERE CASE source
+                WHEN 'src0' THEN substring(md5(source || ':' || doc_id), 1, 8)
+                                 < '80000000'
+                WHEN 'src1' THEN substring(md5(source || ':' || doc_id), 1, 8)
+                                 < '40000000'
+                ELSE substring(md5(source || ':' || doc_id), 1, 8)
+                                 < '19999999'
+              END
+        ORDER BY doc_id
+    """,
+    category="text",
+)
+def d42_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(
+            docs,
+            rates={"src0": 0.5, "src1": 0.25},
+            default_rate=0.1,
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "s41_batch_topk",
+    "Batched exact similarity search: top-3 cosine neighbors for each of "
+    "the 8 lowest-id query vectors in ONE corpus scan — broadcast query "
+    "block, narrow map, per-query ranking window "
+    "(operators/similarity.batch_topk). Query count scales free; corpus "
+    "scans once.",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings ORDER BY vec_id LIMIT 8
+        ),
+        sims AS (
+            SELECT q.query_id,
+                   e.vec_id AS neighbor_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), q.qv), 6) DESC,
+                           e.vec_id
+                   ) AS rk
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rk
+        FROM sims WHERE rk <= 3
+        ORDER BY query_id, rk
+    """,
+    category="similarity",
+)
+def s41_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.batch_topk(emb, n_queries=8, k=3)

@@ -865,3 +865,284 @@ def q49_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         cents(F.first(price).over(w)).alias("first_cents"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "q50_exists_correlated",
+    "Correlated EXISTS (TPC-H Q4 shape, adapted to the testdata columns): "
+    "orders per priority having at least one line shipped >80 days after "
+    "order date. Expressed as SQL so Catalyst's subquery decorrelation "
+    "(RewritePredicateSubquery -> left semi join) is exercised; the "
+    "decorrelated plan is the same semi join a hand-written DataFrame "
+    "version would build, shuffling each side once on the join key.",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n_late_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 80 DAY
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def q50_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_late_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 80 DAY
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q51_scalar_correlated",
+    "Correlated scalar subqueries (TPC-H Q17 shape): revenue from "
+    "small-quantity lines, where 'small' is below 1/5 of the part's own "
+    "average quantity. The threshold test is exact integer "
+    "cross-multiplication (5*q*count < sum) so no float-boundary row "
+    "flips between engines. Catalyst decorrelates both scalar subqueries "
+    "into one aggregate-then-join over l_partkey.",
+    oracle="""
+        SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100 / 7 AS avg_yearly
+        FROM lineitem l
+        WHERE 5 * CAST(ROUND(l.l_quantity) AS BIGINT) * (
+                SELECT COUNT(*) FROM lineitem l2
+                WHERE l2.l_partkey = l.l_partkey
+              ) < (
+                SELECT SUM(CAST(ROUND(l3.l_quantity) AS BIGINT))
+                FROM lineitem l3
+                WHERE l3.l_partkey = l.l_partkey
+              )
+    """,
+)
+def q51_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100 / 7 AS avg_yearly
+        FROM lineitem l
+        WHERE 5 * CAST(ROUND(l.l_quantity) AS BIGINT) * (
+                SELECT COUNT(*) FROM lineitem l2
+                WHERE l2.l_partkey = l.l_partkey
+              ) < (
+                SELECT SUM(CAST(ROUND(l3.l_quantity) AS BIGINT))
+                FROM lineitem l3
+                WHERE l3.l_partkey = l.l_partkey
+              )
+        """
+    )
+
+
+@register(
+    "q52_conditional_agg",
+    "Conditional aggregation with FILTER clauses: one scan of orders "
+    "producing per-nation counts/sums restricted by different predicates "
+    "— the idiomatic replacement for N self-joins or N scans (at 100 TB "
+    "the difference is N full passes vs one).",
+    oracle="""
+        SELECT n_name AS nation,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               COUNT(*) FILTER (WHERE o_orderpriority LIKE '1-%') AS n_urgent,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) / 100
+                   AS open_revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+)
+def q52_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = as_scaled_long("o_totalprice")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            F.count_if(F.col("o_orderpriority").like("1-%")).alias("n_urgent"),
+            (
+                F.sum(
+                    F.when(F.col("o_orderstatus") == "O", cents).otherwise(
+                        F.lit(None)
+                    )
+                ).cast("double")
+                / 100
+            ).alias("open_revenue"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "q53_lateral_explode",
+    "Lateral table generation: explode each part's type string into words "
+    "(LATERAL VIEW explode / unnest) and count word frequencies — the "
+    "generator runs inline in the scan stage (no join), then one "
+    "aggregation shuffle on the word.",
+    oracle="""
+        SELECT word, COUNT(*) AS n
+        FROM (
+            SELECT unnest(string_split(p_type, ' ')) AS word FROM part
+        )
+        GROUP BY word
+        ORDER BY word
+    """,
+)
+def q53_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split("p_type", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy("word")
+    )
+
+
+@register(
+    "q54_date_breadth",
+    "Date/time function breadth over per-customer order history: "
+    "year/quarter/ISO week extraction, English day names, month-end "
+    "dates, and day gaps to the previous order (lag window + datediff). "
+    "All functions chosen for identical cross-engine semantics (ISO "
+    "weeks, English day names).",
+    oracle="""
+        SELECT o_orderkey,
+               year(o_orderdate) AS yr,
+               quarter(o_orderdate) AS qtr,
+               weekofyear(o_orderdate) AS iso_week,
+               dayname(o_orderdate) AS day_name,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR)
+                   AS month_end,
+               COALESCE(date_diff('day',
+                   LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate), -1) AS days_since_prev
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+)
+def q54_date_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.date_format("o_orderdate", "EEEE").alias("day_name"),
+        F.last_day(F.col("o_orderdate").cast("date"))
+        .cast("string")
+        .alias("month_end"),
+        F.coalesce(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ),
+            F.lit(-1),
+        ).alias("days_since_prev"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "q55_range_frame_window",
+    "RANGE-frame analytic window: per-customer trailing-30-day spend at "
+    "each order, ordered by integer epoch-day (numeric RANGE frames have "
+    "identical semantics in every engine; interval frames differ). One "
+    "shuffle on the partition key; the frame scan is linear per "
+    "partition.",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+                   RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) / 100 AS trailing_30d_spend
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+)
+def q55_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    epoch_day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_day)
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.sum(as_scaled_long("o_totalprice")).over(w).cast("double") / 100).alias(
+            "trailing_30d_spend"
+        ),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "q56_null_safe_join",
+    "Null-safe equality join (<=> / IS NOT DISTINCT FROM): nations "
+    "bucketed by NULLIF'd region key join null-safe, so the NULL bucket "
+    "matches itself — the semantics plain equality silently drops. "
+    "Catalyst plans <=> as a hash join key like any other equality.",
+    oracle="""
+        WITH n AS (
+            SELECT n_nationkey, n_name, NULLIF(n_regionkey, 0) AS rk
+            FROM nation
+        )
+        SELECT a.n_name AS nation_a, b.n_name AS nation_b
+        FROM n a JOIN n b
+          ON a.rk IS NOT DISTINCT FROM b.rk
+         AND a.n_nationkey < b.n_nationkey
+        ORDER BY nation_a, nation_b
+    """,
+)
+def q56_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    n = nation.select(
+        "n_nationkey",
+        "n_name",
+        F.nullif(F.col("n_regionkey"), F.lit(0)).alias("rk"),
+    )
+    a = n.select(
+        F.col("n_nationkey").alias("key_a"),
+        F.col("n_name").alias("nation_a"),
+        F.col("rk").alias("rk_a"),
+    )
+    b = n.select(
+        F.col("n_nationkey").alias("key_b"),
+        F.col("n_name").alias("nation_b"),
+        F.col("rk").alias("rk_b"),
+    )
+    return (
+        a.join(
+            b,
+            F.col("rk_a").eqNullSafe(F.col("rk_b"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
+        .select("nation_a", "nation_b")
+        .orderBy("nation_a", "nation_b")
+    )

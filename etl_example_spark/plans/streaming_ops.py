@@ -238,3 +238,29 @@ def st40_stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_to_memory(agg, output_mode="update").orderBy("event_type")
+
+
+@register(
+    "st41_stream_builtin_dedup",
+    "Built-in streaming dedup (dropDuplicatesWithinWatermark): distinct "
+    "(user_id, event_type) keys with state evicted once the watermark "
+    "passes a key's last-seen window — bounded state over an unbounded "
+    "stream, vs st38's custom keep-first operator which also pins WHICH "
+    "row survives. Output is the key set (payload survivor is "
+    "batch-order-dependent by design), so the oracle is SELECT DISTINCT.",
+    oracle="""
+        SELECT DISTINCT user_id, event_type
+        FROM events
+        ORDER BY user_id, event_type
+    """,
+    category="streaming",
+)
+def st41_stream_builtin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    result = run_to_memory(deduped, output_mode="append")
+    return result.orderBy("user_id", "event_type")
