@@ -38,6 +38,30 @@ SHOW = {
         "Range join as an equi-join on (key, time-bin) + exact predicate — "
         "no nested-loop join anywhere in the plan."
     ),
+    "q50_exists_correlated": (
+        "Correlated EXISTS decorrelated by Catalyst into a left semi join "
+        "(broadcast at this scale; shuffled SMJ under AQE when neither "
+        "side fits) — never per-row subquery execution."
+    ),
+    "q51_scalar_correlated": (
+        "Both correlated scalar subqueries decorrelated into ONE aggregate "
+        "over l_partkey joined back to the fact — not per-row subquery "
+        "execution."
+    ),
+    "d25_jaccard_pairs": (
+        "Exact Jaccard from the staged hashed shingle index (in-memory "
+        "table scans, no text re-scan): one self-join on the 8-byte hash, "
+        "sizes carried in the index rows — zero additional joins."
+    ),
+    "d26_minhash_lsh_pairs": (
+        "MinHash-LSH from staged signatures: posting-list banding (one "
+        "shuffle), then broadcast-join verification against the staged "
+        "shingle arrays — the corpus text is never re-scanned or shuffled."
+    ),
+    "s41_batch_topk": (
+        "Batched similarity search: query block broadcast, ONE corpus "
+        "scan computes all query-pair cosines, ranking window per query."
+    ),
 }
 
 
