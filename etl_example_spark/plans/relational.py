@@ -1146,3 +1146,47 @@ def q56_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nation_a", "nation_b")
         .orderBy("nation_a", "nation_b")
     )
+
+
+@register(
+    "q57_zorder_key",
+    "Z-order (Morton) clustering key over (user bucket, hour bucket) — "
+    "the multi-dimensional data-skipping layout: files sorted by this key "
+    "hold compact rectangles of the key space, so parquet min/max stats "
+    "prune on BOTH dimensions (functions/zorder.zvalue; skipping payoff "
+    "measured from real file footers in tests/test_zorder.py). Pure "
+    "shift/mask integer arithmetic, bit-identical in any engine.",
+    oracle=None,  # set below: built from sql_zvalue to stay in lockstep
+)
+def q57_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.functions.zorder import zvalue
+
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        (F.col("user_id") % 256).alias("ub"),
+        (F.expr("unix_micros(ts) div 3600000000") % 256).alias("hb"),
+    ).select(
+        "event_id", "ub", "hb", zvalue(["ub", "hb"], bits=8).alias("zkey")
+    ).orderBy("event_id")
+
+
+def _q57_oracle() -> str:
+    from etl_example_spark.functions.zorder import sql_zvalue
+
+    return f"""
+        WITH g AS (
+            SELECT event_id,
+                   user_id % 256 AS ub,
+                   (epoch_us(ts) // 3600000000) % 256 AS hb
+            FROM events
+        )
+        SELECT event_id, ub, hb, {sql_zvalue(["ub", "hb"], bits=8)} AS zkey
+        FROM g
+        ORDER BY event_id
+    """
+
+
+from etl_example_spark.plans.registry import QUERIES as _Q  # noqa: E402
+
+_Q["q57_zorder_key"].oracle = _q57_oracle()
