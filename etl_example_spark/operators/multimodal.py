@@ -213,6 +213,60 @@ def sample_frames(
     return videos.mapInPandas(frames, FRAME_SCHEMA)
 
 
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("chunk_hash", T.StringType()),
+    ]
+)
+
+
+def chunk_audio(
+    media_df: DataFrame, chunk_ms: int = 2000, max_chunks: int = 16
+) -> DataFrame:
+    """Audio chunking for timed payloads: one row per ``chunk_ms`` window
+    (capped), with exact [start_ms, end_ms) bounds — the segmentation step
+    before transcription/embedding of long audio. Same mapInPandas fan-out
+    shape as :func:`sample_frames`; the chunk id is the deterministic
+    ``md5(hex(payload) | idx)`` stand-in for the (stubbed) codec's actual
+    byte-range slice."""
+    import hashlib
+
+    audio = media_df.filter(F.col("media.modality") == "audio").select(
+        "doc_id", "payload", F.col("media.duration_ms").alias("duration_ms")
+    )
+
+    def chunks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "chunk_idx": [],
+                "start_ms": [],
+                "end_ms": [],
+                "chunk_hash": [],
+            }
+            for doc_id, payload, duration in zip(
+                pdf["doc_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                dur = int(duration)
+                n = min((dur + chunk_ms - 1) // chunk_ms, max_chunks)
+                for i in range(n):
+                    key = f"{bytes(payload).hex().upper()}|{i}"
+                    out["doc_id"].append(int(doc_id))
+                    out["chunk_idx"].append(i)
+                    out["start_ms"].append(i * chunk_ms)
+                    out["end_ms"].append(min((i + 1) * chunk_ms, dur))
+                    out["chunk_hash"].append(
+                        hashlib.md5(key.encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(chunks, CHUNK_SCHEMA)
+
+
 def resize_media(
     media_df: DataFrame, width: int = 32, height: int = 32
 ) -> DataFrame:

@@ -879,3 +879,93 @@ def d42_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s41_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.batch_topk(emb, n_queries=8, k=3)
+
+
+@register(
+    "d43_winnowing",
+    "Winnowing document fingerprints (Schleimer et al.): min-md5 per "
+    "sliding window of 4 consecutive char-8-gram hashes, deduplicated — "
+    "the position-robust fingerprint SET (d30's kgram_min is its global-"
+    "min special case). Pure array expressions; the gram hash array binds "
+    "once per row.",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_NORM} AS norm FROM documents),
+        g AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(length(norm) - 7, 1) + 1),
+                       i -> md5(substring(norm, i, 8))) AS hs
+            FROM t
+        ),
+        w AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(list_transform(
+                       range(1, greatest(len(hs) - 3, 1) + 1),
+                       i -> list_min(hs[i:i+3])))) AS fps
+            FROM g
+        )
+        SELECT doc_id, unnest(fps) AS fingerprint
+        FROM w
+        ORDER BY doc_id, fingerprint
+    """,
+    category="text",
+)
+def d43_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = F.expr(
+        """
+        element_at(transform(array(
+            transform(
+                sequence(1, greatest(length(regexp_replace(trim(lower(text)),
+                                     '\\\\s+', ' ')) - 7, 1)),
+                i -> md5(substring(regexp_replace(trim(lower(text)),
+                                   '\\\\s+', ' '), i, 8)))
+        ), hs ->
+            array_sort(array_distinct(transform(
+                sequence(1, greatest(size(hs) - 3, 1)),
+                i -> array_min(slice(hs, i, 4)))))
+        ), 1)
+        """
+    )
+    return (
+        docs.select("doc_id", F.explode(fps).alias("fingerprint"))
+        .orderBy("doc_id", "fingerprint")
+    )
+
+
+@register(
+    "m37_audio_chunks",
+    "Audio segmentation via mapInPandas fan-out: one row per 2s chunk "
+    "(capped at 16) with exact [start_ms, end_ms) bounds — the "
+    "segmentation step before transcription/embedding; the byte-range "
+    "slice is the stubbed codec step, the Arrow-batched expansion is real "
+    "(operators/multimodal.chunk_audio).",
+    oracle="""
+        WITH a AS (
+            SELECT doc_id,
+                   hex(encode(text)) AS hx,
+                   octet_length(encode(text)) * 10 AS dur
+            FROM documents
+            WHERE doc_id % 3 = 1
+        )
+        SELECT doc_id,
+               CAST(unnest(range(least((dur + 1999) // 2000, 16)))
+                   AS INTEGER) AS chunk_idx,
+               unnest(range(least((dur + 1999) // 2000, 16))) * 2000
+                   AS start_ms,
+               least((unnest(range(least((dur + 1999) // 2000, 16))) + 1)
+                   * 2000, dur) AS end_ms,
+               md5(hx || '|' ||
+                   CAST(unnest(range(least((dur + 1999) // 2000, 16)))
+                        AS VARCHAR)) AS chunk_hash
+        FROM a
+        ORDER BY doc_id, chunk_idx
+    """,
+    category="multimodal",
+)
+def m37_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_mixed_media(docs)
+    return multimodal.chunk_audio(media, chunk_ms=2000, max_chunks=16).orderBy(
+        "doc_id", "chunk_idx"
+    )

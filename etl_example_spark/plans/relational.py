@@ -1190,3 +1190,133 @@ def _q57_oracle() -> str:
 from etl_example_spark.plans.registry import QUERIES as _Q  # noqa: E402
 
 _Q["q57_zorder_key"].oracle = _q57_oracle()
+
+
+@register(
+    "q58_merge_upsert",
+    "MERGE / CDC-apply (operators/merge.apply_cdc): a keyed change batch "
+    "(updates for one customer cohort, deletes by key pattern, inserts "
+    "cloned under new keys) applied to orders as anti-join + union — the "
+    "change batch broadcasts, the big target never shuffles. The parquet "
+    "write path pairs this with write-new-then-swap "
+    "(operators/curation.backup_then_remove); Delta/Iceberg MERGE INTO is "
+    "the transactional spelling of the same plan.",
+    oracle="""
+        WITH changes AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice + 10.0 AS o_totalprice,
+                   o_orderdate, o_orderpriority, 'U' AS op
+            FROM orders WHERE o_custkey % 100 = 0 AND o_orderkey % 997 <> 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority, 'D'
+            FROM orders WHERE o_orderkey % 997 = 0
+            UNION ALL
+            SELECT o_orderkey + 20000000, o_custkey, o_orderstatus,
+                   o_totalprice * 0.5, o_orderdate, o_orderpriority, 'I'
+            FROM orders WHERE o_custkey % 100 = 50
+        )
+        SELECT * FROM (
+            SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+                   o.o_totalprice, o.o_orderdate, o.o_orderpriority
+            FROM orders o LEFT JOIN changes c ON o.o_orderkey = c.o_orderkey
+            WHERE c.o_orderkey IS NULL
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM changes WHERE op <> 'D'
+        )
+        ORDER BY o_orderkey
+    """,
+)
+def q58_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.operators.merge import apply_cdc
+
+    orders = load_table(spark, sf_dir, "orders")
+    upd = (
+        orders.filter(
+            (F.col("o_custkey") % 100 == 0) & (F.col("o_orderkey") % 997 != 0)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10.0)
+        .withColumn("op", F.lit("U"))
+    )
+    dels = orders.filter(F.col("o_orderkey") % 997 == 0).withColumn(
+        "op", F.lit("D")
+    )
+    ins = (
+        orders.filter(F.col("o_custkey") % 100 == 50)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 20_000_000)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 0.5)
+        .withColumn("op", F.lit("I"))
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    return apply_cdc(orders, changes, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+@register(
+    "q59_rank_functions",
+    "Relative-rank window functions (percent_rank, cume_dist) over "
+    "supplier balances per nation — definitions are engine-invariant "
+    "((rank-1)/(n-1), #(<=)/n) and the ordering key is unique, so the "
+    "doubles hash-compare exactly.",
+    oracle="""
+        SELECT n_name AS nation, s_suppkey,
+               PERCENT_RANK() OVER w AS pr,
+               CUME_DIST() OVER w AS cd
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal, s_suppkey)
+        ORDER BY nation, s_suppkey
+    """,
+)
+def q59_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy("s_acctbal", "s_suppkey")
+    return (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "s_suppkey",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .orderBy("nation", "s_suppkey")
+    )
+
+
+@register(
+    "q60_intersect_except_all",
+    "Multiset set operations (INTERSECT ALL / EXCEPT ALL): customer keys "
+    "of finished orders vs urgent orders, duplicates preserved — the ALL "
+    "variants Catalyst plans as joins over per-row replication counts, "
+    "not the distinct-collapsing set ops of q16.",
+    oracle="""
+        SELECT 'both' AS src, k FROM (
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT ALL
+            SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1-%'
+        )
+        UNION ALL
+        SELECT 'only_finished', k FROM (
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+            EXCEPT ALL
+            SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1-%'
+        )
+        ORDER BY src, k
+    """,
+)
+def q60_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    urgent = orders.filter(F.col("o_orderpriority").like("1-%")).select(
+        F.col("o_custkey").alias("k")
+    )
+    both = finished.intersectAll(urgent).select(F.lit("both").alias("src"), "k")
+    only = finished.exceptAll(urgent).select(
+        F.lit("only_finished").alias("src"), "k"
+    )
+    return both.unionByName(only).orderBy("src", "k")

@@ -1,0 +1,92 @@
+"""CDC-apply semantics on hand-built fixtures: update/insert/delete,
+per-key compaction by sequence, and the conservative same-sequence rule."""
+
+from __future__ import annotations
+
+from etl_example_spark.operators.merge import apply_cdc, latest_change_per_key
+
+
+def test_apply_cdc_update_insert_delete(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 22.0, "U"),   # update existing
+            (3, None, None, "D"),   # delete existing
+            (4, "d", 40.0, "I"),    # insert new
+            (5, None, None, "D"),   # delete of absent key: no-op
+        ],
+        "k long, name string, v double, op string",
+    )
+    got = sorted(
+        (r.k, r.name, r.v)
+        for r in apply_cdc(target, changes, ["k"]).collect()
+    )
+    assert got == [(1, "a", 10.0), (2, "b2", 22.0), (4, "d", 40.0)]
+
+
+def test_apply_cdc_sequence_compaction(spark):
+    target = spark.createDataFrame([(1, "a")], "k long, name string")
+    changes = spark.createDataFrame(
+        [
+            (1, "a1", "U", 1),
+            (1, "a2", "U", 3),   # latest wins
+            (1, "a-dead", "D", 2),
+            (2, "b1", "I", 1),
+            (2, None, "D", 2),   # delete after insert: key never lands
+        ],
+        "k long, name string, op string, seq long",
+    )
+    got = sorted(
+        (r.k, r.name)
+        for r in apply_cdc(
+            target, changes, ["k"], sequence_col="seq"
+        ).collect()
+    )
+    assert got == [(1, "a2")]
+
+
+def test_same_sequence_delete_wins(spark):
+    changes = spark.createDataFrame(
+        [(1, "u", "U", 5), (1, None, "D", 5)],
+        "k long, name string, op string, seq long",
+    )
+    final = latest_change_per_key(changes, ["k"], "seq").collect()
+    assert len(final) == 1 and final[0].op == "D"
+
+
+def test_chunk_audio_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators import multimodal
+    from etl_example_spark.sources.loaders import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    media = multimodal.attach_mixed_media(docs)
+    chunks = multimodal.chunk_audio(media, chunk_ms=2000, max_chunks=16)
+    durations = {
+        r.doc_id: r.media.duration_ms
+        for r in media.collect()
+        if r.media.modality == "audio"
+    }
+    rows = chunks.collect()
+    assert {r.doc_id for r in rows} == set(durations)
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in per_doc.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        dur = durations[doc_id]
+        assert len(rs) == min((dur + 1999) // 2000, 16)
+        for i, r in enumerate(rs):
+            assert r.chunk_idx == i
+            assert r.start_ms == i * 2000
+            assert r.end_ms == min((i + 1) * 2000, dur)
+    # chunks never overlap and are contiguous until the cap
+    assert all(
+        rs[i].end_ms == rs[i + 1].start_ms or rs[i].end_ms == 2000 * (i + 1)
+        for rs in per_doc.values()
+        for i in range(len(rs) - 1)
+    )
