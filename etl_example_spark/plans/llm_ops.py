@@ -969,3 +969,65 @@ def m37_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.chunk_audio(media, chunk_ms=2000, max_chunks=16).orderBy(
         "doc_id", "chunk_idx"
     )
+
+
+@register(
+    "d44_weighted_stats",
+    "User-defined AGGREGATE via pandas_udf (Series -> scalar, the "
+    "GROUPED_AGG form, completing the UDF surface next to the UDTF d33, "
+    "applyInPandas d34 and mapInPandas m36): per-source weighted mean "
+    "document length. The kernel sums exact int64s and divides once, so "
+    "the Arrow-batched Python aggregate is itself hash-checked against "
+    "the oracle's SQL arithmetic.",
+    oracle="""
+        SELECT source,
+               CAST(SUM((doc_id % 7 + 1) * n_chars) AS DOUBLE)
+                   / CAST(SUM(doc_id % 7 + 1) AS DOUBLE) AS weighted_mean_chars
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+    category="text",
+)
+def d44_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's `from __future__ import
+    # annotations` stringifies type hints, which signature inference
+    # can't resolve
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmean(x, w):
+        # exact int64 sums, ONE double division — bit-identical to the
+        # oracle's SUM/SUM regardless of Arrow batch order
+        return float(int((x * w).sum())) / float(int(w.sum()))
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("w", F.col("doc_id") % 7 + 1)
+        .groupBy("source")
+        .agg(wmean(F.col("n_chars"), F.col("w")).alias("weighted_mean_chars"))
+        .orderBy("source")
+    )
+
+
+@register(
+    "q61_approx_quantiles",
+    "Approximate quantiles (Greenwald-Khanna approx_percentile, rel. "
+    "error 0.01) of order totals per order status — the sketch companion "
+    "to q44's exact percentiles. Approximate by design -> no SQL oracle; "
+    "tests assert each estimate lands within the sketch's rank-error "
+    "bound of the exact quantile.",
+    oracle=None,
+    category="relational",
+)
+def q61_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.25, 0.5, 0.75, 0.95], 100
+            ).alias("approx_quantiles")
+        )
+        .orderBy("o_orderstatus")
+    )

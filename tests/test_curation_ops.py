@@ -81,3 +81,60 @@ def test_batch_topk_head_matches_single_query(spark, sf_dir):
         ]
         want = [(r.neighbor_id, r.cosine_sim) for r in single]
         assert got == want, qid
+
+
+def test_approx_quantiles_within_rank_error(spark, sf_dir):
+    """percentile_approx(accuracy=100) guarantees rank error <= 1/100:
+    each estimate must be an actual data value whose rank is within
+    n/100 of the target rank."""
+    orders = load_table(spark, sf_dir, "orders")
+    approx = {
+        r.o_orderstatus: r.approx_quantiles
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.25, 0.5, 0.75, 0.95], 100
+            ).alias("approx_quantiles")
+        )
+        .collect()
+    }
+    for status, estimates in approx.items():
+        vals = sorted(
+            r.o_totalprice
+            for r in orders.filter(F.col("o_orderstatus") == status).collect()
+        )
+        n = len(vals)
+        for q, est in zip([0.25, 0.5, 0.75, 0.95], estimates):
+            import bisect
+
+            lo = bisect.bisect_left(vals, est)
+            hi = bisect.bisect_right(vals, est) - 1
+            target = q * n
+            err = min(abs(lo - target), abs(hi - target))
+            assert err <= n / 100 + 1, (status, q, est, err, n)
+
+
+def test_weighted_mean_udaf_matches_builtin(spark, sf_dir):
+    """The pandas_udf grouped-agg kernel must equal the built-in SQL
+    arithmetic exactly (int64 sums, one division)."""
+    from etl_example_spark.plans.registry import load_all
+
+    reg = load_all()
+    got = {
+        r.source: r.weighted_mean_chars
+        for r in reg["d44_weighted_stats"].spark_builder(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        r.source: r.wm
+        for r in docs.withColumn("w", F.col("doc_id") % 7 + 1)
+        .groupBy("source")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("n_chars")).cast("double")
+                / F.sum("w").cast("double")
+            ).alias("wm")
+        )
+        .collect()
+    }
+    assert got == want
