@@ -214,6 +214,84 @@ def ivf_assign(
     )
 
 
+def ivf_train(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd iterations over the IVF coarse quantizer: assign (broadcast
+    crossJoin + max_by — the same step ``ivf_assign`` runs once), then
+    recompute each centroid as the element-wise mean of its members
+    (posexplode → per-(cell, dim) average → rebuild the vector). One
+    shuffle per iteration on (centroid, dim); ``localCheckpoint`` per
+    round truncates the growing plan — the standard iterative-algorithm
+    discipline on Spark (same as operators/dedup.dedup_clusters). Empty
+    cells keep their previous centroid. Returns (centroid_id,
+    centroid_vec) ready to feed the probe/rerank stages."""
+    centroids = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            _as_double(vec_col).alias("centroid_vec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sim = F.round(cosine(vec_col, "centroid_vec"), 6)
+    for _ in range(iters):
+        assign = (
+            embeddings.crossJoin(F.broadcast(centroids))
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.col("centroid_id"),
+                sim.alias("c_sim"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.any_value(vec_col).alias(vec_col),
+                F.max_by(
+                    "centroid_id",
+                    F.struct(
+                        F.col("c_sim"), (-F.col("centroid_id")).alias("nid")
+                    ),
+                ).alias("centroid_id"),
+            )
+        )
+        means = (
+            assign.select(
+                "centroid_id",
+                F.posexplode(_as_double(vec_col)).alias("dim", "x"),
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("dm")
+            )
+            .select(
+                "centroid_id",
+                F.expr("transform(dm, s -> s.m)").alias("centroid_vec"),
+            )
+        )
+        centroids = (
+            centroids.alias("old")
+            .join(means.alias("new"), "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(
+                    F.col("new.centroid_vec"), F.col("old.centroid_vec")
+                ).alias("centroid_vec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return centroids
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_id: int | None = None,

@@ -1031,3 +1031,85 @@ def q61_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "d45_data_quality",
+    "Declarative data-quality gate (operators/quality.py): every "
+    "row-level rule (not-null, range, accepted values) folds into ONE "
+    "aggregation pass over lineitem — never N scans for N rules — and "
+    "each referential-integrity check is one broadcast anti-join of the "
+    "fact against the dim key set. Output is the (rule, n_rows, "
+    "violations) metrics table a pipeline gate consumes.",
+    oracle="""
+        WITH row_rules AS (
+            SELECT * FROM (
+                SELECT 'not_null_l_orderkey' AS rule, COUNT(*) AS n_rows,
+                       CAST(SUM(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END)
+                            AS BIGINT) AS violations
+                FROM lineitem
+                UNION ALL
+                SELECT 'range_l_quantity', COUNT(*),
+                       CAST(SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                FROM lineitem
+                UNION ALL
+                SELECT 'accepted_l_returnflag', COUNT(*),
+                       CAST(SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                FROM lineitem
+            )
+        ),
+        fks AS (
+            SELECT 'fk_l_orderkey_orders' AS rule,
+                   (SELECT COUNT(*) FROM lineitem) AS n_rows,
+                   COUNT(*) AS violations
+            FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL
+            UNION ALL
+            SELECT 'fk_l_partkey_part',
+                   (SELECT COUNT(*) FROM lineitem),
+                   COUNT(*)
+            FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_partkey IS NULL
+        )
+        SELECT rule, n_rows, violations FROM row_rules
+        UNION ALL
+        SELECT rule, n_rows, violations FROM fks
+        ORDER BY rule
+    """,
+    category="text",
+)
+def d45_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.operators import quality
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    row_rules = quality.check_rules(
+        lineitem,
+        [
+            quality.not_null("l_orderkey"),
+            quality.in_range("l_quantity", 1, 50),
+            quality.accepted_values("l_returnflag", ["A", "N", "R"]),
+        ],
+    )
+    n_rows = lineitem.count()
+
+    def fk_row(rule: str, dim, dim_key: str, fact_key: str) -> DataFrame:
+        bad = quality.fk_violations(lineitem, fact_key, dim, dim_key)
+        return bad.agg(
+            F.lit(rule).alias("rule"),
+            F.lit(n_rows).alias("n_rows"),
+            F.count("*").alias("violations"),
+        )
+
+    return (
+        row_rules.unionByName(
+            fk_row("fk_l_orderkey_orders", orders, "o_orderkey", "l_orderkey")
+        )
+        .unionByName(
+            fk_row("fk_l_partkey_part", part, "p_partkey", "l_partkey")
+        )
+        .orderBy("rule")
+    )

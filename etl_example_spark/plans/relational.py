@@ -1320,3 +1320,50 @@ def q60_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("only_finished").alias("src"), "k"
     )
     return both.unionByName(only).orderBy("src", "k")
+
+
+@register(
+    "q62_incremental_agg",
+    "Incremental aggregate maintenance (operators/incremental.py): the "
+    "pre-cutoff rollup state absorbs the post-cutoff delta by partial-"
+    "aggregate merge — work proportional to the delta, not history. The "
+    "oracle computes the FULL aggregate directly, so the hash-match "
+    "proves merge == recompute bit-for-bit (algebraic aggregates, exact "
+    "integer sums).",
+    oracle="""
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents,
+               MIN(o_orderdate) AS first_order,
+               MAX(o_orderdate) AS last_order
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY o_custkey
+    """,
+)
+def q62_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.operators.incremental import (
+        merge_partials,
+        partial_agg,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "cents", as_scaled_long("o_totalprice")
+    )
+    aggs = {
+        "n_orders": ("count", "o_orderkey"),
+        "total_cents": ("sum", "cents"),
+        "first_order": ("min", "o_orderdate"),
+        "last_order": ("max", "o_orderdate"),
+    }
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    state = partial_agg(
+        orders.filter(F.col("o_orderdate") < cutoff), ["o_custkey"], aggs
+    )
+    delta = partial_agg(
+        orders.filter(F.col("o_orderdate") >= cutoff), ["o_custkey"], aggs
+    )
+    return merge_partials(state, delta, ["o_custkey"], aggs).orderBy(
+        "o_custkey"
+    )
