@@ -1367,3 +1367,51 @@ def q62_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_partials(state, delta, ["o_custkey"], aggs).orderBy(
         "o_custkey"
     )
+
+
+@register(
+    "q63_disjunctive_predicates",
+    "TPC-H Q19-shaped OR-of-ANDs: revenue from three disjunctive "
+    "brand/size/quantity clauses over a part join. Catalyst extracts the "
+    "common l_quantity bounds and pushes the disjunction into the scans "
+    "(CNF conversion for pushdown); the join stays one broadcast.",
+    oracle="""
+        SELECT CAST(SUM(CAST(ROUND(
+                   l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS DOUBLE) / 100 AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q63_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    def clause(brand: str, max_size: int, qlo: int, qhi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, max_size)
+            & (F.col("l_quantity") >= qlo)
+            & (F.col("l_quantity") <= qhi)
+        )
+
+    pred = (
+        clause("Brand#1", 15, 1, 11)
+        | clause("Brand#2", 25, 10, 20)
+        | clause("Brand#3", 35, 20, 30)
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        lineitem.join(
+            F.broadcast(part), lineitem.l_partkey == part.p_partkey
+        )
+        .filter(pred)
+        .agg((F.sum(cents).cast("double") / 100).alias("revenue"))
+    )

@@ -94,3 +94,68 @@ def test_bucket_pruning_single_key_lookup(spark, sf_dir):
         df = spark.table("t_orders_b").filter(F.col("o_orderkey") == 1)
         plan = _plan(df)
         assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    """ORC is the second columnar format Spark ships natively — schema
+    and values must round-trip (zstd, same as the parquet path)."""
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    nation.write.mode("overwrite").option("compression", "zstd").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == nation.schema
+    key = lambda r: tuple(r)  # noqa: E731
+    assert sorted(map(key, back.collect())) == sorted(
+        map(key, nation.collect())
+    )
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(
+    spark, sf_dir, tmp_path
+):
+    """Dynamic partitionOverwriteMode: an overwrite write replaces ONLY
+    the partitions present in the incoming data — the incremental
+    reprocess pattern (re-run one ingest day without clobbering the
+    table). Static mode (the default) would truncate everything."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_dyn")
+    orders.write.mode("overwrite").partitionBy("yr").parquet(path)
+    total = orders.count()
+    one_year = orders.filter(F.col("yr") == 1995)
+    n_1995 = one_year.count()
+    assert 0 < n_1995 < total
+    # rewrite JUST 1995 with doubled rows, dynamic mode
+    with _conf(
+        spark, **{"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+    ):
+        one_year.unionByName(one_year).write.mode("overwrite").partitionBy(
+            "yr"
+        ).parquet(path)
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("yr") == 1995).count() == 2 * n_1995
+    # every other partition is untouched
+    assert back.filter(F.col("yr") != 1995).count() == total - n_1995
+
+
+def test_observation_metrics(spark, sf_dir):
+    """df.observe: pipeline instrumentation riding the action itself —
+    metrics come from the same pass as the result, no second scan."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("orders_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+    n_rows = observed.count()
+    assert obs.get["n"] == n_rows
+    expect_cents = orders.agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    ).collect()[0][0]
+    assert obs.get["cents"] == expect_cents
