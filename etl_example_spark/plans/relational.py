@@ -1415,3 +1415,91 @@ def q63_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pred)
         .agg((F.sum(cents).cast("double") / 100).alias("revenue"))
     )
+
+
+@register(
+    "q64_promo_revenue_ratio",
+    "TPC-H Q14 shape: promo revenue share per month — conditional "
+    "aggregation ratio in one pass over the join, exact integer cents "
+    "for both numerator and denominator, ONE double division at the end "
+    "(cross-engine bit-stable).",
+    oracle="""
+        SELECT date_trunc('month', l_shipdate) AS mes,
+               100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS DOUBLE) AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY mes
+        ORDER BY mes
+    """,
+)
+def q64_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    promo = F.when(F.col("p_type").like("PROMO%"), cents).otherwise(F.lit(0))
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("mes"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(cents).cast("double")
+            ).alias("promo_pct")
+        )
+        .orderBy("mes")
+    )
+
+
+@register(
+    "q65_market_share",
+    "TPC-H Q8 shape: one region's revenue share per order year — "
+    "two-level dimension chain (customer -> nation -> region) broadcast "
+    "onto the fact join, conditional numerator, exact integer cents.",
+    oracle="""
+        SELECT year(o_orderdate) AS yr,
+               CAST(SUM(CASE WHEN r_name = 'EUROPE'
+                   THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS DOUBLE) AS share
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY yr
+        ORDER BY yr
+    """,
+)
+def q65_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    in_region = F.when(F.col("r_name") == "EUROPE", cents).otherwise(
+        F.lit(0)
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            (
+                F.sum(in_region).cast("double")
+                / F.sum(cents).cast("double")
+            ).alias("share")
+        )
+        .orderBy("yr")
+    )

@@ -91,3 +91,54 @@ def test_exact_sum_is_order_independent(spark, vals, seed):
         ).collect()[0].s
 
     assert total(rows, 1) == total(shuffled, 7)
+
+
+cdc_changes = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),          # key
+        st.sampled_from(["U", "I", "D"]),               # op
+        st.integers(min_value=0, max_value=99),         # payload
+        st.integers(min_value=0, max_value=20),         # sequence
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(changes=cdc_changes)
+@SETTINGS
+def test_apply_cdc_matches_reference_model(spark, changes):
+    """apply_cdc == a dict-based reference model: compact the batch to
+    the winning change per key (max sequence, delete wins ties), then
+    replay upserts/deletes over the initial state."""
+    from etl_example_spark.operators.merge import apply_cdc
+
+    target_rows = [(k, -1) for k in range(5)]  # keys 0..4 pre-exist
+
+    # reference model
+    winner: dict[int, tuple] = {}
+    for k, op, v, seq in changes:
+        cur = winner.get(k)
+        # higher sequence wins; same sequence: 'D' < 'I' < 'U' ascending
+        # puts D first -> D wins ties
+        rank = (seq, {"D": 2, "I": 1, "U": 0}[op])
+        if cur is None or rank > cur[0]:
+            winner[k] = (rank, op, v)
+    expect = {k: v for k, v in target_rows}
+    for k, (_, op, v) in winner.items():
+        if op == "D":
+            expect.pop(k, None)
+        else:
+            expect[k] = v
+
+    target = spark.createDataFrame(target_rows, "k long, v long")
+    if changes:
+        ch = spark.createDataFrame(
+            [(k, v, op, seq) for k, op, v, seq in changes],
+            "k long, v long, op string, seq long",
+        )
+        merged = apply_cdc(target, ch, ["k"], sequence_col="seq")
+    else:
+        merged = target
+    got = {r.k: r.v for r in merged.collect()}
+    assert got == expect
