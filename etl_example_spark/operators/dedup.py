@@ -168,6 +168,15 @@ def staged_shingles(
         sem = id(df)
     key = (id(df.sparkSession), sem, n, text_col, id_col)
     if key not in _STAGED:
+        # Restore scan parallelism before the staged artifact is pinned:
+        # a single-file corpus (one row group) arrives as ONE partition,
+        # which would make every downstream pass over the staged index —
+        # the self-join probe, the signature min-aggregate — a single
+        # task regardless of cluster size. At 100 TB the source already
+        # has thousands of splits and this is a no-op.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
         sets = (
             df.select(
                 F.col(id_col).alias("doc_id"),
