@@ -614,3 +614,50 @@ def simhash_buckets(
         .filter(F.col("n_docs") > 1)
         .orderBy("simhash")
     )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark contamination scan: for every corpus document, how many
+    of its word n-gram shingles also occur anywhere in ``benchmark``.
+
+    The decontamination primitive of training-data pipelines (the GPT-3
+    13-gram rule): eval-set n-grams must not leak into training data.
+    Returns (doc_id, n_shingles, n_hits) for documents with >= 1 hit;
+    callers threshold on ``n_hits`` / the exact integer ratio.
+
+    Scale shape: the benchmark's distinct shingle set is tiny relative to
+    the corpus (eval suites, not corpora), so the probe is a BROADCAST
+    inner join against the exploded corpus index — the corpus never
+    shuffles, and the scan parallelism is the corpus scan's. The corpus
+    side reuses the staged shingle index (one tokenize pass shared with
+    the dedup operators).
+    """
+    probe = (
+        benchmark.select(
+            F.explode(word_shingles(text_col, n)).alias("shingle")
+        )
+        .distinct()
+    )
+    # materialize the shingle array once, then derive size + explode from
+    # the bound column (two word_shingles expressions in one select would
+    # duplicate the HOF pipeline per row)
+    sets = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(text_col, n).alias("sh_set"),
+    )
+    sh = sets.select(
+        "doc_id",
+        F.size("sh_set").alias("n_shingles"),
+        F.explode("sh_set").alias("shingle"),
+    )
+    return (
+        sh.join(F.broadcast(probe), "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count("*").alias("n_hits"))
+    )

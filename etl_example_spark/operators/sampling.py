@@ -78,3 +78,53 @@ def stratified_sample(
             ~known, hash_sample_predicate(id_col, stratum_col, default_rate)
         ).otherwise(pred)
     return df.filter(pred)
+
+
+def temperature_rates(
+    counts: dict[str, int], alpha: float, keep_fraction: float
+) -> dict[str, float]:
+    """Per-stratum keep rates for temperature-based mixture rebalancing.
+
+    Target mixture weights are ``count^alpha`` renormalized (alpha < 1
+    upweights small strata — the multilingual-sampling rule); the overall
+    kept volume is ``keep_fraction`` of the corpus. Rates cap at 1.0 —
+    sampling never replicates rows, so a small stratum saturates instead
+    of oversampling (the capped mass is not redistributed; the realized
+    total can undershoot keep_fraction when caps bind).
+
+    Weight fold is in sorted-stratum order so the float sum is
+    deterministic for a given counts dict.
+    """
+    if not counts:
+        return {}
+    total = sum(counts.values())
+    weights = {s: float(c) ** alpha for s, c in sorted(counts.items())}
+    z = 0.0
+    for s in sorted(weights):
+        z += weights[s]
+    return {
+        s: min(1.0, keep_fraction * total * weights[s] / z / counts[s])
+        for s in sorted(counts)
+    }
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    keep_fraction: float = 0.3,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-sampled mixture: derive per-stratum rates from the
+    observed stratum counts (one tiny aggregate — stratum cardinality is
+    languages/sources, not rows), then apply the deterministic
+    hash-threshold filter. Two narrow passes, zero shuffles of the data
+    itself; the second pass is a pure pushdown-able predicate."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col).count().collect()
+    }
+    rates = temperature_rates(counts, alpha, keep_fraction)
+    return stratified_sample(
+        df, rates=rates, stratum_col=stratum_col, id_col=id_col
+    )

@@ -1113,3 +1113,137 @@ def d45_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+# 5-gram variant of SQL_SHINGLES3 (same <n-token collapse rule)
+SQL_SHINGLES5 = (
+    "CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')] "
+    "ELSE list_distinct(list_transform(range(1, len(toks) - 3), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || "
+    "toks[i+3] || ' ' || toks[i+4])) END"
+)
+
+# whitespace token count mirroring operators/text.tokens (empty text -> 0)
+SQL_NTOKS = (
+    "CASE WHEN trim(lower(text)) = '' THEN 0 "
+    f"ELSE len({SQL_TOKS}) END"
+)
+
+
+@register(
+    "d46_pack_sequences",
+    "Concat-and-chunk sequence packing: documents laid end-to-end per "
+    "source in doc_id order, token stream cut every 512 tokens; bin "
+    "assignment is the running token offset div budget — pure integer "
+    "window arithmetic, parallel across sources, no global sort "
+    "(operators/packing.pack_concat_chunks).",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, doc_id, {SQL_NTOKS} AS n_tokens FROM documents
+        ),
+        p AS (
+            SELECT source, doc_id, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+            FROM t
+        )
+        SELECT source, CAST(start_offset // 512 AS BIGINT) AS bin_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM p
+        GROUP BY source, bin_id
+        ORDER BY source, bin_id
+    """,
+    category="text",
+)
+def d46_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.operators.packing import (
+        pack_concat_chunks,
+        pack_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_concat_chunks(docs, budget=512)
+    return pack_stats(packed).orderBy("source", "bin_id")
+
+
+@register(
+    "d47_contamination",
+    "Benchmark decontamination scan (GPT-3 n-gram rule, word 5-grams): "
+    "corpus documents sharing any shingle with the benchmark set "
+    "(source='src0' stands in as the eval suite), with hit counts. The "
+    "benchmark's distinct shingles BROADCAST onto the exploded corpus "
+    "index — the corpus never shuffles "
+    "(operators/dedup.contamination_report).",
+    oracle=f"""
+        WITH tb AS (
+            SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+            WHERE source = 'src0'
+        ),
+        probe AS (
+            SELECT DISTINCT unnest({SQL_SHINGLES5}) AS shingle FROM tb
+        ),
+        tc AS (
+            SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+            WHERE source <> 'src0'
+        ),
+        sh AS (
+            SELECT doc_id, len({SQL_SHINGLES5}) AS n_shingles,
+                   unnest({SQL_SHINGLES5}) AS shingle
+            FROM tc
+        )
+        SELECT sh.doc_id, sh.n_shingles, COUNT(*) AS n_hits
+        FROM sh JOIN probe USING (shingle)
+        GROUP BY sh.doc_id, sh.n_shingles
+        ORDER BY sh.doc_id
+    """,
+    category="dedup",
+)
+def d47_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return dedup.contamination_report(corpus, benchmark, n=5).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "d48_temperature_mixture",
+    "Temperature-based mixture rebalancing (alpha=0.5, keep ~30%): "
+    "per-language keep rates proportional to count^alpha, applied as the "
+    "deterministic md5-threshold filter — the multilingual-corpus "
+    "upweighting rule, reproducible across engines and cluster layouts "
+    "(operators/sampling.temperature_sample).",
+    oracle="""
+        WITH cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+        tot AS (SELECT SUM(c) AS t, SUM(pow(c, 0.5)) AS z FROM cnt),
+        rates AS (
+            SELECT lang,
+                   least(1.0, 0.3 * t * pow(c, 0.5) / z / c) AS rate
+            FROM cnt CROSS JOIN tot
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE r.rate >= 1.0
+           OR substring(md5(d.lang || ':' || d.doc_id), 1, 8)
+              < lower(lpad(to_hex(
+                    CAST(floor(r.rate * 4294967296.0) AS BIGINT)), 8, '0'))
+        ORDER BY d.doc_id
+    """,
+    category="text",
+)
+def d48_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.operators.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        temperature_sample(
+            docs, alpha=0.5, keep_fraction=0.3, stratum_col="lang"
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

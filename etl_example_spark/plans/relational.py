@@ -1503,3 +1503,186 @@ def q65_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+@register(
+    "q66_small_quantity_revenue",
+    "TPC-H Q17 shape: revenue from small-quantity lineitems of one "
+    "brand's parts, where 'small' is relative to the part's own average "
+    "quantity — per-part aggregate broadcast back onto the fact rows "
+    "(never a correlated re-scan). Quantities are integer-valued doubles "
+    "so the per-part average is exact and engine-identical.",
+    oracle="""
+        WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+        lf AS (SELECT l.* FROM lineitem l JOIN bp ON l_partkey = p_partkey),
+        avgs AS (SELECT l_partkey, AVG(l_quantity) AS a FROM lf GROUP BY 1)
+        SELECT COUNT(*) AS n_items,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS small_qty_revenue
+        FROM lf JOIN avgs USING (l_partkey)
+        WHERE l_quantity < 0.2 * a
+    """,
+)
+def q66_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    lf = lineitem.join(
+        F.broadcast(brand_parts), lineitem.l_partkey == F.col("p_partkey")
+    )
+    avgs = lf.groupBy("l_partkey").agg(F.avg("l_quantity").alias("a"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        lf.join(F.broadcast(avgs), "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("a"))
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(cents).cast("double") / 100).alias("small_qty_revenue"),
+        )
+    )
+
+
+@register(
+    "q67_large_orders",
+    "TPC-H Q18 shape: orders whose total quantity exceeds a threshold — "
+    "pre-aggregate the fact on the join key FIRST, filter to the tiny "
+    "qualifying set, then join order/customer detail onto it (never the "
+    "other way round: the join input shrinks by ~100x before any wide "
+    "row is formed).",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250
+        )
+        SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               big.sum_qty
+        FROM big
+        JOIN orders o ON big.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY big.sum_qty DESC, o.o_orderkey
+        LIMIT 20
+    """,
+)
+def q67_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("sum_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q68_sole_late_supplier",
+    "TPC-H Q21 shape: suppliers who were the ONLY late shipper on a "
+    "multi-supplier order (late = shipped >60 days after order date). "
+    "One fact-fact equi-join, then per-order conditional distinct "
+    "aggregates resolve the exists/not-exists pair in a single pass — "
+    "no correlated subqueries, no second pass over lineitem.",
+    oracle="""
+        WITH j AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+            FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey
+        ),
+        per AS (
+            SELECT l_orderkey,
+                   COUNT(DISTINCT l_suppkey) AS ns,
+                   COUNT(DISTINCT l_suppkey) FILTER (late) AS nl,
+                   MAX(l_suppkey) FILTER (late) AS late_supp
+            FROM j GROUP BY 1
+        )
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM per JOIN supplier s ON per.late_supp = s.s_suppkey
+        WHERE per.ns > 1 AND per.nl = 1
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 10
+    """,
+)
+def q68_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    j = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).select("l_orderkey", "l_suppkey", late.alias("late"))
+    per = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("nl"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    return (
+        per.filter((F.col("ns") > 1) & (F.col("nl") == 1))
+        .join(F.broadcast(supplier), per.late_supp == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+@register(
+    "q69_quiet_big_accounts",
+    "TPC-H Q22 shape: high-balance customers with no urgent orders — "
+    "global scalar aggregate broadcast as a crossJoin'd one-row plan "
+    "(never a driver-side collect), anti-join against the filtered "
+    "orders set, per-segment rollup. Balance sums and the comparison "
+    "threshold both run on exact integer cents.",
+    oracle="""
+        WITH avg_c AS (
+            SELECT AVG(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS avg_cents
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 AS total_acctbal
+        FROM customer c CROSS JOIN avg_c
+        WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) > avg_c.avg_cents
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT'
+          )
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
+)
+def q69_quiet_big_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    avg_c = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(cents).alias("avg_cents")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        customer.join(
+            urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
+        )
+        .crossJoin(F.broadcast(avg_c))
+        .filter(cents > F.col("avg_cents"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum(cents).cast("double") / 100).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -264,3 +264,42 @@ def st41_stream_builtin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = run_to_memory(deduped, output_mode="append")
     return result.orderBy("user_id", "event_type")
+
+
+@register(
+    "st42_stream_static_enrichment",
+    "Stream-static join: the event stream enriched per micro-batch with "
+    "the static customer dimension (broadcast hash join on user_id = "
+    "c_custkey, stateless, no watermark), then a running per-segment "
+    "rollup in complete mode — the canonical streaming dimension "
+    "enrichment (streaming/joins.enrich_with_dim).",
+    oracle=f"""
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_events,
+               {SQL_EXACT_VALUE_SUM} AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
+    category="streaming",
+)
+def st42_stream_static_enrichment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.sources.loaders import load_table
+    from etl_example_spark.streaming.joins import enrich_with_dim
+
+    stream = read_events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    enriched = enrich_with_dim(stream, customer, "user_id", "c_custkey")
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / 100
+        ).alias("total_value"),
+    )
+    result = run_to_memory(agg, output_mode="complete")
+    return result.orderBy("c_mktsegment")
