@@ -62,6 +62,31 @@ SHOW = {
         "Batched similarity search: query block broadcast, ONE corpus "
         "scan computes all query-pair cosines, ranking window per query."
     ),
+    "q66_small_quantity_revenue": (
+        "Brand filter broadcast onto the fact scan FIRST; the per-part "
+        "average is computed on the reduced subset and broadcast back — "
+        "no correlated re-scan of lineitem."
+    ),
+    "q67_large_orders": (
+        "Fact pre-aggregated on the join key before any join: only the "
+        "tiny qualifying order set ever joins detail tables."
+    ),
+    "q68_sole_late_supplier": (
+        "Q21's exists/not-exists pair folded into one pass of "
+        "conditional distinct aggregates over a single fact-fact join."
+    ),
+    "q69_quiet_big_accounts": (
+        "Scalar average as a broadcast one-row cross join (never a "
+        "driver collect); urgent orders anti-joined before grouping."
+    ),
+    "d46_pack_sequences": (
+        "Sequence packing: window cumulative sum partitioned by source — "
+        "ONE exchange on the group key, no global sort."
+    ),
+    "d47_contamination": (
+        "Contamination scan: benchmark shingles broadcast; the corpus "
+        "index is scanned once and never shuffles."
+    ),
 }
 
 
