@@ -1686,3 +1686,45 @@ def q69_quiet_big_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q70_python_datasource",
+    "Custom connector via the Python Data Source API: a deterministic "
+    "generator source whose partition planning splits the id range "
+    "across executors (the wrap-a-REST-API/KV-scan pattern), aggregated "
+    "per bucket. Rows are pure functions of the id, so DuckDB "
+    "regenerates the identical relation from range() "
+    "(sources/python_datasource.SyntheticDocsDataSource).",
+    oracle="""
+        SELECT CAST(id % 10 AS INTEGER) AS bucket,
+               COUNT(*) AS n,
+               MIN(md5(CAST(id AS VARCHAR))) AS min_digest,
+               CAST(SUM((id * 2654435761) % 1000000) AS BIGINT)
+                   AS score_sum
+        FROM range(2000) t(id)
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+)
+def q70_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.sources.python_datasource import (
+        register_python_datasources,
+    )
+
+    register_python_datasources(spark)
+    src = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 2000)
+        .option("partitions", 8)
+        .load()
+    )
+    return (
+        src.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("digest").alias("min_digest"),
+            F.sum("score").alias("score_sum"),
+        )
+        .orderBy("bucket")
+    )

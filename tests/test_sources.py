@@ -73,3 +73,53 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
         df = q.spark_builder(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
+
+
+class TestPythonDataSources:
+    def test_synthetic_reader_partition_parallel(self, spark):
+        from etl_example_spark.sources.python_datasource import (
+            register_python_datasources,
+            synthetic_row,
+        )
+
+        register_python_datasources(spark)
+        df = (
+            spark.read.format("synthetic_docs")
+            .option("rows", 100)
+            .option("partitions", 7)
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 7
+        rows = sorted(df.collect())
+        assert len(rows) == 100
+        assert tuple(rows[5]) == synthetic_row(5)
+
+    def test_manifest_jsonl_writer_round_trip(self, spark, tmp_path):
+        import json
+        import os
+
+        from etl_example_spark.sources.python_datasource import (
+            read_manifest,
+            register_python_datasources,
+        )
+
+        register_python_datasources(spark)
+        out = str(tmp_path / "sink")
+        df = spark.range(50).selectExpr("id", "id * 2 AS twice")
+        df.repartition(4).write.format("manifest_jsonl").mode(
+            "append"
+        ).option("path", out).save()
+
+        # stray uncommitted file must be invisible to the manifest path
+        with open(os.path.join(out, "part-stray.jsonl"), "w") as fh:
+            fh.write('{"id": 999, "twice": 1998}\n')
+
+        manifest, files = read_manifest(out)
+        assert manifest["total_rows"] == 50
+        assert len(files) == 4
+        got = []
+        for f in files:
+            with open(f) as fh:
+                got += [json.loads(line) for line in fh]
+        assert sorted(r["id"] for r in got) == list(range(50))
+        assert all(r["twice"] == r["id"] * 2 for r in got)
