@@ -126,3 +126,58 @@ def binned_range_join(
             & (epoch_us(right_ts) < epoch_us(left_ts) + width_us)
         )
     )
+
+
+def resample_daily_ffill(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gap-filled daily resample with forward fill, per key.
+
+    Aggregates to (key, day) — count + exact-cents value sum — then
+    expands each key's [first_day, last_day] span to a dense day grid
+    (``F.sequence`` + explode: the grid generates distributed, next to
+    each key's span row, never on the driver) and left-joins the
+    aggregates back. Missing days get ``n_events = 0`` and carry the
+    most recent prior day's value via ``last(..., ignorenulls)`` — the
+    time-series gap-fill/LOCF primitive.
+
+    Scale shape: one shuffle to the (key, day) aggregate, one to the
+    per-key span, and the fill window partitions by key — parallel
+    across keys, no global sort. Span explosion is bounded by the
+    calendar (days), not the event count.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    daily = events.groupBy(F.col(key), day.alias("d")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(cents).alias("value_cents"),
+    )
+    span = daily.groupBy(key).agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    grid = span.select(
+        key,
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("d"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, [key, "d"], "left")
+        .select(
+            key,
+            "d",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            (
+                F.last("value_cents", ignorenulls=True).over(w).cast("double")
+                / 100
+            ).alias("filled_value"),
+        )
+    )

@@ -1728,3 +1728,93 @@ def q70_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q71_hof_array_pipeline",
+    "Complex-type surface: per-order sorted quantity arrays processed "
+    "entirely with SQL higher-order functions (aggregate/filter/"
+    "transform lambdas run inside codegen, no Python UDF, no second "
+    "shuffle after the collect_list).",
+    oracle="""
+        WITH per AS (
+            SELECT l_orderkey,
+                   list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT l_orderkey,
+               len(qtys) AS n_items,
+               CAST(list_aggregate(qtys, 'sum') AS BIGINT) AS sum_qty,
+               len(list_filter(qtys, q -> q > 25)) AS n_big,
+               CAST(list_aggregate(list_transform(qtys, q -> q * q),
+                    'sum') AS BIGINT) AS sum_sq,
+               qtys[(len(qtys) + 1) // 2] AS lower_median
+        FROM per
+        ORDER BY l_orderkey
+    """,
+)
+def q71_hof_array_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per = lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.col("l_quantity").cast("long"))
+        ).alias("qtys")
+    )
+    # SQL lambdas (F.expr), not Python-lambda HOF builders: multiple
+    # Python-lambda HOF columns in one select share lambda-variable
+    # names and corrupt each other
+    return per.select(
+        "l_orderkey",
+        F.size("qtys").alias("n_items"),
+        F.expr("aggregate(qtys, 0L, (acc, q) -> acc + q)").alias("sum_qty"),
+        F.expr("size(filter(qtys, q -> q > 25))").alias("n_big"),
+        F.expr(
+            "aggregate(transform(qtys, q -> q * q), 0L, (acc, x) -> acc + x)"
+        ).alias("sum_sq"),
+        F.expr(
+            "element_at(qtys, CAST((size(qtys) + 1) div 2 AS INT))"
+        ).alias("lower_median"),
+    ).orderBy("l_orderkey")
+
+
+@register(
+    "q72_gap_fill_resample",
+    "Time-series gap fill: per-user daily resample over each user's "
+    "active span, missing days densified via a distributed sequence/"
+    "explode grid (never a driver-side calendar) and forward-filled "
+    "with last(ignorenulls) — the LOCF primitive "
+    "(operators/temporal.resample_daily_ffill).",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, date_trunc('day', ts) AS d,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+            FROM events GROUP BY user_id, d
+        ),
+        span AS (
+            SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily
+            GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id, unnest(generate_series(d0, d1,
+                   INTERVAL 1 DAY)) AS d
+            FROM span
+        )
+        SELECT g.user_id, g.d,
+               COALESCE(daily.n_events, 0) AS n_events,
+               CAST(last_value(daily.value_cents IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.d
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100
+                   AS filled_value
+        FROM grid g LEFT JOIN daily
+          ON g.user_id = daily.user_id AND g.d = daily.d
+        ORDER BY g.user_id, g.d
+    """,
+)
+def q72_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.operators.temporal import resample_daily_ffill
+
+    events = load_table(spark, sf_dir, "events")
+    return resample_daily_ffill(events, "user_id", "ts", "value").orderBy(
+        "user_id", "d"
+    )

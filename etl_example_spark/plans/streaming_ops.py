@@ -303,3 +303,62 @@ def st42_stream_static_enrichment(
     )
     result = run_to_memory(agg, output_mode="complete")
     return result.orderBy("c_mktsegment")
+
+
+@register(
+    "st43_stream_cdc_apply",
+    "Streaming CDC-merge sink: the event stream interpreted as change "
+    "rows (error=delete, else upsert; ts is the sequence), applied per "
+    "micro-batch to a parquet target via foreachBatch + apply_cdc with "
+    "write-new-state-then-swap (idempotent per epoch — the exactly-once "
+    "recipe for non-transactional sinks). Returns the final target "
+    "state; the oracle replays the same last-writer-wins semantics in "
+    "batch SQL (streaming/sinks.stream_cdc_to_parquet).",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, value, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC) AS rn
+            FROM events
+        )
+        SELECT user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        FROM ranked
+        WHERE rn = 1 AND event_type <> 'error'
+        ORDER BY user_id
+    """,
+    category="streaming",
+)
+def st43_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.streaming.sinks import stream_cdc_to_parquet
+
+    stream = read_events_stream(spark, sf_dir)
+    changes = stream.select(
+        "user_id",
+        F.col("value"),
+        F.when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("seq"),
+    )
+    target_path = _tempfile.mkdtemp(prefix="cdc_target_")
+    stream_cdc_to_parquet(
+        changes,
+        target_path,
+        key_cols=["user_id"],
+        target_cols=["user_id", "value"],
+        sequence_col="seq",
+    )
+    import os
+
+    final = spark.read.parquet(
+        os.path.realpath(os.path.join(target_path, "current"))
+    )
+    return final.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).orderBy("user_id")

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import itertools
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame
 
@@ -76,6 +77,77 @@ def stream_to_parquet(
         .option(
             "checkpointLocation",
             checkpoint or tempfile.mkdtemp(prefix="ckpt_parquet_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
+def stream_cdc_to_parquet(
+    changes: DataFrame,
+    target_path: str,
+    key_cols: list[str],
+    target_cols: list[str],
+    op_col: str = "op",
+    sequence_col: str | None = None,
+) -> None:
+    """Incremental CDC-merge sink: apply each micro-batch of change rows
+    to a parquet target table via ``foreachBatch`` + ``apply_cdc``.
+
+    Per batch: read the current target (empty on first batch), merge the
+    batch's compacted changes, write the new state to a fresh directory,
+    then atomically repoint a ``current`` symlink — readers never observe
+    a partially-written state, and a failed batch leaves the previous
+    state intact (the write-temp-then-swap discipline of the batch
+    curation ops, applied incrementally). foreachBatch passes the epoch
+    id, so a replayed batch rewrites the same state (idempotent merge —
+    the exactly-once recipe for non-transactional sinks).
+
+    At scale the same shape targets a transactional table format; the
+    merge itself is apply_cdc's broadcast-keys anti-join, so the target
+    never shuffles.
+    """
+    import os
+
+    from etl_example_spark.operators.merge import apply_cdc
+
+    os.makedirs(target_path, exist_ok=True)
+    current = os.path.join(target_path, "current")
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if os.path.lexists(current):
+            target = spark.read.parquet(os.path.realpath(current))
+        else:
+            target = batch.select(*target_cols).limit(0)
+        merged = apply_cdc(
+            target,
+            batch,
+            key_cols,
+            op_col=op_col,
+            sequence_col=sequence_col,
+        )
+        # unique dir per write: the merge plan READS the current state
+        # lazily, so writing into the directory being read (e.g. a
+        # replayed epoch id) would destroy the input mid-job. Old state
+        # dirs stay until a retention sweep — in-flight readers of the
+        # previous state are never invalidated.
+        out = os.path.join(
+            target_path, f"state_{epoch_id}_{uuid.uuid4().hex[:8]}"
+        )
+        merged.write.mode("overwrite").parquet(out)
+        tmp_link = os.path.join(target_path, f".current_{epoch_id}")
+        if os.path.lexists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(out, tmp_link)
+        os.replace(tmp_link, current)
+
+    query = (
+        changes.writeStream.foreachBatch(merge_batch)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="ckpt_cdc_"),
         )
         .trigger(availableNow=True)
         .start()

@@ -209,3 +209,54 @@ def test_streaming_registry_queries_run(spark, sf_dir, name):
     df = load_all()[name].spark_builder(spark, sf_dir)
     assert df.columns
     assert df.count() >= 0
+
+
+class TestStreamCdcSink:
+    def test_merge_state_swap_and_replay(self, spark, tmp_path, sf_dir):
+        """Final target equals last-writer-wins over the change stream;
+        re-running the same stream against the same target (replayed
+        epoch) leaves the state unchanged (idempotent merge)."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from etl_example_spark.streaming.sinks import stream_cdc_to_parquet
+        from etl_example_spark.streaming.sources import read_events_stream
+
+        def run(target):
+            stream = read_events_stream(spark, sf_dir)
+            changes = stream.select(
+                "user_id",
+                "value",
+                F.when(F.col("event_type") == "error", "D")
+                .otherwise("U")
+                .alias("op"),
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("seq"),
+            )
+            stream_cdc_to_parquet(
+                changes,
+                target,
+                key_cols=["user_id"],
+                target_cols=["user_id", "value"],
+                sequence_col="seq",
+            )
+            cur = os.path.realpath(os.path.join(target, "current"))
+            return {
+                r.user_id: r.value
+                for r in spark.read.parquet(cur).collect()
+            }
+
+        target = str(tmp_path / "cdc")
+        first = run(target)
+        # batch truth: latest event per user; error deletes
+        events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"))
+        latest = (
+            events.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1 AND event_type <> 'error'")
+        )
+        truth = {r.user_id: r.value for r in latest.collect()}
+        assert first == truth
+        assert run(target) == first  # replay is a no-op state

@@ -87,3 +87,31 @@ def test_binned_range_join_equals_naive(spark, sf_dir):
     assert sorted(key(r) for r in binned.collect()) == sorted(
         key(r) for r in naive.collect()
     )
+
+
+class TestResampleDailyFfill:
+    def test_gaps_filled_with_locf(self, spark):
+        from etl_example_spark.operators.temporal import resample_daily_ffill
+
+        events = spark.createDataFrame(
+            [
+                (1, "2024-01-01 10:00:00", 1.50),
+                (1, "2024-01-01 11:00:00", 2.50),
+                # Jan 2-3 silent
+                (1, "2024-01-04 09:00:00", 10.00),
+                (2, "2024-01-02 00:00:00", 5.00),
+            ],
+            "user_id long, ts string, value double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        rows = {
+            (r.user_id, str(r.d)[:10]): (r.n_events, r.filled_value)
+            for r in resample_daily_ffill(
+                events, "user_id", "ts", "value"
+            ).collect()
+        }
+        assert rows[(1, "2024-01-01")] == (2, 4.0)
+        assert rows[(1, "2024-01-02")] == (0, 4.0)  # gap, carried
+        assert rows[(1, "2024-01-03")] == (0, 4.0)
+        assert rows[(1, "2024-01-04")] == (1, 10.0)
+        assert rows[(2, "2024-01-02")] == (1, 5.0)
+        assert len(rows) == 5  # span is per-user, not global
