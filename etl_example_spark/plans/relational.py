@@ -1818,3 +1818,35 @@ def q72_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_daily_ffill(events, "user_id", "ts", "value").orderBy(
         "user_id", "d"
     )
+
+
+@register(
+    "q73_variant_semi_structured",
+    "Semi-structured surface via the VARIANT type (Spark 4): raw JSON "
+    "props parsed once with parse_json, fields extracted with "
+    "variant_get's typed path access (shredding-friendly at scale: one "
+    "parse, many typed reads) and aggregated per event type.",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_sum,
+               MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def q73_variant_semi_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )

@@ -362,3 +362,44 @@ def st43_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.col("value") * 100).cast("long").alias("value_cents"),
     ).orderBy("user_id")
+
+
+@register(
+    "st44_stream_python_source",
+    "Custom STREAMING Python data source: the synthetic generator's "
+    "offset-managed stream half (offset = next unread id, batchRows per "
+    "micro-batch, replay via readBetweenOffsets is deterministic), "
+    "drained to a complete-mode rollup. The oracle regenerates the "
+    "whole stream from range() — offsets, batching, and restart "
+    "bookkeeping must not change WHAT was read "
+    "(sources/python_datasource._CounterStreamReader).",
+    oracle="""
+        SELECT CAST(id % 10 AS INTEGER) AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM((id * 2654435761) % 1000000) AS BIGINT)
+                   AS score_sum
+        FROM range(2000) t(id)
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+    category="streaming",
+)
+def st44_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.sources.python_datasource import (
+        register_python_datasources,
+    )
+
+    register_python_datasources(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("rows", 2000)
+        .option("batchRows", 600)
+        .load()
+    )
+    agg = stream.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("score").alias("score_sum")
+    )
+    result = run_to_memory(agg, output_mode="complete", available_now=False)
+    return result.orderBy("bucket")

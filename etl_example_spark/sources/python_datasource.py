@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -74,8 +75,45 @@ class _SyntheticReader(DataSourceReader):
             yield synthetic_row(i)
 
 
+class _CounterStreamReader(SimpleDataSourceStreamReader):
+    """Offset-managed streaming half of the synthetic source.
+
+    The offset is the next unread id; each micro-batch advances it by at
+    most ``batchRows``. ``readBetweenOffsets`` regenerates any committed
+    range deterministically — replay after failure yields identical
+    batches, which is what makes downstream idempotent sinks exactly-once.
+    A bounded ``rows`` option makes the stream finite: once the offset
+    reaches it, ``read`` returns an empty batch and an unchanged offset
+    (the caught-up signal)."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.batch = int(options.get("batchRows", 500))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def read(self, start):
+        lo = int(start["offset"])
+        hi = min(lo + self.batch, self.rows)
+        return (
+            iter([synthetic_row(i) for i in range(lo, hi)]),
+            {"offset": hi},
+        )
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [
+                synthetic_row(i)
+                for i in range(int(start["offset"]), int(end["offset"]))
+            ]
+        )
+
+
 class SyntheticDocsDataSource(DataSource):
-    """``spark.read.format("synthetic_docs").option("rows", N)``."""
+    """``spark.read.format("synthetic_docs").option("rows", N)`` (batch)
+    or ``spark.readStream.format("synthetic_docs")`` (micro-batched by
+    ``batchRows`` with offset tracking)."""
 
     @classmethod
     def name(cls) -> str:
@@ -86,6 +124,9 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema):
         return _SyntheticReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _CounterStreamReader(self.options)
 
 
 @dataclass

@@ -31,15 +31,21 @@ def run_to_memory(
     output_mode: str = "append",
     name: str | None = None,
     checkpoint: str | None = None,
+    available_now: bool = True,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a memory
     sink; return the sink contents as a batch DataFrame.
 
     Pass an explicit ``checkpoint`` to resume a prior run's state (the
     restart path: watermark, window state, and GroupState all come back
-    from the checkpoint, and already-processed files are skipped)."""
+    from the checkpoint, and already-processed files are skipped).
+
+    ``available_now=False`` drains with the default micro-batch trigger
+    + ``processAllAvailable`` instead — the path for sources that don't
+    implement the AvailableNow contract (e.g. Python SimpleDataSource
+    stream readers, which signal caught-up via an unchanged offset)."""
     table = name or f"stream_result_{next(_SEQ)}"
-    query = (
+    writer = (
         sdf.writeStream.format("memory")
         .queryName(table)
         .outputMode(output_mode)
@@ -47,10 +53,16 @@ def run_to_memory(
             "checkpointLocation",
             checkpoint or tempfile.mkdtemp(prefix=f"ckpt_{table}_"),
         )
-        .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+        query = writer.start()
+        query.awaitTermination()
+    else:
+        query = writer.start()
+        query.processAllAvailable()
+        query.stop()
+        query.awaitTermination()
     return sdf.sparkSession.table(table)
 
 

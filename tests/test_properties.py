@@ -142,3 +142,70 @@ def test_apply_cdc_matches_reference_model(spark, changes):
         merged = target
     got = {r.k: r.v for r in merged.collect()}
     assert got == expect
+
+
+pack_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=999),   # doc id (deduped below)
+        st.integers(min_value=0, max_value=40),    # token count
+        st.sampled_from(["a", "b"]),               # group
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(docs=pack_docs, budget=st.integers(min_value=1, max_value=64))
+@SETTINGS
+def test_packing_matches_reference_model(spark, docs, budget):
+    """pack_concat_chunks == the sequential reference model: per group in
+    id order, each doc starts at the running token total and lands in
+    bin start // budget."""
+    from etl_example_spark.operators.packing import pack_concat_chunks
+
+    df = spark.createDataFrame(
+        [(i, "w " * n, g) for i, n, g in docs],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.doc_id: (r.start_offset, r.bin_id)
+        for r in pack_concat_chunks(df, budget=budget).collect()
+    }
+
+    expect = {}
+    offsets: dict[str, int] = {}
+    for i, n, g in sorted(docs):
+        start = offsets.get(g, 0)
+        expect[i] = (start, start // budget)
+        offsets[g] = start + n
+    assert got == expect
+
+
+count_dicts = st.dictionaries(
+    st.sampled_from(["en", "de", "fr", "zh", "es"]),
+    st.integers(min_value=1, max_value=10**6),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(
+    counts=count_dicts,
+    alpha=st.floats(min_value=0.0, max_value=1.0),
+    keep=st.floats(min_value=0.01, max_value=1.0),
+)
+@SETTINGS
+def test_temperature_rates_laws(counts, alpha, keep):
+    """Rates are valid probabilities; realized quota never exceeds the
+    target; with no binding caps the quota hits the target exactly."""
+    from etl_example_spark.operators.sampling import temperature_rates
+
+    rates = temperature_rates(counts, alpha, keep)
+    assert set(rates) == set(counts)
+    assert all(0.0 <= r <= 1.0 for r in rates.values())
+    total = sum(counts.values())
+    quota = sum(rates[s] * counts[s] for s in counts)
+    assert quota <= keep * total * (1 + 1e-9)
+    if all(r < 1.0 for r in rates.values()):
+        assert abs(quota - keep * total) <= 1e-6 * total
