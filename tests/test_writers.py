@@ -159,3 +159,46 @@ def test_observation_metrics(spark, sf_dir):
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
     ).collect()[0][0]
     assert obs.get["cents"] == expect_cents
+
+
+class TestCompaction:
+    def test_compacts_small_files_preserving_rows(self, spark, tmp_path):
+        from etl_example_spark.sources.writers import compact_small_files
+
+        path = str(tmp_path / "landing")
+        df = spark.range(10_000).selectExpr(
+            "id", "id % 7 AS k", "repeat('x', 50) AS pad"
+        )
+        # simulate a streaming landing zone: many tiny files
+        df.repartition(64).write.parquet(path)
+        before = spark.read.parquet(path)
+        before_rows = before.count()
+        before_sum = before.agg({"id": "sum"}).collect()[0][0]
+
+        stats = compact_small_files(
+            spark, path, target_file_bytes=10 * 1024 * 1024
+        )
+        assert stats["files_before"] == 64
+        assert stats["files_after"] == 1  # well under one target file
+
+        after = spark.read.parquet(path)
+        assert after.count() == before_rows
+        assert after.agg({"id": "sum"}).collect()[0][0] == before_sum
+
+    def test_partitioned_compaction_keeps_layout(self, spark, tmp_path):
+        import os
+
+        from etl_example_spark.sources.writers import compact_small_files
+
+        path = str(tmp_path / "part")
+        df = spark.range(5_000).selectExpr("id", "id % 3 AS k")
+        df.repartition(32).write.partitionBy("k").parquet(path)
+        stats = compact_small_files(
+            spark, path, target_file_bytes=10 * 1024 * 1024, partition_col="k"
+        )
+        assert stats["files_after"] < stats["files_before"]
+        # hive-style partition dirs survive the rewrite
+        assert sorted(
+            d for d in os.listdir(path) if d.startswith("k=")
+        ) == ["k=0", "k=1", "k=2"]
+        assert spark.read.parquet(path).count() == 5_000
