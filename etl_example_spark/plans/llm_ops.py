@@ -1247,3 +1247,68 @@ def d48_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "d49_arrow_udf",
+    "Arrow-optimized scalar Python UDF (useArrow=True: columnar Arrow "
+    "batches cross the JVM/Python boundary instead of pickled rows — "
+    "the modern form of the row-at-a-time UDF escape hatch, for logic "
+    "built-ins can't express). Word-order reversal per document, "
+    "verified against DuckDB's list_reverse pipeline.",
+    oracle="""
+        SELECT doc_id,
+               array_to_string(list_reverse(
+                   string_split_regex(trim(lower(text)), '\\s+')), ' ')
+                   AS reversed_text
+        FROM documents
+        ORDER BY doc_id
+    """,
+    category="text",
+)
+def d49_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    @F.udf("string", useArrow=True)
+    def reverse_words(s: str) -> str:
+        return " ".join(reversed(s.lower().split()))
+
+    return docs.select(
+        "doc_id", reverse_words("text").alias("reversed_text")
+    ).orderBy("doc_id")
+
+
+@register(
+    "d50_map_in_arrow",
+    "mapInArrow: zero-copy RecordBatch-level processing (the lowest-"
+    "overhead Python boundary — no pandas materialization), computing "
+    "per-document character lengths with pyarrow compute kernels and "
+    "verified against both engines' length().",
+    oracle="""
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_computed
+        FROM documents
+        ORDER BY doc_id
+    """,
+    category="text",
+)
+def d50_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def batch_lengths(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(
+                        pc.utf8_length(batch.column("text")), pa.int64()
+                    ),
+                ],
+                ["doc_id", "n_chars_computed"],
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        batch_lengths, "doc_id long, n_chars_computed long"
+    ).orderBy("doc_id")

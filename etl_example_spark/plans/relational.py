@@ -1850,3 +1850,50 @@ def q73_variant_semi_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q74_recursive_hierarchy",
+    "Recursive CTE (Spark 4 WITH RECURSIVE): every part climbs its "
+    "synthetic decimal-trie ancestry (parent = key div 10) to the root, "
+    "then a per-depth rollup — the transitive-closure/hierarchy-walk "
+    "surface, executed as Catalyst's iterative union plan, "
+    "cross-checked against DuckDB's native recursion.",
+    oracle="""
+        WITH RECURSIVE anc(node, anc_node, depth) AS (
+            SELECT p_partkey, p_partkey, 0 FROM part
+            UNION ALL
+            SELECT a.node, a.anc_node // 10, a.depth + 1
+            FROM anc a WHERE a.anc_node > 0
+        ),
+        per_node AS (
+            SELECT node, MAX(depth) AS depth_to_root FROM anc GROUP BY node
+        )
+        SELECT depth_to_root, COUNT(*) AS n_parts,
+               MIN(node) AS min_part, MAX(node) AS max_part
+        FROM per_node
+        GROUP BY depth_to_root
+        ORDER BY depth_to_root
+    """,
+)
+def q74_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    part.select("p_partkey").createOrReplaceTempView("q74_part")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(node, anc_node, depth) AS (
+            SELECT p_partkey, p_partkey, 0 FROM q74_part
+            UNION ALL
+            SELECT a.node, a.anc_node div 10, a.depth + 1
+            FROM anc a WHERE a.anc_node > 0
+        ),
+        per_node AS (
+            SELECT node, MAX(depth) AS depth_to_root FROM anc GROUP BY node
+        )
+        SELECT depth_to_root, COUNT(*) AS n_parts,
+               MIN(node) AS min_part, MAX(node) AS max_part
+        FROM per_node
+        GROUP BY depth_to_root
+        ORDER BY depth_to_root
+        """
+    )
