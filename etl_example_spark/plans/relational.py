@@ -1897,3 +1897,43 @@ def q74_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY depth_to_root
         """
     )
+
+
+@register(
+    "q75_salted_agg",
+    "Skew-mitigated aggregation through the correctness gate: the "
+    "two-phase salted aggregate (hot keys split across salt sub-groups, "
+    "partials re-merged) must equal the plain one-phase GROUP BY — the "
+    "oracle is that plain aggregation (functions/skew.salted_agg).",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               COUNT(*) AS n_rows,
+               CAST(MAX(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS max_price_cents
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def q75_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.functions.skew import salted_agg
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    prepared = lineitem.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    return salted_agg(
+        prepared,
+        group_by=["l_returnflag"],
+        aggs={
+            "sum_qty": ("sum", "qty"),
+            "n_rows": ("count", F.lit(1)),
+            "max_price_cents": ("max", "price_cents"),
+        },
+        salt=16,
+    ).orderBy("l_returnflag")

@@ -165,3 +165,17 @@ def stream_cdc_to_parquet(
         .start()
     )
     query.awaitTermination()
+
+    if not os.path.lexists(current):
+        # empty source -> zero micro-batches ran; the target must still
+        # exist (readers contract on `current`), as the empty table
+        empty = changes.sparkSession.createDataFrame(
+            [], changes.select(*target_cols).schema
+        )
+        out = os.path.join(target_path, "state_bootstrap")
+        empty.write.mode("overwrite").parquet(out)
+        tmp_link = os.path.join(target_path, ".current_bootstrap")
+        if os.path.lexists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(out, tmp_link)
+        os.replace(tmp_link, current)

@@ -53,3 +53,49 @@ def test_every_query_survives_empty_tables(spark, empty_sf_dir):
         except Exception as exc:  # noqa: BLE001 — collecting all failures
             failures.append(f"{name}: {type(exc).__name__}: {exc}")
     assert not failures, "\n".join(failures)
+
+
+class TestNewOpsDegenerate:
+    def test_pack_empty_corpus(self, spark):
+        from etl_example_spark.operators.packing import (
+            pack_concat_chunks,
+            pack_stats,
+        )
+
+        empty = spark.createDataFrame(
+            [], "doc_id long, text string, source string"
+        )
+        assert pack_concat_chunks(empty, budget=8).count() == 0
+        assert pack_stats(pack_concat_chunks(empty, budget=8)).count() == 0
+
+    def test_contamination_empty_benchmark(self, spark):
+        from etl_example_spark.operators.dedup import contamination_report
+
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e f", "s")],
+            "doc_id long, text string, source string",
+        )
+        empty = spark.createDataFrame(
+            [], "doc_id long, text string, source string"
+        )
+        assert contamination_report(corpus, empty, n=5).count() == 0
+        assert contamination_report(empty, corpus, n=5).count() == 0
+
+    def test_temperature_sample_empty(self, spark):
+        from etl_example_spark.operators.sampling import temperature_sample
+
+        empty = spark.createDataFrame(
+            [], "doc_id long, text string, lang string"
+        )
+        assert temperature_sample(empty).count() == 0
+
+    def test_resample_empty(self, spark):
+        from etl_example_spark.operators.temporal import resample_daily_ffill
+
+        empty = spark.createDataFrame(
+            [], "user_id long, ts timestamp, value double"
+        )
+        assert (
+            resample_daily_ffill(empty, "user_id", "ts", "value").count()
+            == 0
+        )

@@ -54,3 +54,28 @@ def test_column_pruning(spark, sf_dir):
     lineitem_schema = [s for s in re.findall(r"ReadSchema: struct<([^>]*)>", physical)]
     smallest = min(lineitem_schema, key=lambda s: s.count(","))
     assert smallest.count(",") <= 2, f"scan reads too many columns: {smallest}"
+
+
+class TestJoinStrategyControl:
+    """Join-strategy hints reach the physical plan: the engine can force
+    each join family when the optimizer's default is wrong for a known
+    workload (the manual override next to AQE's automatic choices)."""
+
+    def _physical(self, df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_hints_select_join_operators(self, spark, sf_dir):
+        from etl_example_spark.sources.loaders import load_table
+
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        on = lineitem.l_orderkey == orders.o_orderkey
+
+        merged = lineitem.join(orders.hint("merge"), on)
+        assert "SortMergeJoin" in self._physical(merged)
+
+        shuffled = lineitem.join(orders.hint("shuffle_hash"), on)
+        assert "ShuffledHashJoin" in self._physical(shuffled)
+
+        bcast = lineitem.join(orders.hint("broadcast"), on)
+        assert "BroadcastHashJoin" in self._physical(bcast)
