@@ -1937,3 +1937,52 @@ def q75_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         salt=16,
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q76_try_functions",
+    "Error-safe expression surface: try_divide / try_cast turn "
+    "divide-by-zero and malformed casts into NULLs instead of job-"
+    "killing exceptions — the posture batch pipelines need when one bad "
+    "row must not fail a 100 TB job. Discount-of-zero rows and "
+    "unparseable priority codes survive as NULLs and are counted.",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_zero_discount,
+               CAST(SUM(CAST(ROUND(
+                   CASE WHEN l_discount = 0 THEN NULL
+                        ELSE l_quantity / l_discount END * 100)
+                   AS BIGINT)) AS BIGINT) AS qty_per_discount_c,
+               CAST(SUM(CASE WHEN TRY_CAST(l_linestatus AS INTEGER) IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_unparseable
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def q76_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(F.col("l_quantity"), F.col("l_discount"))
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("l_discount") == 0, 1).otherwise(0)
+            ).alias("n_zero_discount"),
+            F.sum(F.round(ratio * 100).cast("long")).alias(
+                "qty_per_discount_c"
+            ),
+            F.sum(
+                F.when(
+                    F.try_to_number(
+                        F.col("l_linestatus"), F.lit("999")
+                    ).isNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("n_unparseable"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,111 @@
+"""Registry-wide physical-plan lint: scale invariants every registered
+query must satisfy, checked mechanically instead of eyeballed.
+
+These are the plan properties that decide whether a query survives a
+100 TB input: no all-pairs join operators, a bounded number of
+exchanges (each one is a full shuffle of its input), and filters on
+base columns actually reaching the parquet scan. A regression here —
+a lost broadcast, a join that degrades to nested-loop, a filter that
+stops pushing — changes no answer at sf0.01 but is fatal at scale, so
+it must fail CI, not a code review.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from etl_example_spark.plans.registry import load_all
+
+REGISTRY = load_all()
+
+#: queries whose FINAL frame is built after a terminated streaming query
+#: (memory-sink table or parquet state) — their batch plan is a sink
+#: scan, not the interesting plan, and building them runs a stream.
+_STREAMING = [n for n, q in REGISTRY.items() if q.category == "streaming"]
+
+#: brute-force similarity operators compare one/few query vectors
+#: against every corpus row BY DESIGN (single narrow scan, broadcast
+#: query block); their crossJoin is the algorithm, not an accident.
+_CROSS_JOIN_BY_DESIGN = {
+    "s31_cosine_topk",
+    "s32_embedding_near_dup",
+    "s33_ann_topk",  # broadcast query-vector block vs bucketed corpus
+    "s40_ivf_topk",  # broadcast centroid block for cell assignment
+    "s41_batch_topk",
+    "q15_cte_subquery",  # broadcast one-row scalar aggregate
+    "q69_quiet_big_accounts",  # broadcast one-row scalar aggregate
+}
+
+_BATCH = [n for n in REGISTRY if n not in _STREAMING]
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name in _BATCH:
+        df = REGISTRY[name].spark_builder(spark, sf_dir)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+@pytest.mark.parametrize("name", _BATCH)
+def test_no_accidental_all_pairs_join(plans, name):
+    """CartesianProduct / BroadcastNestedLoopJoin are O(n*m) row
+    comparisons — fatal at scale unless the operator IS all-pairs."""
+    plan = plans[name]
+    if name in _CROSS_JOIN_BY_DESIGN:
+        return
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+@pytest.mark.parametrize("name", _BATCH)
+def test_bounded_exchange_count(plans, name):
+    """Every Exchange is a cluster-wide shuffle of its input. The widest
+    registered query needs < 10; more usually means a lost broadcast or
+    a re-computed subtree."""
+    n_exchanges = len(re.findall(r"\bExchange (?:hash|range|Single)", plans[name]))
+    assert n_exchanges < 10, f"{name}: {n_exchanges} exchanges"
+
+
+def test_filters_push_into_parquet_scans(spark, sf_dir):
+    """Filters on base columns must reach the vectorized parquet reader
+    (PushedFilters), not run post-scan only — spot-checked on queries
+    that filter base tables directly (cold plans: the warm-table cache
+    would replace the file scan entirely)."""
+    from etl_example_spark.sources import loaders
+
+    saved = dict(loaders._WARM)
+    loaders._WARM.clear()
+    try:
+        checks = {
+            "q66_small_quantity_revenue": r"PushedFilters: \[.*p_brand",
+            "q5_curation_filter": r"PushedFilters: \[.*\]",
+        }
+        for name, pattern in checks.items():
+            df = REGISTRY[name].spark_builder(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert re.search(pattern, plan), f"{name}: filter not pushed"
+    finally:
+        loaders._WARM.update(saved)
+
+
+def test_scans_prune_columns(spark, sf_dir):
+    """A 2-column projection must not read 11 columns: ReadSchema on the
+    lineitem scan should contain only referenced fields."""
+    from etl_example_spark.sources import loaders
+
+    saved = dict(loaders._WARM)
+    loaders._WARM.clear()
+    try:
+        df = REGISTRY["q1_weekly_units"].spark_builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m, "no parquet ReadSchema found"
+        read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert "l_extendedprice" not in read_cols, read_cols
+        assert len(read_cols) <= 4, read_cols
+    finally:
+        loaders._WARM.update(saved)
