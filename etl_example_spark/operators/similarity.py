@@ -389,3 +389,226 @@ def ann_topk(
         .orderBy(F.desc("cosine_sim"), "neighbor_id")
         .limit(k)
     )
+
+
+# --- Product quantization -------------------------------------------------
+
+
+def _sq_l2(a: str, b: str) -> Column:
+    """Squared L2 distance between two bound array<double> columns, as a
+    SQL-lambda expression (SQL lambdas, not Python-lambda builders: two
+    Python-lambda HOF columns in one projection collide on lambda
+    variable names)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+
+
+def l2_normalize(df: DataFrame, vec_col: str) -> DataFrame:
+    """Replace ``vec_col`` with its unit-norm version (zero vectors pass
+    through unchanged). The norm binds to a real column first so the
+    per-element division does not re-evaluate the fold per element."""
+    return (
+        df.withColumn("_nrm", norm(_as_double(vec_col)))
+        .withColumn(
+            vec_col,
+            F.when(F.col("_nrm") == 0, _as_double(vec_col)).otherwise(
+                F.expr(
+                    f"transform(cast({vec_col} AS array<double>), "
+                    "x -> x / _nrm)"
+                )
+            ),
+        )
+        .drop("_nrm")
+    )
+
+
+def _subvectors(df: DataFrame, m: int, dim: int, id_col: str, vec_col: str):
+    """(id, j, sv): the m equal slices of each (unit-normalized) vector."""
+    sub_d = dim // m
+    slices = F.array(
+        *[
+            F.slice(_as_double(vec_col), j * sub_d + 1, sub_d)
+            for j in range(m)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(slices).alias("j", "sv")
+    )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: per subspace j (of ``m`` equal
+    vector slices), ``n_codes`` centroids trained by Lloyd iterations —
+    all subspaces trained TOGETHER in one plan (rows are (id, j,
+    subvector); assignment and re-estimation group by j, so adding
+    subspaces adds rows, not stages).
+
+    Seeds are the ``n_codes`` lowest-id vectors' slices (deterministic).
+    Returns (j, code, cv) with ``cv`` the centroid subvector. Same
+    iterative discipline as ``ivf_train``: one shuffle per iteration,
+    localCheckpoint truncates the growing lineage, empty codes keep
+    their previous centroid.
+    """
+    normalized = l2_normalize(embeddings, vec_col)
+    dim = len(
+        normalized.select(vec_col).limit(1).collect()[0][0]
+    )
+    sub = _subvectors(normalized, m, dim, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    seed_ids = [
+        r[0]
+        for r in embeddings.select(id_col)
+        .orderBy(id_col)
+        .limit(n_codes)
+        .collect()
+    ]
+    spark = embeddings.sparkSession
+    code_map = spark.createDataFrame(
+        [(i, c) for c, i in enumerate(seed_ids)], f"{id_col} long, code int"
+    )
+    cb = (
+        sub.join(F.broadcast(code_map), id_col)
+        .select("j", "code", F.col("sv").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assign = (
+            sub.join(F.broadcast(cb), "j")
+            .withColumn("d2", _sq_l2("sv", "cv"))
+            .groupBy(id_col, "j")
+            .agg(
+                F.any_value("sv").alias("sv"),
+                F.min_by(
+                    "code", F.struct(F.col("d2"), F.col("code"))
+                ).alias("code"),
+            )
+        )
+        means = (
+            assign.select("j", "code", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("j", "code", "dim")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("j", "code")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "mx"))).alias(
+                    "dm"
+                )
+            )
+            .select(
+                "j",
+                "code",
+                F.expr("transform(dm, s -> s.mx)").alias("cv_new"),
+            )
+        )
+        cb = (
+            cb.join(means, ["j", "code"], "left")
+            .select(
+                "j",
+                "code",
+                F.coalesce("cv_new", "cv").alias("cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cb
+
+
+def pq_encode(
+    sub: DataFrame, codebooks: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, codes): nearest code per subspace, assembled in j order."""
+    return (
+        sub.join(F.broadcast(codebooks), "j")
+        .withColumn("d2", _sq_l2("sv", "cv"))
+        .groupBy(id_col, "j")
+        .agg(
+            F.min_by("code", F.struct(F.col("d2"), F.col("code"))).alias(
+                "code"
+            )
+        )
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(j, code))), "
+                "s -> s.code)"
+            ).alias("codes")
+        )
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    shortlist: int = 100,
+    query_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC similarity search with exact re-rank — the memory-bound
+    scale path: the corpus is represented by ``m`` small codes per
+    vector (here 8 bytes instead of 256 for the raw floats), the query
+    builds an (m × n_codes) distance lookup table, approximate distances
+    are one broadcast join + sum per vector, and only the ``shortlist``
+    best candidates are re-ranked with exact cosine against the raw
+    vectors. Unit-normalizing first makes L2 order == cosine order, so
+    the ADC shortlist targets the same ground truth as brute force.
+
+    Output schema matches ``brute_force_topk`` (query_id, neighbor_id,
+    cosine_sim).
+    """
+    normalized = l2_normalize(embeddings, vec_col).localCheckpoint(
+        eager=True
+    )
+    dim = len(normalized.select(vec_col).limit(1).collect()[0][0])
+    cb = pq_train(embeddings, m, n_codes, iters, id_col, vec_col)
+    sub = _subvectors(normalized, m, dim, id_col, vec_col)
+    codes = pq_encode(sub, cb, id_col)
+
+    if query_id is None:
+        query = normalized.orderBy(id_col).limit(1)
+    else:
+        query = normalized.filter(F.col(id_col) == query_id)
+    q_sub = _subvectors(query, m, dim, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        "j",
+        F.col("sv").alias("qv"),
+    )
+    adc_table = (
+        cb.join(F.broadcast(q_sub), "j")
+        .withColumn("d2", _sq_l2("qv", "cv"))
+        .select("query_id", "j", "code", "d2")
+    )
+    approx = (
+        codes.select(id_col, F.posexplode("codes").alias("j", "code"))
+        .join(F.broadcast(adc_table), ["j", "code"])
+        .groupBy(id_col, "query_id")
+        .agg(F.sum("d2").alias("approx_d2"))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .orderBy("approx_d2", id_col)
+        .limit(shortlist)
+    )
+    q_vec = query.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    return (
+        approx.join(normalized.select(id_col, vec_col), id_col)
+        .join(F.broadcast(q_vec), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(vec_col, "query_vec"), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "neighbor_id")
+        .limit(k)
+    )

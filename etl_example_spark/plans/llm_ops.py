@@ -1312,3 +1312,18 @@ def d50_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").mapInArrow(
         batch_lengths, "doc_id long, n_chars_computed long"
     ).orderBy("doc_id")
+
+
+@register(
+    "s42_pq_topk",
+    "Product-quantization ANN with exact re-rank: per-subspace Lloyd "
+    "codebooks (8 subspaces x 16 codes -> 8 small codes per vector "
+    "instead of 256 raw floats), query-side ADC lookup table, broadcast-"
+    "join scored shortlist, exact cosine re-rank of the shortlist only. "
+    "Approximate by design -> rows-only here; recall vs brute force is "
+    "asserted in tests (operators/similarity.pq_topk).",
+    category="similarity",
+)
+def s42_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, k=10)

@@ -168,3 +168,33 @@ def test_simhash_near_dups_hamming_close(spark, sf_dir):
     rand_pairs = [(a, b) for a, b in rand_pairs if a != b]
     rand_mean = sum(hamming(sh[a], sh[b]) for a, b in rand_pairs) / len(rand_pairs)
     assert nd_mean <= rand_mean / 2, (nd_mean, rand_mean)
+
+
+class TestProductQuantization:
+    def test_pq_shortlist_rerank_recall(self, spark, sf_dir):
+        from etl_example_spark.operators import similarity
+        from etl_example_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        truth = {
+            r.neighbor_id
+            for r in similarity.brute_force_topk(emb, k=10).collect()
+        }
+        got = {
+            r.neighbor_id
+            for r in similarity.pq_topk(emb, k=10).collect()
+        }
+        assert len(got) == 10
+        # ADC shortlist (100 of 2000) + exact re-rank: high recall or the
+        # codebooks aren't capturing the space
+        assert len(got & truth) >= 8
+
+    def test_codebook_shapes(self, spark, sf_dir):
+        from etl_example_spark.operators import similarity
+        from etl_example_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cb = similarity.pq_train(emb, m=8, n_codes=16, iters=1)
+        rows = cb.collect()
+        assert len(rows) == 8 * 16
+        assert all(len(r.cv) == 8 for r in rows)  # 64 dims / 8 subspaces
