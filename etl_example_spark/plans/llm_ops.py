@@ -1327,3 +1327,65 @@ def d50_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s42_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.pq_topk(emb, k=10)
+
+
+def _split_fields_udtf_class():
+    """Polymorphic Python UDTF (Spark 4 ``analyze``): output schema is
+    computed FROM THE ARGUMENTS at plan time — ``split_fields(text, n)``
+    returns n string columns f0..f{n-1}. The dynamic-schema table
+    function is the modern form of schema-on-read field extraction."""
+    from pyspark.sql.functions import AnalyzeResult, udtf
+    from pyspark.sql.types import StringType, StructType
+
+    @udtf
+    class SplitFields:
+        @staticmethod
+        def analyze(text, n):  # noqa: ANN001, ANN205 — UDTF contract
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"f{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, n):  # noqa: ANN001 — UDTF contract
+            toks = (
+                text.strip().lower().split()
+                if text and text.strip()
+                else []
+            )
+            padded = toks[: n] + [None] * max(0, n - len(toks))
+            yield tuple(padded)
+
+    return SplitFields
+
+
+@register(
+    "d51_polymorphic_udtf",
+    "Polymorphic Python UDTF: the analyze() static method derives the "
+    "output schema from the call's literal arguments at plan time "
+    "(split_fields(text, 3) -> columns f0..f2) — dynamic-schema lateral "
+    "extraction. The oracle recomputes the same leading-token extraction "
+    "in SQL, validating the analyze/eval machinery end-to-end.",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               CASE WHEN len(list_filter(toks, x -> x <> '')) >= 1
+                    THEN toks[1] END AS f0,
+               CASE WHEN len(toks) >= 2 THEN toks[2] END AS f1,
+               CASE WHEN len(toks) >= 3 THEN toks[3] END AS f2
+        FROM t
+        ORDER BY doc_id
+    """,
+    category="text",
+)
+def d51_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("split_fields", _split_fields_udtf_class())
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_split_src"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, f0, f1, f2
+        FROM documents_split_src, LATERAL split_fields(text, 3)
+        ORDER BY doc_id
+        """
+    )

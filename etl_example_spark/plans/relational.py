@@ -1986,3 +1986,139 @@ def q76_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+#: bucketed staging (session id, sf_dir) pairs already materialized
+_BUCKETED_STAGED: set[tuple[int, str]] = set()
+
+
+def _stage_bucketed(spark: SparkSession, sf_dir: str) -> None:
+    """Get-or-create the bucketed lineitem/orders twins for q77 — the
+    local analog of maintaining bucketed fact tables in the warehouse so
+    repeated key-joins never pay the shuffle again."""
+    from etl_example_spark.sources.writers import write_bucketed_table
+
+    key = (id(spark), sf_dir)
+    if key in _BUCKETED_STAGED:
+        return
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed_table(
+        lineitem, "q77_lineitem_bkt", ["l_orderkey"], 8,
+        sort_by=["l_orderkey"],
+    )
+    write_bucketed_table(
+        orders, "q77_orders_bkt", ["o_orderkey"], 8,
+        sort_by=["o_orderkey"],
+    )
+    _BUCKETED_STAGED.add(key)
+
+
+@register(
+    "q77_bucket_join",
+    "Shuffle-free co-located join: lineitem and orders staged as "
+    "identically-bucketed catalog tables on the join key (8 buckets, "
+    "sorted), so the fact-fact join runs bucket-to-bucket with NO "
+    "exchange on either side (asserted in tests/test_relational_ops.py) "
+    "— the warehouse layout that amortizes the big-join shuffle across "
+    "every downstream query at 100 TB.",
+    oracle="""
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+)
+def q77_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _stage_bucketed(spark, sf_dir)
+    li = spark.table("q77_lineitem_bkt")
+    orders = spark.table("q77_orders_bkt")
+    # merge hint: at test scale Catalyst would broadcast the small side,
+    # which hides the property under test; at 100 TB neither fact-table
+    # side broadcasts and the bucket layout is exactly what prevents the
+    # exchange this plan demonstrates the absence of.
+    return (
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum("price_cents").cast("double") / 100).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q78_moment_statistics",
+    "Second-moment statistics (correlation, regression slope) computed "
+    "from EXACT integer power sums — the cross-engine-deterministic way "
+    "to do floating statistics: every sum is a BIGINT over integer "
+    "quantities/dollars, and the handful of float ops at the end are "
+    "identical correctly-rounded operations on identical inputs. The "
+    "one-pass moment aggregation is also the shape that scales (no "
+    "second pass for the means).",
+    oracle="""
+        WITH m AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+                   CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT))
+                        AS BIGINT) AS sy,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+                   CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)
+                        * CAST(ROUND(l_extendedprice) AS BIGINT))
+                        AS BIGINT) AS syy,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)
+                        * CAST(ROUND(l_extendedprice) AS BIGINT))
+                        AS BIGINT) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                   AS qty_price_corr,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS price_per_qty
+        FROM m
+        ORDER BY l_returnflag
+    """,
+)
+def q78_moment_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice")).cast("long")
+    m = lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    cov_n = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        (cov_n / (F.sqrt(var_x) * F.sqrt(var_y))).alias("qty_price_corr"),
+        (cov_n / var_x).alias("price_per_qty"),
+    ).orderBy("l_returnflag")

@@ -79,3 +79,21 @@ class TestJoinStrategyControl:
 
         bcast = lineitem.join(orders.hint("broadcast"), on)
         assert "BroadcastHashJoin" in self._physical(bcast)
+
+
+class TestBucketJoin:
+    def test_bucket_join_has_no_exchange_before_join(self, spark, sf_dir):
+        import re
+
+        from etl_example_spark.plans.registry import load_all
+
+        df = load_all()["q77_bucket_join"].spark_builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        join_pos = plan.find("SortMergeJoin")
+        assert join_pos != -1, plan[:500]
+        # the only exchange allowed is AFTER the join (final aggregate /
+        # sort); nothing between the bucketed scans and the join
+        below_join = plan[join_pos:]
+        assert not re.search(
+            r"Exchange hashpartitioning\([lo]_orderkey", below_join
+        ), below_join[:800]
