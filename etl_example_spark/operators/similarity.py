@@ -459,9 +459,12 @@ def pq_train(
     their previous centroid.
     """
     normalized = l2_normalize(embeddings, vec_col)
-    dim = len(
-        normalized.select(vec_col).limit(1).collect()[0][0]
-    )
+    first = normalized.select(vec_col).limit(1).collect()
+    if not first:  # empty corpus -> empty codebook with the right schema
+        return embeddings.sparkSession.createDataFrame(
+            [], "j int, code int, cv array<double>"
+        )
+    dim = len(first[0][0])
     sub = _subvectors(normalized, m, dim, id_col, vec_col).localCheckpoint(
         eager=True
     )
@@ -570,7 +573,12 @@ def pq_topk(
     normalized = l2_normalize(embeddings, vec_col).localCheckpoint(
         eager=True
     )
-    dim = len(normalized.select(vec_col).limit(1).collect()[0][0])
+    first = normalized.select(vec_col).limit(1).collect()
+    if not first:  # empty corpus -> empty result with the output schema
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double"
+        )
+    dim = len(first[0][0])
     cb = pq_train(embeddings, m, n_codes, iters, id_col, vec_col)
     sub = _subvectors(normalized, m, dim, id_col, vec_col)
     codes = pq_encode(sub, cb, id_col)
