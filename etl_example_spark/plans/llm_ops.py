@@ -1389,3 +1389,75 @@ def d51_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id
         """
     )
+
+
+@register(
+    "d52_tfidf_top_terms",
+    "TF-IDF-style salient terms: term frequency per document x an "
+    "integer-scaled inverse document frequency ((N+1)*1e6 div (df+1) — "
+    "integer arithmetic, so the ranking is bit-identical across "
+    "engines), top-3 terms per document with deterministic tie-breaks. "
+    "One token explode feeds both the tf and df aggregates.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents
+        ),
+        tok_ne AS (SELECT * FROM tok WHERE token <> ''),
+        tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf FROM tok_ne
+            GROUP BY doc_id, token
+        ),
+        df AS (
+            SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok_ne
+            GROUP BY token
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token,
+                   CAST(tf.tf * (((n.n_docs + 1) * 1000000) // (df.df + 1))
+                        AS BIGINT) AS score
+            FROM tf JOIN df USING (token) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT doc_id, token, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, token) AS rk
+            FROM scored
+        )
+        SELECT doc_id, token, score, CAST(rk AS INT) AS rk
+        FROM ranked WHERE rk <= 3
+        ORDER BY doc_id, rk
+    """,
+    category="text",
+)
+def d52_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(text.tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf")
+                * F.expr("((n_docs + 1) * 1000000) div (df + 1)")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "score", "rk")
+        .orderBy("doc_id", "rk")
+    )

@@ -2122,3 +2122,114 @@ def q78_moment_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cov_n / (F.sqrt(var_x) * F.sqrt(var_y))).alias("qty_price_corr"),
         (cov_n / var_x).alias("price_per_qty"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q79_funnel_analysis",
+    "Event-funnel conversion: per user, the earliest signup -> first "
+    "click after it -> first purchase after that (strictly ordered "
+    "stages), rolled up to stage-reach counts — the product-analytics "
+    "funnel as conditional min-aggregates over one event scan, no "
+    "self-joins.",
+    oracle="""
+        WITH stages AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+            FROM events GROUP BY user_id
+        ),
+        c AS (
+            SELECT s.user_id, s.t1,
+                   MIN(CASE WHEN e.event_type = 'click'
+                            AND e.ts > s.t1 THEN e.ts END) AS t2
+            FROM stages s JOIN events e ON e.user_id = s.user_id
+            GROUP BY s.user_id, s.t1
+        ),
+        p AS (
+            SELECT c.user_id, c.t1, c.t2,
+                   MIN(CASE WHEN e.event_type = 'purchase'
+                            AND e.ts > c.t2 THEN e.ts END) AS t3
+            FROM c JOIN events e ON e.user_id = c.user_id
+            GROUP BY c.user_id, c.t1, c.t2
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(COUNT(t1) AS BIGINT) AS reached_signup,
+               CAST(COUNT(t2) AS BIGINT) AS reached_click,
+               CAST(COUNT(t3) AS BIGINT) AS reached_purchase
+        FROM p
+    """,
+)
+def q79_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    t1 = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t1"
+        )
+    )
+    t2 = (
+        t1.join(events, "user_id")
+        .groupBy("user_id", "t1")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).alias("t2")
+        )
+    )
+    t3 = (
+        t2.join(events, "user_id")
+        .groupBy("user_id", "t1", "t2")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).alias("t3")
+        )
+    )
+    return t3.agg(
+        F.count("*").alias("n_users"),
+        F.count("t1").alias("reached_signup"),
+        F.count("t2").alias("reached_click"),
+        F.count("t3").alias("reached_purchase"),
+    )
+
+
+@register(
+    "q80_unpivot",
+    "UNPIVOT/melt: per-returnflag quantity and cents sums widened by the "
+    "aggregate, then melted back to (flag, measure, value) long form — "
+    "the wide->long reshaping half of q19's pivot.",
+    oracle="""
+        WITH wide AS (
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS sum_price_cents
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, measure, value
+        FROM wide
+        UNPIVOT (value FOR measure IN (sum_qty, sum_price_cents))
+        ORDER BY l_returnflag, measure
+    """,
+)
+def q80_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    wide = lineitem.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("sum_price_cents"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price_cents"],
+        "measure",
+        "value",
+    ).orderBy("l_returnflag", "measure")
