@@ -315,3 +315,42 @@ def media_stats(media_df: DataFrame) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+def encode_text_stub(
+    df: DataFrame,
+    dims: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic stand-in for a text-embedding model, as the REAL
+    inference plumbing: ``mapInPandas`` over Arrow batches, one Python
+    worker call per batch (the shape a torch/onnx encoder plugs into —
+    swap the digest for a model forward pass and nothing else changes).
+    The fake embedding is the ASCII codes of the text's md5 hex digest,
+    so the output is a pure function of the text and the whole
+    encode -> search pipeline stays oracle-checkable.
+    """
+    import hashlib
+
+    schema = f"{id_col} long, embedding array<double>"
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            digests = [
+                hashlib.md5((t or "").encode()).hexdigest()
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "embedding": [
+                        [float(ord(d[j])) for j in range(dims)]
+                        for d in digests
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(encode, schema)

@@ -1461,3 +1461,41 @@ def d52_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", "score", "rk")
         .orderBy("doc_id", "rk")
     )
+
+
+@register(
+    "m38_encode_then_search",
+    "Model-inference pipeline composition: documents -> mapInPandas "
+    "batch 'encoder' (deterministic digest stub standing in for a model "
+    "forward pass — same Arrow batch shape, schema, and partitioning a "
+    "real encoder uses) -> exact cosine top-k over the GENERATED "
+    "embeddings. The oracle regenerates the same embeddings from "
+    "md5-hex ASCII codes in SQL, so the entire encode->search pipeline "
+    "is hash-compared (operators/multimodal.encode_text_stub).",
+    oracle="""
+        WITH e AS (
+            SELECT doc_id,
+                   list_transform(range(1, 17),
+                       j -> CAST(ascii(substring(md5(text), j, 1))
+                            AS DOUBLE)) AS v
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id AS qid, v AS qv FROM e ORDER BY doc_id LIMIT 1
+        )
+        SELECT qid AS query_id,
+               e.doc_id AS neighbor_id,
+               ROUND(list_cosine_similarity(e.v, qv), 6) AS cosine_sim
+        FROM e CROSS JOIN q
+        WHERE e.doc_id != qid
+        ORDER BY cosine_sim DESC, neighbor_id
+        LIMIT 10
+    """,
+    category="multimodal",
+)
+def m38_encode_then_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = multimodal.encode_text_stub(docs, dims=16)
+    return similarity.brute_force_topk(
+        emb, k=10, id_col="doc_id", vec_col="embedding"
+    )
