@@ -2233,3 +2233,87 @@ def q80_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     ).orderBy("l_returnflag", "measure")
+
+
+@register(
+    "q81_pandas_api",
+    "The third client API: pandas API on Spark (pyspark.pandas) — the "
+    "pandas-shaped groupby/agg compiles to the same Catalyst plan as "
+    "the DataFrame API (to_spark() at the end is plan handoff, not a "
+    "collect). Counts and exact cents sums per order priority.",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def q81_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.pandas as ps
+
+    psdf = ps.DataFrame(load_table(spark, sf_dir, "orders"))
+    psdf["total_cents"] = (
+        (psdf["o_totalprice"] * 100).round().astype("int64")
+    )
+    out = (
+        psdf.groupby("o_orderpriority")
+        .agg(n_orders=("o_orderkey", "count"), total_cents=("total_cents", "sum"))
+        .reset_index()
+        .sort_values("o_orderpriority")
+    )
+    return out.to_spark().select(
+        "o_orderpriority", "n_orders", "total_cents"
+    )
+
+
+@register(
+    "q82_map_type",
+    "MapType surface: per-priority map of returnflag -> exact cents sum "
+    "built with map_from_entries over sorted struct arrays, read back "
+    "with element_at and aggregated with map_keys/cardinality — complex-"
+    "type construction and access with scalar, hash-comparable outputs.",
+    oracle="""
+        WITH per AS (
+            SELECT o.o_orderpriority, l.l_returnflag,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority, l.l_returnflag
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS INT) AS n_flags,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN cents END)
+                    AS BIGINT) AS returned_cents,
+               CAST(SUM(cents) AS BIGINT) AS all_cents
+        FROM per
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def q82_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    as_map = per.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct("l_returnflag", "cents"))
+            )
+        ).alias("by_flag")
+    )
+    return as_map.select(
+        "o_orderpriority",
+        F.cardinality("by_flag").alias("n_flags"),
+        F.element_at("by_flag", "R").alias("returned_cents"),
+        F.expr(
+            "aggregate(map_values(by_flag), 0L, (acc, v) -> acc + v)"
+        ).alias("all_cents"),
+    ).orderBy("o_orderpriority")

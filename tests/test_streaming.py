@@ -260,3 +260,58 @@ class TestStreamCdcSink:
         truth = {r.user_id: r.value for r in latest.collect()}
         assert first == truth
         assert run(target) == first  # replay is a no-op state
+
+
+class TestStreamingObservability:
+    def test_listener_sees_progress(self, spark, sf_dir):
+        """StreamingQueryListener (the ops/metrics surface): progress
+        events carry per-batch row counts that sum to the source size."""
+        import time
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        from etl_example_spark.streaming.sinks import run_to_memory
+        from etl_example_spark.streaming.sources import read_events_stream
+
+        seen = {"rows": 0, "progress_events": 0}
+
+        class Capture(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                seen["rows"] += event.progress.numInputRows
+                seen["progress_events"] += 1
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        listener = Capture()
+        spark.streams.addListener(listener)
+        try:
+            stream = read_events_stream(spark, sf_dir)
+            run_to_memory(
+                stream.groupBy("event_type").agg(
+                    F.count("*").alias("n")
+                ),
+                output_mode="complete",
+            )
+            # listener delivery is async; give the bus a moment
+            deadline = time.time() + 10
+            import os
+
+            expected = (
+                spark.read.parquet(
+                    os.path.join(sf_dir, "events.parquet")
+                ).count()
+            )
+            while time.time() < deadline and seen["rows"] < expected:
+                time.sleep(0.2)
+            assert seen["progress_events"] >= 1
+            assert seen["rows"] == expected
+        finally:
+            spark.streams.removeListener(listener)
