@@ -209,3 +209,96 @@ def test_temperature_rates_laws(counts, alpha, keep):
     assert quota <= keep * total * (1 + 1e-9)
     if all(r < 1.0 for r in rates.values()):
         assert abs(quota - keep * total) <= 1e-6 * total
+
+
+asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # key
+        st.integers(min_value=0, max_value=50),   # ts (seconds)
+        st.integers(min_value=0, max_value=99),   # payload
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(left=asof_rows, right=asof_rows)
+@SETTINGS
+def test_as_of_join_matches_reference_model(spark, left, right):
+    """as_of_join == per-row argmax over right rows with ts <= left ts
+    (same key). Right side deduped to (key, ts) as the operator's
+    contract requires."""
+    from etl_example_spark.operators.temporal import as_of_join
+
+    base = dt.datetime(2024, 1, 1)
+    right_dedup = {}
+    for k, ts, v in right:
+        right_dedup[(k, ts)] = v  # unique per (key, ts): last wins
+    rrows = [
+        (k, base + dt.timedelta(seconds=ts), v)
+        for (k, ts), v in sorted(right_dedup.items())
+    ]
+    lrows = [
+        (k, base + dt.timedelta(seconds=ts), v) for k, ts, v in left
+    ]
+    ldf = spark.createDataFrame(
+        lrows or [], "k int, lts timestamp, lv int"
+    )
+    rdf = spark.createDataFrame(
+        rrows or [], "k int, rts timestamp, rv int"
+    )
+    if not lrows:
+        return
+    got = sorted(
+        (r.k, r.lts, r.lv, r.rv)
+        for r in as_of_join(ldf, rdf, "k", "lts", "rts", ["rv"]).collect()
+    )
+
+    expect = []
+    for k, lt, lv in lrows:
+        cands = [
+            (rt, rv) for (rk, rtsec), rv in right_dedup.items()
+            if rk == k
+            for rt in [base + dt.timedelta(seconds=rtsec)]
+            if rt <= lt
+        ]
+        rv = max(cands)[1] if cands else None
+        expect.append((k, lt, lv, rv))
+    assert got == sorted(expect)
+
+
+@given(left=asof_rows, right=asof_rows)
+@SETTINGS
+def test_binned_range_join_matches_nested_loop(spark, left, right):
+    """binned_range_join == the O(n*m) nested-loop reference: all pairs
+    with same key and right_ts in [left_ts, left_ts + width)."""
+    from etl_example_spark.operators.temporal import binned_range_join
+
+    width = 7
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, k, base + dt.timedelta(seconds=ts))
+        for i, (k, ts, _v) in enumerate(left)
+    ]
+    rrows = [
+        (j, k, base + dt.timedelta(seconds=ts))
+        for j, (k, ts, _v) in enumerate(right)
+    ]
+    if not lrows or not rrows:
+        return
+    ldf = spark.createDataFrame(lrows, "lid int, lk int, lts timestamp")
+    rdf = spark.createDataFrame(rrows, "rid int, rk int, rts timestamp")
+    got = sorted(
+        (r.lid, r.rid)
+        for r in binned_range_join(
+            ldf, rdf, "lk", "rk", "lts", "rts", width_seconds=width,
+            bin_seconds=3,
+        ).collect()
+    )
+    expect = sorted(
+        (li, rj)
+        for li, lk, lt in lrows
+        for rj, rk, rt in rrows
+        if lk == rk and lt <= rt < lt + dt.timedelta(seconds=width)
+    )
+    assert got == expect

@@ -202,3 +202,44 @@ class TestCompaction:
             d for d in os.listdir(path) if d.startswith("k=")
         ) == ["k=0", "k=1", "k=2"]
         assert spark.read.parquet(path).count() == 5_000
+
+
+class TestPartitionPruning:
+    def test_partition_filter_prunes_scan(self, spark, sf_dir, tmp_path):
+        """Date-partitioned layout + partition-pruned scan: the filter on
+        the partition column becomes a PartitionFilter (directory-level
+        pruning, zero data read outside the month) rather than a row
+        filter — the layout decision that matters most at 100 TB."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from etl_example_spark.sources.loaders import load_table
+
+        path = str(tmp_path / "lineitem_by_month")
+        li = load_table(spark, sf_dir, "lineitem").withColumn(
+            "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+        )
+        li.write.partitionBy("ship_month").parquet(path)
+
+        df = (
+            spark.read.parquet(path)
+            .filter(F.col("ship_month") == "1996-03")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("s"))
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "ship_month" in m.group(1), plan[:800]
+        # row-level PushedFilters must NOT carry the partition predicate
+        # (it is resolved at planning, against the file index)
+        pf = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert pf is None or "ship_month" not in pf.group(1)
+
+        expected = (
+            load_table(spark, sf_dir, "lineitem")
+            .filter(F.date_format("l_shipdate", "yyyy-MM") == "1996-03")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("s"))
+            .collect()[0]
+            .s
+        )
+        assert df.collect()[0].s == expected
