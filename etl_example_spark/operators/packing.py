@@ -58,13 +58,17 @@ def pack_concat_chunks(
     ).withColumn("bin_id", F.floor(F.col("start_offset") / budget))
 
 
-def pack_stats(packed: DataFrame, group_col: str = "source") -> DataFrame:
+def pack_stats(
+    packed: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
     """Per-(group, bin) packing profile: documents started, tokens
     contributed, and first/last document — the audit table a packing job
     materializes next to the chunks themselves."""
     return packed.groupBy(group_col, "bin_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
-        F.min(packed.columns[1]).alias("first_doc"),
-        F.max(packed.columns[1]).alias("last_doc"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
     )

@@ -119,7 +119,11 @@ def temperature_sample(
     observed stratum counts (one tiny aggregate — stratum cardinality is
     languages/sources, not rows), then apply the deterministic
     hash-threshold filter. Two narrow passes, zero shuffles of the data
-    itself; the second pass is a pure pushdown-able predicate."""
+    itself; the second pass is a pure pushdown-able predicate.
+
+    Rows with a NULL stratum are dropped (a NULL never equals a stratum
+    value in the filter) — normalize unknowns to a sentinel stratum
+    upstream if they must be sampled."""
     counts = {
         r[0]: r[1]
         for r in df.groupBy(stratum_col).count().collect()

@@ -315,3 +315,50 @@ class TestStreamingObservability:
             assert seen["rows"] == expected
         finally:
             spark.streams.removeListener(listener)
+
+
+class TestPythonStreamSourceRestart:
+    def test_offsets_resume_from_checkpoint(self, spark, tmp_path):
+        """The custom Python stream source's offsets live in the
+        checkpoint: a restarted query resumes where the last run
+        committed — no reprocessing, no gaps — even when the source has
+        grown (rows raised 1000 -> 2000)."""
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from etl_example_spark.sources.python_datasource import (
+            register_python_datasources,
+        )
+
+        register_python_datasources(spark)
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+
+        def run(rows):
+            stream = (
+                spark.readStream.format("synthetic_docs")
+                .option("rows", rows)
+                .option("batchRows", 300)
+                .load()
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination()
+            return spark.read.parquet(out)
+
+        first = run(1000)
+        assert sorted(r.id for r in first.collect()) == list(range(1000))
+
+        second = run(2000)
+        # restart with the same checkpoint against the grown source:
+        # exactly the new rows were read — no reprocessing, no gaps
+        ids = sorted(r.id for r in second.collect())
+        assert ids == list(range(2000))
