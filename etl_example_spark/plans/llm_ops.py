@@ -1499,3 +1499,97 @@ def m38_encode_then_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(
         emb, k=10, id_col="doc_id", vec_col="embedding"
     )
+
+
+@register(
+    "d53_curation_pipeline",
+    "The END-TO-END corpus curation chain as one verified composition: "
+    "token-length gate -> exact dedup (keep lowest id per normalized "
+    "fingerprint) -> MinHash-LSH near-dup removal (exact-Jaccard "
+    "verified, drop the higher id of each pair) -> temperature mixture "
+    "sampling on the post-dedup counts -> per-language corpus stats. "
+    "Every stage decision is md5/integer-deterministic, so the oracle "
+    "replays the WHOLE pipeline in SQL and the final stats hash-match "
+    "(operators/corpus.curate_corpus).",
+    oracle=f"""
+        WITH gated AS (
+            SELECT * FROM documents WHERE {SQL_NTOKS} >= 5
+        ),
+        ed AS (
+            SELECT MIN(doc_id) AS keep_id FROM gated
+            GROUP BY md5({SQL_NORM})
+        ),
+        d1 AS (SELECT g.* FROM gated g JOIN ed ON g.doc_id = ed.keep_id),
+        t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM d1),
+        sh AS (SELECT doc_id, unnest({SQL_SHINGLES3}) AS shingle FROM t),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        sig AS (
+            SELECT doc_id, s,
+                   MIN(md5(CAST(s AS VARCHAR) || '|' || shingle)) AS mh
+            FROM sh CROSS JOIN (SELECT unnest(range(16)) AS s) seeds
+            GROUP BY doc_id, s
+        ),
+        bands AS (
+            SELECT doc_id, s // 4 AS band_id,
+                   md5(string_agg(mh, '|' ORDER BY s)) AS band_hash
+            FROM sig GROUP BY doc_id, s // 4
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+            FROM cands c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE {JACCARD_COND}
+        ),
+        nd AS (SELECT DISTINCT doc_b FROM pairs),
+        d2 AS (
+            SELECT d1.* FROM d1 LEFT JOIN nd ON d1.doc_id = nd.doc_b
+            WHERE nd.doc_b IS NULL
+        ),
+        cnt AS (SELECT lang, COUNT(*) AS c FROM d2 GROUP BY lang),
+        tot AS (SELECT SUM(c) AS tt, SUM(pow(c, 0.5)) AS z FROM cnt),
+        rates AS (
+            SELECT lang, least(1.0, 0.5 * tt * pow(c, 0.5) / z / c) AS rate
+            FROM cnt CROSS JOIN tot
+        ),
+        d3 AS (
+            SELECT d2.* FROM d2 JOIN rates r ON d2.lang = r.lang
+            WHERE r.rate >= 1.0
+               OR substring(md5(d2.lang || ':' || d2.doc_id), 1, 8)
+                  < lower(lpad(to_hex(
+                        CAST(floor(r.rate * 4294967296.0) AS BIGINT)),
+                        8, '0'))
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM({SQL_NTOKS}) AS BIGINT) AS n_tokens
+        FROM d3 GROUP BY lang ORDER BY lang
+    """,
+    category="dedup",
+)
+def d53_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.operators.corpus import corpus_stats, curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    curated = curate_corpus(
+        docs,
+        min_tokens=5,
+        threshold=0.6,
+        num_hashes=16,
+        bands=4,
+        n=3,
+        alpha=0.5,
+        keep_fraction=0.5,
+    )
+    return corpus_stats(curated)
