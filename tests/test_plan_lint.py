@@ -36,6 +36,8 @@ _CROSS_JOIN_BY_DESIGN = {
     "s41_batch_topk",
     "q15_cte_subquery",  # broadcast one-row scalar aggregate
     "q69_quiet_big_accounts",  # broadcast one-row scalar aggregate
+    "d52_tfidf_top_terms",  # broadcast one-row corpus-size aggregate
+    "m38_encode_then_search",  # broadcast query-vector block (brute force)
 }
 
 _BATCH = [n for n in REGISTRY if n not in _STREAMING]

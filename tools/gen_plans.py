@@ -87,6 +87,19 @@ SHOW = {
         "Contamination scan: benchmark shingles broadcast; the corpus "
         "index is scanned once and never shuffles."
     ),
+    "q77_bucket_join": (
+        "Bucketed fact-fact merge join: bucket-to-bucket, NO exchange "
+        "before the join — the shuffle paid once at layout time."
+    ),
+    "q75_salted_agg": (
+        "Two-phase salted aggregation: hot keys split across salt "
+        "sub-groups, tiny partial-merge after."
+    ),
+    "d53_curation_pipeline": (
+        "The full curation chain in one plan: gate, digest dedup, LSH "
+        "banding, verification joins, sampling filter — no all-pairs "
+        "operator anywhere."
+    ),
 }
 
 
