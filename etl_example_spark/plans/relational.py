@@ -1992,15 +1992,22 @@ def q76_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKETED_STAGED: set[tuple[int, str]] = set()
 
 
-def _stage_bucketed(spark: SparkSession, sf_dir: str) -> None:
+def _stage_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Get-or-create the bucketed lineitem/orders twins for q77 — the
     local analog of maintaining bucketed fact tables in the warehouse so
-    repeated key-joins never pay the shuffle again."""
+    repeated key-joins never pay the shuffle again. Table names carry an
+    sf_dir slug so two scale factors in one session never serve each
+    other's staging."""
+    import hashlib
+
     from etl_example_spark.sources.writers import write_bucketed_table
 
+    slug = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    li_name = f"q77_lineitem_bkt_{slug}"
+    ord_name = f"q77_orders_bkt_{slug}"
     key = (id(spark), sf_dir)
     if key in _BUCKETED_STAGED:
-        return
+        return li_name, ord_name
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         F.round(F.col("l_extendedprice") * 100)
@@ -2011,14 +2018,13 @@ def _stage_bucketed(spark: SparkSession, sf_dir: str) -> None:
         "o_orderkey", "o_orderpriority"
     )
     write_bucketed_table(
-        lineitem, "q77_lineitem_bkt", ["l_orderkey"], 8,
-        sort_by=["l_orderkey"],
+        lineitem, li_name, ["l_orderkey"], 8, sort_by=["l_orderkey"],
     )
     write_bucketed_table(
-        orders, "q77_orders_bkt", ["o_orderkey"], 8,
-        sort_by=["o_orderkey"],
+        orders, ord_name, ["o_orderkey"], 8, sort_by=["o_orderkey"],
     )
     _BUCKETED_STAGED.add(key)
+    return li_name, ord_name
 
 
 @register(
@@ -2040,9 +2046,9 @@ def _stage_bucketed(spark: SparkSession, sf_dir: str) -> None:
     """,
 )
 def q77_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _stage_bucketed(spark, sf_dir)
-    li = spark.table("q77_lineitem_bkt")
-    orders = spark.table("q77_orders_bkt")
+    li_name, ord_name = _stage_bucketed(spark, sf_dir)
+    li = spark.table(li_name)
+    orders = spark.table(ord_name)
     # merge hint: at test scale Catalyst would broadcast the small side,
     # which hides the property under test; at 100 TB neither fact-table
     # side broadcasts and the bucket layout is exactly what prevents the

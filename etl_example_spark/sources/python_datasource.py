@@ -64,6 +64,8 @@ class _SyntheticReader(DataSourceReader):
         self.n_parts = max(1, int(options.get("partitions", 8)))
 
     def partitions(self):
+        if self.rows <= 0:
+            return [_RangePartition(0, 0)]
         step = -(-self.rows // self.n_parts)  # ceil
         return [
             _RangePartition(lo, min(lo + step, self.rows))
