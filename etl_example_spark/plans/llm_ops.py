@@ -1593,3 +1593,29 @@ def d53_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep_fraction=0.5,
     )
     return corpus_stats(curated)
+
+
+@register(
+    "d54_crypto_fingerprints",
+    "Cryptographic content addressing: md5 and sha256 digests per "
+    "document plus a stable 16-hex-char shard key (the content-hash "
+    "layout key for dedup-aware storage) — digest parity verified "
+    "against DuckDB's implementations.",
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS md5_hex,
+               sha256(text) AS sha256_hex,
+               substring(md5(text), 1, 2) AS shard
+        FROM documents
+        ORDER BY doc_id
+    """,
+    category="text",
+)
+def d54_crypto_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2("text", 256).alias("sha256_hex"),
+        F.substring(F.md5("text"), 1, 2).alias("shard"),
+    ).orderBy("doc_id")

@@ -2323,3 +2323,59 @@ def q82_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(map_values(by_flag), 0L, (acc, v) -> acc + v)"
         ).alias("all_cents"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "q83_scalar_function_breadth",
+    "Scalar-function surface in one pass: string transforms (translate/"
+    "replace/repeat/reverse/lpad/substring), conditionals (nullif/"
+    "coalesce/greatest/least), integer bit ops, and math — every "
+    "expression a codegen'd built-in with engine-identical semantics.",
+    oracle="""
+        SELECT c_custkey,
+               translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
+               replace(c_name, 'Customer', 'Cust') AS short_name,
+               reverse(substring(c_name, 1, 8)) AS rev_prefix,
+               lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+               nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+               greatest(CAST(ROUND(c_acctbal * 100) AS BIGINT), 0)
+                   AS nonneg_cents,
+               least(c_custkey % 7, c_custkey % 5) AS min_mod,
+               (c_custkey & 255) | 16 AS bits,
+               ROUND(abs(c_acctbal) + sqrt(CAST(c_custkey AS DOUBLE)), 6)
+                   AS mathy
+        FROM customer
+        ORDER BY c_custkey
+    """,
+)
+def q83_scalar_function_breadth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return customer.select(
+        "c_custkey",
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias(
+            "seg_lower_vowels"
+        ),
+        F.replace(
+            F.col("c_name"), F.lit("Customer"), F.lit("Cust")
+        ).alias("short_name"),
+        F.reverse(F.substring("c_name", 1, 8)).alias("rev_prefix"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias(
+            "padded_key"
+        ),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias(
+            "seg_or_null"
+        ),
+        F.greatest(cents, F.lit(0)).alias("nonneg_cents"),
+        F.least(F.col("c_custkey") % 7, F.col("c_custkey") % 5).alias(
+            "min_mod"
+        ),
+        (F.col("c_custkey").bitwiseAND(255)).bitwiseOR(16).alias("bits"),
+        F.round(
+            F.abs("c_acctbal")
+            + F.sqrt(F.col("c_custkey").cast("double")),
+            6,
+        ).alias("mathy"),
+    ).orderBy("c_custkey")
