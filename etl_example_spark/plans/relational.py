@@ -2379,3 +2379,59 @@ def q83_scalar_function_breadth(
             6,
         ).alias("mathy"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "q84_na_handling",
+    "NA-handling surface (fillna / dropna / replace) over a derived "
+    "frame with injected NULLs: nulls filled per-column, rows dropped "
+    "on a key subset, categorical recoding — the DataFrameNaFunctions "
+    "family, stated relationally for the oracle.",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE o_orderpriority END AS pri,
+                   CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                        ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   END AS cents,
+                   CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                        ELSE o_custkey END AS cust
+            FROM orders
+        ),
+        cleaned AS (
+            SELECT o_orderkey,
+                   COALESCE(pri, 'UNKNOWN') AS pri,
+                   COALESCE(cents, 0) AS cents,
+                   cust
+            FROM base
+            WHERE cust IS NOT NULL
+        )
+        SELECT o_orderkey,
+               CASE pri WHEN 'UNKNOWN' THEN 'N/A' ELSE pri END AS pri,
+               cents, cust
+        FROM cleaned
+        ORDER BY o_orderkey
+    """,
+)
+def q84_na_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 != 0, F.col("o_orderpriority")
+        ).alias("pri"),
+        F.when(
+            F.col("o_orderkey") % 11 != 0,
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+        ).alias("cents"),
+        F.when(F.col("o_orderkey") % 13 != 0, F.col("o_custkey")).alias(
+            "cust"
+        ),
+    )
+    return (
+        base.na.fill({"pri": "UNKNOWN", "cents": 0})
+        .na.drop(subset=["cust"])
+        .na.replace("UNKNOWN", "N/A", subset=["pri"])
+        .orderBy("o_orderkey")
+    )
