@@ -661,3 +661,107 @@ def contamination_report(
         .groupBy("doc_id", "n_shingles")
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+def band_digests(
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc_id, band_id, band_hash): the LSH band digests of a signature
+    table — the joinable form of the LSH index (same digests
+    ``lsh_candidate_pairs`` builds internally, exposed so an index over
+    an EXISTING corpus can be stored and probed incrementally)."""
+    rows_per_band = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh_{band * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for band in range(bands)
+    ]
+    return signatures.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bd")
+    ).select("doc_id", "bd.band_id", "bd.band_hash")
+
+
+def incremental_minhash_pairs(
+    existing: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.6,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs INVOLVING a new-document batch, without touching
+    the existing corpus's text: signatures are per-document (corpus-
+    independent), so the existing side contributes only its staged
+    band digests and shingle sets — the incremental-maintenance path
+    for a continuously ingested corpus. Equals the full recompute over
+    existing+new restricted to pairs with >= 1 new document (the law
+    plans/llm_ops d55's oracle checks).
+
+    Candidates = (new bands ⋈ existing bands on (band_id, band_hash))
+    ∪ (new-vs-new via the posting-list path); verification is the same
+    exact-Jaccard test as ``minhash_lsh_dedup``. At scale the existing
+    side's digests/sets are a stored index table; per batch, cost is
+    O(new) + the probe joins."""
+    st_old = staged_shingles(existing, n, text_col, id_col)
+    st_new = staged_shingles(new, n, text_col, id_col)
+    b_old = band_digests(st_old.signatures(num_hashes), num_hashes, bands)
+    b_new = band_digests(st_new.signatures(num_hashes), num_hashes, bands)
+    cross = (
+        b_new.select(
+            F.col("doc_id").alias("new_id"), "band_id", "band_hash"
+        )
+        .join(b_old, ["band_id", "band_hash"])
+        .select(
+            F.least("new_id", "doc_id").alias("doc_a"),
+            F.greatest("new_id", "doc_id").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    within = lsh_candidate_pairs(
+        st_new.signatures(num_hashes), num_hashes, bands
+    )
+    cands = cross.unionByName(within).distinct()
+    sets_all = st_old.sets.unionByName(st_new.sets)
+    a = sets_all.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_set").alias("set_a"),
+        F.col("n_shingles").alias("size_a"),
+    )
+    b = sets_all.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_set").alias("set_b"),
+        F.col("n_shingles").alias("size_b"),
+    )
+    scaled = int(round(threshold * 1_000_000))
+    return (
+        F.broadcast(cands)
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("inter"),
+            "size_a",
+            "size_b",
+        )
+        .filter(
+            F.col("inter") * 1_000_000
+            >= F.lit(scaled)
+            * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+        )
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
+    )

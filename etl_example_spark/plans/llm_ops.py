@@ -1619,3 +1619,58 @@ def d54_crypto_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("sha256_hex"),
         F.substring(F.md5("text"), 1, 2).alias("shard"),
     ).orderBy("doc_id")
+
+
+@register(
+    "d55_incremental_neardup",
+    "Incremental near-dup maintenance: a new-document batch (doc_id % 5 "
+    "== 0) probed against the EXISTING corpus's stored LSH index — the "
+    "existing text is never re-read; signatures are per-document, so "
+    "incremental == full recompute restricted to pairs involving a new "
+    "doc, which is exactly what the oracle computes from scratch "
+    "(operators/dedup.incremental_minhash_pairs).",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id, unnest({SQL_SHINGLES3}) AS shingle FROM t),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        sig AS (
+            SELECT doc_id, s,
+                   MIN(md5(CAST(s AS VARCHAR) || '|' || shingle)) AS mh
+            FROM sh CROSS JOIN (SELECT unnest(range(16)) AS s) seeds
+            GROUP BY doc_id, s
+        ),
+        bands AS (
+            SELECT doc_id, s // 4 AS band_id,
+                   md5(string_agg(mh, '|' ORDER BY s)) AS band_hash
+            FROM sig GROUP BY doc_id, s // 4
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+            FROM cands c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE {JACCARD_COND}
+          AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
+        ORDER BY doc_a, doc_b
+    """,
+    category="dedup",
+)
+def d55_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    return dedup.incremental_minhash_pairs(
+        existing, new, threshold=0.6, num_hashes=16, bands=4, n=3
+    )

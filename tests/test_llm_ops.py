@@ -198,3 +198,30 @@ class TestProductQuantization:
         rows = cb.collect()
         assert len(rows) == 8 * 16
         assert all(len(r.cv) == 8 for r in rows)  # 64 dims / 8 subspaces
+
+
+class TestIncrementalNearDup:
+    def test_incremental_equals_full_restricted(self, spark, sf_dir):
+        """The incremental law: probing a new batch against the existing
+        index yields exactly the full-recompute pairs that involve a new
+        document."""
+        from pyspark.sql import functions as F
+
+        from etl_example_spark.operators import dedup
+        from etl_example_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        existing = docs.filter(F.col("doc_id") % 5 != 0)
+        new = docs.filter(F.col("doc_id") % 5 == 0)
+        inc = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.incremental_minhash_pairs(
+                existing, new
+            ).collect()
+        }
+        full = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.minhash_lsh_dedup(docs).collect()
+            if r.doc_a % 5 == 0 or r.doc_b % 5 == 0
+        }
+        assert inc == full
