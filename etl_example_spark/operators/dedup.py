@@ -147,7 +147,9 @@ class _StagedShingles:
 #: LRU-bounded — evicted entries' checkpoint blocks are freed by the
 #: ContextCleaner once unreferenced.
 _STAGED: OrderedDict[tuple, _StagedShingles] = OrderedDict()
-_STAGED_MAX = 4
+#: full corpus + deduped subset (d53) + existing/new splits (d55) can be
+#: live in one verify pass; 8 keeps them all resident without thrash
+_STAGED_MAX = 8
 
 
 def staged_shingles(

@@ -34,6 +34,13 @@ SQL_EXACT_VALUE_SUM = (
     "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100"
 )
 
+# shared DuckDB fragments for the document-stream oracles
+from etl_example_spark.plans.llm_ops import (  # noqa: E402
+    JACCARD_COND,
+    SQL_SHINGLES3,
+    SQL_TOKS,
+)
+
 
 @register(
     "st35_stream_tumbling",
@@ -403,3 +410,90 @@ def st44_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = run_to_memory(agg, output_mode="complete", available_now=False)
     return result.orderBy("bucket")
+
+
+@register(
+    "st45_stream_neardup_probe",
+    "Streaming ingestion dedup: arriving document batches (the stream "
+    "carries the new fifth of the corpus) probe the STATIC corpus's "
+    "stored LSH index per micro-batch via foreachBatch + "
+    "incremental_minhash_pairs, appending verified near-dup pairs to a "
+    "parquet sink — the continuously-ingested-corpus dedup loop. The "
+    "oracle recomputes the same pair set from scratch "
+    "(streaming/sources.read_documents_stream + "
+    "operators/dedup.incremental_minhash_pairs).",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id, unnest({SQL_SHINGLES3}) AS shingle FROM t),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        sig AS (
+            SELECT doc_id, s,
+                   MIN(md5(CAST(s AS VARCHAR) || '|' || shingle)) AS mh
+            FROM sh CROSS JOIN (SELECT unnest(range(16)) AS s) seeds
+            GROUP BY doc_id, s
+        ),
+        bands AS (
+            SELECT doc_id, s // 4 AS band_id,
+                   md5(string_agg(mh, '|' ORDER BY s)) AS band_hash
+            FROM sig GROUP BY doc_id, s // 4
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+            FROM cands c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE {JACCARD_COND}
+          AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
+        ORDER BY doc_a, doc_b
+    """,
+    category="streaming",
+)
+def st45_stream_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators import dedup
+    from etl_example_spark.sources.loaders import load_table
+    from etl_example_spark.streaming.sources import read_documents_stream
+
+    static_docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 != 0
+    )
+    stream = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 5 == 0
+    )
+    out_dir = _tempfile.mkdtemp(prefix="neardup_pairs_")
+
+    def probe(batch, epoch_id: int) -> None:
+        pairs = dedup.incremental_minhash_pairs(
+            static_docs, batch, threshold=0.6, num_hashes=16, bands=4, n=3
+        )
+        pairs.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option(
+            "checkpointLocation", _tempfile.mkdtemp(prefix="ckpt_ndp_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    if not files:
+        return spark.createDataFrame([], "doc_a long, doc_b long")
+    return spark.read.parquet(out_dir).orderBy("doc_a", "doc_b")

@@ -70,3 +70,44 @@ def read_events_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.load(_staging_dir(sf_dir))
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _table_staging_dir(sf_dir: str, name: str) -> str:
+    """Per-(sf, table) landing directory (same symlink pattern as the
+    events staging dir)."""
+    slug = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}::{name}".encode()
+    ).hexdigest()[:12]
+    staging = os.path.join(tempfile.gettempdir(), "etl_stream_src", slug)
+    os.makedirs(staging, exist_ok=True)
+    link = os.path.join(staging, f"{name}.parquet")
+    if not os.path.exists(link):
+        os.symlink(
+            os.path.join(os.path.abspath(sf_dir), f"{name}.parquet"), link
+        )
+    return staging
+
+
+def read_documents_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream source over ``{sf_dir}/documents.parquet`` — the
+    continuously-ingested-corpus shape (each arriving file is a batch of
+    new documents)."""
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(_table_staging_dir(sf_dir, "documents"))
