@@ -181,3 +181,61 @@ def resample_daily_ffill(
             ).alias("filled_value"),
         )
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_left: str,
+    key_right: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_seconds: int,
+) -> DataFrame:
+    """Inner join of interval pairs that OVERLAP (half-open:
+    ``l_start < r_end AND r_start < l_end``) on matching keys — the
+    general interval×interval case of ``binned_range_join``.
+
+    Both sides replicate into every time bin their interval touches and
+    the join runs as an equi-join on (key, bin). Because an overlapping
+    pair shares every bin the overlap spans, the join would emit
+    duplicates; instead of a post-join ``distinct`` (an extra shuffle of
+    the matched pairs), each pair is counted only in its overlap's
+    FIRST bin — ``bin == floor(greatest(l_start, r_start) / bin_s)`` —
+    which is unique per pair by construction. Fan-out is bounded by
+    interval length / bin width; the exact predicate prunes bin-grazing
+    false candidates.
+    """
+
+    def epoch_us(col: str):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    bin_us = bin_seconds * 1_000_000
+
+    def expanded(df: DataFrame, start: str, end: str, out: str):
+        lo = F.floor(epoch_us(start) / bin_us)
+        # half-open end: an interval ending exactly on a bin boundary
+        # does not touch that bin
+        hi = F.floor((epoch_us(end) - 1) / bin_us)
+        return df.withColumn(out, F.explode(F.sequence(lo, hi)))
+
+    l_exp = expanded(left, left_start, left_end, "_lbin")
+    r_exp = expanded(right, right_start, right_end, "_rbin")
+    anchor = F.floor(
+        F.greatest(epoch_us(left_start), epoch_us(right_start)) / bin_us
+    )
+    return (
+        l_exp.join(
+            r_exp,
+            (F.col(key_left) == F.col(key_right))
+            & (F.col("_lbin") == F.col("_rbin")),
+        )
+        .filter(
+            (epoch_us(left_start) < epoch_us(right_end))
+            & (epoch_us(right_start) < epoch_us(left_end))
+            & (F.col("_lbin") == anchor)
+        )
+        .drop("_lbin", "_rbin")
+    )

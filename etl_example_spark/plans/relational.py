@@ -2435,3 +2435,62 @@ def q84_na_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.replace("UNKNOWN", "N/A", subset=["pri"])
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q85_interval_overlap_join",
+    "Interval-overlap join (interval x interval, the general case of "
+    "q47's point-in-window): view-windows [ts, ts+30m) vs click-windows "
+    "[ts, ts+10m) per user, executed as an equi-join on (user, time "
+    "bin) with each pair counted only in its overlap's FIRST bin — "
+    "duplicate-free by construction, no post-join distinct, no nested "
+    "loop (operators/temporal.interval_overlap_join).",
+    oracle="""
+        WITH v AS (
+            SELECT event_id AS view_id, user_id, ts AS vs,
+                   ts + INTERVAL 30 MINUTE AS ve
+            FROM events WHERE event_type = 'view'
+        ),
+        c AS (
+            SELECT event_id AS click_id, user_id, ts AS cs,
+                   ts + INTERVAL 10 MINUTE AS ce
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT v.view_id, c.click_id
+        FROM v JOIN c ON v.user_id = c.user_id
+        WHERE v.vs < c.ce AND c.cs < v.ve
+        ORDER BY view_id, click_id
+    """,
+)
+def q85_interval_overlap_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_example_spark.operators.temporal import interval_overlap_join
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("vs"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ve"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cs"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("ce"),
+    )
+    joined = interval_overlap_join(
+        views,
+        clicks,
+        "v_user",
+        "c_user",
+        "vs",
+        "ve",
+        "cs",
+        "ce",
+        bin_seconds=600,
+    )
+    return joined.select("view_id", "click_id").orderBy(
+        "view_id", "click_id"
+    )

@@ -115,3 +115,52 @@ class TestResampleDailyFfill:
         assert rows[(1, "2024-01-04")] == (1, 10.0)
         assert rows[(2, "2024-01-02")] == (1, 5.0)
         assert len(rows) == 5  # span is per-user, not global
+
+
+class TestIntervalOverlapJoin:
+    def test_matches_nested_loop_with_boundaries(self, spark):
+        """Anchor-bin dedup yields exactly the nested-loop pair set,
+        including half-open boundary cases (touching intervals do NOT
+        overlap) and intervals spanning many bins."""
+        import datetime as dtm
+
+        from etl_example_spark.operators.temporal import (
+            interval_overlap_join,
+        )
+
+        base = dtm.datetime(2024, 1, 1)
+
+        def t(s):
+            return base + dtm.timedelta(seconds=s)
+
+        lrows = [
+            (1, 1, t(0), t(10)),     # overlaps r1, touches r2 (no)
+            (2, 1, t(25), t(100)),   # long: spans many bins, hits r3 once
+            (3, 2, t(0), t(50)),     # other key
+        ]
+        rrows = [
+            (10, 1, t(5), t(7)),     # inside l1
+            (11, 1, t(10), t(20)),   # touches l1 at 10 -> NOT overlap
+            (12, 1, t(30), t(90)),   # long overlap with l2
+            (13, 2, t(49), t(60)),   # 1s overlap with l3
+        ]
+        ldf = spark.createDataFrame(
+            lrows, "lid int, lk int, ls timestamp, le timestamp"
+        )
+        rdf = spark.createDataFrame(
+            rrows, "rid int, rk int, rs timestamp, re timestamp"
+        )
+        got = sorted(
+            (r.lid, r.rid)
+            for r in interval_overlap_join(
+                ldf, rdf, "lk", "rk", "ls", "le", "rs", "re",
+                bin_seconds=4,
+            ).collect()
+        )
+        expect = sorted(
+            (lid, rid)
+            for lid, lk, ls, le in lrows
+            for rid, rk, rs, re in rrows
+            if lk == rk and ls < re and rs < le
+        )
+        assert got == expect == [(1, 10), (2, 12), (3, 13)]
