@@ -243,3 +243,25 @@ class TestPartitionPruning:
             .s
         )
         assert df.collect()[0].s == expected
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_on_read(self, spark, tmp_path):
+        """Schema evolution at the file level: a later batch adds a
+        column; mergeSchema=true reads the union schema with NULLs for
+        the pre-evolution files — the append-only evolution path a
+        landing zone relies on."""
+        path = str(tmp_path / "evolving")
+        spark.range(5).selectExpr("id", "id * 2 AS a").write.parquet(
+            path, mode="append"
+        )
+        spark.range(5, 10).selectExpr(
+            "id", "id * 2 AS a", "'new' AS b"
+        ).write.parquet(path, mode="append")
+
+        merged = spark.read.option("mergeSchema", "true").parquet(path)
+        assert set(merged.columns) == {"id", "a", "b"}
+        rows = {r.id: (r.a, r.b) for r in merged.collect()}
+        assert rows[2] == (4, None)  # old file: evolved column is NULL
+        assert rows[7] == (14, "new")
+        assert len(rows) == 10
