@@ -235,3 +235,46 @@ def kgram_min_fingerprint(col: Column | str, k: int = 8) -> Column:
         lambda i: norm.substr(i, F.lit(k)),
     )
     return F.array_min(F.transform(grams, F.md5))
+
+
+def chunk_text(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunks per document — the RAG/context-
+    window preparation op (distinct from packing.pack_concat_chunks,
+    which concatenates documents; this SPLITS long ones).
+
+    Chunk starts step by ``chunk_tokens - overlap_tokens``; the final
+    chunk is whatever remains (>= 1 token), so every token lands in at
+    least one chunk and consecutive chunks share ``overlap_tokens``.
+    Pure HOF arithmetic over the bound token array (one tokenize per
+    row, SQL lambdas) — no UDF, fully pushdown-compatible.
+    Returns (id, chunk_id, start_token, n_tokens, chunk_text).
+    """
+    step = chunk_tokens - overlap_tokens
+    if step <= 0:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    toks_df = df.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    starts = F.expr(
+        f"sequence(0, greatest(0, CAST(ceil((size(_toks) - {chunk_tokens})"
+        f" / {step}.0) AS INT)) * {step}, {step})"
+    )
+    chunked = toks_df.select(
+        id_col,
+        "_toks",
+        F.posexplode(starts).alias("chunk_id", "start_token"),
+    )
+    piece = F.expr(f"slice(_toks, start_token + 1, {chunk_tokens})")
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        "start_token",
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

@@ -1674,3 +1674,42 @@ def d55_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_minhash_pairs(
         existing, new, threshold=0.6, num_hashes=16, bands=4, n=3
     )
+
+
+@register(
+    "d56_text_chunking",
+    "Overlapping token-window chunking (64-token chunks, 16-token "
+    "overlap) — the RAG/context-window preparation op: chunk starts "
+    "step by 48 tokens, the tail chunk keeps the remainder, every "
+    "token lands in >= 1 chunk. Pure HOF arithmetic over one bound "
+    "token array per row (operators/text.chunk_text).",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents WHERE trim(lower(text)) <> ''
+        ),
+        s AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0,
+                       greatest(0, CAST(ceil((len(toks) - 64) / 48.0)
+                                   AS INT)) * 48, 48)) AS start_token
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(start_token // 48 AS INT) AS chunk_id,
+               CAST(start_token AS INT) AS start_token,
+               CAST(len(list_slice(toks, start_token + 1,
+                    start_token + 64)) AS INT) AS n_tokens,
+               array_to_string(list_slice(toks, start_token + 1,
+                    start_token + 64), ' ') AS chunk_text
+        FROM s
+        ORDER BY doc_id, chunk_id
+    """,
+    category="text",
+)
+def d56_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_text(
+        docs, chunk_tokens=64, overlap_tokens=16
+    ).orderBy("doc_id", "chunk_id")

@@ -137,3 +137,44 @@ class TestTemperature:
         }
         assert a == b  # layout-independent membership
         assert 0 < len(a) < 400
+
+
+class TestChunking:
+    def test_chunks_cover_and_overlap(self, spark):
+        from etl_example_spark.operators.text import chunk_text
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(100)))],
+            "doc_id long, text string",
+        )
+        rows = sorted(
+            chunk_text(df, chunk_tokens=10, overlap_tokens=3).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        # starts step by 7; last start covers the tail
+        assert [r.start_token for r in rows] == list(range(0, 92, 7))
+        assert all(r.n_tokens == 10 for r in rows[:-1])
+        assert rows[-1].start_token + rows[-1].n_tokens == 100
+        # consecutive chunks share exactly 3 tokens
+        first = rows[0].chunk_text.split()
+        second = rows[1].chunk_text.split()
+        assert first[-3:] == second[:3]
+
+    def test_short_doc_single_chunk(self, spark):
+        from etl_example_spark.operators.text import chunk_text
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "")], "doc_id long, text string"
+        )
+        rows = chunk_text(df, chunk_tokens=10, overlap_tokens=3).collect()
+        assert len(rows) == 1  # empty doc yields no chunks
+        assert rows[0].chunk_text == "a b c" and rows[0].n_tokens == 3
+
+    def test_rejects_bad_overlap(self, spark):
+        import pytest
+
+        from etl_example_spark.operators.text import chunk_text
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_text(df, chunk_tokens=8, overlap_tokens=8)
