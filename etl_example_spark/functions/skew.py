@@ -15,9 +15,17 @@ two cases AQE can't fix:
   the big side and explodes the small side by salt so hot keys spread
   over ``salt`` tasks.
 
-Salts come from ``monotonically_increasing_id`` (per-row unique, so even
-fully identical duplicate rows — the degenerate hot-key shape — spread
-across all ``salt`` sub-groups); stable for a fixed input partitioning.
+Salts are **deterministic per row content** (``xxhash64`` over every
+column): a row re-computed under a stage/task retry lands in the same
+sub-group it did the first time. A nondeterministic salt (e.g.
+``monotonically_increasing_id``/``rand``) can re-route rows between
+reduce partitions across retries, double-counting or dropping them
+(the SPARK-23207 failure class) — invisible on single-node tests, real
+on a 1000-executor cluster. The cost is that *bit-identical* duplicate
+rows share a sub-group; if exact duplicates dominate a hot key,
+pre-aggregate them first (``groupBy(all columns).count()`` + weighted
+phase-1 aggregates) — the duplicate-collapse shuffle has distinct keys
+and therefore no skew.
 """
 
 from __future__ import annotations
@@ -29,14 +37,19 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, salt: int) -> DataFrame:
-    """Salt column in [0, salt) from a per-row unique source
-    (``monotonically_increasing_id``): consecutive rows round-robin across
-    sub-groups, so even *identical* duplicate rows — which a content-hash
-    salt would collapse onto one reduce task — spread evenly. Any value in
-    [0, salt) is equally correct (the salt only routes, phase 2 merges), so
-    the id's dependence on input partitioning is harmless."""
+    """Salt column in [0, salt): ``pmod(xxhash64(<all columns>), salt)``.
+
+    Content-derived, so the salt is **stable across re-computation** — a
+    task retry reproduces the same routing and phase-2 merges exactly the
+    partials it would have the first time. (Any value in [0, salt) is
+    semantically correct — the salt only routes, phase 2 merges — but it
+    must be the SAME value every time the row is computed; see module
+    docstring for why nondeterministic sources are unsafe under retries.)
+    Distinct rows of a hot key spread uniformly; bit-identical duplicates
+    share a sub-group (pre-aggregate duplicates first if that shape
+    dominates)."""
     return df.withColumn(
-        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt))
+        "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(salt))
     )
 
 
@@ -54,6 +67,7 @@ def salted_agg(
     group_by: Sequence[str],
     aggs: dict[str, tuple[str, str | Column]],
     salt: int = 16,
+    dedup_first: bool = False,
 ) -> DataFrame:
     """Two-phase aggregation for skewed grouping keys.
 
@@ -62,17 +76,48 @@ def salted_agg(
     partials. ``aggs`` maps output name → (kind, column) with kind in
     {sum, count, min, max}; the kind determines both the phase-1
     aggregate and the correct partial merge (counts merge by summing).
+
+    ``dedup_first=True`` handles the degenerate hot-key shape where
+    *bit-identical* duplicate rows dominate (a content-derived salt
+    routes them to one sub-group): collapse exact duplicates with a
+    ``groupBy(<all referenced columns>).count()`` — distinct keys, so
+    that shuffle has no skew — then run weighted phase-1 aggregates
+    (sum → sum(col·n), count → sum(n); min/max unchanged). Both paths
+    are deterministic under task retry (see ``with_salt``).
     """
-    phase1 = (
-        with_salt(df, salt)
-        .groupBy(*group_by, "_salt")
-        .agg(
-            *[
-                _AGG_KINDS[kind][0](col).alias(name)
-                for name, (kind, col) in aggs.items()
-            ]
+    if dedup_first:
+        agg_cols = {col for _, (_, col) in aggs.items()}
+        if not all(isinstance(c, str) for c in agg_cols):
+            raise ValueError("dedup_first requires string column names")
+        cols = list(group_by) + sorted(agg_cols - set(group_by))
+        collapsed = df.groupBy(*cols).agg(F.count("*").alias("_dup"))
+        weighted = {
+            "sum": lambda c: F.sum(F.col(c) * F.col("_dup")),
+            "count": lambda c: F.sum("_dup"),
+            "min": F.min,
+            "max": F.max,
+        }
+        phase1 = (
+            with_salt(collapsed, salt)
+            .groupBy(*group_by, "_salt")
+            .agg(
+                *[
+                    weighted[kind](col).alias(name)
+                    for name, (kind, col) in aggs.items()
+                ]
+            )
         )
-    )
+    else:
+        phase1 = (
+            with_salt(df, salt)
+            .groupBy(*group_by, "_salt")
+            .agg(
+                *[
+                    _AGG_KINDS[kind][0](col).alias(name)
+                    for name, (kind, col) in aggs.items()
+                ]
+            )
+        )
     return phase1.groupBy(*group_by).agg(
         *[
             _AGG_KINDS[kind][1](name).alias(name)

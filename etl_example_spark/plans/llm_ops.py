@@ -1016,20 +1016,28 @@ def d44_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "error 0.01) of order totals per order status — the sketch companion "
     "to q44's exact percentiles. Approximate by design -> no SQL oracle; "
     "tests assert each estimate lands within the sketch's rank-error "
-    "bound of the exact quantile.",
+    "bound of the exact quantile. The quantile array is posexploded to "
+    "(status, quantile, value) rows so the result is flat scalar columns.",
     oracle=None,
     category="relational",
 )
 def q61_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    probs = [0.25, 0.5, 0.75, 0.95]
+    sketched = orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", probs, 100).alias("qs")
+    )
+    prob_col = F.array(*[F.lit(p) for p in probs])
     return (
-        orders.groupBy("o_orderstatus")
-        .agg(
-            F.percentile_approx(
-                "o_totalprice", [0.25, 0.5, 0.75, 0.95], 100
-            ).alias("approx_quantiles")
+        sketched.select(
+            "o_orderstatus", F.posexplode("qs").alias("pos", "value")
         )
-        .orderBy("o_orderstatus")
+        .select(
+            "o_orderstatus",
+            F.element_at(prob_col, F.col("pos") + 1).alias("quantile"),
+            "value",
+        )
+        .orderBy("o_orderstatus", "quantile")
     )
 
 

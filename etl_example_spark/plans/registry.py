@@ -42,6 +42,61 @@ class Query:
 
 QUERIES: dict[str, Query] = {}
 
+#: Queries the external driver has already verified in earlier rounds
+#: (union of non-errored rows across CORRECTNESS_r01–r03). The driver's
+#: per-round CORRECTNESS gate covers only the FIRST 50 registry entries,
+#: so ``load_all`` orders sentinels first, then never-verified queries,
+#: then this backlog — rotating external coverage across rounds. Update
+#: this set from each round's CORRECTNESS file.
+PRIOR_VERIFIED: frozenset[str] = frozenset(
+    {
+        "d23_dedup_exact_stats", "d24_dedup_exact_keep", "d25_jaccard_pairs",
+        "d26_minhash_lsh_pairs", "d27_simhash_buckets", "d28_text_quality",
+        "d29_langid", "d30_fingerprint", "d31_dedup_clusters",
+        "d32_edit_distance_pairs", "d33_udtf_ngrams", "d34_mad_outliers",
+        "d39_bpe_token_stats", "d40_repetition_metrics", "d41_pii_scrub",
+        "d42_stratified_sample", "d43_winnowing", "d44_weighted_stats",
+        "d45_data_quality", "d46_pack_sequences", "d47_contamination",
+        "d48_temperature_mixture", "d49_arrow_udf", "d50_map_in_arrow",
+        "d51_polymorphic_udtf", "d52_tfidf_top_terms", "d53_curation_pipeline",
+        "d54_crypto_fingerprints", "d55_incremental_neardup",
+        "d56_text_chunking", "m34_multimodal_stats", "m35_mixed_media_stats",
+        "m36_frame_sample", "m37_audio_chunks", "m38_encode_then_search",
+        "q0_pricing_summary", "q10_anti_join", "q11_outer_join_agg",
+        "q12_distinct_agg", "q13_rollup", "q14_having", "q15_cte_subquery",
+        "q16_set_ops", "q17_topk_orders", "q18_json_extract", "q19_pivot",
+        "q1_weekly_units", "q20_sessionize", "q21_tumbling_window",
+        "q22_approx_distinct", "q2_top_products", "q3_top_stores",
+        "q41_shipping_priority", "q42_local_supplier_volume",
+        "q44_exact_percentiles", "q45_grouping_sets", "q46_asof_join",
+        "q47_range_bin_join", "q48_cube", "q4_seasonality",
+        "q5_curation_filter", "q6_date_repair", "q7_window_topk_per_group",
+        "q8_window_running_total", "q9_semi_join", "s31_cosine_topk",
+        "s32_embedding_near_dup", "s33_ann_topk", "s40_ivf_topk",
+        "s41_batch_topk", "s42_pq_topk",
+    }
+)
+
+#: Always inside the driver window regardless of rotation — the reference
+#: parity queries (SURVEY §2's core surface) act as regression sentinels.
+SENTINELS: tuple[str, ...] = (
+    "q1_weekly_units", "q2_top_products", "q3_top_stores",
+    "q4_seasonality", "q5_curation_filter", "q6_date_repair",
+)
+
+#: Head of this round's rotation: queries that crashed or answered
+#: wrongly on the regenerated testdata (VERDICT round 3) plus the
+#: never-verified streaming family — these need external rows most.
+ROTATION_PRIORITY: tuple[str, ...] = (
+    "st35_stream_tumbling", "st36_stream_sliding_watermark",
+    "st37_stream_session_windows", "st38_stream_first_seen_dedup",
+    "st39_stream_stream_join", "st40_stream_update_counts",
+    "st41_stream_builtin_dedup", "st42_stream_static_enrichment",
+    "st43_stream_cdc_apply", "st44_stream_python_source",
+    "st45_stream_neardup_probe", "q20_sessionize", "q57_zorder_key",
+    "q61_approx_quantiles",
+)
+
 
 def register(
     name: str,
@@ -71,7 +126,10 @@ def register(
 
 
 def load_all() -> dict[str, Query]:
-    """Import every module that registers queries; return the registry."""
+    """Import every module that registers queries; return the registry,
+    ordered so the driver's 50-entry CORRECTNESS window is spent well:
+    sentinels, then this round's rotation priority, then never-verified
+    queries in registration order, then the already-verified backlog."""
     # Imports are side-effecting (decorators populate QUERIES).
     from etl_example_spark.plans import (  # noqa: F401
         llm_ops,
@@ -80,4 +138,15 @@ def load_all() -> dict[str, Query]:
         streaming_ops,
     )
 
-    return QUERIES
+    names = list(QUERIES)
+
+    def rank(name: str) -> tuple[int, int]:
+        if name in SENTINELS:
+            return (0, SENTINELS.index(name))
+        if name in ROTATION_PRIORITY:
+            return (1, ROTATION_PRIORITY.index(name))
+        if name not in PRIOR_VERIFIED:
+            return (2, names.index(name))
+        return (3, names.index(name))
+
+    return {n: QUERIES[n] for n in sorted(names, key=rank)}

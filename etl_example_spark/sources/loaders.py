@@ -55,30 +55,52 @@ def warm_tables(
         _WARM[key] = df
 
 
+def repair_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to a proper UTC ``timestamp``,
+    branching on the *read* dtype rather than assuming a physical encoding
+    (the testdata has shipped both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) over time):
+
+    - ``bigint``        → nanos-since-epoch under ``nanosAsLong``; divide
+                          to micros and rebuild the timestamp,
+    - ``timestamp_ntz`` → wall-clock micros; reinterpret as UTC (session
+                          timezone is pinned to UTC at the session
+                          boundary, so the cast is instant-preserving),
+    - ``timestamp``     → already correct, pass through.
+
+    Keeping the repair type-driven makes every downstream consumer
+    (windows, unix_micros, long casts) robust to testdata regeneration.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(
+            col, F.timestamp_micros(F.expr(f"{col} div 1000"))
+        )
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (``{sf_dir}/{name}.parquet``).
 
     A plain ``spark.read.parquet`` so every downstream filter/projection is
     eligible for pushdown into the vectorized parquet reader.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's reader
-    rejects by default; read it as nanos-since-epoch and convert to a
-    microsecond timestamp (schema repair at the source boundary — the same
-    derive-don't-mutate pattern as operators/curation.py).
+    ``events.ts`` has shipped under several physical encodings; repair it
+    to a proper UTC timestamp at the source boundary (type-driven — see
+    :func:`repair_event_ts`), the same derive-don't-mutate pattern as
+    operators/curation.py.
     """
     warm = _WARM.get((id(spark), sf_dir, name))
     if warm is not None:
         return warm
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # Requires spark.sql.legacy.parquet.nanosAsLong=true (set by
-        # session.get_spark / session.configure_session at the session
-        # boundary — loaders themselves never mutate caller config).
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            # physical TIMESTAMP(NANOS) surfaced as nanos-since-epoch
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df  # re-written copies carry a proper timestamp already
+        # nanosAsLong=true is set by session.get_spark so a NANOS file
+        # surfaces as bigint instead of erroring; loaders themselves
+        # never mutate caller config.
+        return repair_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

@@ -2,11 +2,11 @@
 
 ``read_events_stream`` turns the testdata events table into a file-stream
 source: ``spark.readStream.schema(...).parquet(path)``. File streams
-require an explicit schema; the physical ``ts`` column is
-TIMESTAMP(NANOS), which Spark's reader only accepts as nanos-since-epoch
-long (``spark.sql.legacy.parquet.nanosAsLong``), so the source repairs it
-to a microsecond timestamp at the boundary — the same derive-don't-mutate
-repair as the batch loader (sources/loaders.py).
+require an explicit schema; rather than hardcoding one (the testdata's
+physical ``ts`` encoding has changed across regenerations — NANOS then
+MICROS-NTZ), the source derives the schema from a cheap batch footer read
+of the same directory and applies the *type-driven* ``ts`` repair shared
+with the batch loader (sources/loaders.repair_event_ts).
 
 At scale this is the landing-zone pattern: new parquet files appear in a
 directory (one per upstream micro-batch / Kafka offset range), the file
@@ -23,20 +23,9 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: physical schema of events.parquet under nanosAsLong (ts: long nanos)
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from etl_example_spark.sources.loaders import repair_event_ts
 
 
 def _staging_dir(sf_dir: str) -> str:
@@ -62,14 +51,20 @@ def read_events_stream(
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-stream source over ``{sf_dir}/events.parquet`` with the ts
-    column repaired to a proper timestamp (event-time ready)."""
+    column repaired to a proper timestamp (event-time ready).
+
+    The stream schema is derived from a batch footer read of the staging
+    dir (one file, metadata-only) so the source tracks whatever physical
+    encoding the current testdata uses; the repair itself is the shared
+    type-driven one from the batch loader."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    staging = _staging_dir(sf_dir)
+    raw_schema = spark.read.parquet(staging).schema
+    reader = spark.readStream.schema(raw_schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.load(_staging_dir(sf_dir))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return repair_event_ts(reader.load(staging))
 
 
 DOCUMENTS_SCHEMA = T.StructType(

@@ -65,11 +65,55 @@ def test_salt_spreads_hot_key(spark):
     assert buckets == 8
 
 
-def test_salt_spreads_identical_duplicate_rows(spark):
-    """Fully identical duplicate rows (the degenerate hot-key shape) must
-    still spread — a content-hash salt would collapse them onto one salt."""
-    dup = spark.range(10_000).select(
-        F.lit(1).alias("k"), F.lit("same").alias("v")
+def test_salt_is_deterministic_across_materializations(spark):
+    """The salt must be a pure function of row content: recomputing the
+    same plan twice (a proxy for a stage retry) must route every row to
+    the same sub-group — a nondeterministic salt (rand /
+    monotonically_increasing_id) can double-count or drop rows when a
+    retried task re-salts them (SPARK-23207 class)."""
+    df = spark.range(5_000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
     )
-    buckets = with_salt(dup, 8).select("_salt").distinct().count()
-    assert buckets == 8
+    # shuffle upstream so a retry-order change is at least plausible
+    shuffled = df.repartition(8, "v")
+    first = {
+        (r.k, r.v): r._salt for r in with_salt(shuffled, 8).collect()
+    }
+    second = {
+        (r.k, r.v): r._salt for r in with_salt(shuffled, 8).collect()
+    }
+    assert first == second
+
+
+def test_salted_agg_dedup_first_equals_plain_agg(spark):
+    """dedup_first handles the identical-duplicate hot-key shape (content
+    salt would pile them on one sub-group) via exact-duplicate collapse +
+    weighted partials — and must still equal the plain aggregate."""
+    dup = spark.range(10_000).select(
+        F.lit(1).alias("k"),
+        (F.col("id") % 3).cast("double").alias("v"),
+    )
+    plain = dup.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    ).collect()[0]
+    salted = salted_agg(
+        dup,
+        ["k"],
+        {
+            "n": ("count", "v"),
+            "s": ("sum", "v"),
+            "mn": ("min", "v"),
+            "mx": ("max", "v"),
+        },
+        salt=8,
+        dedup_first=True,
+    ).collect()[0]
+    assert (salted.n, salted.s, salted.mn, salted.mx) == (
+        plain.n,
+        plain.s,
+        plain.mn,
+        plain.mx,
+    )
