@@ -34,10 +34,13 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 
 
-def with_salt(df: DataFrame, salt: int) -> DataFrame:
-    """Salt column in [0, salt): ``pmod(xxhash64(<all columns>), salt)``.
+def with_salt(
+    df: DataFrame, salt: int, salt_cols: Sequence[str] | None = None
+) -> DataFrame:
+    """Salt column in [0, salt): ``pmod(xxhash64(<salt_cols>), salt)``.
 
     Content-derived, so the salt is **stable across re-computation** — a
     task retry reproduces the same routing and phase-2 merges exactly the
@@ -47,9 +50,26 @@ def with_salt(df: DataFrame, salt: int) -> DataFrame:
     docstring for why nondeterministic sources are unsafe under retries.)
     Distinct rows of a hot key spread uniformly; bit-identical duplicates
     share a sub-group (pre-aggregate duplicates first if that shape
-    dominates)."""
+    dominates).
+
+    ``salt_cols`` defaults to every *hashable* column: MapType columns are
+    excluded (Spark forbids hashing maps — DATATYPE_MISMATCH under the
+    default ``spark.sql.legacy.allowHashOnMapType=false``), and narrowing
+    to a few high-cardinality columns also cuts per-row hash cost on wide
+    rows. Passing an explicit subset is the fast path; determinism only
+    requires that the chosen columns are stable row content."""
+    if salt_cols is None:
+        salt_cols = [
+            f.name
+            for f in df.schema.fields
+            if not isinstance(f.dataType, MapType)
+        ]
+        if not salt_cols:  # all-map schema: constant hash still routes
+            return df.withColumn(
+                "_salt", F.pmod(F.xxhash64(F.lit(0)), F.lit(salt))
+            )
     return df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(salt))
+        "_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salt))
     )
 
 
@@ -89,11 +109,22 @@ def salted_agg(
         agg_cols = {col for _, (_, col) in aggs.items()}
         if not all(isinstance(c, str) for c in agg_cols):
             raise ValueError("dedup_first requires string column names")
-        cols = list(group_by) + sorted(agg_cols - set(group_by))
+        cols = list(group_by) + sorted(agg_cols - set(group_by) - {"*"})
         collapsed = df.groupBy(*cols).agg(F.count("*").alias("_dup"))
         weighted = {
             "sum": lambda c: F.sum(F.col(c) * F.col("_dup")),
-            "count": lambda c: F.sum("_dup"),
+            # COUNT(col) skips nulls — weight only non-null rows so the
+            # dedup path matches the plain F.count(col) aggregate;
+            # COUNT(*) counts every row, so it keeps the raw weight sum.
+            "count": lambda c: (
+                F.sum("_dup")
+                if c == "*"
+                else F.sum(
+                    F.when(F.col(c).isNotNull(), F.col("_dup")).otherwise(
+                        F.lit(0)
+                    )
+                )
+            ),
             "min": F.min,
             "max": F.max,
         }

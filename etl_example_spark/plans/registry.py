@@ -42,8 +42,14 @@ class Query:
 
 QUERIES: dict[str, Query] = {}
 
+#: Current round number — bump each round; seeds the deterministic
+#: rotation of the already-verified backlog through the driver window so
+#: regressions in verified queries are eventually re-caught (a different
+#: ~39-query sample each round instead of only the 6 sentinels).
+ROUND = 5
+
 #: Queries the external driver has already verified in earlier rounds
-#: (union of non-errored rows across CORRECTNESS_r01–r03). The driver's
+#: (union of non-errored rows across CORRECTNESS_r01–r04). The driver's
 #: per-round CORRECTNESS gate covers only the FIRST 50 registry entries,
 #: so ``load_all`` orders sentinels first, then never-verified queries,
 #: then this backlog — rotating external coverage across rounds. Update
@@ -74,6 +80,27 @@ PRIOR_VERIFIED: frozenset[str] = frozenset(
         "q8_window_running_total", "q9_semi_join", "s31_cosine_topk",
         "s32_embedding_near_dup", "s33_ann_topk", "s40_ivf_topk",
         "s41_batch_topk", "s42_pq_topk",
+        # round 4 (CORRECTNESS_r04: 49 green + q61 rows-only)
+        "st35_stream_tumbling", "st36_stream_sliding_watermark",
+        "st37_stream_session_windows", "st38_stream_first_seen_dedup",
+        "st39_stream_stream_join", "st40_stream_update_counts",
+        "st41_stream_builtin_dedup", "st42_stream_static_enrichment",
+        "st43_stream_cdc_apply", "st44_stream_python_source",
+        "st45_stream_neardup_probe", "q49_window_breadth",
+        "q50_exists_correlated", "q51_scalar_correlated",
+        "q52_conditional_agg", "q53_lateral_explode", "q54_date_breadth",
+        "q55_range_frame_window", "q56_null_safe_join", "q57_zorder_key",
+        "q58_merge_upsert", "q59_rank_functions",
+        "q60_intersect_except_all", "q61_approx_quantiles",
+        "q62_incremental_agg", "q63_disjunctive_predicates",
+        "q64_promo_revenue_ratio", "q65_market_share",
+        "q66_small_quantity_revenue", "q67_large_orders",
+        "q68_sole_late_supplier", "q69_quiet_big_accounts",
+        "q70_python_datasource", "q71_hof_array_pipeline",
+        "q72_gap_fill_resample", "q73_variant_semi_structured",
+        "q74_recursive_hierarchy", "q75_salted_agg", "q76_try_functions",
+        "q77_bucket_join", "q78_moment_statistics", "q79_funnel_analysis",
+        "q80_unpivot",
     }
 )
 
@@ -84,17 +111,13 @@ SENTINELS: tuple[str, ...] = (
     "q4_seasonality", "q5_curation_filter", "q6_date_repair",
 )
 
-#: Head of this round's rotation: queries that crashed or answered
-#: wrongly on the regenerated testdata (VERDICT round 3) plus the
-#: never-verified streaming family — these need external rows most.
+#: Head of this round's rotation: the only 5 registry queries with no
+#: external green row yet (VERDICT round 4 "What's missing" #4) — after
+#: this round every registered query has been driver-verified at least
+#: once.
 ROTATION_PRIORITY: tuple[str, ...] = (
-    "st35_stream_tumbling", "st36_stream_sliding_watermark",
-    "st37_stream_session_windows", "st38_stream_first_seen_dedup",
-    "st39_stream_stream_join", "st40_stream_update_counts",
-    "st41_stream_builtin_dedup", "st42_stream_static_enrichment",
-    "st43_stream_cdc_apply", "st44_stream_python_source",
-    "st45_stream_neardup_probe", "q20_sessionize", "q57_zorder_key",
-    "q61_approx_quantiles",
+    "q81_pandas_api", "q82_map_type", "q83_scalar_function_breadth",
+    "q84_na_handling", "q85_interval_overlap_join",
 )
 
 
@@ -129,7 +152,13 @@ def load_all() -> dict[str, Query]:
     """Import every module that registers queries; return the registry,
     ordered so the driver's 50-entry CORRECTNESS window is spent well:
     sentinels, then this round's rotation priority, then never-verified
-    queries in registration order, then the already-verified backlog."""
+    queries in registration order, then the already-verified backlog in a
+    ROUND-seeded deterministic shuffle — each round re-exposes a
+    different ~39-query sample of the verified backlog to the external
+    gate, so a regression anywhere is caught within a few rounds instead
+    of hiding behind the 6 sentinels forever."""
+    import hashlib
+
     # Imports are side-effecting (decorators populate QUERIES).
     from etl_example_spark.plans import (  # noqa: F401
         llm_ops,
@@ -140,13 +169,16 @@ def load_all() -> dict[str, Query]:
 
     names = list(QUERIES)
 
-    def rank(name: str) -> tuple[int, int]:
+    def backlog_key(name: str) -> str:
+        return hashlib.md5(f"{ROUND}:{name}".encode()).hexdigest()
+
+    def rank(name: str) -> tuple[int, object]:
         if name in SENTINELS:
             return (0, SENTINELS.index(name))
         if name in ROTATION_PRIORITY:
             return (1, ROTATION_PRIORITY.index(name))
         if name not in PRIOR_VERIFIED:
             return (2, names.index(name))
-        return (3, names.index(name))
+        return (3, backlog_key(name))
 
     return {n: QUERIES[n] for n in sorted(names, key=rank)}

@@ -27,6 +27,22 @@ from pyspark.sql import types as T
 
 from etl_example_spark.sources.loaders import repair_event_ts
 
+#: Canonical logical events schema — the fallback when the landing dir has
+#: no readable parquet footers yet (an empty landing zone is the *normal*
+#: cold-start state of a file-stream source; the reference tolerates
+#: missing objects the same way, src/job.py:100-112 to_regclass -> None).
+#: ``ts`` is TimestampType so ``repair_event_ts`` passes it through.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
 
 def _staging_dir(sf_dir: str) -> str:
     """File-stream sources watch a *directory*; the testdata table is a
@@ -60,7 +76,16 @@ def read_events_stream(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     staging = _staging_dir(sf_dir)
-    raw_schema = spark.read.parquet(staging).schema
+    try:
+        # recursiveFileLookup: the landing entry may be a single file OR a
+        # directory-shaped parquet table (e.g. a Spark-written batch).
+        raw_schema = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(staging)
+            .schema
+        )
+    except Exception:  # UNABLE_TO_INFER_SCHEMA: no footers yet (cold start)
+        raw_schema = EVENTS_RAW_SCHEMA
     reader = spark.readStream.schema(raw_schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

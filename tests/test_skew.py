@@ -85,6 +85,50 @@ def test_salt_is_deterministic_across_materializations(spark):
     assert first == second
 
 
+def test_salted_agg_dedup_first_null_handling(spark):
+    """COUNT(col) skips nulls; the dedup_first weighted path must too
+    (and COUNT(*) must keep counting every row)."""
+    dup = spark.createDataFrame(
+        [(1, None), (1, None), (1, 2.0), (1, 2.0), (1, 5.0)],
+        "k int, v double",
+    )
+    plain = dup.groupBy("k").agg(
+        F.count("v").alias("n"),
+        F.count("*").alias("n_star"),
+        F.sum("v").alias("s"),
+    ).collect()[0]
+    assert (plain.n, plain.n_star, plain.s) == (3, 5, 9.0)
+    salted = salted_agg(
+        dup,
+        ["k"],
+        {
+            "n": ("count", "v"),
+            "n_star": ("count", "*"),
+            "s": ("sum", "v"),
+        },
+        salt=4,
+        dedup_first=True,
+    ).collect()[0]
+    assert (salted.n, salted.n_star, salted.s) == (
+        plain.n,
+        plain.n_star,
+        plain.s,
+    )
+
+
+def test_with_salt_skips_map_columns(spark):
+    """xxhash64 rejects MapType (DATATYPE_MISMATCH); with_salt must salt
+    schemas carrying map columns by hashing only the hashable ones."""
+    df = spark.sql(
+        "SELECT id AS k, map('a', id) AS m FROM range(100)"
+    )
+    salted = with_salt(df, 8)
+    assert salted.select("_salt").distinct().count() > 1
+    # explicit salt_cols narrows the hash to the named columns
+    narrow = with_salt(df, 8, salt_cols=["k"])
+    assert narrow.select("_salt").distinct().count() > 1
+
+
 def test_salted_agg_dedup_first_equals_plain_agg(spark):
     """dedup_first handles the identical-duplicate hot-key shape (content
     salt would pile them on one sub-group) via exact-duplicate collapse +
