@@ -714,12 +714,71 @@ def incremental_minhash_pairs(
     Candidates = (new bands ⋈ existing bands on (band_id, band_hash))
     ∪ (new-vs-new via the posting-list path); verification is the same
     exact-Jaccard test as ``minhash_lsh_dedup``. At scale the existing
-    side's digests/sets are a stored index table; per batch, cost is
-    O(new) + the probe joins."""
+    side's digests/sets are a stored index table — pass those directly
+    to :func:`probe_minhash_index` (this wrapper recomputes them from
+    the existing corpus text); per batch, cost is O(new) + the probe
+    joins."""
     st_old = staged_shingles(existing, n, text_col, id_col)
-    st_new = staged_shingles(new, n, text_col, id_col)
     b_old = band_digests(st_old.signatures(num_hashes), num_hashes, bands)
+    return probe_minhash_index(
+        b_old,
+        st_old.sets,
+        new,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+    )
+
+
+def minhash_index(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The storable LSH index of a document set: ``(bands, sets)`` =
+    ((doc_id, band_id, band_hash), (doc_id, sh_set, n_shingles)).
+    Build once per corpus/batch, persist as two parquet tables, probe
+    with :func:`probe_minhash_index`."""
+    st = staged_shingles(docs, n, text_col, id_col)
+    return (
+        band_digests(st.signatures(num_hashes), num_hashes, bands),
+        st.sets,
+    )
+
+
+def probe_minhash_index(
+    index_bands: DataFrame,
+    index_sets: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.6,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs involving ``new``, probed against a STORED LSH
+    index: ``index_bands`` = (doc_id, band_id, band_hash) from
+    :func:`band_digests`, ``index_sets`` = (doc_id, sh_set, n_shingles)
+    from ``staged_shingles(...).sets``. Doc ids must be unique across
+    index + new.
+
+    This is the continuously-ingested-corpus maintenance shape: the
+    index lives as two parquet tables; each arriving batch (a) probes
+    the index for new×existing pairs, (b) self-checks for new×new pairs
+    via the posting-list path, and (c) appends its own digests/sets to
+    the index so LATER batches see it — no re-shingling of the corpus,
+    ever. Per-batch cost is O(new) + the band-equality probe join."""
+    st_new = staged_shingles(new, n, text_col, id_col)
     b_new = band_digests(st_new.signatures(num_hashes), num_hashes, bands)
+    b_old = index_bands
+    st_old_sets = index_sets
     cross = (
         b_new.select(
             F.col("doc_id").alias("new_id"), "band_id", "band_hash"
@@ -736,7 +795,7 @@ def incremental_minhash_pairs(
         st_new.signatures(num_hashes), num_hashes, bands
     )
     cands = cross.unionByName(within).distinct()
-    sets_all = st_old.sets.unionByName(st_new.sets)
+    sets_all = st_old_sets.unionByName(st_new.sets)
     a = sets_all.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh_set").alias("set_a"),

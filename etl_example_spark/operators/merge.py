@@ -48,6 +48,7 @@ def apply_cdc(
     op_col: str = "op",
     delete_op: str = "D",
     sequence_col: str | None = None,
+    tombstone_col: str | None = None,
 ) -> DataFrame:
     """Merged table state after applying ``changes`` to ``target``.
 
@@ -55,7 +56,23 @@ def apply_cdc(
     ``op_col`` ('U'/'I'/``delete_op``) and optionally ``sequence_col``.
     Matched keys are replaced (or dropped for deletes); unmatched
     non-delete changes insert. Result schema == target schema.
+
+    **Cross-batch staleness**: when the *target itself carries*
+    ``sequence_col`` (the applied-sequence-per-key state), changes whose
+    sequence is not strictly newer than the target's are dropped — a
+    late-replayed batch carrying older sequences can no longer overwrite
+    newer state, and replaying the same batch is a no-op. Pass
+    ``tombstone_col`` (also persisted in the target) to make deletes
+    leave a flagged tombstone row instead of vanishing, so a stale
+    update arriving *after* the delete cannot resurrect the key. Without
+    a target sequence column the merge is single-batch last-writer-wins
+    (within-batch compaction only), as before.
     """
+    if sequence_col is not None and sequence_col in target.columns:
+        return _apply_cdc_sequenced(
+            target, changes, key_cols, op_col, delete_op,
+            sequence_col, tombstone_col,
+        )
     if sequence_col is not None:
         changes = latest_change_per_key(
             changes, key_cols, sequence_col, op_col
@@ -65,4 +82,55 @@ def apply_cdc(
     upserts = changes.filter(F.col(op_col) != delete_op).select(
         *target.columns
     )
+    return survivors.unionByName(upserts)
+
+
+def _apply_cdc_sequenced(
+    target: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str,
+    delete_op: str,
+    sequence_col: str,
+    tombstone_col: str | None,
+) -> DataFrame:
+    """Sequence-aware merge: the target persists the applied sequence per
+    key (and optionally a delete tombstone), so batches may arrive out of
+    order or be replayed — only strictly-newer changes apply.
+
+    Plan shape (the target never shuffles): one broadcast-semi scan of
+    the target to fetch current sequences for the (small) change-key set,
+    one broadcast-anti scan for survivors, one union. The per-key current
+    sequences are at most |change keys| rows, so both joins broadcast.
+    """
+    compacted = latest_change_per_key(
+        changes, key_cols, sequence_col, op_col
+    )
+    keys = compacted.select(*key_cols)
+    current = (
+        target.join(F.broadcast(keys), key_cols, "left_semi")
+        .select(*key_cols, F.col(sequence_col).alias("_cur_seq"))
+    )
+    effective = (
+        compacted.join(F.broadcast(current), key_cols, "left")
+        .filter(
+            F.col("_cur_seq").isNull()
+            | (F.col(sequence_col) > F.col("_cur_seq"))
+        )
+        .drop("_cur_seq")
+    )
+    survivors = target.join(
+        F.broadcast(effective.select(*key_cols)), key_cols, "left_anti"
+    )
+    if tombstone_col is not None:
+        upserts = effective.withColumn(
+            tombstone_col, F.col(op_col) == delete_op
+        ).select(*target.columns)
+    else:
+        # no tombstones: a delete forgets the key's sequence, so a stale
+        # update arriving after it would re-insert — callers needing
+        # out-of-order delete safety must persist tombstone_col
+        upserts = effective.filter(F.col(op_col) != delete_op).select(
+            *target.columns
+        )
     return survivors.unionByName(upserts)

@@ -341,7 +341,10 @@ def st43_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from etl_example_spark.streaming.sinks import stream_cdc_to_parquet
+    from etl_example_spark.streaming.sinks import (
+        read_cdc_state,
+        stream_cdc_to_parquet,
+    )
 
     stream = read_events_stream(spark, sf_dir)
     changes = stream.select(
@@ -360,11 +363,7 @@ def st43_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_cols=["user_id", "value"],
         sequence_col="seq",
     )
-    import os
-
-    final = spark.read.parquet(
-        os.path.realpath(os.path.join(target_path, "current"))
-    )
+    final = read_cdc_state(spark, target_path)
     return final.select(
         "user_id",
         F.round(F.col("value") * 100).cast("long").alias("value_cents"),
@@ -415,13 +414,15 @@ def st44_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "st45_stream_neardup_probe",
     "Streaming ingestion dedup: arriving document batches (the stream "
-    "carries the new fifth of the corpus) probe the STATIC corpus's "
-    "stored LSH index per micro-batch via foreachBatch + "
-    "incremental_minhash_pairs, appending verified near-dup pairs to a "
-    "parquet sink — the continuously-ingested-corpus dedup loop. The "
-    "oracle recomputes the same pair set from scratch "
+    "carries the new fifth of the corpus) probe a stored LSH index per "
+    "micro-batch via foreachBatch + probe_minhash_index, then APPEND "
+    "their own digests to the index — so batches are checked against "
+    "the static corpus, themselves, and every earlier batch (no "
+    "new-by-new blind spot across micro-batches). Verified near-dup "
+    "pairs append to a parquet sink — the continuously-ingested-corpus "
+    "dedup loop. The oracle recomputes the same pair set from scratch "
     "(streaming/sources.read_documents_stream + "
-    "operators/dedup.incremental_minhash_pairs).",
+    "operators/dedup.probe_minhash_index).",
     oracle=f"""
         WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
         sh AS (SELECT doc_id, unnest({SQL_SHINGLES3}) AS shingle FROM t),
@@ -478,11 +479,38 @@ def st45_stream_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_dir = _tempfile.mkdtemp(prefix="neardup_pairs_")
 
+    # The LSH index lives as two parquet tables, seeded from the static
+    # corpus; every processed micro-batch APPENDS its own digests/sets,
+    # so a later batch's documents are compared against all earlier
+    # batches too (new×new across micro-batches), never just the static
+    # corpus. Per batch the corpus text is untouched — probe cost is
+    # O(batch) + the band-equality join against the stored index.
+    idx_dir = _tempfile.mkdtemp(prefix="neardup_idx_")
+    bands_dir = os.path.join(idx_dir, "bands")
+    sets_dir = os.path.join(idx_dir, "sets")
+    seed_bands, seed_sets = dedup.minhash_index(
+        static_docs, num_hashes=16, bands=4, n=3
+    )
+    seed_bands.write.parquet(bands_dir)
+    seed_sets.write.parquet(sets_dir)
+
     def probe(batch, epoch_id: int) -> None:
-        pairs = dedup.incremental_minhash_pairs(
-            static_docs, batch, threshold=0.6, num_hashes=16, bands=4, n=3
+        bspark = batch.sparkSession
+        pairs = dedup.probe_minhash_index(
+            bspark.read.parquet(bands_dir),
+            bspark.read.parquet(sets_dir),
+            batch,
+            threshold=0.6,
+            num_hashes=16,
+            bands=4,
+            n=3,
         )
         pairs.write.mode("append").parquet(out_dir)
+        new_bands, new_sets = dedup.minhash_index(
+            batch, num_hashes=16, bands=4, n=3
+        )
+        new_bands.write.mode("append").parquet(bands_dir)
+        new_sets.write.mode("append").parquet(sets_dir)
 
     q = (
         stream.writeStream.foreachBatch(probe)

@@ -96,6 +96,23 @@ def stream_to_parquet(
     query.awaitTermination()
 
 
+def read_cdc_state(spark, target_path: str) -> DataFrame:
+    """Clean view of a ``stream_cdc_to_parquet`` target: the live rows,
+    without the merge's bookkeeping columns (applied-sequence and
+    ``_deleted`` tombstones, present when the sink ran sequence-aware)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(
+        os.path.realpath(os.path.join(target_path, "current"))
+    )
+    if "_deleted" in df.columns:
+        df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        df = df.drop("_deleted")
+    return df
+
+
 def stream_cdc_to_parquet(
     changes: DataFrame,
     target_path: str,
@@ -116,16 +133,27 @@ def stream_cdc_to_parquet(
     id, so a replayed batch rewrites the same state (idempotent merge —
     the exactly-once recipe for non-transactional sinks).
 
+    When ``sequence_col`` is given, the state *persists* the applied
+    sequence per key plus a ``_deleted`` tombstone flag, so merges are
+    correct across batches even when change batches replay or arrive out
+    of sequence order (a later batch carrying an older sequence is
+    dropped; a stale update cannot resurrect a deleted key). Read the
+    clean view back with :func:`read_cdc_state` — it filters tombstones
+    and drops the bookkeeping columns.
+
     At scale the same shape targets a transactional table format; the
     merge itself is apply_cdc's broadcast-keys anti-join, so the target
     never shuffles.
     """
     import os
 
+    from pyspark.sql import functions as F
+
     from etl_example_spark.operators.merge import apply_cdc
 
     os.makedirs(target_path, exist_ok=True)
     current = os.path.join(target_path, "current")
+    tombstone = "_deleted" if sequence_col is not None else None
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -133,12 +161,17 @@ def stream_cdc_to_parquet(
             target = spark.read.parquet(os.path.realpath(current))
         else:
             target = batch.select(*target_cols).limit(0)
+            if sequence_col is not None:
+                target = batch.select(
+                    *target_cols, sequence_col
+                ).withColumn(tombstone, F.lit(False)).limit(0)
         merged = apply_cdc(
             target,
             batch,
             key_cols,
             op_col=op_col,
             sequence_col=sequence_col,
+            tombstone_col=tombstone,
         )
         # unique dir per write: the merge plan READS the current state
         # lazily, so writing into the directory being read (e.g. a
@@ -169,8 +202,12 @@ def stream_cdc_to_parquet(
     if not os.path.lexists(current):
         # empty source -> zero micro-batches ran; the target must still
         # exist (readers contract on `current`), as the empty table
+        bootstrap = changes.select(*target_cols)
+        if sequence_col is not None:
+            bootstrap = changes.select(*target_cols, sequence_col)
+            bootstrap = bootstrap.withColumn("_deleted", F.lit(False))
         empty = changes.sparkSession.createDataFrame(
-            [], changes.select(*target_cols).schema
+            [], bootstrap.schema
         )
         out = os.path.join(target_path, "state_bootstrap")
         empty.write.mode("overwrite").parquet(out)

@@ -48,6 +48,47 @@ def test_apply_cdc_sequence_compaction(spark):
     assert got == [(1, "a2")]
 
 
+def test_apply_cdc_out_of_order_batches_converge(spark):
+    """Sequence-persistent merge: when the target carries the sequence
+    column (and a tombstone flag), applying change batches in ANY order
+    converges to the same live state — a late batch with older sequences
+    can't clobber newer state, and a stale update can't resurrect a
+    deleted key."""
+    from pyspark.sql import functions as F
+
+    batch_a = spark.createDataFrame(
+        [(1, "new", "U", 10), (2, None, "D", 12), (3, "c3", "I", 11)],
+        "k long, name string, op string, seq long",
+    )
+    batch_b = spark.createDataFrame(
+        [(1, "old", "U", 5), (2, "stale-after-delete", "U", 6)],
+        "k long, name string, op string, seq long",
+    )
+    empty_state = (
+        spark.createDataFrame([], "k long, name string, seq long")
+        .withColumn("_deleted", F.lit(False))
+    )
+
+    def apply_all(batches):
+        state = empty_state
+        for b in batches:
+            state = apply_cdc(
+                state, b, ["k"], sequence_col="seq",
+                tombstone_col="_deleted",
+            )
+        return sorted(
+            (r.k, r.name)
+            for r in state.filter("NOT _deleted").collect()
+        )
+
+    in_order = apply_all([batch_b, batch_a])
+    out_of_order = apply_all([batch_a, batch_b])
+    assert in_order == out_of_order == [(1, "new"), (3, "c3")]
+    # replaying a batch is a no-op
+    replayed = apply_all([batch_b, batch_a, batch_a, batch_b])
+    assert replayed == in_order
+
+
 def test_same_sequence_delete_wins(spark):
     changes = spark.createDataFrame(
         [(1, "u", "U", 5), (1, None, "D", 5)],

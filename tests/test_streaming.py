@@ -240,10 +240,11 @@ class TestStreamCdcSink:
                 target_cols=["user_id", "value"],
                 sequence_col="seq",
             )
-            cur = os.path.realpath(os.path.join(target, "current"))
+            from etl_example_spark.streaming.sinks import read_cdc_state
+
             return {
                 r.user_id: r.value
-                for r in spark.read.parquet(cur).collect()
+                for r in read_cdc_state(spark, target).collect()
             }
 
         target = str(tmp_path / "cdc")
