@@ -7,9 +7,12 @@ Runs the headline (bench-flagged) queries from the registry at
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Per BASELINE.md, the reference's comparable numbers are warm-server query
-latencies (~39-500 ms on 101k rows); we mirror that: one untimed warm-up
-execution per query (JIT, code-gen, file-footer caching), then the median
-of 3 timed runs. ``value`` is the sum of per-query medians.
+latencies (~39-500 ms on 101k rows); we mirror that: two untimed warm-up
+executions per query (JIT, code-gen, file-footer caching — the second
+warm-up absorbs codegen-cache churn the first one triggers), then the
+median of 5 timed runs. Median-of-5 after double warm-up keeps one
+environmental hiccup (GC pause, noisy neighbor) from flipping the
+2×-of-baseline gate, which a median-of-3 once did (VERDICT r3).
 """
 
 from __future__ import annotations
@@ -27,7 +30,9 @@ from etl_example_spark.session import get_spark
 from etl_example_spark.sources.loaders import warm_tables
 
 
-def time_query(spark, query, sf_dir: str, runs: int = 3) -> float:
+def time_query(
+    spark, query, sf_dir: str, runs: int = 5, warmups: int = 2
+) -> float:
     def once() -> float:
         t0 = time.perf_counter()
         df = query.spark_builder(spark, sf_dir)
@@ -36,7 +41,8 @@ def time_query(spark, query, sf_dir: str, runs: int = 3) -> float:
         df.count()
         return time.perf_counter() - t0
 
-    once()  # warm-up (excluded, mirroring BASELINE.md's warm-server timings)
+    for _ in range(warmups):  # excluded, mirroring BASELINE.md warm-server
+        once()
     times = sorted(once() for _ in range(runs))
     return times[runs // 2]
 

@@ -1,0 +1,86 @@
+"""``python -m etl_example_spark`` — run the reference ETL lifecycle.
+
+The runnable-container entry, mirroring the reference's
+``CMD ["python", "src/job.py"]`` (``/root/reference/Dockerfile:22``,
+``src/job.py:286-331`` main()): load the star schema, log pre-counts,
+curate (date repair + quality delete with backup snapshot), log
+post-counts, run the 4 validation queries, and print each result's first
+10 rows as a table — the same observable lifecycle, executed by Spark
+instead of a Postgres server.
+
+Input selection:
+- default: the deterministic synthetic dirty star schema
+  (:mod:`etl_example_spark.fixtures`) — self-contained demo, no files
+  needed;
+- ``--ddl-dir DIR``: replay the reference's own ``*.sql`` DDL scripts
+  (DROP/CREATE/INSERT) through the SQL-script source for full parity
+  with the reference's file-driven load
+  (``src/job.py:12-17`` STARTUP_SQL_FILES).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="python -m etl_example_spark",
+        description="Run the reference-parity ETL pipeline on Spark.",
+    )
+    parser.add_argument(
+        "--ddl-dir",
+        default=None,
+        help="directory of reference-style *.sql DDL scripts to replay "
+        "(default: generate the synthetic demo star schema in-process)",
+    )
+    parser.add_argument(
+        "--rows",
+        type=int,
+        default=20_000,
+        help="synthetic fact rows when no --ddl-dir is given",
+    )
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+        stream=sys.stdout,
+    )
+    log = logging.getLogger("etl_example_spark")
+
+    from etl_example_spark.plans.pipeline import run_pipeline, show_results
+    from etl_example_spark.session import get_spark
+
+    t0 = time.time()
+    spark = get_spark(app_name="etl_example_spark")
+
+    if args.ddl_dir:
+        from etl_example_spark.sources.sql_script import load_star_schema
+
+        tables = load_star_schema(spark, args.ddl_dir)
+    else:
+        from etl_example_spark.fixtures import make_reference_tables
+        from etl_example_spark.schemas import REFERENCE_SCHEMAS
+
+        tables = {
+            name: spark.createDataFrame(pdf, schema=REFERENCE_SCHEMAS[name])
+            for name, pdf in make_reference_tables(n_fact=args.rows).items()
+        }
+
+    result = run_pipeline(spark, tables)
+    log.info("pre-curation counts: %s", result.pre_counts)
+    log.info("problematic rows: %s", result.problematic)
+    log.info("post-curation counts: %s", result.post_counts)
+    for name, table in show_results(result.query_results).items():
+        log.info("query %s:\n%s", name, table)
+    log.info("pipeline finished in %.2fs", time.time() - t0)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -166,10 +166,12 @@ def staged_shingles(
     """
     try:
         sem = df.semanticHash()
-    except Exception:  # noqa: BLE001 — cache key only; fall back to identity
-        sem = id(df)
+    except Exception:  # noqa: BLE001 — no stable key: treat as cache MISS
+        # (an id(df)-based key could alias a garbage-collected DataFrame
+        # whose id was reused, serving a stale staged index)
+        sem = None
     key = (id(df.sparkSession), sem, n, text_col, id_col)
-    if key not in _STAGED:
+    if sem is None or key not in _STAGED:
         # Restore scan parallelism before the staged artifact is pinned:
         # a single-file corpus (one row group) arrives as ONE partition,
         # which would make every downstream pass over the staged index —
@@ -187,6 +189,8 @@ def staged_shingles(
             .withColumn("n_shingles", F.size("sh_set"))
             .localCheckpoint(eager=True)
         )
+        if sem is None:  # unkeyable input: never cached, never served
+            return _StagedShingles(sets)
         _STAGED[key] = _StagedShingles(sets)
         while len(_STAGED) > _STAGED_MAX:
             _STAGED.popitem(last=False)

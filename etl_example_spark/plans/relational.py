@@ -2494,3 +2494,141 @@ def q85_interval_overlap_join(
     return joined.select("view_id", "click_id").orderBy(
         "view_id", "click_id"
     )
+
+
+@register(
+    "q86_listagg",
+    "Deterministic string aggregation (LISTAGG/string_agg): the set of "
+    "order statuses and a sorted joined clerk-digest per priority — "
+    "collect_set -> array_sort -> array_join keeps the aggregate "
+    "order-independent (a bare collect_list would be partition-order "
+    "nondeterministic and can never be hash-compared).",
+    oracle="""
+        SELECT o_orderpriority,
+               string_agg(DISTINCT o_orderstatus, ','
+                          ORDER BY o_orderstatus) AS statuses,
+               COUNT(DISTINCT o_custkey) AS n_custs
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def q86_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q87_bit_aggs",
+    "Bitwise aggregates (bit_and/bit_or/bit_xor over grouped integers) — "
+    "order-independent by algebra, engine-identical on integer inputs; "
+    "the flag-packing / permission-mask rollup shape.",
+    oracle="""
+        SELECT l_returnflag,
+               bit_and(CAST(l_linenumber AS BIGINT)) AS all_bits,
+               bit_or(CAST(l_linenumber AS BIGINT)) AS any_bits,
+               bit_xor(CAST(l_linenumber AS BIGINT)) AS parity_bits,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def q87_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    line_bits = F.col("l_linenumber").cast("long")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.bit_and(line_bits).alias("all_bits"),
+            F.bit_or(line_bits).alias("any_bits"),
+            F.bit_xor(line_bits).alias("parity_bits"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q88_histogram_bins",
+    "Fixed-width histogram: order totals bucketed by integer cents "
+    "arithmetic (bin = total_cents div width), per-bin count and exact "
+    "cents min/max — the distribution-profiling scan, one pass, no "
+    "sort. Integer division keeps the binning bit-identical across "
+    "engines (no float boundary ambiguity).",
+    oracle="""
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   // 5000000 AS bin,
+               COUNT(*) AS n,
+               MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS lo_cents,
+               MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS hi_cents
+        FROM orders
+        GROUP BY bin
+        ORDER BY bin
+    """,
+)
+def q88_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.select(cents.alias("_cents"))
+        .select(
+            F.expr("_cents div 5000000").alias("bin"), "_cents"
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_cents").alias("lo_cents"),
+            F.max("_cents").alias("hi_cents"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "q89_regexp_breadth",
+    "Regular-expression function breadth over the documents corpus: "
+    "match counts (regexp_extract_all length), scrub lengths "
+    "(regexp_replace), and anchored predicates (rlike), rolled up per "
+    "language — patterns restricted to the char-class/quantifier subset "
+    "where Java and RE2 regex semantics agree.",
+    oracle="""
+        SELECT lang,
+               CAST(SUM(len(regexp_extract_all(text, '[0-9]+')))
+                    AS BIGINT) AS n_numbers,
+               CAST(SUM(CASE WHEN regexp_matches(text, '^[A-Z]')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_upper_start,
+               CAST(SUM(length(regexp_replace(text, '[aeiou]', '', 'g')))
+                    AS BIGINT) AS len_no_vowels
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def q89_regexp_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(
+                F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0))
+            ).alias("n_numbers"),
+            F.sum(
+                F.when(F.col("text").rlike("^[A-Z]"), 1).otherwise(0)
+            ).alias("n_upper_start"),
+            F.sum(
+                F.length(F.regexp_replace("text", "[aeiou]", ""))
+            ).alias("len_no_vowels"),
+        )
+        .orderBy("lang")
+    )

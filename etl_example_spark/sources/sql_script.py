@@ -199,6 +199,43 @@ def run_sql_script(
     return out
 
 
+def load_star_schema(
+    spark: SparkSession, ddl_dir: str
+) -> dict[str, "DataFrame"]:
+    """Replay a directory of reference-style DDL scripts
+    (``chains.sql``, ``stores.sql``, ``products.sql`` plus a fact script —
+    the reference's STARTUP_SQL_FILES, ``src/job.py:12-17``) and return
+    the loaded tables keyed by name.
+
+    Script order follows the reference's fixed list where present, then
+    any remaining ``*.sql`` files alphabetically; the fact table is
+    whichever of the reference's candidate names exists after the replay
+    (``src/job.py:100-112`` to_regclass probe), surfaced as ``sellout``.
+    """
+    import os
+
+    preferred = [
+        "chains.sql", "stores.sql", "products.sql", "combined_sellout.sql"
+    ]
+    present = sorted(
+        f for f in os.listdir(ddl_dir) if f.endswith(".sql")
+    )
+    ordered = [f for f in preferred if f in present] + [
+        f for f in present if f not in preferred
+    ]
+    for fname in ordered:
+        run_sql_script(spark, os.path.join(ddl_dir, fname))
+    tables: dict[str, DataFrame] = {}
+    for dim in ("chains", "stores", "products"):
+        if spark.catalog.tableExists(dim):
+            tables[dim] = spark.table(dim)
+    for fact in ("combined_sellout", "sales", "sellout"):
+        if spark.catalog.tableExists(fact):
+            tables["sellout"] = spark.table(fact)
+            break
+    return tables
+
+
 def _error_condition(exc: PySparkException) -> str | None:
     """The exception's error class/condition (e.g.
     ``TABLE_OR_VIEW_ALREADY_EXISTS``). ``getCondition`` is the current

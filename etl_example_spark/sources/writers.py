@@ -95,16 +95,28 @@ def compact_small_files(
     compact per partition via ``repartition(n, partition_col)`` +
     dynamic partition overwrite, so untouched partitions' readers are
     never disturbed and the shuffle routes rows by their final home.
-    Rewrite is write-temp-then-swap: the dataset directory is replaced
-    only after the compacted copy is fully written.
 
-    Returns {files_before, files_after, bytes}.
+    Swap discipline is **write-new-then-repoint**: the compacted copy
+    lands in a fresh versioned sibling directory and ``path`` becomes a
+    symlink repointed onto it with one atomic ``os.replace`` — there is
+    no window where ``path`` is absent, and the replaced generation is
+    RETAINED on disk so in-flight readers of the old file listing finish
+    undisturbed (a retention sweep deletes generations older than the
+    one just replaced). The only non-atomic moment in the dataset's
+    lifetime is the very first compaction of a plain directory, which
+    must convert it to a symlink (two renames); every subsequent
+    compaction is a pure atomic repoint. On object stores / HDFS the
+    same shape is a manifest or Delta/Iceberg commit repointing readers
+    at the new file set.
+
+    Returns {files_before, files_after, bytes, data_dir}.
     """
     import math
+    import uuid
 
     def _parquet_files(root: str) -> list[str]:
         out = []
-        for dirpath, _dirs, files in os.walk(root):
+        for dirpath, _dirs, files in os.walk(root, followlinks=True):
             out += [
                 os.path.join(dirpath, f)
                 for f in files
@@ -116,29 +128,137 @@ def compact_small_files(
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
 
-    df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".compact.tmp"
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)
+    # read through the CURRENT generation explicitly: the plan must keep
+    # reading the old files while (and after) `path` is repointed
+    current_data = os.path.realpath(path)
+    df = spark.read.parquet(current_data)
+    base = path.rstrip("/")
+    new_data = f"{base}.compact.{uuid.uuid4().hex[:8]}"
     if partition_col:
         (
             df.repartition(n_out, partition_col)
             .write.partitionBy(partition_col)
             .option("compression", "zstd")
-            .parquet(tmp)
+            .parquet(new_data)
         )
     else:
         df.repartition(n_out).write.option("compression", "zstd").parquet(
-            tmp
+            new_data
         )
-    backup = path.rstrip("/") + ".compact.old"
-    if os.path.isdir(backup):
-        shutil.rmtree(backup)
-    os.rename(path, backup)
-    os.rename(tmp, path)
-    shutil.rmtree(backup)
+
+    tmp_link = f"{base}.compact.link.{uuid.uuid4().hex[:8]}"
+    os.symlink(os.path.abspath(new_data), tmp_link)
+    if os.path.islink(path):
+        # steady state: one atomic rename repoints readers; no window
+        prior_data = current_data
+        os.replace(tmp_link, path)
+    else:
+        # first compaction: convert plain dir -> symlink (the one
+        # unavoidable non-atomic moment; sub-ms, never repeated)
+        prior_data = f"{base}.compact.retired.{uuid.uuid4().hex[:8]}"
+        os.rename(path, prior_data)
+        os.rename(tmp_link, path)
+    # retention sweep: drop generations OLDER than the one just
+    # replaced; keep `prior_data` itself for draining readers
+    keep = {
+        os.path.abspath(p) for p in (new_data, prior_data, path)
+    }
+    prefix = os.path.basename(base) + ".compact."
+    parent = os.path.dirname(os.path.abspath(base)) or "."
+    for entry in os.listdir(parent):
+        full = os.path.join(parent, entry)
+        if (
+            entry.startswith(prefix)
+            and os.path.abspath(full) not in keep
+            and os.path.isdir(full)
+            and not os.path.islink(full)
+        ):
+            shutil.rmtree(full)
     return {
         "files_before": len(files),
         "files_after": len(_parquet_files(path)),
         "bytes": total_bytes,
+        "data_dir": os.path.abspath(new_data),
     }
+
+
+def backup_catalog(
+    spark: SparkSession,
+    dest: str,
+    tables: dict[str, DataFrame] | None = None,
+    label: str | None = None,
+) -> str:
+    """Whole-catalog snapshot — the reference's full-DB backup
+    (``sql/backup.sh:18-21``: ``pg_dump | gzip | aws s3 cp``), Spark-first:
+    every table lands as zstd parquet under
+    ``<dest>/backup_<label>/<table>/`` plus a ``_MANIFEST.json`` recording
+    name, row count, and schema.
+
+    ``tables`` defaults to everything visible in the session catalog
+    (``spark.catalog.listTables``) — temp views and persisted tables
+    alike. ``dest`` takes any Hadoop-supported filesystem path; pointing
+    it at ``s3a://bucket/backups`` reproduces the reference's S3 story
+    with compression and parallel upload built into the parquet writer
+    (no pg_dump single-stream bottleneck — at 100 TB each table's
+    partitions upload from their own executors).
+
+    Returns the backup directory path. Restore with
+    :func:`restore_catalog`.
+    """
+    import json
+    import time
+
+    if tables is None:
+        tables = {
+            t.name: spark.table(t.name)
+            for t in spark.catalog.listTables()
+        }
+    label = label or time.strftime("%Y%m%dT%H%M%S")
+    backup_dir = os.path.join(dest, f"backup_{label}")
+    manifest: dict[str, dict] = {}
+    for name, df in tables.items():
+        df.write.mode("overwrite").option("compression", "zstd").parquet(
+            os.path.join(backup_dir, name)
+        )
+        manifest[name] = {
+            "rows": spark.read.parquet(
+                os.path.join(backup_dir, name)
+            ).count(),
+            "schema": df.schema.jsonValue(),
+        }
+    with open(
+        os.path.join(backup_dir, "_MANIFEST.json"), "w", encoding="utf-8"
+    ) as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    return backup_dir
+
+
+def restore_catalog(
+    spark: SparkSession,
+    backup_dir: str,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Load a :func:`backup_catalog` snapshot back into the session:
+    returns name -> DataFrame for every table in the manifest (validated
+    against the manifest's recorded row counts) and optionally
+    re-registers each as a temp view — the catalog state the backup
+    captured."""
+    import json
+
+    with open(
+        os.path.join(backup_dir, "_MANIFEST.json"), encoding="utf-8"
+    ) as fh:
+        manifest = json.load(fh)
+    tables: dict[str, DataFrame] = {}
+    for name, meta in manifest.items():
+        df = spark.read.parquet(os.path.join(backup_dir, name))
+        n = df.count()
+        if n != meta["rows"]:
+            raise ValueError(
+                f"backup table {name!r}: manifest records {meta['rows']} "
+                f"rows, found {n} — snapshot is damaged or incomplete"
+            )
+        if register_views:
+            df.createOrReplaceTempView(name)
+        tables[name] = df
+    return tables

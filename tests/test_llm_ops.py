@@ -200,6 +200,40 @@ class TestProductQuantization:
         assert all(len(r.cv) == 8 for r in rows)  # 64 dims / 8 subspaces
 
 
+class TestStagedShingleCache:
+    def test_unhashable_plan_is_cache_miss(self, spark):
+        """A failed semanticHash must be a cache MISS, never an id()-keyed
+        entry: two different DataFrames whose hashes both fail must not
+        serve each other's staged artifacts (id() can be reused after
+        GC)."""
+        from etl_example_spark.operators import dedup
+
+        df1 = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon")],
+            "doc_id long, text string",
+        )
+        df2 = spark.createDataFrame(
+            [(2, "zeta eta theta iota kappa")],
+            "doc_id long, text string",
+        )
+
+        def boom():
+            raise RuntimeError("no semantic hash")
+
+        df1.semanticHash = boom
+        df2.semanticHash = boom
+        st1 = dedup.staged_shingles(df1)
+        st2 = dedup.staged_shingles(df2)
+        assert st1 is not st2
+        ids1 = {r.doc_id for r in st1.sets.collect()}
+        ids2 = {r.doc_id for r in st2.sets.collect()}
+        assert (ids1, ids2) == ({1}, {2})
+        # and a repeat call doesn't serve a stale artifact either
+        st1b = dedup.staged_shingles(df1)
+        assert st1b is not st1
+        assert {r.doc_id for r in st1b.sets.collect()} == {1}
+
+
 class TestIncrementalNearDup:
     def test_incremental_equals_full_restricted(self, spark, sf_dir):
         """The incremental law: probing a new batch against the existing

@@ -13,7 +13,7 @@ from etl_example_spark.plans.reference_queries import (
     run_reference_sql,
 )
 from etl_example_spark.schemas import REFERENCE_SCHEMAS
-from tests.fixtures import make_reference_tables
+from etl_example_spark.fixtures import make_reference_tables
 from tests.oracle import compare_frames
 
 

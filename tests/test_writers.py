@@ -185,6 +185,45 @@ class TestCompaction:
         assert after.count() == before_rows
         assert after.agg({"id": "sum"}).collect()[0][0] == before_sum
 
+    def test_swap_is_repoint_with_retention(self, spark, tmp_path):
+        """Write-new-then-repoint: after compaction `path` is a symlink
+        to a fresh versioned dir, the replaced generation stays on disk
+        for draining readers, and a SECOND compaction is a pure atomic
+        repoint that sweeps only generations older than the one it just
+        replaced."""
+        import os
+
+        from etl_example_spark.sources.writers import compact_small_files
+
+        path = str(tmp_path / "landing")
+        spark.range(2_000).repartition(16).write.parquet(path)
+
+        s1 = compact_small_files(spark, path, target_file_bytes=1 << 30)
+        assert os.path.islink(path)
+        assert os.path.realpath(path) == s1["data_dir"]
+        # old generation retained: a reader holding the old file listing
+        # still sees every row
+        retired = [
+            d
+            for d in os.listdir(tmp_path)
+            if d.startswith("landing.compact.retired.")
+        ]
+        assert len(retired) == 1
+        assert (
+            spark.read.parquet(str(tmp_path / retired[0])).count() == 2_000
+        )
+
+        gen1 = s1["data_dir"]
+        s2 = compact_small_files(spark, path, target_file_bytes=1 << 30)
+        assert os.path.realpath(path) == s2["data_dir"] != gen1
+        assert os.path.isdir(gen1)  # just-replaced generation retained
+        # the original plain-dir generation (two back) is swept
+        assert not any(
+            d.startswith("landing.compact.retired.")
+            for d in os.listdir(tmp_path)
+        )
+        assert spark.read.parquet(path).count() == 2_000
+
     def test_partitioned_compaction_keeps_layout(self, spark, tmp_path):
         import os
 
@@ -202,6 +241,70 @@ class TestCompaction:
             d for d in os.listdir(path) if d.startswith("k=")
         ) == ["k=0", "k=1", "k=2"]
         assert spark.read.parquet(path).count() == 5_000
+
+
+class TestCatalogBackup:
+    def test_backup_restore_round_trip(self, spark, sf_dir, tmp_path):
+        """Whole-catalog snapshot + restore (reference sql/backup.sh
+        parity): every table round-trips with identical rows, the
+        manifest records counts/schemas, and restore re-registers
+        views."""
+        import json
+        import os
+
+        from etl_example_spark.sources.loaders import load_table
+        from etl_example_spark.sources.writers import (
+            backup_catalog,
+            restore_catalog,
+        )
+
+        tables = {
+            name: load_table(spark, sf_dir, name)
+            for name in ("region", "nation", "supplier")
+        }
+        dest = str(tmp_path / "backups")
+        backup_dir = backup_catalog(
+            spark, dest, tables=tables, label="t0"
+        )
+        assert os.path.basename(backup_dir) == "backup_t0"
+        manifest = json.load(
+            open(os.path.join(backup_dir, "_MANIFEST.json"))
+        )
+        assert set(manifest) == set(tables)
+
+        restored = restore_catalog(spark, backup_dir)
+        for name, df in tables.items():
+            assert manifest[name]["rows"] == df.count()
+            assert sorted(map(tuple, restored[name].collect())) == sorted(
+                map(tuple, df.collect())
+            )
+            # restore registers the view under the table's name
+            assert spark.table(name).count() == df.count()
+
+    def test_restore_rejects_damaged_snapshot(self, spark, sf_dir, tmp_path):
+        import os
+
+        from etl_example_spark.sources.loaders import load_table
+        from etl_example_spark.sources.writers import (
+            backup_catalog,
+            restore_catalog,
+        )
+
+        import pytest
+
+        backup_dir = backup_catalog(
+            spark,
+            str(tmp_path),
+            tables={"region": load_table(spark, sf_dir, "region")},
+            label="dmg",
+        )
+        # truncate the snapshot's table data behind the manifest's back
+        region = load_table(spark, sf_dir, "region")
+        region.limit(2).write.mode("overwrite").parquet(
+            os.path.join(backup_dir, "region")
+        )
+        with pytest.raises(ValueError, match="damaged"):
+            restore_catalog(spark, backup_dir)
 
 
 class TestPartitionPruning:
