@@ -278,3 +278,34 @@ def chunk_text(
         F.size(piece).alias("n_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical form of a URL for dedup keys — the web-crawl pipeline
+    normalization (Common-Crawl-style URL dedup collapses fetch variants
+    of one resource before any content dedup runs):
+
+    1. drop the ``#fragment`` (never part of the resource),
+    2. drop tracking query params (``utm_*``, ``ref``, ``fbclid``,
+       ``gclid``) wherever they sit in the query string,
+    3. drop a now-empty ``?``,
+    4. lowercase the scheme and host (authority is case-insensitive;
+       path/query stay case-sensitive per RFC 3986),
+    5. strip a trailing slash on a bare host.
+
+    Pure built-in regexp_replace chain (JVM-side, codegen-friendly; the
+    restricted regex subset behaves identically under Java and RE2, so
+    DuckDB oracles can replicate it verbatim).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"#.*$", "")
+    # drop each tracking param together with its ? or & lead char...
+    c = F.regexp_replace(c, r"[?&](utm_[^&=]*|ref|fbclid|gclid)=[^&]*", "")
+    # ...then, if kept params remain but the ? was dropped with a leading
+    # tracking param, promote the first & back to ?
+    c = F.regexp_replace(c, r"^([^?&]*)&", "$1?")
+    c = F.regexp_replace(c, r"\?$", "")
+    scheme_host = F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
+    rest = F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
+    c = F.concat(F.lower(scheme_host), rest)
+    return F.regexp_replace(c, r"^([a-z][a-z0-9+.-]*://[^/?]*)/$", "$1")

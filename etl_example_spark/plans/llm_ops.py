@@ -1721,3 +1721,84 @@ def d56_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_text(
         docs, chunk_tokens=64, overlap_tokens=16
     ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "d57_url_dedup",
+    "URL canonicalization + dedup — the web-crawl front door (fetch "
+    "variants of one resource collapse BEFORE content dedup): messy "
+    "URLs (fragment, utm_*/ref tracking params, mixed-case scheme and "
+    "host) are derived deterministically from doc fields, canonicalized "
+    "with operators/text.canonicalize_url (built-in regexp chain, "
+    "engine-portable), and grouped — one row per canonical resource "
+    "with fetch count and winning (min) doc_id. The oracle replays the "
+    "identical normalization in DuckDB.",
+    oracle="""
+        WITH messy AS (
+            SELECT doc_id,
+                   'HTTPS://' || upper(source) || '.Example.COM/item/'
+                   || CAST(doc_id % 40 AS VARCHAR)
+                   || '?utm_source=feed&id=' || CAST(doc_id % 40 AS VARCHAR)
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN '&ref=tw#sec' || CAST(doc_id AS VARCHAR)
+                           ELSE '' END AS url
+            FROM documents
+        ),
+        canon AS (
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(url, '#.*$', '')
+                           , '[?&](utm_[^&=]*|ref|fbclid|gclid)=[^&]*',
+                             '', 'g')
+                         , '^([^?&]*)&', '\\1?')
+                       , '\\?$', '')
+                     , '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)',
+                       lower(regexp_extract(url,
+                         '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1))
+                   ) AS canonical_url
+            FROM messy
+        )
+        SELECT canonical_url,
+               COUNT(*) AS n_fetches,
+               MIN(doc_id) AS keep_doc
+        FROM canon
+        GROUP BY canonical_url
+        ORDER BY canonical_url
+    """,
+    category="text",
+)
+def d57_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.operators.text import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://"),
+            F.upper("source"),
+            F.lit(".Example.COM/item/"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit("?utm_source=feed&id="),
+            (F.col("doc_id") % 40).cast("string"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("&ref=tw#sec"), F.col("doc_id").cast("string")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return (
+        messy.select(
+            "doc_id", canonicalize_url("url").alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .orderBy("canonical_url")
+    )

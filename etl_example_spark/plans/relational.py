@@ -2632,3 +2632,50 @@ def q89_regexp_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q90_ntile_buckets",
+    "NTILE decile assignment with a deterministic tie-break (orderkey, "
+    "linenumber) — the quantile-bucketing window the rank family (q59) "
+    "lacks; per-decile exact cents sums and bounds prove the bucket "
+    "edges agree across engines. Scale note: an unpartitioned NTILE is "
+    "a global sort onto one task by definition — at 100 TB assign "
+    "buckets by joining against percentile_approx cutpoints instead "
+    "(q61's sketch); this query is the exact-semantics reference.",
+    oracle="""
+        WITH ranked AS (
+            SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+                   NTILE(10) OVER (ORDER BY l_extendedprice,
+                                   l_orderkey, l_linenumber) AS decile
+            FROM lineitem
+        )
+        SELECT decile,
+               COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS cents_sum,
+               MIN(cents) AS lo,
+               MAX(cents) AS hi
+        FROM ranked
+        GROUP BY decile
+        ORDER BY decile
+    """,
+)
+def q90_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        lineitem.select(
+            cents.alias("cents"), F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("cents_sum"),
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+        )
+        .orderBy("decile")
+    )
