@@ -830,3 +830,49 @@ def probe_minhash_index(
         .select("doc_a", "doc_b")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """The dedup DECISION operator: collapse each near-dup cluster to its
+    best-scoring member (ties broken by smallest id — deterministic).
+
+    ``dedup_clusters``' keep-one rule keeps the *smallest id*; real
+    curation keeps the *best* document (longest, highest quality score,
+    most recent crawl). Documents in no pair survive as their own
+    singleton cluster. Returns one row per cluster:
+    (cluster_id, keep_doc, n_members, best_score).
+
+    Plan shape: the cluster table is tiny relative to the corpus (only
+    documents that appear in a pair), so the label join broadcasts; the
+    per-cluster argmax is a partitioned window over (cluster, score),
+    never a global sort.
+    """
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(pairs, max_iter)
+    labeled = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(score_col).alias("_score")
+    ).join(F.broadcast(clusters), "doc_id", "left")
+    labeled = labeled.withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("doc_id"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_score"), F.asc("doc_id")
+    )
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.min(F.when(F.col("_rn") == 1, F.col("doc_id"))).alias(
+                "keep_doc"
+            ),
+            F.count("*").alias("n_members"),
+            F.max("_score").alias("best_score"),
+        )
+    )

@@ -1802,3 +1802,73 @@ def d57_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+@register(
+    "d58_keep_best_per_cluster",
+    "The dedup DECISION: near-dup clusters (exact Jaccard J>=0.6, "
+    "connected components) collapse to their best member by score "
+    "(n_chars here; quality score in production), ties to the smallest "
+    "doc_id; unpaired documents survive as singletons. One row per "
+    "cluster (operators/dedup.keep_best_per_cluster). Oracle: the d31 "
+    "recursive-CTE closure + a windowed argmax.",
+    oracle=f"""
+        WITH RECURSIVE
+        t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id, unnest({SQL_SHINGLES3}) AS shingle FROM t),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE {JACCARD_COND}
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        walk AS (
+            SELECT src AS node, src AS reach FROM edges
+            UNION
+            SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+        ),
+        clusters AS (
+            SELECT node AS doc_id, MIN(reach) AS cluster_id
+            FROM walk GROUP BY node
+        ),
+        labeled AS (
+            SELECT d.doc_id,
+                   COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                   d.n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY COALESCE(c.cluster_id, d.doc_id)
+                       ORDER BY d.n_chars DESC, d.doc_id
+                   ) AS rn
+            FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+        )
+        SELECT cluster_id,
+               MIN(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc,
+               COUNT(*) AS n_members,
+               MAX(n_chars) AS best_score
+        FROM labeled
+        GROUP BY cluster_id
+        ORDER BY cluster_id
+    """,
+    category="dedup",
+)
+def d58_keep_best_per_cluster(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.6, n=3)
+    return dedup.keep_best_per_cluster(
+        docs, pairs, score_col="n_chars"
+    ).orderBy("cluster_id")

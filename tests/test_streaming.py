@@ -263,6 +263,83 @@ class TestStreamCdcSink:
         assert run(target) == first  # replay is a no-op state
 
 
+class TestStreamNearDupCrossBatch:
+    def test_two_micro_batches_pair_up(self, spark, tmp_path):
+        """End-to-end stream version of the cross-batch law: two near-dup
+        documents land in SEPARATE files, maxFilesPerTrigger=1 forces one
+        micro-batch each, and the probe-then-append index loop still
+        finds the pair."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from etl_example_spark.operators import dedup
+
+        base = (
+            "the quick brown fox jumps over the lazy dog near the river "
+            "bank every sunny morning in spring"
+        )
+        landing = str(tmp_path / "landing")
+        schema = "doc_id long, text string"
+        spark.createDataFrame([(10, base)], schema).coalesce(1).write.parquet(
+            os.path.join(landing, "f1.parquet")
+        )
+        spark.createDataFrame(
+            [(20, base + " indeed")], schema
+        ).coalesce(1).write.parquet(os.path.join(landing, "f2.parquet"))
+
+        static = spark.createDataFrame(
+            [(1, "unrelated text about catalyst optimizer rules and "
+                 "adaptive query execution behavior")],
+            schema,
+        )
+        bands_dir = str(tmp_path / "bands")
+        sets_dir = str(tmp_path / "sets")
+        b, s = dedup.minhash_index(static)
+        b.write.parquet(bands_dir)
+        s.write.parquet(sets_dir)
+        out_dir = str(tmp_path / "pairs")
+        os.makedirs(out_dir)
+
+        batches = []
+
+        def probe(batch, epoch_id):
+            bspark = batch.sparkSession
+            batches.append(batch.count())
+            pairs = dedup.probe_minhash_index(
+                bspark.read.parquet(bands_dir),
+                bspark.read.parquet(sets_dir),
+                batch,
+            )
+            pairs.write.mode("append").parquet(out_dir)
+            nb, ns = dedup.minhash_index(batch)
+            nb.write.mode("append").parquet(bands_dir)
+            ns.write.mode("append").parquet(sets_dir)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(landing)
+        )
+        q = (
+            stream.writeStream.foreachBatch(probe)
+            .option(
+                "checkpointLocation", str(tmp_path / "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        assert len(batches) == 2 and all(n == 1 for n in batches)
+        found = {
+            (r.doc_a, r.doc_b)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        assert (10, 20) in found
+
+
 class TestStreamingObservability:
     def test_listener_sees_progress(self, spark, sf_dir):
         """StreamingQueryListener (the ops/metrics surface): progress
