@@ -876,3 +876,43 @@ def keep_best_per_cluster(
             F.max("_score").alias("best_score"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    train_fraction: float = 0.8,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train/val split that can never leak near-duplicates across the
+    boundary: the split decision is made per CLUSTER (connected
+    components of the near-dup pair graph; unpaired documents are their
+    own singleton cluster), so two near-dup documents always land on the
+    same side — the eval-contamination guard a random row-level split
+    silently violates.
+
+    Assignment is the deterministic md5-threshold rule on the cluster
+    id (same machinery as the sampling operators): reproducible across
+    engines, runs, and cluster layouts. Returns
+    (doc_id, cluster_id, split) with split in {'train', 'val'}.
+    """
+    from etl_example_spark.operators.sampling import (
+        rate_to_hex_threshold,
+    )
+
+    clusters = dedup_clusters(pairs, max_iter)
+    labeled = docs.select(F.col(id_col).alias("doc_id")).join(
+        F.broadcast(clusters), "doc_id", "left"
+    )
+    labeled = labeled.withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("doc_id"))
+    )
+    is_train = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))),
+        1,
+        8,
+    ) < F.lit(rate_to_hex_threshold(train_fraction))
+    return labeled.withColumn(
+        "split", F.when(is_train, "train").otherwise("val")
+    )

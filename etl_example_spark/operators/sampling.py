@@ -132,3 +132,60 @@ def temperature_sample(
     return stratified_sample(
         df, rates=rates, stratum_col=stratum_col, id_col=id_col
     )
+
+
+def mixture_rates(
+    counts: dict[str, int], target_weights: dict[str, float]
+) -> dict[str, float]:
+    """Per-stratum keep rates realizing EXPLICIT target mixture
+    proportions (the domain-mixing spec of a training run: "40% web,
+    20% code, ..."), at the largest corpus size feasible without
+    oversampling any stratum.
+
+    ``p_s`` = normalized target weight; the binding stratum is the one
+    that runs out first (``N_max = min_s count_s / p_s``); every stratum
+    keeps ``p_s * N_max / count_s`` (the binding one keeps ~all rows).
+    Strata with no target weight rate 0 (dropped). Arithmetic folds in
+    sorted-stratum order so the realized doubles — and therefore the
+    sampled membership — are deterministic for given inputs.
+    """
+    present = {
+        s: float(w)
+        for s, w in sorted(target_weights.items())
+        if s in counts and w > 0
+    }
+    if not present:
+        return {s: 0.0 for s in counts}
+    z = 0.0
+    for s in sorted(present):
+        z += present[s]
+    props = {s: present[s] / z for s in sorted(present)}
+    n_max = min(counts[s] / props[s] for s in sorted(props))
+    return {
+        s: (
+            min(1.0, props[s] * n_max / counts[s]) if s in props else 0.0
+        )
+        for s in sorted(counts)
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    target_weights: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic mixture-balanced sample: derive rates from observed
+    stratum counts (one tiny aggregate) + the target weights, then apply
+    the hash-threshold filter — same two-narrow-pass, zero-shuffle shape
+    as ``temperature_sample``, but with an explicit mixture spec instead
+    of the count^alpha rule."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col).count().collect()
+        if r[0] is not None
+    }
+    rates = mixture_rates(counts, target_weights)
+    return stratified_sample(
+        df, rates=rates, stratum_col=stratum_col, id_col=id_col
+    )

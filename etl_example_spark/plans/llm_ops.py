@@ -1872,3 +1872,200 @@ def d58_keep_best_per_cluster(
     return dedup.keep_best_per_cluster(
         docs, pairs, score_col="n_chars"
     ).orderBy("cluster_id")
+
+
+@register(
+    "d59_mixture_weights",
+    "Explicit domain-mixing spec (the training-run mixture: 2 parts en, "
+    "1 part each de/es/fr/zh): per-stratum rates realize the target "
+    "proportions at the largest size feasible without oversampling "
+    "(binding stratum keeps ~all rows), applied as the deterministic "
+    "md5-threshold filter (operators/sampling.mixture_sample). The "
+    "oracle recomputes the identical rate arithmetic in SQL.",
+    oracle="""
+        WITH cnt AS (
+            SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang
+        ),
+        w(lang, wt) AS (
+            VALUES ('de', 1.0), ('en', 2.0), ('es', 1.0),
+                   ('fr', 1.0), ('zh', 1.0)
+        ),
+        z AS (SELECT SUM(wt) AS z FROM w),
+        props AS (
+            SELECT w.lang, w.wt / z.z AS p FROM w CROSS JOIN z
+        ),
+        nmax AS (
+            SELECT MIN(c / p) AS nm
+            FROM cnt JOIN props ON cnt.lang = props.lang
+        ),
+        rates AS (
+            SELECT cnt.lang, least(1.0, p * nm / c) AS rate
+            FROM cnt JOIN props ON cnt.lang = props.lang CROSS JOIN nmax
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE r.rate >= 1.0
+           OR substring(md5(d.lang || ':' || d.doc_id), 1, 8)
+              < lower(lpad(to_hex(
+                    CAST(floor(r.rate * 4294967296.0) AS BIGINT)), 8, '0'))
+        ORDER BY d.doc_id
+    """,
+    category="text",
+)
+def d59_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"de": 1.0, "en": 2.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    return (
+        mixture_sample(docs, weights, stratum_col="lang")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "d60_leakage_safe_split",
+    "Leakage-safe train/val split: the 80/20 assignment is decided per "
+    "near-dup CLUSTER (exact-Jaccard components; singletons = own "
+    "cluster), so near-duplicate documents can never straddle the "
+    "boundary — the eval-contamination guard row-level random splits "
+    "violate (operators/dedup.leakage_safe_split). Oracle: the d31 "
+    "recursive-CTE closure + the same md5-threshold split rule.",
+    oracle=f"""
+        WITH RECURSIVE
+        t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id, unnest({SQL_SHINGLES3}) AS shingle FROM t),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE {JACCARD_COND}
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        walk AS (
+            SELECT src AS node, src AS reach FROM edges
+            UNION
+            SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+        ),
+        clusters AS (
+            SELECT node AS doc_id, MIN(reach) AS cluster_id
+            FROM walk GROUP BY node
+        )
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               CASE WHEN substring(md5('split:' ||
+                        CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)),
+                        1, 8)
+                         < lower(lpad(to_hex(CAST(floor(0.8 * 4294967296.0)
+                                     AS BIGINT)), 8, '0'))
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """,
+    category="dedup",
+)
+def d60_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.6, n=3)
+    return dedup.leakage_safe_split(
+        docs, pairs, train_fraction=0.8
+    ).orderBy("doc_id")
+
+
+@register(
+    "d61_column_profile",
+    "One-pass column profiler — the ingest-time data-profiling scan "
+    "(null counts, exact distinct cardinality, typed min/max per "
+    "column) emitted long-form via stack(): Spark plans the multi-"
+    "distinct aggregate as one Expand pass over the data, not one scan "
+    "per column. Floats profile as exact cents, dates/strings as "
+    "strings, so every cell is hash-comparable across engines.",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+                   CAST(l_quantity AS BIGINT) AS qty,
+                   CAST(l_shipdate AS VARCHAR) AS ship,
+                   l_returnflag AS flag
+            FROM lineitem
+        )
+        SELECT 'l_extendedprice_cents' AS column_name,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT cents) AS n_distinct,
+               CAST(MIN(cents) AS VARCHAR) AS min_val,
+               CAST(MAX(cents) AS VARCHAR) AS max_val
+        FROM c
+        UNION ALL
+        SELECT 'l_quantity', COUNT(*),
+               CAST(SUM(CASE WHEN qty IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT qty),
+               CAST(MIN(qty) AS VARCHAR), CAST(MAX(qty) AS VARCHAR)
+        FROM c
+        UNION ALL
+        SELECT 'l_returnflag', COUNT(*),
+               CAST(SUM(CASE WHEN flag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT flag), MIN(flag), MAX(flag)
+        FROM c
+        UNION ALL
+        SELECT 'l_shipdate', COUNT(*),
+               CAST(SUM(CASE WHEN ship IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT ship), MIN(ship), MAX(ship)
+        FROM c
+        ORDER BY column_name
+    """,
+    category="quality",
+)
+def d61_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    c = lineitem.select(
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_shipdate").cast("string").alias("ship"),
+        F.col("l_returnflag").alias("flag"),
+    )
+
+    def stats(col: str):
+        return [
+            F.count("*").alias(f"{col}__n_rows"),
+            F.sum(
+                F.when(F.col(col).isNull(), 1).otherwise(0)
+            ).alias(f"{col}__n_nulls"),
+            F.countDistinct(col).alias(f"{col}__n_distinct"),
+            F.min(col).cast("string").alias(f"{col}__min"),
+            F.max(col).cast("string").alias(f"{col}__max"),
+        ]
+
+    names = {
+        "cents": "l_extendedprice_cents",
+        "qty": "l_quantity",
+        "flag": "l_returnflag",
+        "ship": "l_shipdate",
+    }
+    wide = c.agg(
+        *[s for col in names for s in stats(col)]
+    )
+    stack_args = ", ".join(
+        f"'{label}', {col}__n_rows, {col}__n_nulls, {col}__n_distinct, "
+        f"{col}__min, {col}__max"
+        for col, label in names.items()
+    )
+    return wide.selectExpr(
+        f"stack({len(names)}, {stack_args}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+    ).orderBy("column_name")

@@ -234,6 +234,25 @@ class TestStagedShingleCache:
         assert {r.doc_id for r in st1b.sets.collect()} == {1}
 
 
+class TestLeakageSafeSplit:
+    def test_no_pair_straddles_split(self, spark, sf_dir):
+        """The structural guarantee: every near-dup pair lands on ONE
+        side of the train/val boundary, and the whole corpus is
+        assigned."""
+        from etl_example_spark.operators import dedup
+        from etl_example_spark.sources.loaders import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = dedup.jaccard_pairs(docs, threshold=0.6, n=3)
+        split = dedup.leakage_safe_split(docs, pairs, train_fraction=0.8)
+        side = {r.doc_id: r.split for r in split.collect()}
+        assert len(side) == docs.count()
+        for r in pairs.collect():
+            assert side[r.doc_a] == side[r.doc_b]
+        # both sides are populated at 80/20 on this corpus
+        assert {"train", "val"} == set(side.values())
+
+
 class TestIncrementalNearDup:
     def test_incremental_equals_full_restricted(self, spark, sf_dir):
         """The incremental law: probing a new batch against the existing
