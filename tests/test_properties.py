@@ -302,3 +302,91 @@ def test_binned_range_join_matches_nested_loop(spark, left, right):
         if lk == rk and lt <= rt < lt + dt.timedelta(seconds=width)
     )
     assert got == expect
+
+
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.integers(min_value=1, max_value=10_000),
+        min_size=1,
+        max_size=5,
+    ),
+    weights=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.floats(min_value=0.1, max_value=10.0, allow_nan=False),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@SETTINGS
+def test_mixture_rates_laws(counts, weights):
+    """mixture_rates invariants for ANY counts/weights: (1) rates in
+    [0,1]; (2) no-weight strata are dropped; (3) the binding stratum
+    keeps (essentially) all its rows; (4) among unsaturated strata, the
+    realized kept masses are proportional to the target weights."""
+    from etl_example_spark.operators.sampling import mixture_rates
+
+    rates = mixture_rates(counts, weights)
+    assert set(rates) == set(counts)
+    assert all(0.0 <= r <= 1.0 for r in rates.values())
+    active = {
+        s for s in counts if weights.get(s, 0) > 0
+    }
+    for s in set(counts) - active:
+        assert rates[s] == 0.0
+    if not active:
+        return
+    # binding stratum saturates
+    assert any(rates[s] > 1.0 - 1e-9 for s in active)
+    kept = {s: rates[s] * counts[s] for s in active}
+    w = {s: weights[s] for s in active}
+    unsat = [s for s in active if rates[s] < 1.0 - 1e-9]
+    for s in unsat:
+        for t in unsat:
+            # kept_s / kept_t == w_s / w_t (proportionality law)
+            assert abs(kept[s] * w[t] - kept[t] * w[s]) <= 1e-6 * max(
+                kept[s] * w[t], kept[t] * w[s], 1.0
+            )
+
+
+@given(
+    urls=st.lists(
+        st.builds(
+            lambda scheme, host, path, track, keep, frag: (
+                f"{scheme}://{host}/{path}"
+                + (f"?utm_source={track}" if track else "")
+                + (
+                    ("&" if track else "?") + f"id={keep}"
+                    if keep
+                    else ""
+                )
+                + (f"#{frag}" if frag else "")
+            ),
+            st.sampled_from(["HTTP", "https", "HtTpS"]),
+            st.sampled_from(["Example.COM", "sub.Host.net", "x.org"]),
+            st.sampled_from(["a/b", "item/1", "p"]),
+            st.sampled_from(["", "tw", "feed"]),
+            st.sampled_from(["", "7", "42"]),
+            st.sampled_from(["", "sec2"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_canonicalize_url_idempotent(spark, urls):
+    """canonicalize(canonicalize(u)) == canonicalize(u) for any URL in
+    the generated grammar, the output never carries fragments or
+    tracking params, and the authority is lowercased."""
+    from etl_example_spark.operators.text import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonicalize_url("url").alias("c1"))
+    twice = once.select(
+        "c1", canonicalize_url("c1").alias("c2")
+    ).collect()
+    for r in twice:
+        assert r.c2 == r.c1
+        assert "#" not in r.c1 and "utm_" not in r.c1
+        scheme_host = r.c1.split("/")[2] if "://" in r.c1 else ""
+        assert scheme_host == scheme_host.lower()
