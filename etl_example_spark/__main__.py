@@ -43,6 +43,13 @@ def main(argv: list[str] | None = None) -> int:
         default=20_000,
         help="synthetic fact rows when no --ddl-dir is given",
     )
+    parser.add_argument(
+        "--backup-dest",
+        default=None,
+        help="after the pipeline, snapshot every table (curated fact "
+        "included) to this directory — the reference's post-job "
+        "backup.sh step (any Hadoop path, e.g. s3a://bucket/backups)",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -77,6 +84,14 @@ def main(argv: list[str] | None = None) -> int:
     log.info("post-curation counts: %s", result.post_counts)
     for name, table in show_results(result.query_results).items():
         log.info("query %s:\n%s", name, table)
+    if args.backup_dest:
+        from etl_example_spark.sources.writers import backup_catalog
+
+        snapshot = dict(tables)
+        if result.curated is not None:
+            snapshot["sellout"] = result.curated
+        backup_dir = backup_catalog(spark, args.backup_dest, tables=snapshot)
+        log.info("catalog backup written: %s", backup_dir)
     log.info("pipeline finished in %.2fs", time.time() - t0)
     spark.stop()
     return 0
