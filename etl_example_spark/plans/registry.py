@@ -46,7 +46,7 @@ QUERIES: dict[str, Query] = {}
 #: rotation of the already-verified backlog through the driver window so
 #: regressions in verified queries are eventually re-caught (a different
 #: ~39-query sample each round instead of only the 6 sentinels).
-ROUND = 5
+ROUND = 6
 
 #: Queries the external driver has already verified in earlier rounds
 #: (union of non-errored rows across CORRECTNESS_r01–r04). The driver's
@@ -101,6 +101,14 @@ PRIOR_VERIFIED: frozenset[str] = frozenset(
         "q74_recursive_hierarchy", "q75_salted_agg", "q76_try_functions",
         "q77_bucket_join", "q78_moment_statistics", "q79_funnel_analysis",
         "q80_unpivot",
+        # round 5 (CORRECTNESS_r05: 49 green + q22 rows-only by design)
+        "d57_url_dedup", "d58_keep_best_per_cluster", "d59_mixture_weights",
+        "d60_leakage_safe_split", "d61_column_profile", "q81_pandas_api",
+        "q82_map_type", "q83_scalar_function_breadth", "q84_na_handling",
+        "q85_interval_overlap_join", "q86_listagg", "q87_bit_aggs",
+        "q88_histogram_bins", "q89_regexp_breadth", "q90_ntile_buckets",
+        "q91_forecast_revenue", "q92_volume_shipping", "q93_returned_items",
+        "q94_customer_distribution",
     }
 )
 
@@ -111,14 +119,11 @@ SENTINELS: tuple[str, ...] = (
     "q4_seasonality", "q5_curation_filter", "q6_date_repair",
 )
 
-#: Head of this round's rotation: the only 5 registry queries with no
-#: external green row yet (VERDICT round 4 "What's missing" #4) — after
-#: this round every registered query has been driver-verified at least
-#: once.
-ROTATION_PRIORITY: tuple[str, ...] = (
-    "q81_pandas_api", "q82_map_type", "q83_scalar_function_breadth",
-    "q84_na_handling", "q85_interval_overlap_join",
-)
+#: Head of this round's rotation. Empty for round 6: every registered
+#: query has at least one external green row (CORRECTNESS_r01–r05), so
+#: never-verified rank-2 ordering alone surfaces this round's brand-new
+#: queries, and the rest of the window rotates the verified backlog.
+ROTATION_PRIORITY: tuple[str, ...] = ()
 
 
 def register(
