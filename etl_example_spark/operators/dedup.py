@@ -848,17 +848,20 @@ def keep_best_per_cluster(
     singleton cluster. Returns one row per cluster:
     (cluster_id, keep_doc, n_members, best_score).
 
-    Plan shape: the cluster table is tiny relative to the corpus (only
-    documents that appear in a pair), so the label join broadcasts; the
-    per-cluster argmax is a partitioned window over (cluster, score),
-    never a global sort.
+    Plan shape: the cluster-label join carries NO broadcast hint — the
+    label table is the whole pair graph's vertex set, which at corpus
+    scale (most documents clustered) is corpus-sized, and a forced
+    broadcast would ship it to every executor. AQE picks: a runtime
+    broadcast when the labels really are small, a shuffle join on
+    ``doc_id`` when they aren't. The per-cluster argmax is a
+    partitioned window over (cluster, score), never a global sort.
     """
     from pyspark.sql import Window
 
     clusters = dedup_clusters(pairs, max_iter)
     labeled = docs.select(
         F.col(id_col).alias("doc_id"), F.col(score_col).alias("_score")
-    ).join(F.broadcast(clusters), "doc_id", "left")
+    ).join(clusters, "doc_id", "left")
     labeled = labeled.withColumn(
         "cluster_id", F.coalesce("cluster_id", F.col("doc_id"))
     )
@@ -902,8 +905,10 @@ def leakage_safe_split(
     )
 
     clusters = dedup_clusters(pairs, max_iter)
+    # No broadcast hint: cluster labels scale with the clustered share of
+    # the corpus; AQE decides broadcast-vs-shuffle at runtime.
     labeled = docs.select(F.col(id_col).alias("doc_id")).join(
-        F.broadcast(clusters), "doc_id", "left"
+        clusters, "doc_id", "left"
     )
     labeled = labeled.withColumn(
         "cluster_id", F.coalesce("cluster_id", F.col("doc_id"))

@@ -111,3 +111,20 @@ def test_scans_prune_columns(spark, sf_dir):
         assert len(read_cols) <= 4, read_cols
     finally:
         loaders._WARM.update(saved)
+
+
+@pytest.mark.parametrize(
+    "name", ["d58_keep_best_per_cluster", "d60_leakage_safe_split"]
+)
+def test_no_broadcast_hint_on_cluster_labels(spark, sf_dir, name):
+    """The cluster-label table in keep_best_per_cluster /
+    leakage_safe_split scales with the clustered share of the corpus —
+    at 100 TB (SCALING.md's own x8 corpus: every doc clustered) it is
+    corpus-sized, so a mandatory ``F.broadcast`` hint there is a
+    scale-killer AQE cannot undo. A mandatory hint survives into the
+    optimized logical plan as a JoinHint (``strategy=broadcast``);
+    assert none is present, leaving the broadcast-vs-shuffle choice to
+    AQE at runtime."""
+    df = REGISTRY[name].spark_builder(spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in optimized, name
