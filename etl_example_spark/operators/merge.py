@@ -134,3 +134,39 @@ def _apply_cdc_sequenced(
             *target.columns
         )
     return survivors.unionByName(upserts)
+
+
+def retire_tombstones(
+    target: DataFrame,
+    older_than_seq: int,
+    sequence_col: str,
+    tombstone_col: str,
+) -> DataFrame:
+    """Retention sweep for sequenced-CDC tombstones: drop tombstone rows
+    whose applied sequence is strictly below ``older_than_seq``.
+
+    Tombstones exist to block stale resurrection (a late update older
+    than the delete must not re-insert the key), but without retirement
+    the target grows monotonically with deletes. The caller supplies the
+    retention watermark — typically "the oldest sequence any still-
+    replayable batch could carry" (e.g. the CDC source's retention
+    horizon).
+
+    **The accepted risk, stated**: after a tombstone is retired, a stale
+    update for that key with sequence >= ``older_than_seq``-old but
+    below the delete's sequence is indistinguishable from a fresh
+    insert and WILL re-insert the key. Choosing the watermark IS
+    choosing that trade: set it no higher than the minimum sequence the
+    transport can still replay. Live rows are never touched — only rows
+    with ``tombstone_col`` true and ``sequence_col`` < the watermark.
+
+    Plan shape: a single filter over the target — no shuffle, no join;
+    composes with the write-new-then-swap discipline like every other
+    mutation here.
+    """
+    return target.filter(
+        ~(
+            F.col(tombstone_col)
+            & (F.col(sequence_col) < F.lit(older_than_seq))
+        )
+    )

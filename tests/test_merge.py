@@ -3,7 +3,11 @@ per-key compaction by sequence, and the conservative same-sequence rule."""
 
 from __future__ import annotations
 
-from etl_example_spark.operators.merge import apply_cdc, latest_change_per_key
+from etl_example_spark.operators.merge import (
+    apply_cdc,
+    latest_change_per_key,
+    retire_tombstones,
+)
 
 
 def test_apply_cdc_update_insert_delete(spark):
@@ -87,6 +91,64 @@ def test_apply_cdc_out_of_order_batches_converge(spark):
     # replaying a batch is a no-op
     replayed = apply_all([batch_b, batch_a, batch_a, batch_b])
     assert replayed == in_order
+
+
+def test_retire_tombstones_retention_contract(spark):
+    """The retention sweep's documented contract: before retirement a
+    stale update is blocked by the tombstone; after retirement the same
+    stale update re-inserts (the caller-accepted risk of choosing the
+    watermark), while fresh updates work identically in both worlds and
+    live rows are never swept."""
+    from pyspark.sql import functions as F
+
+    empty_state = (
+        spark.createDataFrame([], "k long, name string, seq long")
+        .withColumn("_deleted", F.lit(False))
+    )
+    deletes = spark.createDataFrame(
+        [(1, None, "D", 10), (2, None, "D", 50), (3, "live", "I", 40)],
+        "k long, name string, op string, seq long",
+    )
+    state = apply_cdc(
+        empty_state, deletes, ["k"], sequence_col="seq",
+        tombstone_col="_deleted",
+    ).localCheckpoint()
+    stale = spark.createDataFrame(
+        [(1, "stale", "U", 5)], "k long, name string, op string, seq long"
+    )
+    fresh = spark.createDataFrame(
+        [(1, "fresh", "U", 99)], "k long, name string, op string, seq long"
+    )
+
+    def live(df):
+        return sorted(
+            (r.k, r.name) for r in df.filter("NOT _deleted").collect()
+        )
+
+    # pre-retirement: tombstone blocks the stale update
+    blocked = apply_cdc(
+        state, stale, ["k"], sequence_col="seq", tombstone_col="_deleted"
+    )
+    assert live(blocked) == [(3, "live")]
+
+    # retire tombstones below seq 20: k=1's (seq 10) goes, k=2's
+    # (seq 50) and the live row k=3 stay
+    swept = retire_tombstones(state, 20, "seq", "_deleted").localCheckpoint()
+    assert sorted((r.k, bool(r._deleted)) for r in swept.collect()) == [
+        (2, True), (3, False),
+    ]
+
+    # post-retirement: the same stale update is a (documented) re-insert
+    resurrected = apply_cdc(
+        swept, stale, ["k"], sequence_col="seq", tombstone_col="_deleted"
+    )
+    assert live(resurrected) == [(1, "stale"), (3, "live")]
+
+    # fresh updates behave identically post-retirement
+    updated = apply_cdc(
+        swept, fresh, ["k"], sequence_col="seq", tombstone_col="_deleted"
+    )
+    assert live(updated) == [(1, "fresh"), (3, "live")]
 
 
 def test_same_sequence_delete_wins(spark):
