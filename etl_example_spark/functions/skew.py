@@ -57,16 +57,28 @@ def with_salt(
     default ``spark.sql.legacy.allowHashOnMapType=false``), and narrowing
     to a few high-cardinality columns also cuts per-row hash cost on wide
     rows. Passing an explicit subset is the fast path; determinism only
-    requires that the chosen columns are stable row content."""
+    requires that the chosen columns are stable row content.
+
+    An all-MapType schema raises ``ValueError``: with no hashable
+    column the only deterministic salt would be a constant, which
+    routes every row of the hot key to ONE sub-group — silently
+    disabling the spreading this helper exists for. Pass explicit
+    ``salt_cols`` derived from the maps instead (e.g.
+    ``df.withColumn("_mk", F.map_keys("m"))`` then
+    ``salt_cols=["_mk"]``)."""
     if salt_cols is None:
         salt_cols = [
             f.name
             for f in df.schema.fields
             if not isinstance(f.dataType, MapType)
         ]
-        if not salt_cols:  # all-map schema: constant hash still routes
-            return df.withColumn(
-                "_salt", F.pmod(F.xxhash64(F.lit(0)), F.lit(salt))
+        if not salt_cols:
+            raise ValueError(
+                "with_salt: every column is a MapType (unhashable in "
+                "Spark); a constant salt would route the hot key to one "
+                "sub-group, defeating the salting. Pass explicit "
+                "salt_cols derived from the maps (e.g. a map_keys()/"
+                "map_values() column)."
             )
     return df.withColumn(
         "_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salt))

@@ -2561,13 +2561,15 @@ def q87_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q88_histogram_bins",
     "Fixed-width histogram: order totals bucketed by integer cents "
-    "arithmetic (bin = total_cents div width), per-bin count and exact "
-    "cents min/max — the distribution-profiling scan, one pass, no "
-    "sort. Integer division keeps the binning bit-identical across "
-    "engines (no float boundary ambiguity).",
+    "arithmetic (bin = floor(total_cents / width)), per-bin count and "
+    "exact cents min/max — the distribution-profiling scan, one pass, "
+    "no sort. Explicit FLOOR on both sides keeps the binning "
+    "bit-identical across engines even for negative totals (Spark's "
+    "`div` truncates toward zero, DuckDB's `//` floors — they diverge "
+    "below zero).",
     oracle="""
-        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
-                   // 5000000 AS bin,
+        SELECT CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   / 5000000.0) AS BIGINT) AS bin,
                COUNT(*) AS n,
                MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS lo_cents,
                MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS hi_cents
@@ -2582,7 +2584,8 @@ def q88_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.select(cents.alias("_cents"))
         .select(
-            F.expr("_cents div 5000000").alias("bin"), "_cents"
+            F.floor(F.col("_cents") / F.lit(5000000)).alias("bin"),
+            "_cents",
         )
         .groupBy("bin")
         .agg(

@@ -363,7 +363,7 @@ def st43_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_cols=["user_id", "value"],
         sequence_col="seq",
     )
-    final = read_cdc_state(spark, target_path)
+    final = read_cdc_state(spark, target_path, sequence_col="seq")
     return final.select(
         "user_id",
         F.round(F.col("value") * 100).cast("long").alias("value_cents"),
@@ -467,8 +467,11 @@ def st45_stream_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from etl_example_spark.operators import dedup
     from etl_example_spark.sources.loaders import load_table
+    from etl_example_spark.streaming.sinks import (
+        make_neardup_probe,
+        seed_neardup_index,
+    )
     from etl_example_spark.streaming.sources import read_documents_stream
 
     static_docs = load_table(spark, sf_dir, "documents").filter(
@@ -479,41 +482,24 @@ def st45_stream_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_dir = _tempfile.mkdtemp(prefix="neardup_pairs_")
 
-    # The LSH index lives as two parquet tables, seeded from the static
-    # corpus; every processed micro-batch APPENDS its own digests/sets,
-    # so a later batch's documents are compared against all earlier
-    # batches too (new×new across micro-batches), never just the static
-    # corpus. Per batch the corpus text is untouched — probe cost is
-    # O(batch) + the band-equality join against the stored index.
+    # The LSH index lives as two epoch-partitioned parquet tables,
+    # seeded from the static corpus at epoch=-1; every micro-batch
+    # writes its own epoch=<id> slice of digests/sets, so a later
+    # batch's documents are compared against all earlier batches too
+    # (new×new across micro-batches), never just the static corpus —
+    # and a replayed epoch OVERWRITES its slice instead of re-appending
+    # (idempotent under micro-batch retry). Per batch the corpus text
+    # is untouched — probe cost is O(batch) + the band-equality join
+    # against the stored index.
     idx_dir = _tempfile.mkdtemp(prefix="neardup_idx_")
     bands_dir = os.path.join(idx_dir, "bands")
     sets_dir = os.path.join(idx_dir, "sets")
-    seed_bands, seed_sets = dedup.minhash_index(
-        static_docs, num_hashes=16, bands=4, n=3
-    )
-    seed_bands.write.parquet(bands_dir)
-    seed_sets.write.parquet(sets_dir)
-
-    def probe(batch, epoch_id: int) -> None:
-        bspark = batch.sparkSession
-        pairs = dedup.probe_minhash_index(
-            bspark.read.parquet(bands_dir),
-            bspark.read.parquet(sets_dir),
-            batch,
-            threshold=0.6,
-            num_hashes=16,
-            bands=4,
-            n=3,
-        )
-        pairs.write.mode("append").parquet(out_dir)
-        new_bands, new_sets = dedup.minhash_index(
-            batch, num_hashes=16, bands=4, n=3
-        )
-        new_bands.write.mode("append").parquet(bands_dir)
-        new_sets.write.mode("append").parquet(sets_dir)
+    seed_neardup_index(static_docs, bands_dir, sets_dir)
 
     q = (
-        stream.writeStream.foreachBatch(probe)
+        stream.writeStream.foreachBatch(
+            make_neardup_probe(bands_dir, sets_dir, out_dir, threshold=0.6)
+        )
         .option(
             "checkpointLocation", _tempfile.mkdtemp(prefix="ckpt_ndp_")
         )
@@ -521,7 +507,15 @@ def st45_stream_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
-    if not files:
+    found = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(out_dir)
+        for f in files
+    )
+    if not found:
         return spark.createDataFrame([], "doc_a long, doc_b long")
-    return spark.read.parquet(out_dir).orderBy("doc_a", "doc_b")
+    return (
+        spark.read.parquet(out_dir)
+        .drop("epoch")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -28,6 +28,41 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop API — the
+    filesystem abstraction that makes small control files (manifests,
+    pointers) work uniformly on file://, hdfs://, and s3a:// — the same
+    resolution the parquet writer itself uses."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def hadoop_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small UTF-8 control file through the Hadoop FileSystem
+    API (works on any supported scheme, not just the local disk)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def hadoop_read_text(spark: SparkSession, path: str) -> str:
+    """Read a small UTF-8 control file through the Hadoop FileSystem
+    API."""
+    fs, jpath = _hadoop_fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -226,10 +261,14 @@ def backup_catalog(
             ).count(),
             "schema": df.schema.jsonValue(),
         }
-    with open(
-        os.path.join(backup_dir, "_MANIFEST.json"), "w", encoding="utf-8"
-    ) as fh:
-        json.dump(manifest, fh, indent=2, sort_keys=True)
+    # through the Hadoop FS API, not open(): on a remote dest (s3a://,
+    # hdfs://) the tables upload via the parquet writer and the manifest
+    # must land on the SAME filesystem, or the snapshot is unrestorable
+    hadoop_write_text(
+        spark,
+        os.path.join(backup_dir, "_MANIFEST.json"),
+        json.dumps(manifest, indent=2, sort_keys=True),
+    )
     return backup_dir
 
 
@@ -245,10 +284,9 @@ def restore_catalog(
     captured."""
     import json
 
-    with open(
-        os.path.join(backup_dir, "_MANIFEST.json"), encoding="utf-8"
-    ) as fh:
-        manifest = json.load(fh)
+    manifest = json.loads(
+        hadoop_read_text(spark, os.path.join(backup_dir, "_MANIFEST.json"))
+    )
     tables: dict[str, DataFrame] = {}
     for name, meta in manifest.items():
         df = spark.read.parquet(os.path.join(backup_dir, name))

@@ -96,10 +96,16 @@ def stream_to_parquet(
     query.awaitTermination()
 
 
-def read_cdc_state(spark, target_path: str) -> DataFrame:
+def read_cdc_state(
+    spark, target_path: str, sequence_col: str | None = None
+) -> DataFrame:
     """Clean view of a ``stream_cdc_to_parquet`` target: the live rows,
-    without the merge's bookkeeping columns (applied-sequence and
-    ``_deleted`` tombstones, present when the sink ran sequence-aware)."""
+    with the merge's bookkeeping stripped — ``_deleted`` tombstone rows
+    are filtered and the flag column dropped; pass ``sequence_col`` (the
+    same name given to the sink) to also drop the persisted
+    applied-sequence column. With ``sequence_col=None`` the sequence
+    column, if any, is returned as-is (callers sometimes want it for
+    freshness checks)."""
     import os
 
     from pyspark.sql import functions as F
@@ -110,6 +116,8 @@ def read_cdc_state(spark, target_path: str) -> DataFrame:
     if "_deleted" in df.columns:
         df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         df = df.drop("_deleted")
+    if sequence_col is not None and sequence_col in df.columns:
+        df = df.drop(sequence_col)
     return df
 
 
@@ -216,3 +224,95 @@ def stream_cdc_to_parquet(
             os.remove(tmp_link)
         os.symlink(out, tmp_link)
         os.replace(tmp_link, current)
+
+
+def make_neardup_probe(
+    bands_dir: str,
+    sets_dir: str,
+    out_dir: str,
+    threshold: float = 0.6,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+):
+    """foreachBatch callable for the streaming near-dup probe, with
+    EPOCH-KEYED writes so a replayed micro-batch rewrites instead of
+    re-appending (the idempotent-write half of the exactly-once recipe;
+    the checkpoint's batch-id tracking is the other half).
+
+    Layout: the stored LSH index and the pair sink are hive-partitioned
+    by epoch (``.../epoch=<id>/``; seed the index at ``epoch=-1`` via
+    :func:`seed_neardup_index`). Each batch:
+
+    - probes the index restricted to STRICTLY older epochs — so a retry
+      that died after a partial index append never sees its own
+      half-written epoch;
+    - overwrites its own ``epoch=<id>`` subdirectories in the pair sink
+      and both index tables — a retry replaces the partial output
+      byte-for-byte instead of duplicating rows.
+
+    Readers of the index/pairs just read the parent directory (partition
+    discovery adds the ``epoch`` column; drop it)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators import dedup
+
+    def probe(batch: DataFrame, epoch_id: int) -> None:
+        bspark = batch.sparkSession
+        idx_bands = (
+            bspark.read.parquet(bands_dir)
+            .filter(F.col("epoch") < epoch_id)
+            .drop("epoch")
+        )
+        idx_sets = (
+            bspark.read.parquet(sets_dir)
+            .filter(F.col("epoch") < epoch_id)
+            .drop("epoch")
+        )
+        pairs = dedup.probe_minhash_index(
+            idx_bands,
+            idx_sets,
+            batch,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            n=n,
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+        new_bands, new_sets = dedup.minhash_index(
+            batch, num_hashes=num_hashes, bands=bands, n=n
+        )
+        new_bands.write.mode("overwrite").parquet(
+            os.path.join(bands_dir, f"epoch={epoch_id}")
+        )
+        new_sets.write.mode("overwrite").parquet(
+            os.path.join(sets_dir, f"epoch={epoch_id}")
+        )
+
+    return probe
+
+
+def seed_neardup_index(
+    static_docs: DataFrame,
+    bands_dir: str,
+    sets_dir: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> None:
+    """Build the stored LSH index of the static corpus at ``epoch=-1`` —
+    strictly older than every stream epoch, so the first micro-batch
+    (epoch 0) probes exactly the seed."""
+    import os
+
+    from etl_example_spark.operators import dedup
+
+    seed_bands, seed_sets = dedup.minhash_index(
+        static_docs, num_hashes=num_hashes, bands=bands, n=n
+    )
+    seed_bands.write.parquet(os.path.join(bands_dir, "epoch=-1"))
+    seed_sets.write.parquet(os.path.join(sets_dir, "epoch=-1"))

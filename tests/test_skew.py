@@ -129,6 +129,21 @@ def test_with_salt_skips_map_columns(spark):
     assert narrow.select("_salt").distinct().count() > 1
 
 
+def test_with_salt_all_map_schema_raises(spark):
+    """An all-MapType schema has no deterministic non-constant salt
+    source; with_salt must refuse (a constant salt silently disables
+    the spreading) and point at explicit salt_cols. A map-derived
+    column satisfies it."""
+    import pytest
+
+    df = spark.sql("SELECT map('a', id) AS m FROM range(100)")
+    with pytest.raises(ValueError, match="salt_cols"):
+        with_salt(df, 8)
+    keyed = df.withColumn("_mv", F.map_values("m"))
+    salted = with_salt(keyed, 8, salt_cols=["_mv"])
+    assert salted.select("_salt").distinct().count() > 1
+
+
 def test_salted_agg_dedup_first_equals_plain_agg(spark):
     """dedup_first handles the identical-duplicate hot-key shape (content
     salt would pile them on one sub-group) via exact-duplicate collapse +

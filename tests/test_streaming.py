@@ -12,7 +12,11 @@ import os
 import pytest
 from pyspark.sql import types as T
 
-from etl_example_spark.streaming.sinks import stream_to_parquet
+from etl_example_spark.streaming.sinks import (
+    make_neardup_probe,
+    seed_neardup_index,
+    stream_to_parquet,
+)
 from etl_example_spark.streaming.stateful import first_seen_dedup
 from etl_example_spark.streaming.windows import tumbling_counts
 
@@ -242,10 +246,11 @@ class TestStreamCdcSink:
             )
             from etl_example_spark.streaming.sinks import read_cdc_state
 
-            return {
-                r.user_id: r.value
-                for r in read_cdc_state(spark, target).collect()
-            }
+            clean = read_cdc_state(spark, target, sequence_col="seq")
+            # both bookkeeping columns stripped from the clean view
+            assert "seq" not in clean.columns
+            assert "_deleted" not in clean.columns
+            return {r.user_id: r.value for r in clean.collect()}
 
         target = str(tmp_path / "cdc")
         first = run(target)
@@ -271,10 +276,6 @@ class TestStreamNearDupCrossBatch:
         finds the pair."""
         import os
 
-        from pyspark.sql import functions as F
-
-        from etl_example_spark.operators import dedup
-
         base = (
             "the quick brown fox jumps over the lazy dog near the river "
             "bank every sunny morning in spring"
@@ -295,26 +296,16 @@ class TestStreamNearDupCrossBatch:
         )
         bands_dir = str(tmp_path / "bands")
         sets_dir = str(tmp_path / "sets")
-        b, s = dedup.minhash_index(static)
-        b.write.parquet(bands_dir)
-        s.write.parquet(sets_dir)
+        seed_neardup_index(static, bands_dir, sets_dir)
         out_dir = str(tmp_path / "pairs")
         os.makedirs(out_dir)
 
+        inner = make_neardup_probe(bands_dir, sets_dir, out_dir)
         batches = []
 
         def probe(batch, epoch_id):
-            bspark = batch.sparkSession
             batches.append(batch.count())
-            pairs = dedup.probe_minhash_index(
-                bspark.read.parquet(bands_dir),
-                bspark.read.parquet(sets_dir),
-                batch,
-            )
-            pairs.write.mode("append").parquet(out_dir)
-            nb, ns = dedup.minhash_index(batch)
-            nb.write.mode("append").parquet(bands_dir)
-            ns.write.mode("append").parquet(sets_dir)
+            inner(batch, epoch_id)
 
         stream = (
             spark.readStream.schema(schema)
@@ -338,6 +329,50 @@ class TestStreamNearDupCrossBatch:
             for r in spark.read.parquet(out_dir).collect()
         }
         assert (10, 20) in found
+
+    def test_epoch_replay_is_idempotent(self, spark, tmp_path):
+        """A retried micro-batch must REWRITE its epoch, not re-append:
+        invoking the probe twice with the same epoch_id (the retry
+        shape — possibly after a partial index append) leaves the pair
+        sink and both index tables byte-identical to a single clean
+        run, and the retry's probe never sees its own failed epoch."""
+        import os
+
+        base = (
+            "the quick brown fox jumps over the lazy dog near the "
+            "river bank every sunny morning in spring"
+        )
+        schema = "doc_id long, text string"
+        static = spark.createDataFrame([(10, base)], schema)
+        bands_dir = str(tmp_path / "bands")
+        sets_dir = str(tmp_path / "sets")
+        seed_neardup_index(static, bands_dir, sets_dir)
+        out_dir = str(tmp_path / "pairs")
+        os.makedirs(out_dir)
+
+        probe = make_neardup_probe(bands_dir, sets_dir, out_dir)
+        batch = spark.createDataFrame([(20, base + " indeed")], schema)
+
+        def snapshot():
+            pairs = sorted(
+                (r.doc_a, r.doc_b)
+                for r in spark.read.parquet(out_dir).collect()
+            )
+            n_bands = spark.read.parquet(bands_dir).count()
+            n_sets = spark.read.parquet(sets_dir).count()
+            return pairs, n_bands, n_sets
+
+        probe(batch, 0)
+        first = snapshot()
+        assert first[0] == [(10, 20)]
+        # retry of epoch 0 (e.g. task death after the index append)
+        probe(batch, 0)
+        assert snapshot() == first
+        # a LATER epoch still sees epoch 0's index entries exactly once
+        batch2 = spark.createDataFrame([(30, base + " also")], schema)
+        probe(batch2, 1)
+        pairs, _, _ = snapshot()
+        assert pairs == [(10, 20), (10, 30), (20, 30)]
 
 
 class TestStreamingObservability:
