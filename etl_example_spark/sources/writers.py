@@ -113,11 +113,29 @@ def write_bucketed_table(
     writer.saveAsTable(name)
 
 
+def resolve_dataset_path(path: str) -> str:
+    """The CURRENT data directory of a possibly-compacted dataset.
+
+    Resolution order: a ``<path>._CURRENT`` generation pointer (pointer
+    publish mode — the object-store-portable discipline, where the file
+    names the live versioned directory) wins; otherwise the symlink
+    target (symlink publish mode); otherwise ``path`` itself (never
+    compacted). Readers that may sit behind a compacted dataset should
+    open ``resolve_dataset_path(p)`` instead of ``p``.
+    """
+    pointer = f"{path.rstrip('/')}._CURRENT"
+    if os.path.isfile(pointer):
+        with open(pointer, encoding="utf-8") as fh:
+            return fh.read().strip()
+    return os.path.realpath(path)
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_col: str | None = None,
+    publish: str = "symlink",
 ) -> dict:
     """Small-files compaction: rewrite a parquet dataset so each output
     file approaches ``target_file_bytes`` — the table-maintenance job
@@ -144,10 +162,23 @@ def compact_small_files(
     same shape is a manifest or Delta/Iceberg commit repointing readers
     at the new file set.
 
+    ``publish="pointer"`` is that portable form, implemented: instead
+    of a symlink, a ``<path>._CURRENT`` generation-pointer FILE names
+    the live versioned directory and is republished with one atomic
+    ``os.replace`` per compaction (the reference publishes immutable
+    timestamped artifacts the same way, ``sql/backup.sh:18-21``).
+    Readers resolve through :func:`resolve_dataset_path`. Works where
+    symlinks don't exist (object stores; filesystems mounted
+    nosymlink), and the original directory is never renamed — the
+    first compaction is exactly as atomic as every later one.
+
     Returns {files_before, files_after, bytes, data_dir}.
     """
     import math
     import uuid
+
+    if publish not in ("symlink", "pointer"):
+        raise ValueError(f"publish must be symlink|pointer, got {publish!r}")
 
     def _parquet_files(root: str) -> list[str]:
         out = []
@@ -159,13 +190,13 @@ def compact_small_files(
             ]
         return out
 
-    files = _parquet_files(path)
+    # read through the CURRENT generation explicitly: the plan must keep
+    # reading the old files while (and after) `path` is repointed
+    current_data = resolve_dataset_path(path)
+    files = _parquet_files(current_data)
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
 
-    # read through the CURRENT generation explicitly: the plan must keep
-    # reading the old files while (and after) `path` is repointed
-    current_data = os.path.realpath(path)
     df = spark.read.parquet(current_data)
     base = path.rstrip("/")
     new_data = f"{base}.compact.{uuid.uuid4().hex[:8]}"
@@ -181,15 +212,27 @@ def compact_small_files(
             new_data
         )
 
-    tmp_link = f"{base}.compact.link.{uuid.uuid4().hex[:8]}"
-    os.symlink(os.path.abspath(new_data), tmp_link)
-    if os.path.islink(path):
+    if publish == "pointer":
+        # object-store-portable publish: republish the _CURRENT pointer
+        # file with one atomic replace; the original directory is never
+        # renamed and keeps serving as the retained prior generation
+        prior_data = current_data
+        pointer = f"{base}._CURRENT"
+        tmp_pointer = f"{base}._CURRENT.{uuid.uuid4().hex[:8]}"
+        with open(tmp_pointer, "w", encoding="utf-8") as fh:
+            fh.write(os.path.abspath(new_data))
+        os.replace(tmp_pointer, pointer)
+    elif os.path.islink(path):
         # steady state: one atomic rename repoints readers; no window
+        tmp_link = f"{base}.compact.link.{uuid.uuid4().hex[:8]}"
+        os.symlink(os.path.abspath(new_data), tmp_link)
         prior_data = current_data
         os.replace(tmp_link, path)
     else:
         # first compaction: convert plain dir -> symlink (the one
         # unavoidable non-atomic moment; sub-ms, never repeated)
+        tmp_link = f"{base}.compact.link.{uuid.uuid4().hex[:8]}"
+        os.symlink(os.path.abspath(new_data), tmp_link)
         prior_data = f"{base}.compact.retired.{uuid.uuid4().hex[:8]}"
         os.rename(path, prior_data)
         os.rename(tmp_link, path)
@@ -211,7 +254,7 @@ def compact_small_files(
             shutil.rmtree(full)
     return {
         "files_before": len(files),
-        "files_after": len(_parquet_files(path)),
+        "files_after": len(_parquet_files(resolve_dataset_path(path))),
         "bytes": total_bytes,
         "data_dir": os.path.abspath(new_data),
     }

@@ -224,6 +224,60 @@ class TestCompaction:
         )
         assert spark.read.parquet(path).count() == 2_000
 
+    def test_pointer_publish_mode_without_symlinks(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """publish='pointer' — the object-store-portable swap: a
+        _CURRENT pointer file names the live generation and is
+        republished by atomic rename. Must work end-to-end with
+        symlink creation DISABLED (the filesystems this mode exists
+        for), retain the prior generation, and sweep older ones."""
+        import os
+
+        from etl_example_spark.sources.writers import (
+            compact_small_files,
+            resolve_dataset_path,
+        )
+
+        def no_symlink(*a, **k):
+            raise OSError("symlinks unavailable on this filesystem")
+
+        monkeypatch.setattr(os, "symlink", no_symlink)
+
+        path = str(tmp_path / "landing")
+        spark.range(2_000).repartition(16).write.parquet(path)
+
+        s1 = compact_small_files(
+            spark, path, target_file_bytes=1 << 30, publish="pointer"
+        )
+        pointer = str(tmp_path / "landing._CURRENT")
+        assert os.path.isfile(pointer)
+        assert not os.path.islink(path)  # original dir never renamed
+        assert resolve_dataset_path(path) == s1["data_dir"]
+        assert s1["files_after"] == 1
+        # readers resolve through the pointer to the compacted copy
+        assert (
+            spark.read.parquet(resolve_dataset_path(path)).count() == 2_000
+        )
+        # prior generation (the original dir) still serves old listings
+        assert spark.read.parquet(path).count() == 2_000
+
+        gen1 = s1["data_dir"]
+        s2 = compact_small_files(
+            spark, path, target_file_bytes=1 << 30, publish="pointer"
+        )
+        assert resolve_dataset_path(path) == s2["data_dir"] != gen1
+        assert os.path.isdir(gen1)  # just-replaced generation retained
+        s3 = compact_small_files(
+            spark, path, target_file_bytes=1 << 30, publish="pointer"
+        )
+        assert resolve_dataset_path(path) == s3["data_dir"]
+        assert os.path.isdir(s2["data_dir"])  # prior kept
+        assert not os.path.isdir(gen1)  # two-back generation swept
+        assert (
+            spark.read.parquet(resolve_dataset_path(path)).count() == 2_000
+        )
+
     def test_partitioned_compaction_keeps_layout(self, spark, tmp_path):
         import os
 
