@@ -116,6 +116,82 @@ def decode_stub(payload: bytes, fmt: str) -> object:
     )
 
 
+def decode_ppm(payload: bytes):
+    """REAL image decode for binary (P6) PPM — the one raster format an
+    uncompressed-numpy path fully covers with no codec library: header
+    ``P6 <width> <height> <maxval>`` in ASCII (``#`` comments allowed),
+    one whitespace byte, then ``height*width*3`` raw RGB bytes. Returns
+    a ``(height, width, 3)`` uint8 ndarray."""
+    import numpy as np
+
+    def token(pos: int) -> tuple[bytes, int]:
+        while True:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        return payload[start:pos], pos
+
+    magic, pos = token(0)
+    if magic != b"P6":
+        raise ValueError(f"not a binary PPM (P6) payload: magic={magic!r}")
+    w_tok, pos = token(pos)
+    h_tok, pos = token(pos)
+    max_tok, pos = token(pos)
+    width, height, maxval = int(w_tok), int(h_tok), int(max_tok)
+    if not 0 < maxval < 256:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    pos += 1  # exactly one whitespace byte separates header from raster
+    n = width * height * 3
+    raster = payload[pos : pos + n]
+    if len(raster) != n:
+        raise ValueError(
+            f"truncated PPM raster: expected {n} bytes, got {len(raster)}"
+        )
+    return np.frombuffer(raster, dtype=np.uint8).reshape(height, width, 3)
+
+
+def encode_ppm(arr) -> bytes:
+    """Inverse of :func:`decode_ppm`: a ``(height, width, 3)`` uint8
+    array as canonical binary PPM bytes."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError(f"PPM is RGB; got {c} channels")
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def nn_resize(arr, width: int, height: int):
+    """Nearest-neighbor resize by pure numpy fancy indexing: output
+    pixel (i, j) takes source pixel (i*H_in//H_out, j*W_in//W_out) —
+    the deterministic floor mapping, so results are bit-reproducible
+    across runs and engines."""
+    import numpy as np
+
+    h_in, w_in = arr.shape[:2]
+    rows = (np.arange(height) * h_in) // height
+    cols = (np.arange(width) * w_in) // width
+    return arr[rows][:, cols]
+
+
+def decode_media(payload: bytes, fmt: str):
+    """Format dispatch for the decode kernel: uncompressed PPM decodes
+    for real (numpy, no codec library needed); compressed formats
+    (jpeg/png/...) still route to :func:`decode_stub` until a codec
+    is plugged in."""
+    if fmt == "ppm":
+        return decode_ppm(payload)
+    return decode_stub(payload, fmt)
+
+
 def fake_decode_features(payload: bytes, dims: int = 8) -> list[float]:
     """Deterministic stand-in feature vector: byte-histogram moments.
     Replaces the (stubbed) codec+model path so the distributed plumbing is
@@ -271,10 +347,16 @@ def resize_media(
     media_df: DataFrame, width: int = 32, height: int = 32
 ) -> DataFrame:
     """Resize plumbing for visual payloads (image/video): same schema out
-    as in, with updated dimensions and the re-encoded payload. The resize
-    kernel is the stubbed codec step (``decode_stub`` marks where
-    PIL/ffmpeg belongs); the stand-in emits ``md5(payload)`` bytes so the
-    pipeline stays deterministic end-to-end."""
+    as in, with updated dimensions and the re-encoded payload.
+
+    PPM-format images resize FOR REAL inside the Arrow batch —
+    ``decode_ppm`` -> ``nn_resize`` (numpy nearest-neighbor) ->
+    ``encode_ppm`` — exercising the actual decode/transform/re-encode
+    cycle a production image pipeline runs per batch. Other visual
+    formats still go through the stubbed codec boundary
+    (``decode_stub`` marks where PIL/ffmpeg belongs); their stand-in
+    emits ``md5(payload)`` bytes so the pipeline stays deterministic
+    end-to-end. Non-visual payloads pass through untouched."""
     import hashlib
 
     out_schema = media_df.schema
@@ -286,7 +368,14 @@ def resize_media(
             for payload, media in zip(pdf["payload"], pdf["media"]):
                 meta = dict(media)
                 if meta["modality"] in ("image", "video"):
-                    resized = hashlib.md5(bytes(payload)).digest()
+                    if meta["format"] == "ppm":
+                        resized = encode_ppm(
+                            nn_resize(
+                                decode_ppm(bytes(payload)), width, height
+                            )
+                        )
+                    else:
+                        resized = hashlib.md5(bytes(payload)).digest()
                     meta["width"], meta["height"] = width, height
                     meta["n_bytes"] = len(resized)
                     resized_payloads.append(resized)

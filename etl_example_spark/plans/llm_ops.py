@@ -645,6 +645,100 @@ def m36_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "m39_ppm_resize",
+    "REAL image decode/resize/re-encode inside the Arrow batch: a 4x2 "
+    "P6 PPM is built per document from its md5 bytes, nearest-neighbor "
+    "resized to 2x1 by the actual numpy codec path (decode_ppm -> "
+    "nn_resize -> encode_ppm in operators/multimodal.resize_media), "
+    "then the OUTPUT raster is re-decoded and checksummed. The floor "
+    "mapping selects source pixels (0,0) and (0,2) = digest bytes "
+    "{0,1,2,6,7,8}, so DuckDB verifies the decoded pixel values with "
+    "pure hex arithmetic — the codec itself is externally checked.",
+    oracle="""
+        WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        b AS (
+            SELECT doc_id,
+                   list_transform(
+                       [0, 1, 2, 6, 7, 8],
+                       o -> 16 * (strpos('0123456789abcdef',
+                                         substr(hx, 2 * o + 1, 1)) - 1)
+                            + (strpos('0123456789abcdef',
+                                      substr(hx, 2 * o + 2, 1)) - 1)
+                   ) AS vals
+            FROM h
+        )
+        SELECT doc_id,
+               CAST(2 AS INTEGER) AS out_width,
+               CAST(1 AS INTEGER) AS out_height,
+               CAST(list_sum(vals) AS BIGINT) AS checksum
+        FROM b
+        ORDER BY doc_id
+    """,
+    category="multimodal",
+)
+def m39_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                d = hashlib.md5((text or "").encode()).digest()
+                arr = np.frombuffer(d + d[:8], dtype=np.uint8).reshape(
+                    2, 4, 3
+                )
+                payloads.append(multimodal.encode_ppm(arr))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        build, "doc_id long, payload binary"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("ppm").alias("format"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.lit(4).alias("width"),
+            F.lit(2).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("media"),
+    )
+    resized = multimodal.resize_media(media, width=2, height=1)
+
+    def verify(batches):
+        for pdf in batches:
+            sums, widths, heights = [], [], []
+            for payload in pdf["payload"]:
+                arr = multimodal.decode_ppm(bytes(payload))
+                heights.append(arr.shape[0])
+                widths.append(arr.shape[1])
+                sums.append(int(arr.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": widths,
+                    "out_height": heights,
+                    "checksum": sums,
+                }
+            )
+
+    return resized.mapInPandas(
+        verify,
+        "doc_id long, out_width int, out_height int, checksum long",
+    ).orderBy("doc_id")
+
+
 def _ngrams_udtf_class():
     """Python UDTF (Spark 4 user-defined table function): text -> one row
     per word 3-gram with its position. Defined lazily so importing this

@@ -125,6 +125,71 @@ def test_resize_plumbing_updates_visual_media_only(spark, sf_dir):
             assert r.media.duration_ms == src.media.duration_ms
 
 
+def test_ppm_codec_round_trip_and_exact_resize():
+    """The REAL codec slice: P6 PPM decode/encode round-trips
+    bit-exactly (comments and all), and nearest-neighbor resize picks
+    exactly the floor-mapped source pixels."""
+    import numpy as np
+
+    # 2x4 image, every pixel distinct
+    arr = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    payload = multimodal.encode_ppm(arr)
+    assert payload.startswith(b"P6\n4 2\n255\n")
+    assert np.array_equal(multimodal.decode_ppm(payload), arr)
+    # header comments are legal PPM and must parse
+    commented = b"P6\n# a comment\n4 2\n# another\n255\n" + arr.tobytes()
+    assert np.array_equal(multimodal.decode_ppm(commented), arr)
+
+    # downscale 4x2 -> 2x1: out pixel (i,j) = src (i*2//1... floor map)
+    small = multimodal.nn_resize(arr, width=2, height=1)
+    expect = arr[[0]][:, [0, 2]]  # rows: 0*2//1=0; cols: 0*4//2=0, 1*4//2=2
+    assert np.array_equal(small, expect)
+    # upscale 4x2 -> 8x4 replicates each pixel 2x2
+    big = multimodal.nn_resize(arr, width=8, height=4)
+    assert big.shape == (4, 8, 3)
+    assert np.array_equal(big[::2, ::2], arr)
+    assert np.array_equal(big[1::2, 1::2], arr)
+    # malformed payloads fail loudly, not silently
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P5\n4 2\n255\n" + arr.tobytes())
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6\n4 2\n255\n" + arr.tobytes()[:-1])
+    # decode_media dispatch: ppm real, png still the documented stub
+    assert np.array_equal(multimodal.decode_media(payload, "ppm"), arr)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(payload, "png")
+
+
+def test_resize_media_real_ppm_path(spark):
+    """resize_media decodes/resizes/re-encodes PPM payloads FOR REAL
+    inside the mapInPandas batch: exact pixel values of the output
+    raster, exact output dims, metadata updated to match."""
+    import numpy as np
+
+    arr = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    payload = multimodal.encode_ppm(arr)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("ppm").alias("format"),
+            F.lit(len(payload)).cast("long").alias("n_bytes"),
+            F.lit(4).alias("width"),
+            F.lit(2).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("media"),
+    )
+    out = multimodal.resize_media(df, width=2, height=1).collect()[0]
+    got = multimodal.decode_ppm(bytes(out.payload))
+    assert np.array_equal(got, arr[[0]][:, [0, 2]])
+    assert (out.media.width, out.media.height) == (2, 1)
+    assert out.media.n_bytes == len(bytes(out.payload))
+    assert out.media.format == "ppm"
+
+
 def test_frame_sample_fanout_counts(spark, sf_dir):
     """sample_frames: one row per sampled frame, capped, videos only."""
     docs = load_table(spark, sf_dir, "documents").limit(60)
