@@ -1136,6 +1136,137 @@ def q61_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q61a_approx_quantile_bound",
+    "EXTERNAL error-bound certificate for the q61 Greenwald-Khanna "
+    "sketch (accuracy 100 -> rank error eps = 0.01): each approximate "
+    "quantile must land between the EXACT quantiles at p +/- 2*eps "
+    "(the 2x widening absorbs the interpolation-vs-element rank "
+    "convention gap). Both sketch and exact values are deterministic "
+    "for fixed input, so the booleans are stable; the oracle emits the "
+    "(status, quantile, TRUE) grid from exact arithmetic — a hash "
+    "match certifies the rank-error bound externally.",
+    oracle="""
+        SELECT o_orderstatus,
+               unnest([0.25, 0.5, 0.75, 0.95]) AS quantile,
+               TRUE AS within_bound
+        FROM (SELECT DISTINCT o_orderstatus FROM orders)
+        ORDER BY o_orderstatus, quantile
+    """,
+    category="relational",
+)
+def q61a_approx_quantile_bound(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    probs = [0.25, 0.5, 0.75, 0.95]
+    eps = 0.01
+    lo = [max(0.0, p - 2 * eps) for p in probs]
+    hi = [min(1.0, p + 2 * eps) for p in probs]
+
+    def arr(vals: list[float]) -> str:
+        return "array(" + ", ".join(f"{v}D" for v in vals) + ")"
+
+    sketched = orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", probs, 100).alias("approx_qs"),
+        F.expr(
+            f"percentile(o_totalprice, {arr(lo)})"
+        ).alias("lo_qs"),
+        F.expr(
+            f"percentile(o_totalprice, {arr(hi)})"
+        ).alias("hi_qs"),
+    )
+    prob_col = F.array(*[F.lit(p) for p in probs])
+    return (
+        sketched.select(
+            "o_orderstatus",
+            F.posexplode("approx_qs").alias("pos", "_v"),
+            "lo_qs",
+            "hi_qs",
+        )
+        .select(
+            "o_orderstatus",
+            F.element_at(prob_col, F.col("pos") + 1).alias("quantile"),
+            (
+                (F.col("_v") >= F.element_at("lo_qs", F.col("pos") + 1))
+                & (F.col("_v") <= F.element_at("hi_qs", F.col("pos") + 1))
+            ).alias("within_bound"),
+        )
+        .orderBy("o_orderstatus", "quantile")
+    )
+
+
+def _recall_certificate(
+    exact: DataFrame, approx: DataFrame, min_hits: int
+) -> DataFrame:
+    """1-row recall certificate: (n_exact, recall_ok) where recall_ok =
+    |approx ∩ exact| >= min_hits. Both inputs are deterministic for
+    fixed data, so the boolean is stable and externally hash-checkable
+    against an oracle that emits the expected (k, TRUE) row — turning
+    the in-repo recall assertion into a driver-verified fact."""
+    hits = exact.select("neighbor_id").join(
+        approx.select("neighbor_id"), "neighbor_id", "left_semi"
+    )
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(hits.agg(F.count("*").alias("_n_hits")))
+        .select(
+            "n_exact",
+            (F.col("_n_hits") >= min_hits).alias("recall_ok"),
+        )
+    )
+
+
+@register(
+    "s33a_ann_recall_bound",
+    "EXTERNAL recall certificate for s33 sign-LSH ANN: recall@10 vs "
+    "the s31 exact brute-force top-10 must beat the documented floor "
+    "(>= 3/10 on this random corpus — random top-10 cosine margins are "
+    "razor thin; see tests/test_llm_ops.py for the p^4 math). The "
+    "comparison runs entirely in Spark; the oracle emits the expected "
+    "(10, TRUE) row, so a recall collapse turns a driver row red.",
+    oracle="SELECT CAST(10 AS BIGINT) AS n_exact, TRUE AS recall_ok",
+    category="similarity",
+)
+def s33a_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.brute_force_topk(emb, k=10)
+    approx = similarity.ann_topk(emb, k=10, bits=4, dims=64)
+    return _recall_certificate(exact, approx, min_hits=3)
+
+
+@register(
+    "s40a_ivf_recall_bound",
+    "EXTERNAL recall certificate for s40 IVF ANN (16 cells, nprobe 8): "
+    "recall@10 vs exact brute force >= 3/10 — well above the "
+    "random-subset floor at nprobe/n_centroids = 1/2 on the random "
+    "corpus. Same certificate shape as s33a.",
+    oracle="SELECT CAST(10 AS BIGINT) AS n_exact, TRUE AS recall_ok",
+    category="similarity",
+)
+def s40a_ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.brute_force_topk(emb, k=10)
+    approx = similarity.ivf_topk(emb, k=10, n_centroids=16, nprobe=8)
+    return _recall_certificate(exact, approx, min_hits=3)
+
+
+@register(
+    "s42a_pq_recall_bound",
+    "EXTERNAL recall certificate for s42 product quantization (ADC "
+    "shortlist + exact re-rank): recall@10 vs exact brute force >= "
+    "8/10 — the re-rank step makes PQ much tighter than the "
+    "bucket-restricted methods. Same certificate shape as s33a.",
+    oracle="SELECT CAST(10 AS BIGINT) AS n_exact, TRUE AS recall_ok",
+    category="similarity",
+)
+def s42a_pq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.brute_force_topk(emb, k=10)
+    approx = similarity.pq_topk(emb, k=10)
+    return _recall_certificate(exact, approx, min_hits=8)
+
+
+@register(
     "d45_data_quality",
     "Declarative data-quality gate (operators/quality.py): every "
     "row-level rule (not-null, range, accepted values) folds into ONE "

@@ -524,6 +524,46 @@ def q22_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q22a_approx_distinct_bound",
+    "EXTERNAL error-bound certificate for the q22 HLL++ sketch: per "
+    "group, the exact distinct count plus a within_5pct boolean "
+    "(|approx - exact| <= 0.05 * exact, the rsd=0.05 target). "
+    "approx_count_distinct is deterministic for fixed input and rsd, so "
+    "the booleans are stable; the oracle emits the exact counts and "
+    "TRUE from exact arithmetic — a hash match certifies the sketch's "
+    "error bound externally, not just in-repo.",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS within_5pct
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def q22a_approx_distinct_bound(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.05).alias("_approx"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("within_5pct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "q41_shipping_priority",
     "TPC-H Q3-shaped shipping priority: 3-way customer/orders/lineitem "
     "join with selective filters on both fact legs, revenue top-10. The "

@@ -33,6 +33,9 @@ _CROSS_JOIN_BY_DESIGN = {
     "s32_embedding_near_dup",
     "s33_ann_topk",  # broadcast query-vector block vs bucketed corpus
     "s40_ivf_topk",  # broadcast centroid block for cell assignment
+    "s33a_ann_recall_bound",  # 1-row certificate crossJoin + ANN inner ops
+    "s40a_ivf_recall_bound",  # 1-row certificate crossJoin + IVF inner ops
+    "s42a_pq_recall_bound",  # 1-row certificate crossJoin + PQ inner ops
     "s41_batch_topk",
     "q15_cte_subquery",  # broadcast one-row scalar aggregate
     "q69_quiet_big_accounts",  # broadcast one-row scalar aggregate
