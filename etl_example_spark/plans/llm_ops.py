@@ -1809,6 +1809,7 @@ def m38_encode_then_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM({SQL_NTOKS}) AS BIGINT) AS n_tokens
         FROM d3 GROUP BY lang ORDER BY lang
     """,
+    bench=True,
     category="dedup",
 )
 def d53_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1898,6 +1899,7 @@ def d54_crypto_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
         ORDER BY doc_a, doc_b
     """,
+    bench=True,
     category="dedup",
 )
 def d55_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

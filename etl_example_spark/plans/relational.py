@@ -2084,6 +2084,7 @@ def _stage_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         GROUP BY o.o_orderpriority
         ORDER BY o.o_orderpriority
     """,
+    bench=True,
 )
 def q77_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_name, ord_name = _stage_bucketed(spark, sf_dir)
