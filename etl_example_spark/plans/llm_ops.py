@@ -1147,7 +1147,7 @@ def q61_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "match certifies the rank-error bound externally.",
     oracle="""
         SELECT o_orderstatus,
-               unnest([0.25, 0.5, 0.75, 0.95]) AS quantile,
+               CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS quantile,
                TRUE AS within_bound
         FROM (SELECT DISTINCT o_orderstatus FROM orders)
         ORDER BY o_orderstatus, quantile

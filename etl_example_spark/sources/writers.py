@@ -41,8 +41,13 @@ def _hadoop_fs(spark: SparkSession, path: str):
 
 def hadoop_write_text(spark: SparkSession, path: str, text: str) -> None:
     """Write a small UTF-8 control file through the Hadoop FileSystem
-    API (works on any supported scheme, not just the local disk)."""
+    API (works on any supported scheme, not just the local disk).
+
+    Checksum sidecars are disabled: on the local ChecksumFileSystem they
+    materialize as ``.<name>.crc`` files that pollute snapshot listings
+    (object-store filesystems ignore the setting)."""
     fs, jpath = _hadoop_fs(spark, path)
+    fs.setWriteChecksum(False)
     out = fs.create(jpath, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
