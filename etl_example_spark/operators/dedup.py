@@ -921,3 +921,183 @@ def leakage_safe_split(
     return labeled.withColumn(
         "split", F.when(is_train, "train").otherwise("val")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line dedup (C4-style) and a relational Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def doc_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_tokens: int = 10,
+) -> DataFrame:
+    """Explode each document into consecutive ``line_tokens``-token
+    "lines" (non-overlapping windows; the last line keeps the remainder).
+
+    C4/RefinedWeb-style pipelines dedup at line granularity because
+    boilerplate (navbars, cookie banners, license headers) repeats across
+    pages whose full texts differ. The driver corpus carries no newline
+    structure, so lines are DERIVED deterministically from the token
+    stream — the operator shape (explode → global first-occurrence rule →
+    reassemble) is exactly the one a newline-split corpus would use.
+
+    Returns (doc_id, line_idx, line_text); a narrow projection + explode,
+    no shuffle.
+    """
+    toks = tokens(text_col)
+    n_lines = F.ceil(F.size(toks) / F.lit(line_tokens)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * line_tokens + 1, line_tokens), " "
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(lines).alias("line_idx", "line_text"),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-level exact line dedup: a line survives only in its FIRST
+    occurrence (min (doc_id, line_idx)) anywhere in the corpus; later
+    copies are dropped from their documents.
+
+    Shuffle architecture: one hash shuffle on md5(line_text) for the
+    first-occurrence window, then one shuffle on doc_id to reassemble —
+    both on narrow (digest, ids) rows, never the full text twice. A
+    pathologically hot line (empty boilerplate repeated billions of
+    times) skews the line-hash partition; the standard guard is dropping
+    lines whose corpus frequency exceeds a cap before the window (cf.
+    ``drop_hot_shingles``), since a line that common is boilerplate by
+    definition and every copy after the first is dropped anyway.
+
+    Returns per-doc (doc_id, n_lines, kept_lines, dropped_lines,
+    cleaned_fp) where cleaned_fp is the md5 of the surviving lines
+    joined with newline — the fingerprint of the cleaned document.
+    """
+    from pyspark.sql import Window
+
+    lines = doc_lines(df, text_col, id_col, line_tokens)
+    w = Window.partitionBy(F.md5("line_text")).orderBy("doc_id", "line_idx")
+    ranked = lines.withColumn("rk", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rk") == 1, F.struct("line_idx", "line_text")
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).alias(
+                "kept_lines"
+            ),
+            F.sum(F.when(F.col("rk") > 1, 1).otherwise(0)).alias(
+                "dropped_lines"
+            ),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["line_text"],
+                    ),
+                    "\n",
+                )
+            ).alias("cleaned_fp"),
+        )
+    )
+
+
+def bloom_positions(
+    col: Column | str,
+    k: int = 3,
+    prefix_len: int = 5,
+) -> Column:
+    """The ``k`` Bloom bit positions of a key, as hex-string addresses.
+
+    Position i is the first ``prefix_len`` hex chars of
+    ``md5(i ':' key)`` — an m = 16^prefix_len bit space (prefix_len=5 →
+    ~1M bits). Built-in functions only, so the WHOLE filter construction
+    is portable to the DuckDB oracle: unlike an opaque sketch, the
+    filter's bits are data.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array(
+        *[
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), c)), 1, prefix_len
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    benchmark: DataFrame,
+    key_col: str,
+    k: int = 3,
+    prefix_len: int = 5,
+) -> DataFrame:
+    """Build a Bloom filter FROM a benchmark key set AS a DataFrame of
+    distinct set-bit positions (single column ``pos``).
+
+    Size is ≤ k·|benchmark| rows of 5-char strings regardless of corpus
+    size — at 100 TB corpus / 1M-key benchmark that is a ~3M-row, few-MB
+    table that broadcasts, so the contamination probe below never
+    shuffles the corpus. This is the relational realization of the usual
+    broadcast-Bloom pushdown.
+    """
+    return (
+        benchmark.select(
+            F.explode(bloom_positions(key_col, k, prefix_len)).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    corpus: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    k: int = 3,
+    prefix_len: int = 5,
+) -> DataFrame:
+    """Probe each corpus key against the Bloom position set: ``bloom_hit``
+    is true iff ALL k positions are set (the classic no-false-negative /
+    some-false-positive contract).
+
+    Plan: explode k positions per DISTINCT key (the hit decision is a
+    pure function of the key, and deduping first keeps the match count
+    exactly k for repeated keys), broadcast-join the tiny position
+    table, then broadcast the hit-key set back onto the corpus — the
+    corpus is scanned once and never shuffled on its own bytes.
+    """
+    probes = corpus.select(
+        F.col(key_col).alias("_bloom_key")
+    ).distinct().select(
+        "_bloom_key",
+        F.explode(
+            bloom_positions("_bloom_key", k, prefix_len)
+        ).alias("pos"),
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "pos", "left_semi")
+        .groupBy("_bloom_key")
+        .agg(F.count("*").alias("_n_set"))
+        .filter(F.col("_n_set") == k)
+        .select("_bloom_key")
+    )
+    return corpus.join(
+        hits.withColumnRenamed("_bloom_key", key_col).withColumn(
+            "bloom_hit", F.lit(True)
+        ),
+        key_col,
+        "left",
+    ).withColumn("bloom_hit", F.coalesce("bloom_hit", F.lit(False)))

@@ -189,3 +189,105 @@ def mixture_sample(
     return stratified_sample(
         df, rates=rates, stratum_col=stratum_col, id_col=id_col
     )
+
+
+def host_frequency_cap(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    cap: int = 10,
+) -> DataFrame:
+    """Cap the number of documents kept per host at EXACTLY ``cap``,
+    choosing the survivors by md5 rank (a deterministic "random" subset —
+    keeping the first-crawled or lowest-id rows would bias the corpus
+    toward old/landing pages).
+
+    Web corpora are head-heavy: a handful of hosts contribute millions of
+    near-boilerplate pages, and uncapped they dominate the training
+    mixture. This exact variant ranks within each host with one window
+    (one hash shuffle on host). A mega-host concentrates its rows in one
+    sort partition, so for corpus-scale hosts use
+    ``host_frequency_cap_approx`` — same decision rule, no per-host sort.
+
+    Returns the kept rows plus ``host_total`` (pre-cap host size).
+    """
+    from pyspark.sql import Window
+
+    rank_key = F.md5(
+        F.concat(
+            F.col(host_col), F.lit(":"), F.col(id_col).cast("string")
+        )
+    )
+    w = Window.partitionBy(host_col).orderBy(rank_key, id_col)
+    wc = Window.partitionBy(host_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("host_total", F.count("*").over(wc))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
+def host_frequency_cap_approx(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    cap: int = 10,
+) -> DataFrame:
+    """The 100 TB shape of ``host_frequency_cap``: per-host keep RATE =
+    cap / host_total applied as the usual hash-threshold predicate —
+    two narrow passes (tiny per-host count aggregate, then a pure
+    filter), no window, no per-host sort, so a billion-page host costs
+    the same per row as a ten-page one.
+
+    Kept count per host is Binomial(total, cap/total) — concentrated at
+    ``cap`` but not exact. Hosts at or under the cap keep everything
+    (rate 1.0 short-circuits to a literal TRUE predicate).
+    """
+    totals = df.groupBy(host_col).agg(F.count("*").alias("host_total"))
+    witht = df.join(totals, host_col)  # AQE broadcasts the tiny side
+    prefix = F.substring(
+        F.md5(
+            F.concat(
+                F.col(host_col), F.lit(":"), F.col(id_col).cast("string")
+            )
+        ),
+        1,
+        _PREFIX,
+    )
+    # per-row threshold = cap/host_total, computed as an exact integer
+    # hex threshold per host (same rule as rate_to_hex_threshold but
+    # vectorized: compare the 32-bit prefix value against
+    # cap * 16^8 / total in integer space — no float in the predicate).
+    prefix_val = F.conv(prefix, 16, 10).cast("bigint")
+    keep = (F.col("host_total") <= cap) | (
+        prefix_val * F.col("host_total") < F.lit(cap * 16**_PREFIX)
+    )
+    return witht.filter(keep)
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hex_digits: int = 1,
+) -> DataFrame:
+    """Deterministic training-shard assignment: shard = the first
+    ``hex_digits`` hex chars of ``md5('shard:' id)`` — 16^hex_digits
+    shards, uniform in expectation, reproducible across engines/runs/
+    cluster layouts (the property that makes a training run resumable
+    and its data order auditable).
+
+    A pure narrow projection; the shard column then drives
+    ``sources.writers.write_training_shards`` (hash-partitioned write,
+    one file per shard) and the shard-manifest aggregation.
+    """
+    return df.withColumn(
+        "shard",
+        F.substring(
+            F.md5(
+                F.concat(F.lit("shard:"), F.col(id_col).cast("string"))
+            ),
+            1,
+            hex_digits,
+        ),
+    )

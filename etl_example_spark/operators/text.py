@@ -309,3 +309,50 @@ def canonicalize_url(col: Column | str) -> Column:
     rest = F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
     c = F.concat(F.lower(scheme_host), rest)
     return F.regexp_replace(c, r"^([a-z][a-z0-9+.-]*://[^/?]*)/$", "$1")
+
+
+def unigram_rarity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Two-pass unigram language-model quality proxy, in exact integer
+    arithmetic (the determinism contract above).
+
+    Pass 1 aggregates corpus-wide token occurrence counts; pass 2 scores
+    each document by the sum of per-token rarity ``N // count(token)``
+    (N = total corpus tokens) — the integer surrogate for summed
+    ``-log p(token)``: both are large for rare tokens, small for common
+    ones, and rank documents the same way a KenLM-style perplexity
+    filter does, without a float in sight.
+
+    Shuffle architecture at 100 TB: token-count aggregation partial-maps
+    before its hash shuffle on the token; the score join is token-keyed
+    and Zipf-skewed — stop-words dominate — which is exactly the
+    AQE-skew-join case (or broadcast the head of the vocabulary and
+    shuffle only the tail). The final per-doc aggregation shuffles
+    (doc_id, rarity) int pairs, not text.
+
+    Returns (doc_id, n_toks, rarity_sum); empty docs are dropped (no
+    tokens → no rows to score, and a 0/0 mean is undefined anyway).
+    Threshold downstream via integer cross-multiplication
+    (``rarity_sum < k * n_toks``), never a float division.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("tok_count"))
+    total = toks.agg(F.count("*").alias("corpus_toks"))
+    return (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            # `div` is true integer division (no double rounding in the
+            # quotient, unlike `/` + cast); positive domain, so it
+            # agrees with the oracle's floor-division `//`.
+            F.sum(
+                F.expr("corpus_toks div tok_count")
+            ).alias("rarity_sum"),
+        )
+    )

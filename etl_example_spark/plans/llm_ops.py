@@ -2296,3 +2296,270 @@ def d61_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(names)}, {stack_args}) AS "
         "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
     ).orderBy("column_name")
+
+
+@register(
+    "d62_line_dedup",
+    "Corpus-level exact line dedup (the C4/RefinedWeb boilerplate pass): "
+    "documents explode into 10-token lines, a line survives only at its "
+    "global first occurrence (min (doc_id, line_idx) per line hash), and "
+    "each document reports kept/dropped counts plus the md5 fingerprint "
+    "of its cleaned text (operators/dedup.line_dedup). Shuffles narrow "
+    "(digest, ids) rows only — never the text twice.",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+        ),
+        lines AS (
+            SELECT doc_id, i AS line_idx,
+                   array_to_string(toks[(i*10+1):(i*10+10)], ' ')
+                       AS line_text
+            FROM t, LATERAL (
+                SELECT unnest(range(CAST(ceil(len(toks)/10.0) AS BIGINT)))
+                       AS i
+            ) g
+        ),
+        ranked AS (
+            SELECT doc_id, line_idx, line_text,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(line_text)
+                       ORDER BY doc_id, line_idx
+                   ) AS rk
+            FROM lines
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS kept_lines,
+               CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dropped_lines,
+               md5(COALESCE(string_agg(
+                   CASE WHEN rk = 1 THEN line_text END, chr(10)
+                   ORDER BY line_idx), '')) AS cleaned_fp
+        FROM ranked
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    category="dedup",
+)
+def d62_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.line_dedup(docs, line_tokens=10).orderBy("doc_id")
+
+
+@register(
+    "d63_bloom_contamination",
+    "Bloom-filter contamination probe, realized relationally so the "
+    "filter's BITS are oracle-checkable data: benchmark head "
+    "fingerprints (md5 of the first 4 tokens, source='src0' — the key "
+    "that catches shared document openings) hash to k=3 md5-derived "
+    "bit positions; the distinct-position table (≤ k·|benchmark| rows, "
+    "corpus-size-independent) BROADCASTS onto the corpus probe, which "
+    "flags a doc when all 3 positions are set. The bit space is sized "
+    "SMALL here (16², vs the 16^5 production default) so true hits, "
+    "false positives, AND true negatives all occur at test scale — "
+    "bloom_hit is externally hash-verified across all three classes, "
+    "plus exact membership and the no-false-negative certificate "
+    "(operators/dedup.bloom_build/bloom_probe).",
+    oracle="""
+        WITH b AS (
+            SELECT md5(array_to_string(
+                string_split_regex(trim(lower(text)), '\\s+')[1:4], ' '))
+                AS fp
+            FROM documents WHERE source = 'src0'
+        ),
+        pos AS (
+            SELECT DISTINCT
+                   substr(md5(CAST(i AS VARCHAR) || ':' || fp), 1, 2)
+                       AS pos
+            FROM b, LATERAL (SELECT unnest(range(3)) AS i) g
+        ),
+        c AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       string_split_regex(trim(lower(text)), '\\s+')[1:4],
+                       ' ')) AS fp
+            FROM documents WHERE source <> 'src0'
+        ),
+        probe AS (
+            SELECT c.doc_id,
+                   substr(md5(CAST(i AS VARCHAR) || ':' || fp), 1, 2)
+                       AS pos
+            FROM c, LATERAL (SELECT unnest(range(3)) AS i) g
+        ),
+        hits AS (
+            SELECT doc_id, COUNT(*) AS n_set
+            FROM probe JOIN pos USING (pos)
+            GROUP BY doc_id
+        )
+        SELECT c.doc_id,
+               COALESCE(h.n_set = 3, FALSE) AS bloom_hit,
+               (c.fp IN (SELECT fp FROM b)) AS exact_member,
+               (COALESCE(h.n_set = 3, FALSE)
+                OR c.fp NOT IN (SELECT fp FROM b)) AS no_false_negative
+        FROM c LEFT JOIN hits h USING (doc_id)
+        ORDER BY doc_id
+    """,
+    category="dedup",
+)
+def d63_bloom_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(F.slice(text.tokens("text"), 1, 4), " ")
+    ).alias("fp")
+    bench = docs.filter(F.col("source") == "src0").select(fp)
+    corpus = docs.filter(F.col("source") != "src0").select("doc_id", fp)
+    bloom = dedup.bloom_build(bench, "fp", k=3, prefix_len=2)
+    probed = dedup.bloom_probe(corpus, bloom, "fp", k=3, prefix_len=2)
+    member = bench.distinct().withColumn("exact_member", F.lit(True))
+    return (
+        probed.join(F.broadcast(member), "fp", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce("exact_member", F.lit(False)).alias("exact_member"),
+            (
+                F.col("bloom_hit")
+                | ~F.coalesce("exact_member", F.lit(False))
+            ).alias("no_false_negative"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "d64_host_frequency_cap",
+    "Per-host frequency cap (web-corpus head-flattening): hosts derived "
+    "deterministically from doc fields, each host keeps at most 10 "
+    "documents chosen by md5 rank — a deterministic 'random' subset, "
+    "not first-crawled bias (operators/sampling.host_frequency_cap). "
+    "The exact window variant is registered; "
+    "host_frequency_cap_approx is the no-sort 100 TB path "
+    "(property-tested in-repo).",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   'www.' || lower(source) || '.example.com' AS host
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, host,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY host
+                       ORDER BY md5(host || ':' || CAST(doc_id AS VARCHAR)),
+                                doc_id
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY host) AS host_total
+            FROM d
+        )
+        SELECT doc_id, host, host_total
+        FROM r WHERE rk <= 10
+        ORDER BY doc_id
+    """,
+    category="text",
+)
+def d64_host_frequency_cap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_example_spark.operators.sampling import host_frequency_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    hosted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("www."), F.lower("source"), F.lit(".example.com")
+        ).alias("host"),
+    )
+    return (
+        host_frequency_cap(hosted, host_col="host", cap=10)
+        .select("doc_id", "host", "host_total")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "d65_unigram_rarity",
+    "Unigram-LM quality proxy in exact integer arithmetic: corpus token "
+    "counts (pass 1) score each document by summed rarity "
+    "N // count(token) (pass 2) — ranks documents like a perplexity "
+    "filter with zero float nondeterminism; threshold downstream by "
+    "integer cross-multiplication (operators/text.unigram_rarity). "
+    "Token join is Zipf-skewed by nature — the documented AQE-skew/"
+    "broadcast-head case.",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM documents
+        ),
+        cnt AS (
+            SELECT tok, COUNT(*) AS tok_count FROM t GROUP BY tok
+        ),
+        tot AS (SELECT COUNT(*) AS corpus_toks FROM t)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(SUM(corpus_toks // tok_count) AS BIGINT) AS rarity_sum
+        FROM t JOIN cnt USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    category="text",
+)
+def d65_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.unigram_rarity(docs).orderBy("doc_id")
+
+
+@register(
+    "d66_shard_manifest",
+    "Deterministic training-shard assignment + write-side manifest: "
+    "shard = md5-derived hex digit (16 uniform shards, reproducible "
+    "across engines/runs/cluster layouts), manifest rows carry per-shard "
+    "doc count, char volume, id range, and an order-sensitive id "
+    "fingerprint — the audit record that makes a training run's data "
+    "order provable (operators/sampling.shard_assign + "
+    "sources/writers.write_training_shards).",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, n_chars,
+                   substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                       AS shard
+            FROM documents
+        )
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               MIN(doc_id) AS min_doc,
+               MAX(doc_id) AS max_doc,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                   ORDER BY doc_id)) AS ids_fp
+        FROM s
+        GROUP BY shard
+        ORDER BY shard
+    """,
+    category="text",
+)
+def d66_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.operators.sampling import shard_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = shard_assign(docs.select("doc_id", "n_chars"), hex_digits=1)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("ids_fp"),
+        )
+        .orderBy("shard")
+    )

@@ -2919,3 +2919,176 @@ def q94_customer_distribution(
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+@register(
+    "q95_regression_stats",
+    "Ordinary-least-squares regression of line revenue (cents) on "
+    "quantity per return flag, computed from EXACT integer moment sums "
+    "(Σx, Σy, Σxy, Σx² as decimal(38,0) — order-independent, unlike the "
+    "builtin regr_* aggregates whose double sums are partition-order-"
+    "dependent) with one final double division; plus exact integer "
+    "median. The portable form of regression push-down: one scan, "
+    "partial aggregation map-side, a 4-number reduce per group.",
+    oracle="""
+        WITH m AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS DECIMAL(38,0))
+                       AS sx,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                       AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)
+                            * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                       AS DECIMAL(38,0)) AS sxy,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)
+                            * CAST(l_quantity AS BIGINT))
+                       AS DECIMAL(38,0)) AS sxx,
+                   MEDIAN(CAST(l_quantity AS BIGINT)) AS median_qty
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               n AS n_rows,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE)) / n AS intercept_cents,
+               CAST(median_qty AS DOUBLE) AS median_qty
+        FROM m
+        ORDER BY l_returnflag
+    """,
+)
+def q95_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = as_scaled_long("l_extendedprice")
+    dec = "decimal(38,0)"
+    m = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast(dec).alias("sx"),
+        F.sum(y).cast(dec).alias("sy"),
+        F.sum(x * y).cast(dec).alias("sxy"),
+        F.sum(x * x).cast(dec).alias("sxx"),
+        F.median(x).alias("median_qty"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    return m.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        slope.alias("slope_cents"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n")
+        ).alias("intercept_cents"),
+        F.col("median_qty").cast("double").alias("median_qty"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "q96_arg_extrema",
+    "Argument-extrema and boolean aggregation breadth per nation: "
+    "richest/poorest customer via max_by/min_by over a UNIQUE scalar "
+    "order key (balance cents scaled + custkey tiebreak — Spark's "
+    "max_by on ties is nondeterministic, so determinism is constructed, "
+    "not assumed), plus count_if / bool_or. Dim join broadcasts; one "
+    "shuffle on nationkey.",
+    oracle="""
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               arg_max(c_name,
+                       CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000
+                       - c_custkey) AS richest,
+               arg_min(c_name,
+                       CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000
+                       - c_custkey) AS poorest,
+               CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_overdrawn,
+               bool_or(c_acctbal > 9000) AS has_high_balance
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+)
+def q96_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    key = as_scaled_long("c_acctbal") * F.lit(10_000_000) - F.col(
+        "c_custkey"
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.max_by("c_name", key).alias("richest"),
+            F.min_by("c_name", key).alias("poorest"),
+            F.count_if(F.col("c_acctbal") < 0).alias("n_overdrawn"),
+            F.bool_or(F.col("c_acctbal") > 9000).alias(
+                "has_high_balance"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q97_distinct_window",
+    "DISTINCT aggregation over windows — a construct Spark SQL lacks "
+    "(COUNT(DISTINCT) OVER raises) — composed scalably from ranking "
+    "primitives: first-occurrence flag (row_number per (user, type) = 1) "
+    "cumulative-summed per user gives the running distinct event-type "
+    "count; its partition total gives the per-user distinct count. "
+    "Integer-only, no collect_set materialization (the naive "
+    "size(collect_set) OVER buffers every row's set — O(n²) per "
+    "partition at scale); the oracle uses DuckDB's native "
+    "COUNT(DISTINCT) OVER.",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(count(DISTINCT event_type) OVER (
+                   PARTITION BY user_id) AS BIGINT) AS n_types_user,
+               CAST(count(DISTINCT event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS running_distinct
+        FROM events
+        ORDER BY user_id, ts, event_id
+    """,
+)
+def q97_distinct_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = (
+        F.row_number().over(
+            Window.partitionBy("user_id", "event_type").orderBy(
+                "ts", "event_id"
+            )
+        )
+        == 1
+    ).cast("bigint")
+    flagged = ev.select(
+        "event_id", "user_id", "ts", first_seen.alias("first_seen")
+    )
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    total = Window.partitionBy("user_id")
+    return (
+        flagged.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.sum("first_seen").over(total).alias("n_types_user"),
+            F.sum("first_seen")
+            .over(
+                running.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .alias("running_distinct"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .drop("ts")
+    )

@@ -26,6 +26,7 @@ import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -348,3 +349,37 @@ def restore_catalog(
             df.createOrReplaceTempView(name)
         tables[name] = df
     return tables
+
+
+def write_training_shards(
+    df: DataFrame,
+    dest: str,
+    shard_col: str = "shard",
+    order_col: str = "doc_id",
+) -> dict[str, int]:
+    """Materialize a curated corpus as training shards: one parquet
+    directory per shard value (``dest/shard=<v>/``), rows sorted by
+    ``order_col`` within each shard so a training run streams documents
+    in a stable, auditable order.
+
+    ``repartition(shard_col)`` puts each shard's rows in one task, and
+    ``sortWithinPartitions`` orders them — hash-partitioned write, no
+    global sort. At 100 TB, raise the number of distinct shard values
+    (``sampling.shard_assign(hex_digits=...)`` scales 16x per digit) so
+    shards stay executor-sized; shard assignment is uniform by
+    construction, so no shard is a straggler.
+
+    Returns {shard_value: row_count} as the write-side manifest.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(shard_col).count().collect()
+    }
+    (
+        df.repartition(F.col(shard_col))
+        .sortWithinPartitions(shard_col, order_col)
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+        .parquet(dest)
+    )
+    return counts

@@ -1,0 +1,232 @@
+"""Unit tests for the corpus-scale curation operators: line dedup,
+relational Bloom contamination, host frequency caps, unigram rarity,
+shard assignment + shard writer."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_example_spark.operators.dedup import (
+    bloom_build,
+    bloom_positions,
+    bloom_probe,
+    doc_lines,
+    line_dedup,
+)
+from etl_example_spark.operators.sampling import (
+    host_frequency_cap,
+    host_frequency_cap_approx,
+    shard_assign,
+)
+from etl_example_spark.operators.text import unigram_rarity
+from etl_example_spark.sources.writers import write_training_shards
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDocLines:
+    def test_splits_into_fixed_token_lines_with_remainder(self, spark):
+        df = _docs(spark, [(1, "a b c d e")])
+        got = sorted(
+            (r.line_idx, r.line_text)
+            for r in doc_lines(df, line_tokens=2).collect()
+        )
+        assert got == [(0, "a b"), (1, "c d"), (2, "e")]
+
+    def test_short_doc_is_one_line(self, spark):
+        df = _docs(spark, [(1, "only three tokens")])
+        got = doc_lines(df, line_tokens=10).collect()
+        assert [(r.line_idx, r.line_text) for r in got] == [
+            (0, "only three tokens")
+        ]
+
+
+class TestLineDedup:
+    def test_first_occurrence_survives_later_copies_drop(self, spark):
+        # doc 1 owns both lines; doc 2 repeats doc 1's first line then
+        # adds a fresh one; doc 3 is entirely boilerplate.
+        df = _docs(
+            spark,
+            [
+                (1, "a b c d"),
+                (2, "a b x y"),
+                (3, "a b c d"),
+            ],
+        )
+        got = {
+            r.doc_id: (r.n_lines, r.kept_lines, r.dropped_lines)
+            for r in line_dedup(df, line_tokens=2).collect()
+        }
+        assert got == {1: (2, 2, 0), 2: (2, 1, 1), 3: (2, 0, 2)}
+
+    def test_cleaned_fp_reflects_surviving_lines_only(self, spark):
+        df = _docs(spark, [(1, "a b c d"), (2, "a b x y")])
+        fps = {
+            r.doc_id: r.cleaned_fp
+            for r in line_dedup(df, line_tokens=2).collect()
+        }
+        import hashlib
+
+        assert fps[1] == hashlib.md5(b"a b\nc d").hexdigest()
+        assert fps[2] == hashlib.md5(b"x y").hexdigest()
+
+    def test_fully_deduped_doc_fingerprints_empty_text(self, spark):
+        df = _docs(spark, [(1, "a b"), (2, "a b")])
+        import hashlib
+
+        fps = {
+            r.doc_id: r.cleaned_fp
+            for r in line_dedup(df, line_tokens=2).collect()
+        }
+        assert fps[2] == hashlib.md5(b"").hexdigest()
+
+
+class TestBloom:
+    def _keys(self, spark, keys):
+        return spark.createDataFrame([(k,) for k in keys], "fp string")
+
+    def test_no_false_negatives_ever(self, spark):
+        bench = self._keys(spark, [f"key{i}" for i in range(50)])
+        corpus = self._keys(
+            spark, [f"key{i}" for i in range(100)]
+        )  # first 50 are members
+        bloom = bloom_build(bench, "fp", k=3, prefix_len=2)
+        probed = bloom_probe(corpus, bloom, "fp", k=3, prefix_len=2)
+        members = {
+            r.fp for r in probed.collect() if r.fp in
+            {f"key{i}" for i in range(50)}
+        }
+        hits = {r.fp for r in probed.collect() if r.bloom_hit}
+        assert members <= hits  # every member flagged
+
+    def test_duplicate_corpus_keys_still_hit(self, spark):
+        # regression: probe match-counting must not conflate copies of
+        # the same key (k matches per distinct key, not per row)
+        bench = self._keys(spark, ["dup"])
+        corpus = self._keys(spark, ["dup", "dup", "other"])
+        bloom = bloom_build(bench, "fp", k=3, prefix_len=4)
+        got = {
+            (r.fp, r.bloom_hit)
+            for r in bloom_probe(
+                corpus, bloom, "fp", k=3, prefix_len=4
+            ).collect()
+        }
+        assert ("dup", True) in got and ("dup", False) not in got
+
+    def test_filter_size_is_bounded_by_benchmark(self, spark):
+        bench = self._keys(spark, [f"k{i}" for i in range(40)])
+        bloom = bloom_build(bench, "fp", k=3, prefix_len=5)
+        assert bloom.count() <= 3 * 40
+
+    def test_positions_are_deterministic(self, spark):
+        df = self._keys(spark, ["abc"]).select(
+            bloom_positions("fp", k=2, prefix_len=3).alias("pos")
+        )
+        a = df.collect()[0].pos
+        b = df.collect()[0].pos
+        import hashlib
+
+        assert a == b
+        assert a[0] == hashlib.md5(b"0:abc").hexdigest()[:3]
+
+
+class TestHostCap:
+    def _hosted(self, spark, spec):
+        rows = []
+        i = 0
+        for host, n in spec.items():
+            for _ in range(n):
+                rows.append((i, host))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id long, host string")
+
+    def test_exact_cap_is_exact(self, spark):
+        df = self._hosted(spark, {"big.com": 30, "small.com": 3})
+        kept = host_frequency_cap(df, cap=10).collect()
+        by_host = {}
+        for r in kept:
+            by_host.setdefault(r.host, []).append(r.doc_id)
+        assert len(by_host["big.com"]) == 10
+        assert len(by_host["small.com"]) == 3
+        assert {r.host_total for r in kept} == {30, 3}
+
+    def test_exact_cap_is_deterministic(self, spark):
+        df = self._hosted(spark, {"h": 40})
+        a = sorted(r.doc_id for r in host_frequency_cap(df, cap=5).collect())
+        b = sorted(r.doc_id for r in host_frequency_cap(df, cap=5).collect())
+        assert a == b and len(a) == 5
+
+    def test_approx_keeps_everything_at_or_under_cap(self, spark):
+        df = self._hosted(spark, {"small.com": 10, "tiny.com": 1})
+        kept = host_frequency_cap_approx(df, cap=10).collect()
+        assert len(kept) == 11
+
+    def test_approx_rate_matches_exact_hash_threshold_law(self, spark):
+        # the approx predicate must agree with the documented rule:
+        # keep iff int(prefix,16) * total < cap * 16^8
+        df = self._hosted(spark, {"h": 200})
+        kept = {
+            r.doc_id
+            for r in host_frequency_cap_approx(df, cap=20).collect()
+        }
+        import hashlib
+
+        expect = set()
+        for i in range(200):
+            v = int(hashlib.md5(f"h:{i}".encode()).hexdigest()[:8], 16)
+            if v * 200 < 20 * 16**8:
+                expect.add(i)
+        assert kept == expect
+
+
+class TestUnigramRarity:
+    def test_hand_computed_scores(self, spark):
+        # corpus: "a a b" + "a c" -> N=5, count(a)=3, count(b)=1,
+        # count(c)=1 -> rarity a=1, b=5, c=5
+        df = _docs(spark, [(1, "a a b"), (2, "a c")])
+        got = {
+            r.doc_id: (r.n_toks, r.rarity_sum)
+            for r in unigram_rarity(df).collect()
+        }
+        assert got == {1: (3, 1 + 1 + 5), 2: (2, 1 + 5)}
+
+    def test_rare_heavy_doc_scores_higher(self, spark):
+        df = _docs(
+            spark,
+            [(i, "common words here") for i in range(20)]
+            + [(99, "xylophone quixotic zephyr")],
+        )
+        scores = {
+            r.doc_id: r.rarity_sum / r.n_toks
+            for r in unigram_rarity(df).collect()
+        }
+        assert scores[99] > scores[0]
+
+
+class TestShards:
+    def test_assignment_is_deterministic_and_complete(self, spark):
+        df = _docs(spark, [(i, "t") for i in range(100)])
+        a = {r.doc_id: r.shard for r in shard_assign(df).collect()}
+        b = {r.doc_id: r.shard for r in shard_assign(df).collect()}
+        assert a == b
+        assert set(a) == set(range(100))
+        assert all(len(s) == 1 for s in a.values())
+
+    def test_writer_lands_one_directory_per_shard(self, spark, tmp_path):
+        df = shard_assign(_docs(spark, [(i, f"doc {i}") for i in range(64)]))
+        dest = str(tmp_path / "shards")
+        counts = write_training_shards(df, dest)
+        dirs = {
+            d.split("=", 1)[1]
+            for d in os.listdir(dest)
+            if d.startswith("shard=")
+        }
+        assert dirs == set(counts)
+        assert sum(counts.values()) == 64
+        back = spark.read.parquet(dest)
+        assert back.count() == 64
+        assert set(back.columns) == {"doc_id", "text", "shard"}

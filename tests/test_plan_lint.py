@@ -40,6 +40,7 @@ _CROSS_JOIN_BY_DESIGN = {
     "q15_cte_subquery",  # broadcast one-row scalar aggregate
     "q69_quiet_big_accounts",  # broadcast one-row scalar aggregate
     "d52_tfidf_top_terms",  # broadcast one-row corpus-size aggregate
+    "d65_unigram_rarity",  # broadcast one-row corpus-token-total aggregate
     "m38_encode_then_search",  # broadcast query-vector block (brute force)
 }
 
