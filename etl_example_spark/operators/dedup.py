@@ -1101,3 +1101,34 @@ def bloom_probe(
         key_col,
         "left",
     ).withColumn("bloom_hit", F.coalesce("bloom_hit", F.lit(False)))
+
+
+def bloom_hit_literal(
+    positions: set[str] | list[str],
+    key_col: Column | str,
+    k: int = 3,
+    prefix_len: int = 5,
+) -> Column:
+    """Membership test against a DRIVER-COLLECTED Bloom position set, as
+    a pure column expression: AND over the k per-seed ``isin`` literal
+    checks.
+
+    This is the push-down form of :func:`bloom_probe` for contexts where
+    a join is unwanted — streaming probes (stateless per row: no
+    per-batch filter rebuild, no stream-side shuffle) and scan-adjacent
+    pre-filters. The set is bounded by k·|benchmark| (never the corpus),
+    the same budget a broadcast pays; beyond literal-expression comfort
+    (~1e5 entries) use the join form.
+    """
+    pos_list = sorted(positions)
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    checks = [
+        F.substring(
+            F.md5(F.concat(F.lit(f"{i}:"), c)), 1, prefix_len
+        ).isin(pos_list)
+        for i in range(k)
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out & chk
+    return out

@@ -519,3 +519,89 @@ def st45_stream_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("epoch")
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "st46_stream_bloom_probe",
+    "Streaming benchmark-contamination gate: the Bloom filter built from "
+    "the static benchmark set (md5-position construction, "
+    "operators/dedup.bloom_build) is collected to a bounded literal "
+    "position set and applied to the document STREAM as a pure column "
+    "predicate (operators/dedup.bloom_hit_literal) — stateless per row, "
+    "no per-batch filter rebuild, no stream-side join or shuffle before "
+    "the final rollup. The per-source flag counts aggregate in complete "
+    "mode; the oracle replays the identical bit arithmetic in batch "
+    "SQL, so the streaming filter's hits are hash-verified externally.",
+    oracle="""
+        WITH b AS (
+            SELECT md5(array_to_string(
+                string_split_regex(trim(lower(text)), '\\s+')[1:4], ' '))
+                AS fp
+            FROM documents WHERE source = 'src0'
+        ),
+        pos AS (
+            SELECT DISTINCT
+                   substr(md5(CAST(i AS VARCHAR) || ':' || fp), 1, 2)
+                       AS pos
+            FROM b, LATERAL (SELECT unnest(range(3)) AS i) g
+        ),
+        c AS (
+            SELECT doc_id, source,
+                   md5(array_to_string(
+                       string_split_regex(trim(lower(text)), '\\s+')[1:4],
+                       ' ')) AS fp
+            FROM documents WHERE source <> 'src0'
+        ),
+        flagged AS (
+            SELECT c.doc_id, c.source,
+                   (SELECT COUNT(DISTINCT i) FROM (
+                        SELECT unnest(range(3)) AS i
+                    ) s
+                    WHERE substr(md5(CAST(i AS VARCHAR) || ':' || c.fp),
+                                 1, 2) IN (SELECT pos FROM pos)) = 3
+                       AS hit
+            FROM c
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(count_if(hit) AS BIGINT) AS n_flagged
+        FROM flagged
+        GROUP BY source
+        ORDER BY source
+    """,
+    category="streaming",
+)
+def st46_stream_bloom_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators import dedup, text
+    from etl_example_spark.sources.loaders import load_table
+    from etl_example_spark.streaming.sources import read_documents_stream
+
+    head_fp = F.md5(
+        F.array_join(F.slice(text.tokens("text"), 1, 4), " ")
+    )
+    bench = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .select(head_fp.alias("fp"))
+    )
+    positions = {
+        r.pos
+        for r in dedup.bloom_build(bench, "fp", k=3, prefix_len=2).collect()
+    }
+    stream = read_documents_stream(spark, sf_dir).filter(
+        F.col("source") != "src0"
+    )
+    flagged = stream.select(
+        "source",
+        dedup.bloom_hit_literal(positions, head_fp, k=3, prefix_len=2)
+        .alias("hit"),
+    )
+    agg = flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(F.col("hit")).alias("n_flagged"),
+    )
+    return run_to_memory(agg, output_mode="complete").orderBy("source")

@@ -230,3 +230,42 @@ class TestShards:
         back = spark.read.parquet(dest)
         assert back.count() == 64
         assert set(back.columns) == {"doc_id", "text", "shard"}
+
+
+class TestBloomLiteral:
+    def test_literal_form_agrees_with_join_form(self, spark):
+        from etl_example_spark.operators.dedup import bloom_hit_literal
+
+        bench = spark.createDataFrame(
+            [(f"key{i}",) for i in range(30)], "fp string"
+        )
+        corpus = spark.createDataFrame(
+            [(f"key{i}",) for i in range(60)], "fp string"
+        )
+        bloom = bloom_build(bench, "fp", k=3, prefix_len=2)
+        join_hits = {
+            r.fp: r.bloom_hit
+            for r in bloom_probe(
+                corpus, bloom, "fp", k=3, prefix_len=2
+            ).collect()
+        }
+        positions = {r.pos for r in bloom.collect()}
+        lit_hits = {
+            r.fp: r.hit
+            for r in corpus.select(
+                "fp",
+                bloom_hit_literal(
+                    positions, "fp", k=3, prefix_len=2
+                ).alias("hit"),
+            ).collect()
+        }
+        assert join_hits == lit_hits
+
+    def test_empty_position_set_flags_nothing(self, spark):
+        from etl_example_spark.operators.dedup import bloom_hit_literal
+
+        corpus = spark.createDataFrame([("a",), ("b",)], "fp string")
+        got = corpus.select(
+            bloom_hit_literal(set(), "fp").alias("hit")
+        ).collect()
+        assert all(not r.hit for r in got)
