@@ -100,6 +100,21 @@ SHOW = {
         "banding, verification joins, sampling filter — no all-pairs "
         "operator anywhere."
     ),
+    "d62_line_dedup": (
+        "Corpus-level line dedup: explode to (digest, ids), ONE hash "
+        "shuffle for the first-occurrence window, one doc_id shuffle to "
+        "reassemble — the text is never shuffled."
+    ),
+    "d63_bloom_contamination": (
+        "Relational Bloom probe: the position table broadcasts twice "
+        "(build side is k·|benchmark| rows); the corpus scans once and "
+        "only (key, pos) pairs ever shuffle."
+    ),
+    "d65_unigram_rarity": (
+        "Two-pass unigram scoring: token counts partial-aggregate before "
+        "their shuffle; the one-row corpus total is a broadcast nested "
+        "loop; the doc rollup shuffles int pairs."
+    ),
 }
 
 
