@@ -2563,3 +2563,98 @@ def d66_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "d67_export_pipeline",
+    "The publish half of the corpus lifecycle, end-to-end: quality gate "
+    "(>= 5 tokens) -> exact dedup keep-first -> per-host frequency cap "
+    "(15, md5-rank survivors) -> deterministic shard assignment -> "
+    "per-shard export manifest (doc count, char volume, id-order "
+    "fingerprint). Composes the verified pieces the way "
+    "write_training_shards consumes them; the oracle replays every "
+    "stage decision in SQL, so the manifest a training run would consume "
+    "is hash-verified end-to-end. Complements d53 (the near-dup-heavy "
+    "curation half).",
+    oracle=f"""
+        WITH gated AS (
+            SELECT doc_id, source, n_chars,
+                   md5({SQL_NORM}) AS fp
+            FROM documents
+            WHERE len({SQL_TOKS}) >= 5
+        ),
+        keepers AS (
+            SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY fp
+        ),
+        hosted AS (
+            SELECT g.doc_id, g.n_chars,
+                   'www.' || lower(g.source) || '.example.com' AS host
+            FROM gated g JOIN keepers USING (doc_id)
+        ),
+        capped AS (
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY host
+                           ORDER BY md5(host || ':'
+                                        || CAST(doc_id AS VARCHAR)),
+                                    doc_id
+                       ) AS rk
+                FROM hosted
+            ) WHERE rk <= 15
+        ),
+        sharded AS (
+            SELECT doc_id, n_chars,
+                   substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                       AS shard
+            FROM capped
+        )
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                   ORDER BY doc_id)) AS ids_fp
+        FROM sharded
+        GROUP BY shard
+        ORDER BY shard
+    """,
+    category="text",
+)
+def d67_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.operators.sampling import (
+        host_frequency_cap,
+        shard_assign,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.filter(text.token_count("text") >= 5)
+    keepers = dedup.exact_dedup(gated).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    deduped = gated.join(keepers, "doc_id", "left_semi")
+    hosted = deduped.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("www."), F.lower("source"), F.lit(".example.com")
+        ).alias("host"),
+    )
+    capped = host_frequency_cap(hosted, cap=15).select("doc_id", "n_chars")
+    sharded = shard_assign(capped, hex_digits=1)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("ids_fp"),
+        )
+        .orderBy("shard")
+    )

@@ -3092,3 +3092,73 @@ def q97_distinct_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "ts", "event_id")
         .drop("ts")
     )
+
+
+@register(
+    "q98_window_ignore_nulls",
+    "IGNORE NULLS window breadth — the LOCF family on raw event rows: "
+    "error events null out their reading; per user (ordered by ts) each "
+    "row carries the forward-filled last valid value, the previous "
+    "valid value (lag-ignore-nulls as a last_value over the "
+    "up-to-previous frame), and the second valid reading "
+    "(nth_value ignoreNulls). One window partition shuffle; frames are "
+    "running, so state per partition is O(1). Complements q72, which "
+    "does LOCF on a densified daily grid.",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE CAST(ROUND(value * 100) AS BIGINT)
+                   END AS valid_cents
+            FROM events
+        )
+        SELECT event_id, user_id, valid_cents,
+               last_value(valid_cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS ffill_cents,
+               last_value(valid_cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_valid_cents,
+               nth_value(valid_cents, 2 IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS second_valid_cents
+        FROM e
+        ORDER BY user_id, ts, event_id
+    """,
+)
+def q98_window_ignore_nulls(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    valid = F.when(
+        F.col("event_type") != "error",
+        F.round(F.col("value") * 100).cast("bigint"),
+    )
+    base = ev.select(
+        "event_id", "user_id", "ts", valid.alias("valid_cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    upto_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        base.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "valid_cents",
+            F.last("valid_cents", ignorenulls=True)
+            .over(running)
+            .alias("ffill_cents"),
+            F.last("valid_cents", ignorenulls=True)
+            .over(upto_prev)
+            .alias("prev_valid_cents"),
+            F.nth_value("valid_cents", 2, ignoreNulls=True)
+            .over(running)
+            .alias("second_valid_cents"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .drop("ts")
+    )
