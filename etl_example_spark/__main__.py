@@ -26,6 +26,39 @@ import sys
 import time
 
 
+def _run_curation(spark, log, args) -> int:
+    """``--curate``: the LLM-corpus half of the engine as a CLI — gate,
+    dedup, near-dup removal, mixture sampling, optional shard export.
+    Every stage decision is the deterministic one the registry verifies
+    (d53 for the chain, d66/d67 for the shard manifest)."""
+    import os
+
+    from etl_example_spark.operators.corpus import corpus_stats, curate_corpus
+    from etl_example_spark.operators.sampling import shard_assign
+    from etl_example_spark.sources.writers import write_training_shards
+
+    src = os.path.join(args.curate, "documents.parquet")
+    docs = spark.read.parquet(src)
+    log.info("corpus: %d documents from %s", docs.count(), src)
+    curated = curate_corpus(docs)
+    log.info("curated: %d documents survive", curated.count())
+    for row in corpus_stats(curated).collect():
+        log.info(
+            "stratum %s: %d docs, %d tokens",
+            row[0], row["n_docs"], row["n_tokens"],
+        )
+    if args.shards_dest:
+        sharded = shard_assign(curated, hex_digits=args.shard_digits)
+        manifest = write_training_shards(sharded, args.shards_dest)
+        for shard in sorted(manifest):
+            log.info("shard %s: %d docs", shard, manifest[shard])
+        log.info(
+            "shards written: %s (%d shards, %d docs)",
+            args.shards_dest, len(manifest), sum(manifest.values()),
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(
         prog="python -m etl_example_spark",
@@ -50,6 +83,29 @@ def main(argv: list[str] | None = None) -> int:
         "included) to this directory — the reference's post-job "
         "backup.sh step (any Hadoop path, e.g. s3a://bucket/backups)",
     )
+    parser.add_argument(
+        "--curate",
+        default=None,
+        metavar="SRC_DIR",
+        help="run the training-corpus curation pipeline instead of the "
+        "reference lifecycle: read SRC_DIR/documents.parquet, apply the "
+        "quality gate + exact dedup + MinHash-LSH near-dup removal + "
+        "temperature mixture sampling, and report per-language stats",
+    )
+    parser.add_argument(
+        "--shards-dest",
+        default=None,
+        help="with --curate: also export the curated corpus as "
+        "hash-assigned training shards to this directory and log the "
+        "per-shard manifest",
+    )
+    parser.add_argument(
+        "--shard-digits",
+        type=int,
+        default=1,
+        help="with --shards-dest: md5 hex digits in the shard key "
+        "(16^N shards; default 1 = 16 shards)",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -64,6 +120,12 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.time()
     spark = get_spark(app_name="etl_example_spark")
+
+    if args.curate:
+        rc = _run_curation(spark, log, args)
+        log.info("pipeline finished in %.2fs", time.time() - t0)
+        spark.stop()
+        return rc
 
     if args.ddl_dir:
         from etl_example_spark.sources.sql_script import load_star_schema

@@ -620,3 +620,51 @@ def pq_topk(
         .orderBy(F.desc("cosine_sim"), "neighbor_id")
         .limit(k)
     )
+
+
+def knn_graph_blocked(
+    embeddings: DataFrame,
+    block_col: str = "label",
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-nearest-neighbor GRAPH (every vector's top-k cosine neighbors),
+    blocked by ``block_col``: candidates come only from the same block,
+    so the pair space is Σ block² instead of corpus² — the blocked
+    all-pairs recipe behind embedding dedup clusters, semantic graph
+    construction, and label propagation.
+
+    Locally the block is the testdata ``label``; at 100 TB it is an IVF
+    cell assignment (``ivf_assign``) or LSH bucket (``sign_lsh``) — same
+    plan: one equi-self-join on the block key (never a cross join), a
+    narrow cosine map, and a per-vector ranking window. Block-size skew
+    bounds the worst task; cap cells at assignment time as IVF does.
+
+    Returns (vec_id, neighbor_id, cosine_sim, rk), rk 1..k per vector,
+    deterministic via the rounded-similarity + neighbor-id tie-break.
+    """
+    left = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).alias("_va"),
+    )
+    right = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).alias("_vb"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        left.join(right, "_blk")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(cosine("_va", "_vb"), 6).alias("cosine_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

@@ -2658,3 +2658,180 @@ def d67_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "s43_knn_graph",
+    "k-NN graph construction (top-3 cosine neighbors for EVERY vector), "
+    "blocked by the label column standing in for an IVF cell / LSH "
+    "bucket: one equi-self-join on the block key bounds the pair space "
+    "to Σ block² — the blocked recipe behind embedding dedup clusters "
+    "and semantic-graph builds; never a corpus² cross join "
+    "(operators/similarity.knn_graph_blocked).",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label,
+                   CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id,
+                   b.vec_id AS neighbor_id,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6)
+                       AS cosine_sim
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.vec_id != b.vec_id
+        ),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cosine_sim DESC, neighbor_id
+                   ) AS rk
+            FROM pairs
+        )
+        SELECT vec_id, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rk
+        FROM ranked WHERE rk <= 3
+        ORDER BY vec_id, rk
+    """,
+    category="similarity",
+)
+def s43_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.knn_graph_blocked(emb, block_col="label", k=3)
+        .withColumn("rk", F.col("rk").cast("int"))
+        .orderBy("vec_id", "rk")
+    )
+
+
+@register(
+    "d68_vocab_coverage",
+    "Vocabulary coverage curve (tokenizer sizing): corpus token counts "
+    "ranked by frequency, with cumulative counts and integer-permille "
+    "coverage at each rank — how much of the corpus the top-k vocabulary "
+    "explains. The ranking window runs over the AGGREGATED vocab table "
+    "(vocab-sized, not corpus-sized); the corpus itself sees one "
+    "partial-aggregated count pass.",
+    oracle=f"""
+        WITH t AS (
+            SELECT unnest({SQL_TOKS}) AS tok FROM documents
+        ),
+        cnt AS (SELECT tok, COUNT(*) AS tok_count FROM t GROUP BY tok),
+        tot AS (SELECT COUNT(*) AS corpus_toks FROM t),
+        ranked AS (
+            SELECT tok, tok_count,
+                   ROW_NUMBER() OVER (
+                       ORDER BY tok_count DESC, tok) AS rank,
+                   SUM(tok_count) OVER (
+                       ORDER BY tok_count DESC, tok
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_count
+            FROM cnt
+        )
+        SELECT CAST(rank AS BIGINT) AS rank, tok,
+               CAST(tok_count AS BIGINT) AS tok_count,
+               CAST(cum_count AS BIGINT) AS cum_count,
+               CAST(cum_count * 1000 // corpus_toks AS BIGINT)
+                   AS coverage_permille
+        FROM ranked CROSS JOIN tot
+        WHERE rank <= 20
+        ORDER BY rank
+    """,
+    category="text",
+)
+def d68_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens("text")).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count("*").alias("tok_count"))
+    total = toks.agg(F.count("*").alias("corpus_toks"))
+    w = Window.orderBy(F.desc("tok_count"), F.asc("tok"))
+    ranked = cnt.select(
+        "tok",
+        "tok_count",
+        F.row_number().over(w).alias("rank"),
+        F.sum("tok_count")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_count"),
+    )
+    return (
+        ranked.filter(F.col("rank") <= 20)
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "tok",
+            "tok_count",
+            "cum_count",
+            F.expr("cum_count * 1000 div corpus_toks").alias(
+                "coverage_permille"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+@register(
+    "d69_domain_shift",
+    "Domain-shift profile (mixture drift monitor): per-source L1 "
+    "distance between the source's token distribution and the corpus "
+    "distribution, in integer permille (each share is an exact "
+    "integer-division permille, so the statistic is engine-portable "
+    "with zero float folds). Sources whose text diverges from the "
+    "mixture surface to the top — the cheap continuous check that a "
+    "new crawl snapshot hasn't shifted the training mixture. One "
+    "(source, token) count pass; everything downstream is vocab-sized.",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, unnest({SQL_TOKS}) AS tok FROM documents
+        ),
+        st AS (
+            SELECT source, tok, COUNT(*) AS n FROM t GROUP BY source, tok
+        ),
+        src_tot AS (
+            SELECT source, SUM(n) AS t_src FROM st GROUP BY source
+        ),
+        tok_tot AS (
+            SELECT tok, SUM(n) AS t_tok FROM st GROUP BY tok
+        ),
+        tot AS (SELECT COUNT(*) AS t_all FROM t)
+        SELECT st.source,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_tokens,
+               CAST(SUM(ABS(st.n * 1000 // s.t_src
+                            - tt.t_tok * 1000 // tot.t_all))
+                    AS BIGINT) AS l1_permille
+        FROM st
+        JOIN src_tot s USING (source)
+        JOIN tok_tot tt USING (tok)
+        CROSS JOIN tot
+        GROUP BY st.source
+        ORDER BY st.source
+    """,
+    category="text",
+)
+def d69_domain_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(text.tokens("text")).alias("tok")
+    )
+    st = toks.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    src_tot = st.groupBy("source").agg(F.sum("n").alias("t_src"))
+    tok_tot = st.groupBy("tok").agg(F.sum("n").alias("t_tok"))
+    total = toks.agg(F.count("*").alias("t_all"))
+    return (
+        st.join(src_tot, "source")
+        .join(tok_tot, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_shared_tokens"),
+            F.sum(
+                F.abs(
+                    F.expr("n * 1000 div t_src")
+                    - F.expr("t_tok * 1000 div t_all")
+                )
+            ).alias("l1_permille"),
+        )
+        .orderBy("source")
+    )

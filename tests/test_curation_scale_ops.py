@@ -269,3 +269,41 @@ class TestBloomLiteral:
             bloom_hit_literal(set(), "fp").alias("hit")
         ).collect()
         assert all(not r.hit for r in got)
+
+
+class TestKnnGraph:
+    def test_neighbors_only_within_block(self, spark):
+        from etl_example_spark.operators.similarity import knn_graph_blocked
+
+        rows = [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [0.9, 0.1]),
+            (3, 1, [1.0, 0.0]),  # identical direction, other block
+            (4, 1, [0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<double>"
+        )
+        got = knn_graph_blocked(df, k=2).collect()
+        by_vec = {}
+        for r in got:
+            by_vec.setdefault(r.vec_id, []).append(r.neighbor_id)
+        assert by_vec[1] == [2]  # never 3, despite cosine 1.0
+        assert by_vec[3] == [4]
+
+    def test_rank_orders_by_similarity(self, spark):
+        from etl_example_spark.operators.similarity import knn_graph_blocked
+
+        rows = [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [0.99, 0.01]),
+            (3, 0, [0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<double>"
+        )
+        got = {
+            (r.vec_id, r.rk): r.neighbor_id
+            for r in knn_graph_blocked(df, k=2).collect()
+        }
+        assert got[(1, 1)] == 2 and got[(1, 2)] == 3

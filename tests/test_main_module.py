@@ -38,3 +38,30 @@ def test_module_runs_reference_lifecycle(tmp_path):
     assert sorted(os.listdir(snap)) == [
         "_MANIFEST.json", "chains", "products", "sellout", "stores",
     ]
+
+
+def test_module_curate_mode_exports_shards(tmp_path):
+    dest = str(tmp_path / "shards")
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "etl_example_spark",
+            "--curate", "/root/testdata/sf0.001",
+            "--shards-dest", dest,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "corpus: 500 documents" in out
+    assert "curated:" in out and "documents survive" in out
+    assert "stratum en:" in out
+    assert "shards written:" in out
+    shard_dirs = [d for d in os.listdir(dest) if d.startswith("shard=")]
+    assert shard_dirs, "no shard directories written"
+    # the logged totals must agree with what landed on disk
+    import re
+
+    m = re.search(r"shards written: .* \((\d+) shards, (\d+) docs\)", out)
+    assert m and int(m.group(1)) == len(shard_dirs)

@@ -41,6 +41,8 @@ _CROSS_JOIN_BY_DESIGN = {
     "q69_quiet_big_accounts",  # broadcast one-row scalar aggregate
     "d52_tfidf_top_terms",  # broadcast one-row corpus-size aggregate
     "d65_unigram_rarity",  # broadcast one-row corpus-token-total aggregate
+    "d68_vocab_coverage",  # broadcast one-row corpus-token-total aggregate
+    "d69_domain_shift",  # broadcast one-row corpus-token-total aggregate
     "m38_encode_then_search",  # broadcast query-vector block (brute force)
 }
 
