@@ -2341,6 +2341,7 @@ def d61_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id
     """,
     category="dedup",
+    bench=True,
 )
 def d62_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -2834,4 +2835,63 @@ def d69_domain_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("l1_permille"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "s44_semantic_dedup_clusters",
+    "SemDeDup-style semantic dedup decision: embedding-cosine near-dup "
+    "pairs (cos >= 0.4) -> transitive clusters via the same iterative "
+    "min-label propagation as the text path (operators/dedup."
+    "dedup_clusters over operators/similarity.cosine_near_dup_pairs) -> "
+    "keep exactly the cluster representative (min vec_id). The decision "
+    "table for dropping semantically-redundant training examples; the "
+    "oracle recomputes the transitive closure with a recursive CTE.",
+    oracle="""
+        WITH RECURSIVE
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        walk AS (
+            SELECT src AS node, src AS reach FROM edges
+            UNION
+            SELECT w.node, e2.dst FROM walk w JOIN edges e2
+              ON e2.src = w.reach
+        )
+        SELECT node AS vec_id, MIN(reach) AS cluster_id,
+               (node = MIN(reach)) AS keep
+        FROM walk
+        GROUP BY node
+        ORDER BY vec_id
+    """,
+    category="similarity",
+)
+def s44_semantic_dedup_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = (
+        similarity.cosine_near_dup_pairs(emb, threshold=0.4)
+        .select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        )
+    )
+    clusters = dedup.dedup_clusters(pairs)
+    return (
+        clusters.select(
+            F.col("doc_id").alias("vec_id"),
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        )
+        .orderBy("vec_id")
     )
