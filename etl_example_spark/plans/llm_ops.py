@@ -2895,3 +2895,93 @@ def s44_semantic_dedup_clusters(
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "m40_channel_stats",
+    "Decode -> feature-extract, the multimodal pipeline hot path, "
+    "through the REAL codec: each document's 4x2 P6 PPM (built from its "
+    "md5 bytes as in m39) is decoded by the actual numpy PPM parser and "
+    "reduced to per-channel integer sums + brightness inside the Arrow "
+    "batch. The raster layout maps channel c of pixel (i,j) to digest "
+    "byte (12i + 3j + c) mod-wrapped into the 16-byte digest, so DuckDB "
+    "re-derives every channel sum from pure hex arithmetic — the "
+    "decoder's byte-exact output is externally verified, not just its "
+    "shape.",
+    oracle="""
+        WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        b AS (
+            SELECT doc_id,
+                   list_transform(
+                       [0, 3, 6, 9, 12, 15, 2, 5],
+                       o -> 16 * (strpos('0123456789abcdef',
+                                         substr(hx, 2 * o + 1, 1)) - 1)
+                            + (strpos('0123456789abcdef',
+                                      substr(hx, 2 * o + 2, 1)) - 1)
+                   ) AS r_vals,
+                   list_transform(
+                       [1, 4, 7, 10, 13, 0, 3, 6],
+                       o -> 16 * (strpos('0123456789abcdef',
+                                         substr(hx, 2 * o + 1, 1)) - 1)
+                            + (strpos('0123456789abcdef',
+                                      substr(hx, 2 * o + 2, 1)) - 1)
+                   ) AS g_vals,
+                   list_transform(
+                       [2, 5, 8, 11, 14, 1, 4, 7],
+                       o -> 16 * (strpos('0123456789abcdef',
+                                         substr(hx, 2 * o + 1, 1)) - 1)
+                            + (strpos('0123456789abcdef',
+                                      substr(hx, 2 * o + 2, 1)) - 1)
+                   ) AS b_vals
+            FROM h
+        )
+        SELECT doc_id,
+               CAST(list_sum(r_vals) AS BIGINT) AS r_sum,
+               CAST(list_sum(g_vals) AS BIGINT) AS g_sum,
+               CAST(list_sum(b_vals) AS BIGINT) AS b_sum,
+               CAST(list_sum(r_vals) + list_sum(g_vals)
+                    + list_sum(b_vals) AS BIGINT) AS brightness
+        FROM b
+        ORDER BY doc_id
+    """,
+    category="multimodal",
+)
+def m40_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.md5((t or "").encode()).digest()
+                arr = np.frombuffer(d + d[:8], dtype=np.uint8).reshape(
+                    2, 4, 3
+                )
+                # round-trip through the real codec: encode, decode, sum
+                decoded = multimodal.decode_ppm(
+                    multimodal.encode_ppm(arr)
+                )
+                sums = decoded.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    (doc_id, int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "r_sum", "g_sum", "b_sum"]
+            )
+
+    return (
+        docs.mapInPandas(
+            stats, "doc_id long, r_sum long, g_sum long, b_sum long"
+        )
+        .withColumn(
+            "brightness",
+            F.col("r_sum") + F.col("g_sum") + F.col("b_sum"),
+        )
+        .orderBy("doc_id")
+    )
