@@ -3162,3 +3162,66 @@ def q98_window_ignore_nulls(
         .orderBy("user_id", "ts", "event_id")
         .drop("ts")
     )
+
+
+@register(
+    "q99_xml_extract",
+    "XML ingestion breadth (native from_xml + xpath, new engine surface "
+    "in Spark 4): an order-feed XML document is derived per row, parsed "
+    "back with a typed from_xml schema, cross-checked field-by-field "
+    "with xpath extraction, and rolled up per status. The oracle "
+    "recomputes the same rollup from the source columns — the parse "
+    "must be lossless to hash-match (same synthesize-then-parse "
+    "discipline as the URL/JSON queries).",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents,
+               CAST(count_if(o_orderpriority LIKE '1-%'
+                             OR o_orderpriority LIKE '2-%')
+                    AS BIGINT) AS n_urgent,
+               CAST(TRUE AS BOOLEAN) AS parse_consistent
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def q99_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<order><key>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</key><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status><priority>"),
+        F.col("o_orderpriority"),
+        F.lit("</priority><cents>"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.lit("</cents></order>"),
+    )
+    feed = orders.select(xml.alias("doc"))
+    parsed = feed.select(
+        F.from_xml(
+            "doc",
+            "key BIGINT, status STRING, priority STRING, cents BIGINT",
+        ).alias("o"),
+        F.xpath_long("doc", F.lit("/order/cents")).alias("xp_cents"),
+    )
+    return (
+        parsed.groupBy(F.col("o.status").alias("status"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o.cents").alias("total_cents"),
+            F.count_if(
+                F.col("o.priority").startswith("1-")
+                | F.col("o.priority").startswith("2-")
+            ).alias("n_urgent"),
+            # xpath and from_xml must agree on every row — folded into
+            # one externally-checked boolean
+            F.bool_and(F.col("o.cents") == F.col("xp_cents")).alias(
+                "parse_consistent"
+            ),
+        )
+        .orderBy("status")
+    )
