@@ -1132,3 +1132,92 @@ def bloom_hit_literal(
     for chk in checks[1:]:
         out = out & chk
     return out
+
+
+def line_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_tokens: int = 10,
+) -> DataFrame:
+    """The stored artifact for INCREMENTAL line dedup: one row per
+    distinct line hash with its first occurrence — (line_hash,
+    first_doc, first_idx, n_seen).
+
+    Production pipelines don't re-run the boilerplate pass over the
+    whole corpus per ingest; they keep this index (a parquet table at
+    scale) and probe each arriving batch against it, then merge the
+    batch's own first occurrences in — same discipline as the MinHash
+    index behind d55/st45. Size is bounded by distinct lines, and rows
+    are (digest, ids) only.
+    """
+    return (
+        doc_lines(df, text_col, id_col, line_tokens)
+        .groupBy(F.md5("line_text").alias("line_hash"))
+        .agg(
+            F.min(F.struct("doc_id", "line_idx")).alias("_first"),
+            F.count("*").alias("n_seen"),
+        )
+        .select(
+            "line_hash",
+            F.col("_first.doc_id").alias("first_doc"),
+            F.col("_first.line_idx").alias("first_idx"),
+            "n_seen",
+        )
+    )
+
+
+def probe_line_index(
+    index: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_tokens: int = 10,
+) -> DataFrame:
+    """Incremental line dedup of one arriving batch against the stored
+    index: a batch line survives only if its hash is absent from the
+    index AND this is its first occurrence within the batch — exactly
+    the decision the full-corpus pass (:func:`line_dedup`) would make
+    on (indexed corpus ∪ batch), without rescanning the corpus.
+
+    Plan: the batch's lines shuffle once on the line hash (within-batch
+    first-occurrence window + a join against the index restricted to
+    the same hash space); the index never rescans its source corpus.
+    Returns the same per-doc summary schema as :func:`line_dedup`.
+    """
+    from pyspark.sql import Window
+
+    lines = doc_lines(batch, text_col, id_col, line_tokens).withColumn(
+        "line_hash", F.md5("line_text")
+    )
+    w = Window.partitionBy("line_hash").orderBy("doc_id", "line_idx")
+    ranked = lines.withColumn("rk", F.row_number().over(w))
+    hit = (
+        index.select("line_hash")
+        .join(lines.select("line_hash").distinct(), "line_hash", "left_semi")
+        .withColumn("_indexed", F.lit(True))
+    )
+    keep = ranked.join(hit, "line_hash", "left").withColumn(
+        "kept",
+        (F.col("rk") == 1) & F.col("_indexed").isNull(),
+    )
+    kept_struct = F.when(
+        F.col("kept"), F.struct("line_idx", "line_text")
+    )
+    return (
+        keep.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("kept").cast("long")).alias("kept_lines"),
+            F.sum((~F.col("kept")).cast("long")).alias("dropped_lines"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["line_text"],
+                    ),
+                    "\n",
+                )
+            ).alias("cleaned_fp"),
+        )
+    )

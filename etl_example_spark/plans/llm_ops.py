@@ -2985,3 +2985,67 @@ def m40_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "d70_incremental_line_dedup",
+    "INCREMENTAL boilerplate pass: the stored line index (one row per "
+    "distinct line hash, built from the already-ingested corpus — "
+    "doc_id % 3 != 0 stands in) absorbs each arriving batch without "
+    "rescanning the corpus; a batch line survives only if unseen in the "
+    "index and first within its batch (arrival order beats id order — "
+    "the incremental contract). Same per-doc summary as d62; index "
+    "rows are (digest, ids) only "
+    "(operators/dedup.line_index / probe_line_index).",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+        ),
+        lines AS (
+            SELECT doc_id, i AS line_idx,
+                   array_to_string(toks[(i*10+1):(i*10+10)], ' ')
+                       AS line_text
+            FROM t, LATERAL (
+                SELECT unnest(range(CAST(ceil(len(toks)/10.0) AS BIGINT)))
+                       AS i
+            ) g
+        ),
+        ex AS (
+            SELECT DISTINCT md5(line_text) AS lh
+            FROM lines WHERE doc_id % 3 != 0
+        ),
+        bl AS (
+            SELECT doc_id, line_idx, line_text,
+                   md5(line_text) AS lh,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(line_text)
+                       ORDER BY doc_id, line_idx
+                   ) AS rk
+            FROM lines WHERE doc_id % 3 = 0
+        ),
+        dec AS (
+            SELECT *,
+                   (rk = 1 AND lh NOT IN (SELECT lh FROM ex)) AS kept
+            FROM bl
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(count_if(kept) AS BIGINT) AS kept_lines,
+               CAST(count_if(NOT kept) AS BIGINT) AS dropped_lines,
+               md5(COALESCE(string_agg(
+                   CASE WHEN kept THEN line_text END, chr(10)
+                   ORDER BY line_idx), '')) AS cleaned_fp
+        FROM dec
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    category="dedup",
+)
+def d70_incremental_line_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    index = dedup.line_index(existing)
+    return dedup.probe_line_index(index, batch).orderBy("doc_id")

@@ -307,3 +307,48 @@ class TestKnnGraph:
             for r in knn_graph_blocked(df, k=2).collect()
         }
         assert got[(1, 1)] == 2 and got[(1, 2)] == 3
+
+
+class TestIncrementalLineDedup:
+    def test_agrees_with_full_pass_when_orders_align(self, spark):
+        from etl_example_spark.operators.dedup import (
+            line_index,
+            probe_line_index,
+        )
+
+        existing = _docs(spark, [(1, "a b c d"), (2, "e f g h")])
+        batch = _docs(spark, [(10, "a b x y"), (11, "e f x y")])
+        idx = line_index(existing, line_tokens=2)
+        got = {
+            r.doc_id: (r.kept_lines, r.dropped_lines)
+            for r in probe_line_index(
+                idx, batch, line_tokens=2
+            ).collect()
+        }
+        # "a b" / "e f" are indexed; "x y" first occurs in doc 10
+        assert got == {10: (1, 1), 11: (0, 2)}
+
+    def test_indexed_line_wins_over_lower_batch_id(self, spark):
+        from etl_example_spark.operators.dedup import (
+            line_index,
+            probe_line_index,
+        )
+
+        existing = _docs(spark, [(100, "a b")])
+        batch = _docs(spark, [(1, "a b")])  # lower id, arrives later
+        idx = line_index(existing, line_tokens=2)
+        got = probe_line_index(idx, batch, line_tokens=2).collect()[0]
+        assert (got.kept_lines, got.dropped_lines) == (0, 1)
+
+    def test_index_rows_are_first_occurrences(self, spark):
+        from etl_example_spark.operators.dedup import line_index
+
+        df = _docs(spark, [(1, "a b c d"), (2, "a b x y")])
+        idx = {
+            r.line_hash: (r.first_doc, r.first_idx, r.n_seen)
+            for r in line_index(df, line_tokens=2).collect()
+        }
+        import hashlib
+
+        ab = hashlib.md5(b"a b").hexdigest()
+        assert idx[ab] == (1, 0, 2)
