@@ -40,7 +40,10 @@ def _run_curation(spark, log, args) -> int:
     src = os.path.join(args.curate, "documents.parquet")
     docs = spark.read.parquet(src)
     log.info("corpus: %d documents from %s", docs.count(), src)
-    curated = curate_corpus(docs)
+    # materialize once: the count, stats, shard manifest, and shard
+    # write below would otherwise each re-run the whole chain
+    # (including the LSH near-dup stage)
+    curated = curate_corpus(docs).localCheckpoint(eager=True)
     log.info("curated: %d documents survive", curated.count())
     for row in corpus_stats(curated).collect():
         log.info(

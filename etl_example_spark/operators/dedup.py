@@ -949,12 +949,19 @@ def doc_lines(
     """
     toks = tokens(text_col)
     n_lines = F.ceil(F.size(toks) / F.lit(line_tokens)).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(0), n_lines - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * line_tokens + 1, line_tokens), " "
+    # sequence(0, -1) yields [0, -1] (negative default step), which would
+    # fabricate two phantom empty lines per zero-token document — guard
+    # the empty case to an empty array (no lines, doc absent downstream,
+    # matching the oracle's range(0)).
+    lines = F.when(
+        n_lines > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * line_tokens + 1, line_tokens), " "
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(lines).alias("line_idx", "line_text"),
@@ -1176,9 +1183,14 @@ def probe_line_index(
 ) -> DataFrame:
     """Incremental line dedup of one arriving batch against the stored
     index: a batch line survives only if its hash is absent from the
-    index AND this is its first occurrence within the batch — exactly
-    the decision the full-corpus pass (:func:`line_dedup`) would make
-    on (indexed corpus ∪ batch), without rescanning the corpus.
+    index AND this is its first occurrence within the batch.
+
+    The precedence rule is ARRIVAL order, not global (doc_id, line_idx)
+    order: an indexed line beats any batch copy even if the batch doc's
+    id is lower (the full-corpus :func:`line_dedup` would instead keep
+    the min-id copy). That is the incremental contract — already-
+    published survivors are immutable — and it is what lets each batch
+    settle without rescanning the corpus.
 
     Plan: the batch's lines shuffle once on the line hash (within-batch
     first-occurrence window + a join against the index restricted to

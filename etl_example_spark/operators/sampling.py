@@ -259,7 +259,11 @@ def host_frequency_cap_approx(
     # hex threshold per host (same rule as rate_to_hex_threshold but
     # vectorized: compare the 32-bit prefix value against
     # cap * 16^8 / total in integer space — no float in the predicate).
-    prefix_val = F.conv(prefix, 16, 10).cast("bigint")
+    # The cross-multiply runs in decimal(38,0): prefix_val is up to
+    # ~4.3e9, so a bigint product would overflow (and silently wrap,
+    # ANSI off) for hosts beyond ~2.1e9 rows — the mega-host regime
+    # this variant exists for.
+    prefix_val = F.conv(prefix, 16, 10).cast("decimal(38,0)")
     keep = (F.col("host_total") <= cap) | (
         prefix_val * F.col("host_total") < F.lit(cap * 16**_PREFIX)
     )

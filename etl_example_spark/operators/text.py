@@ -341,7 +341,9 @@ def unigram_rarity(
         F.explode(tokens(text_col)).alias("tok"),
     )
     counts = toks.groupBy("tok").agg(F.count("*").alias("tok_count"))
-    total = toks.agg(F.count("*").alias("corpus_toks"))
+    # the corpus total folds from the vocab-sized counts table — never
+    # a second scan + explode of the corpus text
+    total = counts.agg(F.sum("tok_count").alias("corpus_toks"))
     return (
         toks.join(counts, "tok")
         .crossJoin(F.broadcast(total))

@@ -2747,7 +2747,8 @@ def d68_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(text.tokens("text")).alias("tok"))
     cnt = toks.groupBy("tok").agg(F.count("*").alias("tok_count"))
-    total = toks.agg(F.count("*").alias("corpus_toks"))
+    # fold the total from the vocab-sized aggregate, not a second scan
+    total = cnt.agg(F.sum("tok_count").alias("corpus_toks"))
     w = Window.orderBy(F.desc("tok_count"), F.asc("tok"))
     ranked = cnt.select(
         "tok",
@@ -2819,7 +2820,8 @@ def d69_domain_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = toks.groupBy("source", "tok").agg(F.count("*").alias("n"))
     src_tot = st.groupBy("source").agg(F.sum("n").alias("t_src"))
     tok_tot = st.groupBy("tok").agg(F.sum("n").alias("t_tok"))
-    total = toks.agg(F.count("*").alias("t_all"))
+    # fold the total from the vocab-sized aggregate, not a second scan
+    total = tok_tot.agg(F.sum("t_tok").alias("t_all"))
     return (
         st.join(src_tot, "source")
         .join(tok_tot, "tok")

@@ -3005,10 +3005,10 @@ def q95_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n_name,
                CAST(COUNT(*) AS BIGINT) AS n_customers,
                arg_max(c_name,
-                       CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000
+                       CAST(ROUND(c_acctbal * 100) AS BIGINT) * 1000000000
                        - c_custkey) AS richest,
                arg_min(c_name,
-                       CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000
+                       CAST(ROUND(c_acctbal * 100) AS BIGINT) * 1000000000
                        - c_custkey) AS poorest,
                CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_overdrawn,
                bool_or(c_acctbal > 9000) AS has_high_balance
@@ -3020,7 +3020,9 @@ def q95_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q96_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    key = as_scaled_long("c_acctbal") * F.lit(10_000_000) - F.col(
+    # injective while c_custkey < 1e9 (TPC-H SF ~6,600; the prior 1e7
+    # multiplier collided at SF 67) and |acctbal cents| * 1e9 < 2^63
+    key = as_scaled_long("c_acctbal") * F.lit(1_000_000_000) - F.col(
         "c_custkey"
     )
     return (
@@ -3133,10 +3135,12 @@ def q98_window_ignore_nulls(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # mirror the oracle's CASE WHEN = 'error' THEN NULL ELSE keep:
+    # a NULL event_type KEEPS its reading (a != predicate would null it
+    # on NULL input — a silent engine/oracle divergence)
     valid = F.when(
-        F.col("event_type") != "error",
-        F.round(F.col("value") * 100).cast("bigint"),
-    )
+        F.col("event_type") == "error", F.lit(None).cast("bigint")
+    ).otherwise(F.round(F.col("value") * 100).cast("bigint"))
     base = ev.select(
         "event_id", "user_id", "ts", valid.alias("valid_cents")
     )

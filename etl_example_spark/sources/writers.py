@@ -46,14 +46,25 @@ def hadoop_write_text(spark: SparkSession, path: str, text: str) -> None:
 
     Checksum sidecars are disabled: on the local ChecksumFileSystem they
     materialize as ``.<name>.crc`` files that pollute snapshot listings
-    (object-store filesystems ignore the setting)."""
-    fs, jpath = _hadoop_fs(spark, path)
-    fs.setWriteChecksum(False)
-    out = fs.create(jpath, True)
+    (object-store filesystems ignore the setting). The setting is
+    applied to a PRIVATE uncached FileSystem instance —
+    ``Path.getFileSystem`` returns the JVM-wide cached one, and
+    mutating that would silently disable checksums for every later
+    write in the process."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm.org.apache.hadoop.fs.FileSystem.newInstance(
+        jpath.toUri(), spark._jsc.hadoopConfiguration()
+    )
     try:
-        out.write(bytearray(text.encode("utf-8")))
+        fs.setWriteChecksum(False)
+        out = fs.create(jpath, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
     finally:
-        out.close()
+        fs.close()
 
 
 def hadoop_read_text(spark: SparkSession, path: str) -> str:
@@ -369,12 +380,12 @@ def write_training_shards(
     shards stay executor-sized; shard assignment is uniform by
     construction, so no shard is a straggler.
 
-    Returns {shard_value: row_count} as the write-side manifest.
+    Returns {shard_value: row_count} as the write-side manifest,
+    counted from the WRITTEN dataset — one execution of the input plan
+    (the write), and a manifest that by construction agrees with what
+    landed on disk rather than with a second computation of the input.
     """
-    counts = {
-        r[0]: r[1]
-        for r in df.groupBy(shard_col).count().collect()
-    }
+    spark = df.sparkSession
     (
         df.repartition(F.col(shard_col))
         .sortWithinPartitions(shard_col, order_col)
@@ -382,4 +393,7 @@ def write_training_shards(
         .partitionBy(shard_col)
         .parquet(dest)
     )
-    return counts
+    return {
+        str(r[0]): r[1]
+        for r in spark.read.parquet(dest).groupBy(shard_col).count().collect()
+    }

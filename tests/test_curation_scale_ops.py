@@ -352,3 +352,17 @@ class TestIncrementalLineDedup:
 
         ab = hashlib.md5(b"a b").hexdigest()
         assert idx[ab] == (1, 0, 2)
+
+
+class TestEmptyDocLines:
+    def test_zero_token_doc_produces_no_lines(self, spark):
+        # regression: sequence(0, -1) = [0, -1] fabricated two phantom
+        # empty lines per empty document
+        df = _docs(spark, [(1, ""), (2, "   "), (3, "a b")])
+        got = doc_lines(df, line_tokens=2).collect()
+        assert {r.doc_id for r in got} == {3}
+
+    def test_empty_doc_absent_from_line_dedup(self, spark):
+        df = _docs(spark, [(1, ""), (2, "a b")])
+        got = {r.doc_id for r in line_dedup(df, line_tokens=2).collect()}
+        assert got == {2}

@@ -60,8 +60,18 @@ def test_module_curate_mode_exports_shards(tmp_path):
     assert "shards written:" in out
     shard_dirs = [d for d in os.listdir(dest) if d.startswith("shard=")]
     assert shard_dirs, "no shard directories written"
-    # the logged totals must agree with what landed on disk
+    # the logged totals must agree with what landed on disk — shard
+    # count AND row count (read back via parquet footers)
     import re
 
     m = re.search(r"shards written: .* \((\d+) shards, (\d+) docs\)", out)
     assert m and int(m.group(1)) == len(shard_dirs)
+    import pyarrow.parquet as pq
+
+    on_disk = sum(
+        pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        for root, _, files in os.walk(dest)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    assert on_disk == int(m.group(2))
