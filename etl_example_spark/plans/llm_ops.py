@@ -2817,15 +2817,23 @@ def d69_domain_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", F.explode(text.tokens("text")).alias("tok")
     )
+    from pyspark.sql import Window
+
     st = toks.groupBy("source", "tok").agg(F.count("*").alias("n"))
     src_tot = st.groupBy("source").agg(F.sum("n").alias("t_src"))
-    tok_tot = st.groupBy("tok").agg(F.sum("n").alias("t_tok"))
-    # fold the total from the vocab-sized aggregate, not a second scan
-    total = tok_tot.agg(F.sum("t_tok").alias("t_all"))
+    # the corpus total rides along as a whole-table window over the
+    # VOCAB-SIZED aggregate (one Exchange Single of vocab rows) — not a
+    # second corpus scan, and no separate one-row branch to re-join
+    tok_tot = (
+        st.groupBy("tok")
+        .agg(F.sum("n").alias("t_tok"))
+        .withColumn(
+            "t_all", F.sum("t_tok").over(Window.partitionBy(F.lit(1)))
+        )
+    )
     return (
         st.join(src_tot, "source")
         .join(tok_tot, "tok")
-        .crossJoin(F.broadcast(total))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_shared_tokens"),

@@ -42,7 +42,6 @@ _CROSS_JOIN_BY_DESIGN = {
     "d52_tfidf_top_terms",  # broadcast one-row corpus-size aggregate
     "d65_unigram_rarity",  # broadcast one-row corpus-token-total aggregate
     "d68_vocab_coverage",  # broadcast one-row corpus-token-total aggregate
-    "d69_domain_shift",  # broadcast one-row corpus-token-total aggregate
     "m38_encode_then_search",  # broadcast query-vector block (brute force)
 }
 
