@@ -668,3 +668,76 @@ def knn_graph_blocked(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: a keyword ranking
+    (query-term occurrence count over the text) and a semantic ranking
+    (cosine vs the min-id corpus vector as the deterministic query) are
+    fused as Σ 1_000_000 // (rrf_k + rank) — RRF in exact integer
+    arithmetic, so the fused ordering is engine-portable.
+
+    The RAG retrieval shape: both rankings come from single corpus
+    scans (the query vector broadcasts; the term list is a literal),
+    ranks are corpus-wide windows over the scored rows, and only the
+    fused top-k survives. At 100 TB each arm is served by its index
+    (inverted text index / ANN) producing per-arm top-N shortlists;
+    the fusion step is unchanged — it only ever sees shortlist rows.
+
+    Returns (doc_id, kw_score, kw_rank, cosine_sim, sem_rank,
+    rrf_score) for the fused top-k, ties broken by doc_id.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    kw_score = None
+    for t in query_terms:
+        c = F.size(F.filter(toks, lambda x: x == F.lit(t)))
+        kw_score = c if kw_score is None else kw_score + c
+    scored_kw = docs.select(
+        F.col(id_col).alias("doc_id"), kw_score.alias("kw_score")
+    )
+    query = (
+        embeddings.orderBy(vec_id_col)
+        .limit(1)
+        .select(F.col(vec_col).alias("query_vec"))
+    )
+    scored_sem = (
+        embeddings.crossJoin(F.broadcast(query))
+        .select(
+            F.col(vec_id_col).alias("doc_id"),
+            F.round(cosine(vec_col, "query_vec"), 6).alias("cosine_sim"),
+        )
+    )
+    w_kw = Window.orderBy(F.desc("kw_score"), F.asc("doc_id"))
+    w_sem = Window.orderBy(F.desc("cosine_sim"), F.asc("doc_id"))
+    ranked = (
+        scored_kw.withColumn("kw_rank", F.row_number().over(w_kw))
+        .join(
+            scored_sem.withColumn(
+                "sem_rank", F.row_number().over(w_sem)
+            ),
+            "doc_id",
+        )
+        .withColumn(
+            "rrf_score",
+            F.expr(f"1000000 div ({rrf_k} + kw_rank)")
+            + F.expr(f"1000000 div ({rrf_k} + sem_rank)"),
+        )
+    )
+    return (
+        ranked.orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(k)
+        .select(
+            "doc_id", "kw_score", "kw_rank", "cosine_sim",
+            "sem_rank", "rrf_score",
+        )
+    )

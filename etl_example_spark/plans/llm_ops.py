@@ -3059,3 +3059,73 @@ def d70_incremental_line_dedup(
     batch = docs.filter(F.col("doc_id") % 3 == 0)
     index = dedup.line_index(existing)
     return dedup.probe_line_index(index, batch).orderBy("doc_id")
+
+
+@register(
+    "s45_hybrid_search_rrf",
+    "Hybrid RAG retrieval: a keyword arm (query-term occurrence counts) "
+    "and a semantic arm (cosine vs the min-id corpus vector) fused by "
+    "reciprocal-rank fusion in exact integer arithmetic "
+    "(Σ 1e6 // (60 + rank)) — the fused top-10 is engine-portable and "
+    "externally hash-verified. At 100 TB each arm serves a shortlist "
+    "from its index (inverted text / ANN); the fusion only ever sees "
+    "shortlist rows (operators/similarity.hybrid_search_rrf).",
+    oracle=f"""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings ORDER BY vec_id LIMIT 1
+        ),
+        kw AS (
+            SELECT doc_id,
+                   len(list_filter({SQL_TOKS}, x -> x = 'data'))
+                   + len(list_filter({SQL_TOKS}, x -> x = 'table'))
+                   + len(list_filter({SQL_TOKS}, x -> x = 'spark'))
+                       AS kw_score
+            FROM documents
+        ),
+        sem AS (
+            SELECT vec_id AS doc_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]), qv), 6) AS cosine_sim
+            FROM embeddings CROSS JOIN q
+        ),
+        r AS (
+            SELECT kw.doc_id, kw_score,
+                   ROW_NUMBER() OVER (
+                       ORDER BY kw_score DESC, kw.doc_id) AS kw_rank,
+                   cosine_sim,
+                   ROW_NUMBER() OVER (
+                       ORDER BY cosine_sim DESC, kw.doc_id) AS sem_rank
+            FROM kw JOIN sem USING (doc_id)
+        )
+        SELECT doc_id,
+               CAST(kw_score AS BIGINT) AS kw_score,
+               CAST(kw_rank AS BIGINT) AS kw_rank,
+               cosine_sim,
+               CAST(sem_rank AS BIGINT) AS sem_rank,
+               CAST(1000000 // (60 + kw_rank)
+                    + 1000000 // (60 + sem_rank) AS BIGINT) AS rrf_score
+        FROM r
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT 10
+    """,
+    category="similarity",
+)
+def s45_hybrid_search_rrf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hybrid_search_rrf(
+        docs,
+        emb,
+        query_terms=["data", "table", "spark"],
+        k=10,
+    ).select(
+        "doc_id",
+        F.col("kw_score").cast("bigint").alias("kw_score"),
+        F.col("kw_rank").cast("bigint").alias("kw_rank"),
+        "cosine_sim",
+        F.col("sem_rank").cast("bigint").alias("sem_rank"),
+        F.col("rrf_score").cast("bigint").alias("rrf_score"),
+    )

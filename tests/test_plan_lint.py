@@ -37,6 +37,7 @@ _CROSS_JOIN_BY_DESIGN = {
     "s40a_ivf_recall_bound",  # 1-row certificate crossJoin + IVF inner ops
     "s42a_pq_recall_bound",  # 1-row certificate crossJoin + PQ inner ops
     "s41_batch_topk",
+    "s45_hybrid_search_rrf",  # broadcast one-row query-vector block
     "q15_cte_subquery",  # broadcast one-row scalar aggregate
     "q69_quiet_big_accounts",  # broadcast one-row scalar aggregate
     "d52_tfidf_top_terms",  # broadcast one-row corpus-size aggregate
