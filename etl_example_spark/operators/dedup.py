@@ -1233,3 +1233,47 @@ def probe_line_index(
             ).alias("cleaned_fp"),
         )
     )
+
+
+def line_dedup_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_tokens: int = 10,
+) -> DataFrame:
+    """The APPLY form of :func:`line_dedup`: returns the cleaned corpus
+    itself — (doc_id, text) with every non-first line occurrence
+    removed and the surviving lines rejoined in order. Documents whose
+    every line was boilerplate come back with empty text (drop them
+    with a trailing length filter if unwanted) so corpus membership is
+    preserved for downstream joins.
+
+    Idempotent by construction: the survivors are exactly the corpus's
+    first occurrences, so a second pass finds every remaining line
+    unique and drops nothing (property-tested).
+    """
+    from pyspark.sql import Window
+
+    lines = doc_lines(df, text_col, id_col, line_tokens)
+    w = Window.partitionBy(F.md5("line_text")).orderBy("doc_id", "line_idx")
+    ranked = lines.withColumn("rk", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rk") == 1, F.struct("line_idx", "line_text")
+    )
+    cleaned = ranked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["line_text"],
+            ),
+            " ",
+        ).alias("_cleaned")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_cleaned", F.lit("")).alias(text_col),
+        )
+    )

@@ -3129,3 +3129,51 @@ def s45_hybrid_search_rrf(
         F.col("sem_rank").cast("bigint").alias("sem_rank"),
         F.col("rrf_score").cast("bigint").alias("rrf_score"),
     )
+
+
+@register(
+    "d71_line_dedup_apply",
+    "The APPLY form of the boilerplate pass: the cleaned corpus itself "
+    "(doc_id, text) with every non-first line occurrence removed — what "
+    "a training run actually consumes, not just the d62 audit counts. "
+    "Idempotent by construction (property-tested: a second pass drops "
+    "nothing); fully-boilerplate documents come back empty so corpus "
+    "membership survives for downstream joins "
+    "(operators/dedup.line_dedup_clean).",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+        ),
+        lines AS (
+            SELECT doc_id, i AS line_idx,
+                   array_to_string(toks[(i*10+1):(i*10+10)], ' ')
+                       AS line_text
+            FROM t, LATERAL (
+                SELECT unnest(range(CAST(ceil(len(toks)/10.0) AS BIGINT)))
+                       AS i
+            ) g
+        ),
+        ranked AS (
+            SELECT doc_id, line_idx, line_text,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(line_text)
+                       ORDER BY doc_id, line_idx
+                   ) AS rk
+            FROM lines
+        ),
+        cleaned AS (
+            SELECT doc_id,
+                   COALESCE(string_agg(
+                       CASE WHEN rk = 1 THEN line_text END, ' '
+                       ORDER BY line_idx), '') AS text
+            FROM ranked GROUP BY doc_id
+        )
+        SELECT d.doc_id, COALESCE(c.text, '') AS text
+        FROM documents d LEFT JOIN cleaned c USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    category="dedup",
+)
+def d71_line_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.line_dedup_clean(docs, line_tokens=10).orderBy("doc_id")

@@ -366,3 +366,39 @@ class TestEmptyDocLines:
         df = _docs(spark, [(1, ""), (2, "a b")])
         got = {r.doc_id for r in line_dedup(df, line_tokens=2).collect()}
         assert got == {2}
+
+
+class TestLineDedupClean:
+    def test_removes_duplicate_lines_from_text(self, spark):
+        from etl_example_spark.operators.dedup import line_dedup_clean
+
+        df = _docs(spark, [(1, "a b c d"), (2, "a b x y")])
+        got = {
+            r.doc_id: r.text
+            for r in line_dedup_clean(df, line_tokens=2).collect()
+        }
+        assert got == {1: "a b c d", 2: "x y"}
+
+    def test_idempotent(self, spark):
+        from etl_example_spark.operators.dedup import (
+            line_dedup,
+            line_dedup_clean,
+        )
+
+        df = _docs(
+            spark,
+            [(1, "a b c d e f"), (2, "a b x y c d"), (3, "x y p q")],
+        )
+        cleaned = line_dedup_clean(df, line_tokens=2)
+        second = line_dedup(cleaned, line_tokens=2).collect()
+        assert all(r.dropped_lines == 0 for r in second)
+
+    def test_fully_boilerplate_doc_stays_with_empty_text(self, spark):
+        from etl_example_spark.operators.dedup import line_dedup_clean
+
+        df = _docs(spark, [(1, "a b"), (2, "a b")])
+        got = {
+            r.doc_id: r.text
+            for r in line_dedup_clean(df, line_tokens=2).collect()
+        }
+        assert got == {1: "a b", 2: ""}
