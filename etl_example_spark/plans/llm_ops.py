@@ -3177,3 +3177,51 @@ def s45_hybrid_search_rrf(
 def d71_line_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.line_dedup_clean(docs, line_tokens=10).orderBy("doc_id")
+
+
+@register(
+    "d72_ngram_novelty",
+    "Per-document n-gram novelty: how much of a document's distinct "
+    "3-gram shingle set appears NOWHERE else in the corpus — the "
+    "informativeness signal that upweights novel content and flags "
+    "recombined/boilerplate-heavy documents near-dup pairs miss "
+    "(a doc stitched from fragments of many others scores ~0 novelty "
+    "without being anyone's near-dup). Exact integer counts; threshold "
+    "downstream by cross-multiplication. One shingle explode + one "
+    "document-frequency aggregate — the same inverted-index shape as "
+    "the dedup family.",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, unnest({SQL_SHINGLES3}) AS shingle FROM t
+        ),
+        df AS (
+            SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY shingle
+        )
+        SELECT sh.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(count_if(df.n_docs = 1) AS BIGINT) AS novel_shingles
+        FROM sh JOIN df USING (shingle)
+        GROUP BY sh.doc_id
+        ORDER BY sh.doc_id
+    """,
+    category="text",
+)
+def d72_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(dedup.word_shingles("text", 3)).alias("shingle"),
+    )
+    df_tab = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    return (
+        sh.join(df_tab, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count_if(F.col("n_docs") == 1).alias("novel_shingles"),
+        )
+        .orderBy("doc_id")
+    )
