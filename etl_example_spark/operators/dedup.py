@@ -321,6 +321,66 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric shingle-containment pairs — the near-SUBSET detector
+    Jaccard misses.
+
+    Jaccard normalizes by the union, so a short document wholly quoted
+    inside a much longer one scores low (J = |A|/|B|) and survives
+    symmetric dedup; containment C(A→B) = inter/|A| scores it 1.0. This
+    is the standard second axis in web-scale curation (quoted posts,
+    boilerplate-wrapped articles, chunk/superset pairs in training
+    corpora). Emits (doc_a < doc_b) pairs where the smaller side is
+    ≥ ``threshold`` contained in the other, with both directed scores as
+    exact integer flags.
+
+    Plan shape: identical to :func:`jaccard_pairs`'s default path — ONE
+    self-join of the staged hashed shingle index on its 8-byte hash with
+    set sizes carried in the index rows, then an integer
+    cross-multiplied threshold on ``least(size_a, size_b)``. No extra
+    joins, no floats until the final display columns. Quadratic only
+    within shingle buckets (bounded by shingle document frequency, not
+    corpus size), like every inverted-index operator here.
+    """
+    scaled = int(round(threshold * 1_000_000))
+    idx = staged_shingles(df, n, text_col, id_col).hashed_index
+    a, b = idx.alias("a"), idx.alias("b")
+    joined = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_shingles").alias("size_a"),
+            F.col("b.n_shingles").alias("size_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    m = F.col("inter") * 1_000_000
+    return (
+        joined.filter(m >= F.lit(scaled) * F.least("size_a", "size_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "size_a",
+            "size_b",
+            (m >= F.lit(scaled) * F.col("size_a")).alias("a_in_b"),
+            (m >= F.lit(scaled) * F.col("size_b")).alias("b_in_a"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 16,

@@ -11,6 +11,7 @@ DuckDB oracles in plans/llm_ops.py mirror the same expressions).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -358,3 +359,126 @@ def unigram_rarity(
             ).alias("rarity_sum"),
         )
     )
+
+
+def hashed_feature_bucket(col: Column | str, dim: int) -> Column:
+    """Deterministic hashed-feature bucket in [0, dim): the first 8 hex
+    chars of md5 as an integer, mod ``dim``. md5 (not xxhash64) so the
+    DuckDB oracle reproduces the exact same buckets
+    (``CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % dim``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % dim
+
+
+def hashed_linear_quality(
+    df: DataFrame,
+    dim: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """Linear quality classifier over hashed bag-of-words features — the
+    fastText-style scorer production curation pipelines run over every
+    document (CCNet/Dolma quality filtering), as one scan + one shuffle.
+
+    Each token hashes into one of ``dim`` buckets
+    (:func:`hashed_feature_bucket`); a document's score is the mean
+    bucket weight of its tokens. ``weights`` is a (bucket, w_int) table
+    with integer milli-weights in [-1000, 1000] — a trained model in
+    production; when omitted, a deterministic pseudo-model derived from
+    md5('w:'||bucket) stands in (same values in the DuckDB oracle, so
+    the full inference path is externally hash-verified).
+
+    Determinism: the per-doc fold is an INTEGER sum of milli-weights —
+    order-independent, unlike a float sum — divided once at the end.
+
+    Plan at 100 TB: token explode + bucket hash are per-row expressions
+    inside the scan stage; the weight join broadcasts (dim rows, tiny by
+    construction); the only shuffle carries (doc_id, int) pairs for the
+    final aggregation. Score thresholding downstream should use
+    ``w_sum > k * n_toks`` integer cross-multiplication.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).withColumn("bucket", hashed_feature_bucket("tok", dim))
+    if weights is None:
+        w_int = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("w:"), F.col("bucket").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2001
+            - 1000
+        )
+        scored = toks.withColumn("w_int", w_int)
+    else:
+        # trained model: dim rows — always broadcast, never shuffled
+        scored = toks.join(F.broadcast(weights), "bucket")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum("w_int").alias("w_sum"),
+        )
+        .withColumn(
+            "score",
+            F.round(F.col("w_sum") / (1000.0 * F.col("n_toks")), 6),
+        )
+        .withColumn("keep", F.col("w_sum") > 0)
+    )
+
+
+def normalize_text_udf():
+    """Arrow-batched Unicode NFC normalizer — the one curation step with
+    no JVM builtin (Spark has no Unicode-normalization function), so this
+    is the documented exception to this module's no-Python rule: a
+    vectorized pandas Series map over Arrow batches, never per-row.
+
+    NFC composition (é as e+U+0301 → single codepoint), C0/C1 control
+    removal (keeping \\t \\n), then whitespace-run collapse + trim — the
+    standard normalize stage (C4/Dolma) run before fingerprinting so
+    byte-different, render-identical texts dedup together. The DuckDB
+    oracle mirrors it with nfc_normalize + regexp_replace, making the
+    Python path externally hash-verified.
+    """
+    import re
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    # ASCII whitespace only — Python str.split() would also collapse
+    # Unicode spaces (Zs: NBSP, em-space…), which RE2's ASCII \s in the
+    # oracle does not; Zs characters are content here, on both sides.
+    ws_run = re.compile(r"[ \t\n]+")
+
+    @pandas_udf("string")
+    def _normalize(s: pd.Series) -> pd.Series:
+        def one(text):
+            if text is None:
+                return None
+            text = unicodedata.normalize("NFC", text)
+            text = "".join(
+                ch
+                for ch in text
+                if ch in "\t\n" or unicodedata.category(ch) not in ("Cc", "Cf")
+            )
+            return ws_run.sub(" ", text).strip(" ")
+
+        return s.map(one)
+
+    return _normalize
+
+
+def normalize_text(col: Column | str) -> Column:
+    """NFC-normalize + control-strip + whitespace-collapse (see
+    :func:`normalize_text_udf`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return normalize_text_udf()(c)

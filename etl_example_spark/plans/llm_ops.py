@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_example_spark.operators import dedup, multimodal, similarity, text
+from etl_example_spark.operators import bpe, dedup, multimodal, similarity, text
 from etl_example_spark.plans.registry import register
 from etl_example_spark.sources.loaders import load_table
 
@@ -3225,3 +3225,140 @@ def d72_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "d73_quality_classifier",
+    "Hashed-feature linear quality classifier (fastText-style inference "
+    "as pure relational algebra): tokens hash into 1024 buckets via "
+    "md5-derived integers, the document score is the exact integer sum "
+    "of milli-weights divided once at the end, keep = w_sum > 0 "
+    "(operators/text.hashed_linear_quality). The weight table "
+    "broadcasts; the only shuffle carries (doc_id, int) pairs.",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+                   WHERE length(trim(text)) > 0),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        b AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                       % 1024 AS bucket
+            FROM tok
+        ),
+        w AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5('w:' || CAST(bucket AS VARCHAR)),
+                                        1, 8)) AS BIGINT)
+                       % 2001 - 1000 AS w_int
+            FROM b
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(SUM(w_int) AS BIGINT) AS w_sum,
+               SUM(w_int) > 0 AS keep
+        FROM w
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    category="text",
+)
+def d73_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    # the float `score` stays out of the differential projection: exact
+    # integers only (a round() half-tie like -1011/16000 hashes
+    # differently across engines' double representations)
+    return (
+        text.hashed_linear_quality(docs, dim=1024)
+        .select("doc_id", "n_toks", "w_sum", "keep")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "d74_normalize_text",
+    "Unicode NFC normalization + control-char strip + ASCII-whitespace "
+    "collapse — the canonical pre-fingerprint normalize stage "
+    "(operators/text.normalize_text). The one Python step in the text "
+    "family (Spark has no Unicode-normalization builtin): an "
+    "Arrow-batched pandas UDF inside the scan stage, externally "
+    "hash-verified against DuckDB's independent nfc_normalize.",
+    oracle=r"""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(
+                   nfc_normalize(text),
+                   '[\x00-\x08\x0B-\x1F\x7F-\x9F\p{Cf}]', '', 'g'),
+                   '[ \t\n]+', ' ', 'g'), ' ') AS norm_text,
+               CAST(length(trim(regexp_replace(regexp_replace(
+                   nfc_normalize(text),
+                   '[\x00-\x08\x0B-\x1F\x7F-\x9F\p{Cf}]', '', 'g'),
+                   '[ \t\n]+', ' ', 'g'), ' ')) AS BIGINT) AS norm_len
+        FROM documents
+        ORDER BY doc_id
+    """,
+    category="text",
+)
+def d74_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = text.normalize_text("text")
+    return (
+        docs.select(
+            "doc_id",
+            norm.alias("norm_text"),
+            F.length(norm).alias("norm_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "d75_containment_pairs",
+    "Asymmetric shingle-containment near-SUBSET pairs (C >= 0.9 in "
+    "either direction) — catches the short-doc-quoted-in-long-doc "
+    "duplication Jaccard's union normalizer hides "
+    "(operators/dedup.containment_pairs). Same staged hashed-index "
+    "self-join as d25, integer cross-multiplied threshold on the "
+    "smaller set size; directed flags per side.",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id, unnest({SQL_SHINGLES3}) AS shingle FROM t),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        )
+        SELECT doc_a, doc_b,
+               i AS inter, sa.n AS size_a, sb.n AS size_b,
+               i * 1000000 >= 900000 * sa.n AS a_in_b,
+               i * 1000000 >= 900000 * sb.n AS b_in_a
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1000000 >= 900000 * least(sa.n, sb.n)
+        ORDER BY doc_a, doc_b
+    """,
+    category="dedup",
+)
+def d75_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, threshold=0.9, n=3)
+
+
+@register(
+    "d76_bpe_merges",
+    "BPE tokenizer TRAINING on the corpus: 6 merge rounds learned on the "
+    "word-count vocabulary (corpus scanned once; each round's argmax "
+    "returns ONE row to the driver, Lloyd's-style), merge rewrite as "
+    "sequential leftmost non-overlapping replace — canonical BPE "
+    "semantics (operators/bpe.bpe_train). The oracle unrolls the same 6 "
+    "rounds as chained CTEs, so the full iterative training loop is "
+    "externally hash-verified, not rows-only.",
+    oracle=bpe.bpe_oracle_sql(6),
+    category="text",
+)
+def d76_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.bpe_merges_df(docs, n_merges=6)

@@ -138,3 +138,159 @@ def test_weighted_mean_udaf_matches_builtin(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_normalize_text_nfc_controls_whitespace(spark):
+    """NFC on real combining characters, Cf stripping (ZWSP), control
+    removal, and ASCII-whitespace collapse — the cases the ASCII-only
+    driver corpus can't exercise."""
+    import unicodedata
+
+    from etl_example_spark.operators.text import normalize_text
+
+    decomposed = "Café"  # e + COMBINING ACUTE
+    rows = [
+        (1, decomposed + "  menu"),
+        (2, "zero​width"),          # Cf: ZERO WIDTH SPACE
+        (3, "ctrl\x07bell\tand\nlines"),  # Cc stripped, \t \n collapse
+        (4, "  lead and trail  "),
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.norm
+        for r in df.select(
+            "doc_id", normalize_text("text").alias("norm")
+        ).collect()
+    }
+    assert got[1] == unicodedata.normalize("NFC", decomposed) + " menu"
+    assert len(got[1].split(" ")[0]) == 4  # composed é: 4 chars not 5
+    assert got[2] == "zerowidth"
+    assert got[3] == "ctrlbell and lines"
+    assert got[4] == "lead and trail"
+    assert got[5] == ""
+    assert got[6] is None
+
+
+def test_containment_pairs_subset_detection(spark):
+    """A short doc quoted inside a long one scores low Jaccard but is
+    caught by containment, with the correct direction flag."""
+    from etl_example_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"tok{i}" for i in range(40))
+    other = " ".join(f"zz{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, other)], ["doc_id", "text"]
+    )
+    pairs = containment_pairs(df, threshold=0.9).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)]
+    assert pairs[0].a_in_b and not pairs[0].b_in_a
+    # Jaccard at the same strictness misses it (union-normalized)
+    assert jaccard_pairs(df, threshold=0.6).count() == 0
+
+
+def test_hashed_linear_quality_trained_weights_path(spark):
+    """With an explicit weight table, the score is the exact mean
+    milli-weight of the tokens' buckets — verified by hand."""
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators.text import (
+        hashed_feature_bucket,
+        hashed_linear_quality,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "good good"), (2, "bad")], ["doc_id", "text"]
+    )
+    buckets = {
+        r.tok: r.b
+        for r in spark.createDataFrame(
+            [("good",), ("bad",)], ["tok"]
+        ).select("tok", hashed_feature_bucket("tok", 1024).alias("b"))
+        .collect()
+    }
+    weights = spark.createDataFrame(
+        [(buckets["good"], 500), (buckets["bad"], -250)],
+        ["bucket", "w_int"],
+    )
+    got = {
+        r.doc_id: r
+        for r in hashed_linear_quality(df, 1024, weights=weights).collect()
+    }
+    assert got[1].w_sum == 1000 and got[1].n_toks == 2 and got[1].keep
+    assert abs(got[1].score - 0.5) < 1e-9
+    assert got[2].w_sum == -250 and not got[2].keep
+
+
+def _reference_bpe(word_counts, n_merges):
+    """Canonical BPE trainer (pure Python) — the semantics lock for
+    operators/bpe.bpe_train: count all adjacent pairs weighted by word
+    frequency, merge the (count DESC, pair ASC) argmax via one-pass
+    leftmost non-overlapping rewrite."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for units, c in vocab.items():
+            for i in range(len(units) - 1):
+                counts[(units[i], units[i + 1])] = (
+                    counts.get((units[i], units[i + 1]), 0) + c
+                )
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((rank, f"{a} {b}", cnt))
+        new_vocab = {}
+        for units, c in vocab.items():
+            out, i = [], 0
+            while i < len(units):
+                if (
+                    i + 1 < len(units)
+                    and units[i] == a
+                    and units[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(units[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from etl_example_spark.operators.bpe import bpe_train
+
+    texts = [
+        "the theme of the thesis",
+        "then the weather thawed",
+        "low lower lowest newer newest",
+        "aaa aaaa banana bandana",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    counts = {}
+    for t in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    expected = _reference_bpe(counts, 8)
+    got = bpe_train(df, n_merges=8)
+    assert got == expected
+
+
+def test_bpe_train_early_stop_when_fully_merged(spark):
+    from etl_example_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame([(1, "ab ab ab")], ["doc_id", "text"])
+    got = bpe_train(df, n_merges=5)
+    # one merge (a,b) collapses every word to a single unit; no pairs left
+    assert got == [(1, "a b", 3)]
