@@ -1,0 +1,272 @@
+"""BPE tokenizer training on the corpus — the tokenizer-fitting step of
+an LLM data pipeline, as distributed relational algebra.
+
+Architecture (the same one production tokenizer trainers use): the corpus
+is scanned ONCE to build the (word, count) vocabulary — Heap's law makes
+that table tiny relative to the corpus — and every merge iteration then
+runs on the vocab table only. The per-round argmax collects exactly ONE
+row to the driver (like Lloyd's centroids in similarity.ivf_build);
+document text never shuffles and never returns to the driver.
+
+The merge rewrite is CANONICAL leftmost-greedy BPE, done at the unit-
+array level with higher-order functions (no strings are rewritten, so no
+shared-separator artifacts). Occurrences of pair (a, b) can only overlap
+when a == b — inside runs of identical units — where greedy selection is
+the alternation from each run's start. That makes the selected set
+closed-form per position (no sequential scan):
+
+    sel(p) = u[p]=a ∧ u[p+1]=b ∧ (a ≠ b ∨ (p - runstart(p)) even)
+
+with runstart(p) = 1 + max{j < p : u[j] ≠ a} (0 if none). The rebuild is
+``flatten(transform(...))`` emitting [ab] at selected positions, [] just
+after them, [u[j]] elsewhere. The identical expressions exist in DuckDB
+(list_transform/list_filter/flatten), so the full k-round iterative
+training loop is hash-verified against an unrolled k-stage SQL oracle
+(:func:`bpe_oracle_sql`), not rows-only-checked.
+
+Determinism contract: pair counts are exact integers (every adjacent
+pair counted, the canonical get_stats); the argmax tie-break is
+(count DESC, pair ASC); characters are codepoints (corpus contract is
+BMP text — astral pairs would split surrogates under Java regex).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_vocab(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(word, cnt) vocabulary — the one corpus-wide scan + shuffle."""
+    from etl_example_spark.operators.text import tokens
+
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _char_units(word: Column) -> Column:
+    """``'abc'`` → ``['a', 'b', 'c']`` (codepoint units)."""
+    return F.split(
+        F.trim(F.regexp_replace(word, "(.)", "$1 ")), " "
+    ).cast("array<string>")
+
+
+def _adjacent_pairs(u: Column) -> Column:
+    """All adjacent unit pairs as ``'left right'`` strings (canonical
+    get_stats: every occurrence counts, including overlapping ones)."""
+    return F.when(F.size(u) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(u) - 1),
+            lambda p: F.concat_ws(
+                " ", F.element_at(u, p), F.element_at(u, p + 1)
+            ),
+        )
+    )
+
+
+def pair_counts(units: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over all words, weighted by word count."""
+    return (
+        units.select("cnt", F.explode(_adjacent_pairs(F.col("u"))).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
+def _merge_pair(u: Column, a: str, b: str) -> Column:
+    """Canonical leftmost-greedy merge of (a, b) in unit array ``u``.
+
+    ``sel[p]`` marks merged occurrence starts (1-based); ``runstart`` is
+    computed by an O(|word|²) prefix filter — words are tiny, the vocab
+    table is small, and the expression stays wholly inside codegen.
+    """
+    la, lb = F.lit(a), F.lit(b)
+
+    def runstart_even(p: Column) -> Column:
+        prev_non_a = F.array_max(
+            F.concat(
+                F.array(F.lit(0)),
+                F.when(
+                    p == 1, F.array().cast("array<int>")
+                ).otherwise(
+                    F.filter(
+                        F.sequence(F.lit(1), p - 1),
+                        lambda j: F.element_at(u, j) != la,
+                    )
+                ),
+            )
+        )
+        return (p - prev_non_a - 1) % 2 == 0
+
+    def sel_at(p: Column) -> Column:
+        occurrence = (
+            (p < F.size(u))
+            & (F.element_at(u, p) == la)
+            & (F.element_at(u, p + 1) == lb)
+        )
+        if a == b:
+            return occurrence & runstart_even(p)
+        return occurrence
+
+    sel = F.transform(F.sequence(F.lit(1), F.size(u)), sel_at)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(u)),
+            lambda j: F.when(
+                F.element_at(sel, j), F.array(F.concat(la, lb))
+            )
+            .when(
+                (j > 1) & F.element_at(sel, j - 1),
+                F.array().cast("array<string>"),
+            )
+            .otherwise(F.array(F.element_at(u, j))),
+        )
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple[int, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns
+    ``[(rank, 'left right', pair_count), …]`` in merge order.
+
+    Each round: count adjacent unit pairs across the vocab (weighted by
+    word frequency), pick the (count DESC, pair ASC) argmax, rewrite
+    every word's unit array with :func:`_merge_pair`. The vocab table is
+    ``localCheckpoint``-pinned per round so round k+1 does not replay
+    rounds 1..k's rewrites from the scan (linear, not quadratic,
+    lineage). Stops early if no pair remains (all words fully merged).
+    """
+    units = (
+        word_vocab(df, text_col, id_col)
+        .select("cnt", _char_units(F.col("word")).alias("u"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            pair_counts(units)
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], int(best[0]["pair_count"])
+        merges.append((rank, pair, cnt))
+        a, b = pair.split(" ")
+        units = units.select(
+            "cnt", _merge_pair(F.col("u"), a, b).alias("u")
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_merges_df(
+    df: DataFrame, n_merges: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """:func:`bpe_train` as a DataFrame (merge_rank, pair, pair_count) —
+    the registry surface. The result is merge-list-sized (k rows)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    spark = df.sparkSession
+    merges = bpe_train(df, n_merges, text_col)
+    schema = StructType(
+        [
+            StructField("merge_rank", LongType(), False),
+            StructField("pair", StringType(), False),
+            StructField("pair_count", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(r), p, int(c)) for r, p, c in merges], schema
+    )
+
+
+def bpe_oracle_sql(n_merges: int = 6) -> str:
+    """Generate the unrolled k-round DuckDB twin of :func:`bpe_train`.
+
+    Round k's CTEs: ``u{k}`` (unit arrays), ``p{k}`` (pair counts),
+    ``m{k}`` (the argmax row, split into pa/pb), ``u{k+1}`` (the
+    canonical greedy rewrite — the same closed-form selection as
+    :func:`_merge_pair`, in DuckDB list HOFs). The final SELECT unions
+    the k argmax rows with their ranks.
+
+    The learned pair is correlated through the CROSS JOIN of the one-row
+    ``m{k}`` — the SQL is static; no training result is interpolated.
+    """
+    parts = [
+        """
+        w AS (
+            SELECT tok AS word, COUNT(*) AS cnt FROM (
+                SELECT unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS tok
+                FROM documents
+            ) WHERE length(tok) > 0 GROUP BY tok
+        ),
+        u1 AS (
+            SELECT cnt,
+                   list_transform(range(1, length(word) + 1),
+                                  i -> word[i]) AS u
+            FROM w
+        )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""
+        p{k} AS (
+            SELECT u[i] || ' ' || u[i + 1] AS pair,
+                   SUM(cnt) AS pair_count
+            FROM (SELECT cnt, u, unnest(range(1, len(u))) AS i FROM u{k})
+            GROUP BY pair
+        ),
+        m{k} AS (
+            SELECT pair, pair_count,
+                   string_split(pair, ' ')[1] AS pa,
+                   string_split(pair, ' ')[2] AS pb
+            FROM p{k} ORDER BY pair_count DESC, pair ASC LIMIT 1
+        ),
+        s{k} AS (
+            SELECT cnt, u, pa, pb,
+                   list_transform(range(1, len(u) + 1), p ->
+                       p < len(u) AND u[p] = pa AND u[p + 1] = pb
+                       AND (pa != pb OR
+                            (p - list_max(list_concat([0],
+                                 list_filter(range(1, p),
+                                             j -> u[j] != pa))) - 1)
+                            % 2 = 0)
+                   ) AS sel
+            FROM u{k} CROSS JOIN m{k}
+        ),
+        u{k + 1} AS (
+            SELECT cnt,
+                   flatten(list_transform(range(1, len(u) + 1), j ->
+                       CASE WHEN sel[j] THEN [pa || pb]
+                            WHEN j > 1 AND sel[j - 1] THEN []
+                            ELSE [u[j]] END)) AS u
+            FROM s{k}
+        )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, pair, "
+        f"CAST(pair_count AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f" SELECT * FROM ({finals}) ORDER BY merge_rank"
+    )
