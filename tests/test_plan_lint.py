@@ -134,3 +134,37 @@ def test_no_broadcast_hint_on_cluster_labels(spark, sf_dir, name):
     df = REGISTRY[name].spark_builder(spark, sf_dir)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in optimized, name
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """A fact written with partitionBy + a selective dim filter must plan
+    a dynamicpruning PartitionFilter — the scan skips whole partitions at
+    runtime from the dim side's build, the mechanism that turns a
+    100 TB date-partitioned fact scan into just the qualifying days.
+    Catalyst inserts it only when the join key IS the partition column
+    (spark.sql.optimizer.dynamicPartitionPruning.enabled, default on)."""
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.sources.loaders import load_table
+
+    dest = str(tmp_path / "orders_by_year")
+    (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.partitionBy("o_year")
+        .parquet(dest)
+    )
+    fact = spark.read.parquet(dest)
+    # a filtered dim joined on the partition column (the filter is what
+    # makes Catalyst consider the pruning subquery worthwhile)
+    dim = spark.createDataFrame(
+        [(1995, "target"), (2099, "other")], ["y", "tag"]
+    ).filter(F.col("tag") == "target")
+    joined = fact.join(dim, fact.o_year == dim.y).groupBy("o_year").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    # static pruning: a literal partition predicate reaches PartitionFilters
+    static = fact.filter(F.col("o_year") == 1995)
+    splan = static._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*o_year.*1995", splan), splan[:2000]
