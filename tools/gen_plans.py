@@ -115,6 +115,22 @@ SHOW = {
         "their shuffle; the one-row corpus total is a broadcast nested "
         "loop; the doc rollup shuffles int pairs."
     ),
+    "d73_quality_classifier": (
+        "Hashed-feature linear inference: token explode + md5 bucket + "
+        "pseudo-weight are all expressions inside the scan stage; the "
+        "single exchange carries (doc_id, int) partial aggregates."
+    ),
+    "d74_normalize_text": (
+        "Unicode NFC normalize: ArrowEvalPython inside the scan stage — "
+        "the one Python operator in the text family (no JVM builtin), "
+        "vectorized over Arrow batches; no shuffle at all."
+    ),
+    "d75_containment_pairs": (
+        "Containment near-subset pairs: the same staged hashed-index "
+        "self-join as d25 (sizes carried in index rows), with the "
+        "integer threshold on least(size_a, size_b) — audit tool; the "
+        "production path verifies containment on LSH candidates."
+    ),
 }
 
 
