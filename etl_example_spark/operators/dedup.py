@@ -381,6 +381,80 @@ def containment_pairs(
     )
 
 
+def containment_pairs_sampled(
+    df: DataFrame,
+    threshold: float = 0.9,
+    sample_mod: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The PRODUCTION path for containment detection: the inverted-index
+    self-join runs only on a deterministic 1/``sample_mod`` sample of
+    each document's shingles, and the intersection is the scaled-up
+    estimate ``inter_sampled * sample_mod``.
+
+    Why not MinHash-LSH candidates (the d26 route): MinHash collision
+    probability tracks symmetric JACCARD, which is exactly what a
+    high-containment pair of very different sizes does NOT have — the
+    short-quoted-in-long pair that motivates containment has J ≈
+    |A|/|B| ≪ 1 and rarely collides in any band. Shingle sampling keeps
+    recall for high-containment pairs regardless of the size ratio
+    (each shared shingle survives with probability 1/mod independent of
+    |B|), while dividing the self-join's bucket density by mod² — the
+    documented recall/cost trade, same family as ``max_shingle_df``.
+
+    Determinism: the sample is md5-hash-threshold (like the sampling
+    operators), so the estimator is a fixed function of the corpus and
+    the DuckDB oracle reproduces it bit-for-bit; no randomness anywhere.
+    Exact set sizes are carried from the full index, so only the
+    intersection is estimated. Small documents (few shingles) see high
+    estimator variance — run the exact :func:`containment_pairs` on the
+    emitted pairs when precision matters.
+    """
+    scaled = int(round(threshold * 1_000_000))
+    sampled_pred = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % sample_mod
+        == 0
+    )
+    st = staged_shingles(df, n, text_col, id_col)
+    idx = (
+        st.sets.select(
+            "doc_id",
+            "n_shingles",
+            F.explode("sh_set").alias("shingle"),
+        )
+        .filter(sampled_pred)
+        # narrow 8-byte join key; Spark-internal (the oracle joins on
+        # the string shingle — equal modulo ~2⁻⁶⁵ collisions)
+        .select("doc_id", "n_shingles", F.xxhash64("shingle").alias("h"))
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    joined = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_shingles").alias("size_a"),
+            F.col("b.n_shingles").alias("size_b"),
+        )
+        .agg((F.count("*") * sample_mod).alias("inter_est"))
+    )
+    m = F.col("inter_est") * 1_000_000
+    return (
+        joined.filter(m >= F.lit(scaled) * F.least("size_a", "size_b"))
+        .select("doc_a", "doc_b", "inter_est", "size_a", "size_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 16,

@@ -3362,3 +3362,42 @@ def d75_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d76_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return bpe.bpe_merges_df(docs, n_merges=6)
+
+
+@register(
+    "d77_containment_sampled",
+    "Production-path containment: the inverted-index self-join runs on "
+    "a deterministic md5-sampled 1/8 of each document's shingles "
+    "(bucket density / 64), intersection scaled back up as a "
+    "deterministic estimator; exact sizes carried from the full index "
+    "(operators/dedup.containment_pairs_sampled). MinHash-LSH is the "
+    "wrong pre-filter here — collision tracks symmetric Jaccard, which "
+    "high-containment mixed-size pairs lack.",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id, unnest({SQL_SHINGLES3}) AS shingle FROM t),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        samp AS (
+            SELECT doc_id, shingle FROM sh
+            WHERE CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)
+                  % 8 = 0
+        ),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) * 8 AS inter_est
+            FROM samp a JOIN samp b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        )
+        SELECT doc_a, doc_b, inter_est, sa.n AS size_a, sb.n AS size_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE inter_est * 1000000 >= 900000 * least(sa.n, sb.n)
+        ORDER BY doc_a, doc_b
+    """,
+    category="dedup",
+)
+def d77_containment_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs_sampled(docs, threshold=0.9, sample_mod=8)

@@ -294,3 +294,25 @@ def test_bpe_train_early_stop_when_fully_merged(spark):
     got = bpe_train(df, n_merges=5)
     # one merge (a,b) collapses every word to a single unit; no pairs left
     assert got == [(1, "a b", 3)]
+
+
+def test_containment_sampled_recall_on_planted_subsets(spark):
+    """High-containment planted pairs must survive the sampled
+    estimator; unrelated docs must not appear."""
+    from etl_example_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_sampled,
+    )
+
+    base = " ".join(f"w{i}" for i in range(120))
+    rows = [(1, base), (2, base + " " + " ".join(f"x{i}" for i in range(400)))]
+    rows += [(10 + k, " ".join(f"z{k}_{i}" for i in range(50))) for k in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {(r.doc_a, r.doc_b) for r in containment_pairs(df, 0.9).collect()}
+    sampled = {
+        (r.doc_a, r.doc_b)
+        for r in containment_pairs_sampled(df, 0.9, sample_mod=8).collect()
+    }
+    assert (1, 2) in exact
+    assert (1, 2) in sampled          # recall on the planted pair
+    assert sampled <= exact | {(1, 2)}  # no unrelated pair invented
