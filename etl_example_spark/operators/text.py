@@ -482,3 +482,42 @@ def normalize_text(col: Column | str) -> Column:
     :func:`normalize_text_udf`)."""
     c = F.col(col) if isinstance(col, str) else col
     return normalize_text_udf()(c)
+
+
+def hashed_linear_quality_cols(
+    col: Column | str, dim: int = 1024
+) -> tuple[Column, Column]:
+    """The STATELESS form of :func:`hashed_linear_quality` for the
+    pseudo-model case: ``(n_toks, w_sum)`` as pure column expressions —
+    the per-token weight lookup is a ``transform`` over the token array
+    and the document fold is an integer ``aggregate`` HOF, so no
+    explode, no shuffle, and the expression drops into a streaming
+    micro-batch (or a 100 TB scan stage) unchanged. With a trained
+    weight TABLE use :func:`hashed_linear_quality` (the broadcast
+    join); with the derived pseudo-model the lookup is arithmetic and
+    this form is strictly cheaper."""
+    toks = tokens(col)
+    bucket_w = lambda t: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("w:"),
+                        (hashed_feature_bucket(t, dim)).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    w_sum = F.aggregate(
+        F.transform(toks, bucket_w),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.size(toks), w_sum

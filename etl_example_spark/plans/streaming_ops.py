@@ -605,3 +605,55 @@ def st46_stream_bloom_probe(
         F.count_if(F.col("hit")).alias("n_flagged"),
     )
     return run_to_memory(agg, output_mode="complete").orderBy("source")
+
+
+@register(
+    "st47_stream_quality_gate",
+    "Streaming classifier inference at the ingest boundary: the hashed-"
+    "feature linear quality score as a STATELESS per-row expression "
+    "(token transform + integer aggregate HOF — no explode, no "
+    "shuffle, no state store), gating each arriving document; running "
+    "per-source kept/dropped counts in complete mode "
+    "(operators/text.hashed_linear_quality_cols). The inference cost "
+    "rides inside the micro-batch scan — the shape that holds at any "
+    "ingest rate.",
+    oracle="""
+        WITH w AS (
+            SELECT source,
+                   list_sum(list_transform(
+                       string_split_regex(trim(lower(text)), '\\s+'),
+                       tok -> CAST(('0x' || substr(md5('w:' || CAST(
+                                  CAST(('0x' || substr(md5(tok), 1, 8))
+                                       AS BIGINT) % 1024 AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 2001 - 1000
+                   )) AS w_sum
+            FROM documents
+            WHERE length(trim(text)) > 0
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(count_if(w_sum > 0) AS BIGINT) AS n_kept
+        FROM w
+        GROUP BY source
+        ORDER BY source
+    """,
+    category="streaming",
+)
+def st47_stream_quality_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators.text import hashed_linear_quality_cols
+    from etl_example_spark.streaming.sources import read_documents_stream
+
+    stream = read_documents_stream(spark, sf_dir).filter(
+        F.length(F.trim("text")) > 0
+    )
+    _, w_sum = hashed_linear_quality_cols("text", 1024)
+    scored = stream.select("source", (w_sum > 0).alias("keep"))
+    agg = scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(F.col("keep")).alias("n_kept"),
+    )
+    return run_to_memory(agg, output_mode="complete").orderBy("source")

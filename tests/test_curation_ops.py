@@ -316,3 +316,28 @@ def test_containment_sampled_recall_on_planted_subsets(spark):
     assert (1, 2) in exact
     assert (1, 2) in sampled          # recall on the planted pair
     assert sampled <= exact | {(1, 2)}  # no unrelated pair invented
+
+
+def test_quality_classifier_stateless_form_equals_shuffle_form(spark, sf_dir):
+    """hashed_linear_quality_cols (fold, no shuffle) must agree exactly
+    with hashed_linear_quality (explode + groupBy) on every document."""
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators.text import (
+        hashed_linear_quality,
+        hashed_linear_quality_cols,
+    )
+    from etl_example_spark.sources.loaders import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    n, w = hashed_linear_quality_cols("text", 1024)
+    stateless = docs.select(
+        "doc_id", n.alias("n_toks"), w.alias("w_sum")
+    )
+    shuffled = hashed_linear_quality(docs, 1024).select(
+        "doc_id", "n_toks", "w_sum"
+    )
+    assert stateless.exceptAll(shuffled).count() == 0
+    assert shuffled.exceptAll(stateless).count() == 0
