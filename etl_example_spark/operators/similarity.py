@@ -741,3 +741,152 @@ def hybrid_search_rrf(
             "sem_rank", "rrf_score",
         )
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k: greedily select the
+    candidate maximizing ``lam·relevance − mu·max_sim_to_selected`` —
+    the standard diversity re-rank for retrieval-augmented training-data
+    selection (a plain top-k returns near-duplicate neighbors; MMR
+    spends the budget on coverage).
+
+    Architecture: the two corpus-scale steps are distributed — the
+    relevance scan (broadcast query × corpus, TakeOrderedAndProject to
+    ``pool``) and the pool's pairwise similarity matrix (pool² rows,
+    same fixed-order :func:`cosine` fold as every similarity op). Only
+    the greedy k-step argmax runs on the driver, over the ≤ pool²
+    collected scalars — the bounded re-rank stage every production
+    retrieval stack runs driver-side. ``lam``/``mu`` are independent
+    literals (not ``1−lam``) so the score arithmetic is bit-identical
+    in Python, Spark, and the unrolled SQL oracle
+    (:func:`mmr_oracle_sql`); relevances and similarities enter it
+    rounded to 6 decimals; ties break on the id.
+    """
+    query = embeddings.orderBy(id_col).limit(1)
+    q = query.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    cand = (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            F.round(cosine(vec_col, "query_vec"), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "cid")
+        .limit(pool)
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(F.col("cid").alias("ia"), F.col("cv").alias("va"))
+    b = cand.select(F.col("cid").alias("ib"), F.col("cv").alias("vb"))
+    sims = {
+        (r.ia, r.ib): r.s
+        for r in a.join(b, F.col("ia") != F.col("ib"))
+        .select("ia", "ib", F.round(cosine("va", "vb"), 6).alias("s"))
+        .collect()
+    }
+    rels = [(r.cid, r.rel) for r in cand.select("cid", "rel").collect()]
+    selected: list[tuple[int, int, float]] = []
+    chosen: list[int] = []
+    for rank in range(1, min(k, len(rels)) + 1):
+        best = None
+        for cid, rel in rels:
+            if cid in chosen:
+                continue
+            if chosen:
+                score = lam * rel - mu * max(
+                    sims[(cid, s)] for s in chosen
+                )
+            else:
+                score = rel
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, rel)
+        chosen.append(best[1])
+        selected.append((rank, best[1], best[2]))
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("mmr_rank", IntegerType(), False),
+            StructField("vec_id", LongType(), False),
+            StructField("relevance", DoubleType(), False),
+        ]
+    )
+    return embeddings.sparkSession.createDataFrame(
+        [(r, int(c), float(v)) for r, c, v in selected], schema
+    )
+
+
+def mmr_oracle_sql(k: int = 5, pool: int = 20) -> str:
+    """Unrolled k-step DuckDB twin of :func:`mmr_rerank` — each step is
+    a CTE selecting the argmax of ``0.7·rel − 0.3·max_sim_to_selected``
+    over the not-yet-selected pool, with the selected set accumulated by
+    UNION ALL (the same chained-CTE pattern as bpe_oracle_sql)."""
+    head = f"""
+        q AS (
+            SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings ORDER BY vec_id LIMIT 1
+        ),
+        cand AS (
+            SELECT e.vec_id AS cid, CAST(e.embedding AS DOUBLE[]) AS cv,
+                   ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), qv), 6) AS rel
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id != qid
+            ORDER BY rel DESC, cid LIMIT {pool}
+        ),
+        sim AS (
+            SELECT a.cid AS ia, b.cid AS ib,
+                   ROUND(list_cosine_similarity(a.cv, b.cv), 6) AS s
+            FROM cand a JOIN cand b ON a.cid != b.cid
+        ),
+        pick1 AS (
+            SELECT cid, rel FROM cand ORDER BY rel DESC, cid LIMIT 1
+        ),
+        sel1 AS (SELECT cid, rel FROM pick1)"""
+    parts = [head]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""
+        pick{i} AS (
+            SELECT c.cid, c.rel FROM cand c
+            WHERE c.cid NOT IN (SELECT cid FROM sel{i - 1})
+            ORDER BY 0.7 * c.rel - 0.3 * (
+                SELECT MAX(s.s) FROM sim s
+                JOIN sel{i - 1} p ON s.ib = p.cid
+                WHERE s.ia = c.cid
+            ) DESC, c.cid
+            LIMIT 1
+        ),
+        sel{i} AS (
+            SELECT cid, rel FROM sel{i - 1}
+            UNION ALL SELECT cid, rel FROM pick{i}
+        )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS mmr_rank, cid, rel FROM pick{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""" SELECT mmr_rank, cid AS vec_id, rel AS relevance
+        FROM ({finals}) ORDER BY mmr_rank"""
+    )

@@ -3401,3 +3401,20 @@ def d76_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d77_containment_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.containment_pairs_sampled(docs, threshold=0.9, sample_mod=8)
+
+
+@register(
+    "s46_mmr_diversified_topk",
+    "Maximal-marginal-relevance diversified top-5 from a 20-candidate "
+    "pool (lambda=0.7): the relevance scan and the pool's pairwise "
+    "similarity matrix are distributed; only the greedy 5-step argmax "
+    "runs driver-side over bounded scalars — the production re-rank "
+    "split (operators/similarity.mmr_rerank). The oracle unrolls the "
+    "same five greedy steps as chained CTEs, so the full iterative "
+    "selection is externally hash-verified.",
+    oracle=similarity.mmr_oracle_sql(k=5, pool=20),
+    category="similarity",
+)
+def s46_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mmr_rerank(emb, k=5, pool=20)

@@ -341,3 +341,32 @@ def test_quality_classifier_stateless_form_equals_shuffle_form(spark, sf_dir):
     )
     assert stateless.exceptAll(shuffled).count() == 0
     assert shuffled.exceptAll(stateless).count() == 0
+
+
+def test_mmr_diversifies_planted_near_dup_cluster(spark):
+    """With the top of the relevance ranking packed with near-identical
+    vectors, plain top-k returns the clones; MMR spends the budget on
+    coverage after taking one clone."""
+    from etl_example_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    # query along e1; clones share the off-query direction e2 (mutual
+    # sim ~1, rel ~0.894 + epsilon edge over the diverse set); each
+    # diverse candidate has its own extra dimension (mutual sim 0.8)
+    rows = [(0, [1.0, 0.0, 0.0, 0.0, 0.0])]
+    rows += [
+        (i, [2.0 + 0.001 * i, 1.0, 0.0, 0.0, 0.0]) for i in (1, 2, 3)
+    ]
+    rows += [
+        (10, [2.0, 0.0, 1.0, 0.0, 0.0]),
+        (11, [2.0, 0.0, 0.0, 1.0, 0.0]),
+        (12, [2.0, 0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    plain = [r.neighbor_id for r in brute_force_topk(df, k=3).collect()]
+    mmr = [r.vec_id for r in mmr_rerank(df, k=3, pool=6).collect()]
+    assert set(plain) == {1, 2, 3}          # clones crowd plain top-k
+    assert len(set(mmr) & {1, 2, 3}) == 1   # MMR keeps one clone
+    assert len(set(mmr) & {10, 11, 12}) == 2  # and spends budget on coverage
