@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_example_spark.operators import bpe, dedup, multimodal, similarity, text
+from etl_example_spark.operators import bpe, dedup, graph, multimodal, similarity, text
 from etl_example_spark.plans.registry import register
 from etl_example_spark.sources.loaders import load_table
 
@@ -3418,3 +3418,23 @@ def d77_containment_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s46_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.mmr_rerank(emb, k=5, pool=20)
+
+
+@register(
+    "g01_pagerank_transitions",
+    "Integer-exact PageRank (4 rounds, d=0.85) over the event click-"
+    "transition graph (node = the 'k' prop; edges from per-user "
+    "consecutive events). Each round is one rank-table join + one "
+    "(dst, long) shuffle — edge-table-sized distributed work, nothing "
+    "at the driver (operators/graph.pagerank). The oracle unrolls the "
+    "same four rounds as chained CTEs: the iterative fixpoint is "
+    "externally hash-verified like bpe_train and dedup_clusters.",
+    oracle=graph.pagerank_oracle_sql(iters=4, damping_pct=85),
+    category="graph",
+)
+def g01_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    node = F.get_json_object("props", "$.k").cast("long")
+    edges = graph.transition_edges(events, node)
+    nodes = events.select(node.alias("node")).distinct()
+    return graph.pagerank(edges, nodes, iters=4).orderBy("node")

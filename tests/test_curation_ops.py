@@ -370,3 +370,20 @@ def test_mmr_diversifies_planted_near_dup_cluster(spark):
     assert set(plain) == {1, 2, 3}          # clones crowd plain top-k
     assert len(set(mmr) & {1, 2, 3}) == 1   # MMR keeps one clone
     assert len(set(mmr) & {10, 11, 12}) == 2  # and spends budget on coverage
+
+
+def test_pagerank_hub_outranks_leaves_and_conserves_order(spark):
+    """Star graph: every leaf points at the hub; the hub must dominate,
+    leaves (teleport-only) must tie exactly."""
+    from etl_example_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, 0, 1) for i in range(1, 5)], ["src", "dst", "c"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(5)], ["node"])
+    got = {r.node: r.rank_micro for r in pagerank(edges, nodes, iters=4).collect()}
+    assert got[0] > got[1]
+    assert len({got[i] for i in range(1, 5)}) == 1
+    # hand-check one round: r1(hub) = 150000 + 85*4*1000000//100 // ...
+    # leaves have no inbound: teleport only
+    assert got[1] == 150_000
