@@ -3229,3 +3229,54 @@ def q99_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "q100_cohort_retention",
+    "Cohort retention matrix: users cohorted by their first-event week, "
+    "counted distinct-active per whole-week offset — the standard "
+    "product-analytics triangle. Two shuffles total: the per-user min "
+    "(map-side partial first) and the (cohort, offset) distinct-count "
+    "rollup; the cohort table joins back user-keyed, never row-expanded.",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   date_trunc('week', MIN(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+               CAST((date_trunc('week', e.ts)::DATE - f.cohort_week::DATE)
+                    // 7 AS BIGINT) AS week_offset,
+               COUNT(DISTINCT e.user_id) AS n_active
+        FROM events e JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY cohort_week, week_offset
+    """,
+    category="relational",
+)
+def q100_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        events.join(firsts, "user_id")
+        .select(
+            # timestamp-at-midnight, like q1: the driver's comparison
+            # unifies it with the oracle's DATE
+            F.col("cohort_week"),
+            (
+                F.datediff(
+                    F.to_date(F.date_trunc("week", F.col("ts"))),
+                    F.to_date("cohort_week"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
