@@ -19,7 +19,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_example_spark.operators import bpe, dedup, graph, multimodal, similarity, text
+from etl_example_spark.operators import (
+    bpe,
+    dedup,
+    graph,
+    multimodal,
+    similarity,
+    sketches,
+    text,
+)
 from etl_example_spark.plans.registry import register
 from etl_example_spark.sources.loaders import load_table
 
@@ -3438,3 +3446,76 @@ def g01_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = graph.transition_edges(events, node)
     nodes = events.select(node.alias("node")).distinct()
     return graph.pagerank(edges, nodes, iters=4).orderBy("node")
+
+
+@register(
+    "d78_countmin_heavy_hitters",
+    "Count-min sketch heavy hitters: a 4x256 integer grid built in one "
+    "pass over the corpus tokens (cell explode + one partial-aggregated "
+    "shuffle), then the exact top-20 tokens read back through the "
+    "sketch. cm_estimate >= exact ALWAYS (the CMS guarantee) and is "
+    "emitted as a certified boolean, like the q22a error-bound pattern "
+    "(operators/sketches.countmin_build/_estimate). The grid is "
+    "depth*width integers regardless of corpus size and merges by "
+    "cell-wise addition — the bounded-memory answer to frequency "
+    "tracking at 100 TB.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest({SQL_TOKS}) AS item FROM documents
+            WHERE length(trim(text)) > 0
+        ),
+        grid AS (
+            SELECT r.r AS row,
+                   CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || '|'
+                        || item), 1, 8)) AS BIGINT) % 256 AS col,
+                   COUNT(*) AS cnt
+            FROM tok CROSS JOIN (SELECT unnest(range(4)) AS r) r
+            GROUP BY 1, 2
+        ),
+        exact AS (
+            SELECT item, COUNT(*) AS exact_count FROM tok
+            GROUP BY item ORDER BY exact_count DESC, item LIMIT 20
+        ),
+        est AS (
+            SELECT e.item, e.exact_count, MIN(g.cnt) AS cm_estimate
+            FROM exact e
+            CROSS JOIN (SELECT unnest(range(4)) AS r) r
+            JOIN grid g
+              ON g.row = r.r
+             AND g.col = CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR)
+                              || '|' || e.item), 1, 8)) AS BIGINT) % 256
+            GROUP BY e.item, e.exact_count
+        )
+        SELECT item, CAST(exact_count AS BIGINT) AS exact_count,
+               CAST(cm_estimate AS BIGINT) AS cm_estimate,
+               cm_estimate >= exact_count AS never_underestimates
+        FROM est
+        ORDER BY exact_count DESC, item
+    """,
+    category="text",
+)
+def d78_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(F.explode(text.tokens("text")).alias("item"))
+    sketch = sketches.countmin_build(toks)
+    exact = (
+        toks.groupBy("item")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "item")
+        .limit(20)
+    )
+    return (
+        sketches.countmin_estimate(sketch, exact.select("item"))
+        .join(exact, "item")
+        .select(
+            "item",
+            "exact_count",
+            "cm_estimate",
+            (F.col("cm_estimate") >= F.col("exact_count")).alias(
+                "never_underestimates"
+            ),
+        )
+        .orderBy(F.desc("exact_count"), "item")
+    )

@@ -387,3 +387,34 @@ def test_pagerank_hub_outranks_leaves_and_conserves_order(spark):
     # hand-check one round: r1(hub) = 150000 + 85*4*1000000//100 // ...
     # leaves have no inbound: teleport only
     assert got[1] == 150_000
+
+
+def test_countmin_mergeable_and_never_underestimates(spark):
+    """Cell-wise addition of two partition sketches must equal the
+    whole-corpus sketch (the merge law), and every estimate must be
+    >= the exact count."""
+    from etl_example_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    items = [(f"t{i % 13}",) for i in range(200)] + [("hot",)] * 50
+    df = spark.createDataFrame(items, ["item"])
+    half_a = spark.createDataFrame(items[:125], ["item"])
+    half_b = spark.createDataFrame(items[125:], ["item"])
+    whole = countmin_build(df)
+    merged = (
+        countmin_build(half_a)
+        .unionByName(countmin_build(half_b))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert whole.exceptAll(merged).count() == 0
+    assert merged.exceptAll(whole).count() == 0
+
+    exact = df.groupBy("item").agg(F.count("*").alias("exact"))
+    est = countmin_estimate(whole, exact.select("item")).join(exact, "item")
+    bad = est.filter(F.col("cm_estimate") < F.col("exact")).count()
+    assert bad == 0
+    hot = est.filter(F.col("item") == "hot").collect()[0]
+    assert hot.cm_estimate >= 50
