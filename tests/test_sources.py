@@ -123,3 +123,23 @@ class TestPythonDataSources:
                 got += [json.loads(line) for line in fh]
         assert sorted(r["id"] for r in got) == list(range(50))
         assert all(r["twice"] == r["id"] * 2 for r in got)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution on append: files written before a column existed
+    read back as NULL for it under mergeSchema — the contract that lets
+    a 100 TB table gain columns without rewriting history."""
+    from pyspark.sql import functions as F
+
+    dest = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "x")], ["id", "a"]).write.parquet(dest)
+    spark.createDataFrame(
+        [(2, "y", 10)], ["id", "a", "b"]
+    ).write.mode("append").parquet(dest)
+    merged = spark.read.option("mergeSchema", "true").parquet(dest)
+    assert set(merged.columns) == {"id", "a", "b"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].b is None and rows[2].b == 10
+    # pruning still reaches the scan: selecting only `a` must not read b
+    scan = merged.select("a")._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in scan and "b" not in scan.split("ReadSchema")[1][:60]
