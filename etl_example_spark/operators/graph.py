@@ -132,3 +132,141 @@ def pagerank_oracle_sql(iters: int = 4, damping_pct: int = 85) -> str:
         + ",".join(parts)
         + f""" SELECT node, r AS rank_micro FROM r{iters} ORDER BY node"""
     )
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Distinct undirected (u < v) edges from a directed edge table."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count via DEGREE-ORDERED edge orientation — the
+    trick that makes the two-hop join survive skew: every edge points
+    from its lower-(degree, id) endpoint to the higher one, so each
+    node's out-degree is bounded by ~sqrt(|E|) even for celebrity nodes
+    (a hub's edges mostly point INTO it), and the wedge join's per-key
+    fan-out is bounded accordingly. The standard distributed triangle
+    algorithm; a naive a<b<c triple self-join (the oracle's formulation
+    — fine at oracle scale) puts a hub's full neighborhood on one key.
+
+    Returns a single row (n_triangles).
+    """
+    und = undirected_edges(edges)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = und.join(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(
+        deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v"
+    )
+    oriented = ranked.select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+        )
+        .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+        .alias("e")
+    ).select("e.a", "e.b")
+    w1 = oriented.select(F.col("a").alias("c"), F.col("b").alias("x"))
+    w2 = oriented.select(F.col("a").alias("c"), F.col("b").alias("y"))
+    wedges = w1.join(w2, "c").filter(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    ).unionAll(
+        oriented.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    ).distinct()
+    return wedges.join(closing, ["x", "y"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+
+
+def bfs_levels(
+    edges: DataFrame, source_node, max_depth: int = 4
+) -> DataFrame:
+    """Unweighted shortest-path levels from ``source_node`` up to
+    ``max_depth`` hops, by frontier expansion: each round joins the
+    previous level set to the (undirected) edges and keeps newly
+    reached nodes — per-round work is frontier-sized, lineage is
+    truncated per round (localCheckpoint), and unreached nodes simply
+    don't appear (no infinity sentinel). Returns (node, dist).
+    """
+    und = undirected_edges(edges)
+    adj = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    reached = (
+        edges.sparkSession.createDataFrame(
+            [(source_node, 0)], ["node", "dist"]
+        )
+        .localCheckpoint(eager=True)
+    )
+    for depth in range(1, max_depth + 1):
+        frontier = reached.filter(F.col("dist") == depth - 1)
+        nxt = (
+            frontier.join(adj, frontier.node == adj.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(reached.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth))
+        )
+        reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+    return reached
+
+
+def bfs_oracle_sql(max_depth: int = 4) -> str:
+    """Unrolled DuckDB twin of :func:`bfs_levels` from the min event
+    page node over the transition graph."""
+    head = """
+        ev AS (
+            SELECT user_id, ts, event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+            FROM events
+        ),
+        tr AS (
+            SELECT page AS src,
+                   LEAD(page) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+            FROM ev
+        ),
+        de AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM tr WHERE dst IS NOT NULL AND src != dst
+        ),
+        adj AS (
+            SELECT u, v FROM de UNION ALL SELECT v AS u, u AS v FROM de
+        ),
+        src AS (SELECT MIN(page) AS s FROM ev),
+        l0 AS (SELECT s AS node, 0 AS dist FROM src)"""
+    parts = [head]
+    union = ["SELECT node, dist FROM l0"]
+    for d in range(1, max_depth + 1):
+        prev_union = " UNION ALL ".join(union)
+        parts.append(
+            f"""
+        l{d} AS (
+            SELECT DISTINCT a.v AS node, {d} AS dist
+            FROM l{d - 1} f JOIN adj a ON a.u = f.node
+            WHERE a.v NOT IN (SELECT node FROM ({prev_union}))
+        )"""
+        )
+        union.append(f"SELECT node, dist FROM l{d}")
+    finals = " UNION ALL ".join(union)
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""" SELECT CAST(node AS BIGINT) AS node,
+                      CAST(dist AS BIGINT) AS dist
+        FROM ({finals}) ORDER BY dist, node"""
+    )

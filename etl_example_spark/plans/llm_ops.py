@@ -3519,3 +3519,66 @@ def d78_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_count"), "item")
     )
+
+
+_EDGES_SQL = """
+        ev AS (
+            SELECT user_id, ts, event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+            FROM events
+        ),
+        tr AS (
+            SELECT page AS src,
+                   LEAD(page) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+            FROM ev
+        ),
+        de AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM tr WHERE dst IS NOT NULL AND src != dst
+        )"""
+
+
+@register(
+    "g02_triangle_count",
+    "Exact triangle count on the (undirected) event transition graph "
+    "via degree-ordered edge orientation — each node's out-degree is "
+    "bounded ~sqrt(|E|) even at celebrity hubs, so the wedge join's "
+    "per-key fan-out survives skew (operators/graph.triangle_count). "
+    "The oracle uses the naive a<b<c triple self-join — equivalent "
+    "count, the formulation that does NOT survive skew (the docstring "
+    "explains why).",
+    oracle=f"""
+        WITH {_EDGES_SQL}
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM de e1
+        JOIN de e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN de e3 ON e3.u = e1.v AND e3.v = e2.v
+    """,
+    category="graph",
+)
+def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    node = F.get_json_object("props", "$.k").cast("long")
+    edges = graph.transition_edges(events, node)
+    return graph.triangle_count(edges)
+
+
+@register(
+    "g03_bfs_levels",
+    "Unweighted shortest-path levels (4 hops) from the minimum page "
+    "node by frontier expansion — per-round work is frontier-sized, "
+    "reached-set semi-join keeps rounds monotone "
+    "(operators/graph.bfs_levels). The oracle unrolls the same four "
+    "frontier rounds as chained CTEs.",
+    oracle=graph.bfs_oracle_sql(max_depth=4),
+    category="graph",
+)
+def g03_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    node = F.get_json_object("props", "$.k").cast("long")
+    edges = graph.transition_edges(events, node)
+    source = events.agg(F.min(node).alias("s")).collect()[0]["s"]
+    return graph.bfs_levels(edges, int(source), max_depth=4).orderBy(
+        "dist", "node"
+    )

@@ -418,3 +418,25 @@ def test_countmin_mergeable_and_never_underestimates(spark):
     assert bad == 0
     hot = est.filter(F.col("item") == "hot").collect()[0]
     assert hot.cm_estimate >= 50
+
+
+def test_triangle_count_hand_graph(spark):
+    """K4 has 4 triangles; adding a pendant edge changes nothing."""
+    from etl_example_spark.operators.graph import triangle_count
+
+    k4 = [(a, b, 1) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(3, 9, 1)], ["src", "dst", "c"]
+    )
+    assert triangle_count(edges).collect()[0].n_triangles == 4
+
+
+def test_bfs_levels_path_graph(spark):
+    """Path 0-1-2-3-4-5 from 0 with max_depth=4: node 5 unreached."""
+    from etl_example_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(5)], ["src", "dst", "c"]
+    )
+    got = {r.node: r.dist for r in bfs_levels(edges, 0, max_depth=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
