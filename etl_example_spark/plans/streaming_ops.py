@@ -657,3 +657,115 @@ def st47_stream_quality_gate(
         F.count_if(F.col("keep")).alias("n_kept"),
     )
     return run_to_memory(agg, output_mode="complete").orderBy("source")
+
+
+@register(
+    "st48_stream_countmin_maintenance",
+    "Streaming count-min maintenance: each micro-batch builds its OWN "
+    "partition sketch (one pass over the batch's tokens) and writes it "
+    "to an epoch-keyed slice (overwrite per epoch — idempotent under "
+    "micro-batch retry, the st45 discipline); the global sketch is the "
+    "cell-wise sum across epochs — exactly the mergeability the "
+    "sketch exists for (tests assert the merge law). The final "
+    "heavy-hitter read joins the merged grid against the exact top-20 "
+    "with the certified never-underestimates flag; the oracle builds "
+    "the same grid in batch SQL, so stream-merged == batch-built is "
+    "hash-verified externally (operators/sketches).",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest({SQL_TOKS}) AS item FROM documents
+            WHERE length(trim(text)) > 0
+        ),
+        grid AS (
+            SELECT r.r AS row,
+                   CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || '|'
+                        || item), 1, 8)) AS BIGINT) % 256 AS col,
+                   COUNT(*) AS cnt
+            FROM tok CROSS JOIN (SELECT unnest(range(4)) AS r) r
+            GROUP BY 1, 2
+        ),
+        exact AS (
+            SELECT item, COUNT(*) AS exact_count FROM tok
+            GROUP BY item ORDER BY exact_count DESC, item LIMIT 20
+        ),
+        est AS (
+            SELECT e.item, e.exact_count, MIN(g.cnt) AS cm_estimate
+            FROM exact e
+            CROSS JOIN (SELECT unnest(range(4)) AS r) r
+            JOIN grid g
+              ON g.row = r.r
+             AND g.col = CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR)
+                              || '|' || e.item), 1, 8)) AS BIGINT) % 256
+            GROUP BY e.item, e.exact_count
+        )
+        SELECT item, CAST(exact_count AS BIGINT) AS exact_count,
+               CAST(cm_estimate AS BIGINT) AS cm_estimate,
+               cm_estimate >= exact_count AS never_underestimates
+        FROM est
+        ORDER BY exact_count DESC, item
+    """,
+    category="streaming",
+)
+def st48_stream_countmin_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators import sketches, text
+    from etl_example_spark.sources.loaders import load_table
+    from etl_example_spark.streaming.sources import read_documents_stream
+
+    grid_dir = _tempfile.mkdtemp(prefix="cms_grid_")
+    stream = read_documents_stream(
+        spark, sf_dir, max_files_per_trigger=1
+    ).filter(F.length(F.trim("text")) > 0)
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        toks = batch_df.select(
+            F.explode(text.tokens("text")).alias("item")
+        )
+        sketches.countmin_build(toks).write.mode("overwrite").parquet(
+            os.path.join(grid_dir, f"epoch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(update)
+        .option(
+            "checkpointLocation", _tempfile.mkdtemp(prefix="ckpt_cms_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(grid_dir)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(F.explode(text.tokens("text")).alias("item"))
+    exact = (
+        toks.groupBy("item")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "item")
+        .limit(20)
+    )
+    return (
+        sketches.countmin_estimate(merged, exact.select("item"))
+        .join(exact, "item")
+        .select(
+            "item",
+            "exact_count",
+            "cm_estimate",
+            (F.col("cm_estimate") >= F.col("exact_count")).alias(
+                "never_underestimates"
+            ),
+        )
+        .orderBy(F.desc("exact_count"), "item")
+    )
