@@ -129,7 +129,22 @@ SHOW = {
         "Containment near-subset pairs: the same staged hashed-index "
         "self-join as d25 (sizes carried in index rows), with the "
         "integer threshold on least(size_a, size_b) — audit tool; the "
-        "production path verifies containment on LSH candidates."
+        "production path is d77's sampled index."
+    ),
+    "d78_countmin_heavy_hitters": (
+        "Count-min heavy hitters: the 4x256 grid aggregates partial "
+        "before its (row, col) shuffle and BROADCASTS to the estimate "
+        "join — frequency reads never re-shuffle the corpus."
+    ),
+    "g01_pagerank_transitions": (
+        "One PageRank round (of 4): rank join on src + one (dst, long) "
+        "shuffle + left join to the vertex set; node-count-sized tables "
+        "throughout, AQE picks broadcast when they fit."
+    ),
+    "g02_triangle_count": (
+        "Degree-ordered triangle counting: orientation bounds wedge "
+        "fan-out ~sqrt(|E|) per key, so the two-hop join survives hub "
+        "skew; the closing-edge join is an equi-join, never a cross."
     ),
 }
 
