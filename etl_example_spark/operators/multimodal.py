@@ -189,6 +189,8 @@ def decode_media(payload: bytes, fmt: str):
     is plugged in."""
     if fmt == "ppm":
         return decode_ppm(payload)
+    if fmt == "wav":
+        return decode_wav(payload)
     return decode_stub(payload, fmt)
 
 
@@ -443,3 +445,62 @@ def encode_text_stub(
             )
 
     return df.select(id_col, text_col).mapInPandas(encode, schema)
+
+
+def decode_wav(payload: bytes):
+    """REAL audio decode for RIFF PCM WAV — the one audio container an
+    uncompressed-numpy path fully covers with no codec library: RIFF
+    header, ``fmt `` chunk (must be PCM, 16-bit), ``data`` chunk of
+    little-endian int16 samples. Returns (sample_rate, channels,
+    samples) with samples a ``(n,)`` int16 ndarray (interleaved if
+    multichannel). Unknown chunks (LIST, cue…) are skipped like every
+    real reader does."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits = 12, None, None, None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if fmt_tag != 1:
+                raise ValueError(f"only PCM (fmt=1) supported, got {fmt_tag}")
+            if bits != 16:
+                raise ValueError(f"only 16-bit PCM supported, got {bits}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, channels, np.frombuffer(data, dtype="<i2")
+
+
+def encode_wav(samples, rate: int = 16_000, channels: int = 1) -> bytes:
+    """Inverse of :func:`decode_wav`: int16 samples as canonical
+    minimal RIFF PCM bytes."""
+    import struct
+
+    import numpy as np
+
+    a = np.ascontiguousarray(samples, dtype="<i2")
+    data = a.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -3582,3 +3582,104 @@ def g03_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_levels(edges, int(source), max_depth=4).orderBy(
         "dist", "node"
     )
+
+
+@register(
+    "m41_wav_stats",
+    "REAL audio decode inside the Arrow batch: an 8-sample 16 kHz PCM16 "
+    "WAV is built per document from its md5 digest bytes, then decoded "
+    "by the actual RIFF parser (operators/multimodal.decode_wav — "
+    "fmt/data chunk walk, little-endian int16) and reduced to integer "
+    "sample statistics. Samples are the digest's byte pairs, so DuckDB "
+    "re-derives every expected value with pure hex arithmetic — the "
+    "audio codec itself is externally checked, closing the audio half "
+    "of the codec story the way m39 closed images.",
+    oracle="""
+        WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        b AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), j ->
+                       16 * (strpos('0123456789abcdef',
+                                    substr(hx, 2 * j + 1, 1)) - 1)
+                       + (strpos('0123456789abcdef',
+                                 substr(hx, 2 * j + 2, 1)) - 1)
+                   ) AS bytes
+            FROM h
+        ),
+        s AS (
+            SELECT doc_id,
+                   list_transform(range(0, 8), i ->
+                       CASE WHEN bytes[2 * i + 1]
+                                 + 256 * bytes[2 * i + 2] >= 32768
+                            THEN bytes[2 * i + 1]
+                                 + 256 * bytes[2 * i + 2] - 65536
+                            ELSE bytes[2 * i + 1]
+                                 + 256 * bytes[2 * i + 2] END
+                   ) AS samples
+            FROM b
+        )
+        SELECT doc_id,
+               CAST(8 AS BIGINT) AS n_samples,
+               CAST(16000 AS BIGINT) AS sample_rate,
+               CAST(list_max(list_transform(samples, x -> abs(x)))
+                    AS BIGINT) AS peak_abs,
+               CAST(list_sum(list_transform(samples, x -> abs(x)))
+                    AS BIGINT) AS sum_abs
+        FROM s
+        ORDER BY doc_id
+    """,
+    category="multimodal",
+)
+def m41_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                d = hashlib.md5((t or "").encode()).digest()
+                samples = np.frombuffer(d, dtype="<i2")
+                payloads.append(
+                    multimodal.encode_wav(samples, rate=16_000)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def stats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            n, rate, peak, sabs = [], [], [], []
+            for payload in pdf["payload"]:
+                r, _ch, samples = multimodal.decode_wav(bytes(payload))
+                a = np.abs(samples.astype(np.int64))
+                n.append(len(samples))
+                rate.append(r)
+                peak.append(int(a.max()))
+                sabs.append(int(a.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": n,
+                    "sample_rate": rate,
+                    "peak_abs": peak,
+                    "sum_abs": sabs,
+                }
+            )
+
+    return (
+        docs.mapInPandas(build, "doc_id long, payload binary")
+        .mapInPandas(
+            stats,
+            "doc_id long, n_samples long, sample_rate long, "
+            "peak_abs long, sum_abs long",
+        )
+        .orderBy("doc_id")
+    )

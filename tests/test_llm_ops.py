@@ -391,3 +391,31 @@ class TestIncrementalNearDup:
             if r.doc_a >= 10 or r.doc_b >= 10
         }
         assert found == full
+
+
+def test_wav_codec_roundtrip_and_chunk_walk(spark):
+    """RIFF parser: roundtrip exactness (incl. int16 extremes), unknown
+    chunk skipping, odd-size word alignment, and malformed rejection."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_example_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = np.array([0, 1, -1, 32767, -32768, 12345], dtype=np.int16)
+    payload = encode_wav(s, rate=44_100)
+    r, ch, out = decode_wav(payload)
+    assert (r, ch) == (44_100, 1) and (out == s).all()
+
+    # inject an odd-sized LIST chunk before data: still decodes
+    head, rest = payload[:12], payload[12:]
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # padded to word
+    spliced = head + junk + rest
+    fixed = bytearray(spliced)
+    fixed[4:8] = struct.pack("<I", len(spliced) - 8)
+    r2, _, out2 = decode_wav(bytes(fixed))
+    assert r2 == 44_100 and (out2 == s).all()
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OGGS" + payload[4:])
