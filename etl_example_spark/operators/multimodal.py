@@ -9,11 +9,14 @@ Design (the part that matters at 100 TB):
   ``mapInPandas``: Arrow batches stream through Python with bounded
   memory (batch size × item size), and partition counts control
   decode parallelism independent of file layout;
-- real codecs (PIL/ffmpeg/torchaudio) are NOT in this environment, so
-  the decode kernel is pluggable: ``decode_stub`` raises
-  NotImplementedError exactly where a codec call belongs, and
-  ``fake_decode_features`` is the deterministic stand-in used by tests —
-  the Spark-side plumbing (schemas, batching, partitioning) is real.
+- the decode kernel is pluggable, and the UNCOMPRESSED formats decode
+  for real in pure numpy: binary PPM images (``decode_ppm`` /
+  ``nn_resize`` / ``encode_ppm``) and RIFF PCM16 WAV audio
+  (``decode_wav`` / ``encode_wav``) — both oracle-verified end-to-end
+  (m39/m40, m41). Compressed codecs (PIL/ffmpeg/torchaudio) are NOT in
+  this environment, so jpeg/png/mp4 route to ``decode_stub``, which
+  raises NotImplementedError exactly where the codec call belongs;
+  ``fake_decode_features`` is the deterministic stand-in used by tests.
 """
 
 from __future__ import annotations
