@@ -248,7 +248,7 @@ def bfs_oracle_sql(max_depth: int = 4) -> str:
             SELECT u, v FROM de UNION ALL SELECT v AS u, u AS v FROM de
         ),
         src AS (SELECT MIN(page) AS s FROM ev),
-        l0 AS (SELECT s AS node, 0 AS dist FROM src)"""
+        l0 AS (SELECT s AS node, 0 AS dist FROM src WHERE s IS NOT NULL)"""
     parts = [head]
     union = ["SELECT node, dist FROM l0"]
     for d in range(1, max_depth + 1):

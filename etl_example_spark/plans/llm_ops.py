@@ -3579,6 +3579,8 @@ def g03_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     node = F.get_json_object("props", "$.k").cast("long")
     edges = graph.transition_edges(events, node)
     source = events.agg(F.min(node).alias("s")).collect()[0]["s"]
+    if source is None:  # empty corpus: no source, no levels
+        return spark.createDataFrame([], "node long, dist long")
     return graph.bfs_levels(edges, int(source), max_depth=4).orderBy(
         "dist", "node"
     )

@@ -741,10 +741,14 @@ def st48_stream_countmin_maintenance(
     )
     q.awaitTermination()
 
-    merged = (
-        spark.read.parquet(grid_dir)
-        .groupBy("row", "col")
-        .agg(F.sum("cnt").alias("cnt"))
+    try:
+        epoch_grids = spark.read.parquet(grid_dir)
+    except Exception:  # noqa: BLE001 — no batch ever fired (empty landing dir)
+        epoch_grids = spark.createDataFrame(
+            [], "row int, col long, cnt long"
+        )
+    merged = epoch_grids.groupBy("row", "col").agg(
+        F.sum("cnt").alias("cnt")
     )
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
