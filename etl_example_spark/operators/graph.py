@@ -170,15 +170,22 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     ).join(
         deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v"
     )
-    oriented = ranked.select(
-        F.when(
-            (F.col("du") < F.col("dv"))
-            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-            F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+    oriented = (
+        ranked.select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("e")
         )
-        .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
-        .alias("e")
-    ).select("e.a", "e.b")
+        .select("e.a", "e.b")
+        # three consumers (both wedge legs + the closing-edge side):
+        # materialize once or the whole edge-extraction subtree (window,
+        # distinct, degree joins) replays per consumer
+        .localCheckpoint(eager=True)
+    )
     w1 = oriented.select(F.col("a").alias("c"), F.col("b").alias("x"))
     w2 = oriented.select(F.col("a").alias("c"), F.col("b").alias("y"))
     wedges = w1.join(w2, "c").filter(F.col("x") < F.col("y"))
