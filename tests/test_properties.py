@@ -390,3 +390,71 @@ def test_canonicalize_url_idempotent(spark, urls):
         assert "#" not in r.c1 and "utm_" not in r.c1
         scheme_host = r.c1.split("/")[2] if "://" in r.c1 else ""
         assert scheme_host == scheme_host.lower()
+
+
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",), max_codepoint=0xFFFF
+        ),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(ts=texts)
+@SETTINGS
+def test_normalize_text_idempotent(spark, ts):
+    """normalize(normalize(x)) == normalize(x) for arbitrary BMP text —
+    the law that makes the pre-fingerprint stage safe to re-run."""
+    from etl_example_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ts)], "doc_id long, text string"
+    )
+    once = df.select(
+        "doc_id", normalize_text("text").alias("text")
+    )
+    twice = once.select(
+        "doc_id", normalize_text("text").alias("text")
+    )
+    a = {r.doc_id: r.text for r in once.collect()}
+    b = {r.doc_id: r.text for r in twice.collect()}
+    assert a == b
+
+
+word_lists = st.lists(
+    st.lists(
+        st.sampled_from(["ab", "abc", "aab", "ba", "a", "aaa", "bab"]),
+        min_size=1,
+        max_size=6,
+    ).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=word_lists)
+@SETTINGS
+def test_bpe_train_order_invariant_and_matches_reference(spark, docs):
+    """Learned merges are a pure function of the word MULTISET — row
+    order must not matter — and equal the canonical Python trainer."""
+    from tests.test_curation_ops import _reference_bpe
+    from etl_example_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    rev = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(reversed(docs))],
+        "doc_id long, text string",
+    )
+    counts: dict[str, int] = {}
+    for t in docs:
+        for w in t.lower().split():
+            counts[w] = counts.get(w, 0) + 1
+    want = _reference_bpe(counts, 4)
+    assert bpe_train(df, n_merges=4) == want
+    assert bpe_train(rev, n_merges=4) == want
