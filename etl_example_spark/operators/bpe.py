@@ -36,9 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def word_vocab(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
+def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt) vocabulary — the one corpus-wide scan + shuffle."""
     from etl_example_spark.operators.text import tokens
 
@@ -134,7 +132,6 @@ def bpe_train(
     df: DataFrame,
     n_merges: int = 6,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> list[tuple[int, str, int]]:
     """Learn ``n_merges`` BPE merges; returns
     ``[(rank, 'left right', pair_count), …]`` in merge order.
@@ -147,7 +144,7 @@ def bpe_train(
     lineage). Stops early if no pair remains (all words fully merged).
     """
     units = (
-        word_vocab(df, text_col, id_col)
+        word_vocab(df, text_col)
         .select("cnt", _char_units(F.col("word")).alias("u"))
         .localCheckpoint(eager=True)
     )

@@ -825,7 +825,7 @@ def mmr_rerank(
     schema = StructType(
         [
             StructField("mmr_rank", IntegerType(), False),
-            StructField("vec_id", LongType(), False),
+            StructField(id_col, LongType(), False),
             StructField("relevance", DoubleType(), False),
         ]
     )
@@ -834,11 +834,16 @@ def mmr_rerank(
     )
 
 
-def mmr_oracle_sql(k: int = 5, pool: int = 20) -> str:
+def mmr_oracle_sql(
+    k: int = 5, pool: int = 20, lam: float = 0.7, mu: float = 0.3
+) -> str:
     """Unrolled k-step DuckDB twin of :func:`mmr_rerank` — each step is
-    a CTE selecting the argmax of ``0.7·rel − 0.3·max_sim_to_selected``
+    a CTE selecting the argmax of ``lam·rel − mu·max_sim_to_selected``
     over the not-yet-selected pool, with the selected set accumulated by
-    UNION ALL (the same chained-CTE pattern as bpe_oracle_sql)."""
+    UNION ALL (the same chained-CTE pattern as bpe_oracle_sql). Pass the
+    SAME lam/mu as the Spark call — the literals are rendered with
+    repr(), so both engines parse the identical decimal to the identical
+    double."""
     head = f"""
         q AS (
             SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
@@ -868,7 +873,7 @@ def mmr_oracle_sql(k: int = 5, pool: int = 20) -> str:
         pick{i} AS (
             SELECT c.cid, c.rel FROM cand c
             WHERE c.cid NOT IN (SELECT cid FROM sel{i - 1})
-            ORDER BY 0.7 * c.rel - 0.3 * (
+            ORDER BY {lam!r} * c.rel - {mu!r} * (
                 SELECT MAX(s.s) FROM sim s
                 JOIN sel{i - 1} p ON s.ib = p.cid
                 WHERE s.ia = c.cid

@@ -94,8 +94,82 @@ def countmin_estimate(
         F.col("cell.row").alias("row"),
         F.col("cell.col").alias("col"),
     )
+    # LEFT join + count 0: an item never inserted has empty cells that
+    # the grid simply doesn't store; an inner join would drop it from
+    # the output (or take MIN over its nonzero cells only, inflating
+    # the estimate). The CMS answer for an absent item is 0.
     return (
-        probes.join(F.broadcast(sketch), ["row", "col"])
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0).cast("long")))
         .groupBy(item_col)
         .agg(F.min("cnt").alias("cm_estimate"))
     )
+
+
+def heavy_hitters_certificate(
+    items: DataFrame, sketch: DataFrame, k: int = 20
+) -> DataFrame:
+    """The certified heavy-hitter read shared by the batch (d78) and
+    streaming (st48) registrations: exact top-``k`` items joined to
+    their sketch estimates, with the never-underestimates CMS guarantee
+    emitted as an externally-verifiable boolean."""
+    exact = (
+        items.groupBy("item")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "item")
+        .limit(k)
+    )
+    return (
+        countmin_estimate(sketch, exact.select("item"))
+        .join(exact, "item")
+        .select(
+            "item",
+            "exact_count",
+            "cm_estimate",
+            (F.col("cm_estimate") >= F.col("exact_count")).alias(
+                "never_underestimates"
+            ),
+        )
+        .orderBy(F.desc("exact_count"), "item")
+    )
+
+
+#: DuckDB twin of countmin_build + heavy_hitters_certificate over the
+#: documents table's whitespace tokens — shared verbatim by the d78
+#: (batch) and st48 (stream-merged) oracles, which must stay identical:
+#: stream-merged == batch-built IS the property st48 certifies.
+CMS_HEAVY_HITTERS_ORACLE = """
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+               AS item
+        FROM documents
+        WHERE length(trim(text)) > 0
+    ),
+    grid AS (
+        SELECT r.r AS row,
+               CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || '|'
+                    || item), 1, 8)) AS BIGINT) % 256 AS col,
+               COUNT(*) AS cnt
+        FROM tok CROSS JOIN (SELECT unnest(range(4)) AS r) r
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT item, COUNT(*) AS exact_count FROM tok
+        GROUP BY item ORDER BY exact_count DESC, item LIMIT 20
+    ),
+    est AS (
+        SELECT e.item, e.exact_count, MIN(g.cnt) AS cm_estimate
+        FROM exact e
+        CROSS JOIN (SELECT unnest(range(4)) AS r) r
+        JOIN grid g
+          ON g.row = r.r
+         AND g.col = CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR)
+                          || '|' || e.item), 1, 8)) AS BIGINT) % 256
+        GROUP BY e.item, e.exact_count
+    )
+    SELECT item, CAST(exact_count AS BIGINT) AS exact_count,
+           CAST(cm_estimate AS BIGINT) AS cm_estimate,
+           cm_estimate >= exact_count AS never_underestimates
+    FROM est
+    ORDER BY exact_count DESC, item
+"""

@@ -370,6 +370,26 @@ def hashed_feature_bucket(col: Column | str, dim: int) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % dim
 
 
+def pseudo_weight(bucket: Column) -> Column:
+    """Deterministic stand-in milli-weight in [-1000, 1000] for bucket
+    ``bucket`` — md5('w:'||bucket)-derived, reproduced by the DuckDB
+    oracles with the same hex arithmetic. Shared by the shuffle form
+    (:func:`hashed_linear_quality`) and the stateless fold form
+    (:func:`hashed_linear_quality_cols`) so the two can never
+    desynchronize."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+
+
 def hashed_linear_quality(
     df: DataFrame,
     dim: int = 1024,
@@ -403,25 +423,15 @@ def hashed_linear_quality(
         F.explode(tokens(text_col)).alias("tok"),
     ).withColumn("bucket", hashed_feature_bucket("tok", dim))
     if weights is None:
-        w_int = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(F.lit("w:"), F.col("bucket").cast("string"))
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 2001
-            - 1000
-        )
-        scored = toks.withColumn("w_int", w_int)
+        scored = toks.withColumn("w_int", pseudo_weight(F.col("bucket")))
     else:
-        # trained model: dim rows — always broadcast, never shuffled
-        scored = toks.join(F.broadcast(weights), "bucket")
+        # trained model: dim rows — always broadcast, never shuffled.
+        # LEFT join + weight 0: a sparse trained table (buckets with no
+        # training signal) must not silently drop tokens — or whole
+        # documents whose every token is unmatched — from the gate.
+        scored = toks.join(F.broadcast(weights), "bucket", "left").withColumn(
+            "w_int", F.coalesce("w_int", F.lit(0).cast("long"))
+        )
     return (
         scored.groupBy("doc_id")
         .agg(
@@ -442,12 +452,18 @@ def normalize_text_udf():
     is the documented exception to this module's no-Python rule: a
     vectorized pandas Series map over Arrow batches, never per-row.
 
-    NFC composition (é as e+U+0301 → single codepoint), C0/C1 control
-    removal (keeping \\t \\n), then whitespace-run collapse + trim — the
-    standard normalize stage (C4/Dolma) run before fingerprinting so
-    byte-different, render-identical texts dedup together. The DuckDB
-    oracle mirrors it with nfc_normalize + regexp_replace, making the
-    Python path externally hash-verified.
+    C0/C1 control and format-char (Cf) removal FIRST (keeping \\t \\n),
+    THEN NFC composition (é as e+U+0301 → single codepoint), then
+    whitespace-run collapse + trim — the standard normalize stage
+    (C4/Dolma) run before fingerprinting so byte-different,
+    render-identical texts dedup together. Strip-before-NFC order
+    matters for idempotence: a Cf char between a base char and a
+    combining mark (e.g. 'e' + ZWNJ + U+0301) blocks composition, so
+    stripping after NFC would leave a decomposed sequence that a second
+    pass composes differently; stripping first, NFC sees the final
+    character stream and NFC∘strip is a fixpoint. The DuckDB oracle
+    mirrors the same order with regexp_replace + nfc_normalize, making
+    the Python path externally hash-verified.
     """
     import re
     import unicodedata
@@ -464,12 +480,12 @@ def normalize_text_udf():
         def one(text):
             if text is None:
                 return None
-            text = unicodedata.normalize("NFC", text)
             text = "".join(
                 ch
                 for ch in text
                 if ch in "\t\n" or unicodedata.category(ch) not in ("Cc", "Cf")
             )
+            text = unicodedata.normalize("NFC", text)
             return ws_run.sub(" ", text).strip(" ")
 
         return s.map(one)
@@ -497,26 +513,10 @@ def hashed_linear_quality_cols(
     join); with the derived pseudo-model the lookup is arithmetic and
     this form is strictly cheaper."""
     toks = tokens(col)
-    bucket_w = lambda t: (  # noqa: E731
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("w:"),
-                        (hashed_feature_bucket(t, dim)).cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 2001
-        - 1000
-    )
     w_sum = F.aggregate(
-        F.transform(toks, bucket_w),
+        F.transform(
+            toks, lambda t: pseudo_weight(hashed_feature_bucket(t, dim))
+        ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )

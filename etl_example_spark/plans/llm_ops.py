@@ -3294,13 +3294,13 @@ def d73_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash-verified against DuckDB's independent nfc_normalize.",
     oracle=r"""
         SELECT doc_id,
-               trim(regexp_replace(regexp_replace(
-                   nfc_normalize(text),
-                   '[\x00-\x08\x0B-\x1F\x7F-\x9F\p{Cf}]', '', 'g'),
+               trim(regexp_replace(nfc_normalize(
+                   regexp_replace(text,
+                   '[\x00-\x08\x0B-\x1F\x7F-\x9F\p{Cf}]', '', 'g')),
                    '[ \t\n]+', ' ', 'g'), ' ') AS norm_text,
-               CAST(length(trim(regexp_replace(regexp_replace(
-                   nfc_normalize(text),
-                   '[\x00-\x08\x0B-\x1F\x7F-\x9F\p{Cf}]', '', 'g'),
+               CAST(length(trim(regexp_replace(nfc_normalize(
+                   regexp_replace(text,
+                   '[\x00-\x08\x0B-\x1F\x7F-\x9F\p{Cf}]', '', 'g')),
                    '[ \t\n]+', ' ', 'g'), ' ')) AS BIGINT) AS norm_len
         FROM documents
         ORDER BY doc_id
@@ -3455,43 +3455,11 @@ def g01_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle), then the exact top-20 tokens read back through the "
     "sketch. cm_estimate >= exact ALWAYS (the CMS guarantee) and is "
     "emitted as a certified boolean, like the q22a error-bound pattern "
-    "(operators/sketches.countmin_build/_estimate). The grid is "
-    "depth*width integers regardless of corpus size and merges by "
-    "cell-wise addition — the bounded-memory answer to frequency "
-    "tracking at 100 TB.",
-    oracle=f"""
-        WITH tok AS (
-            SELECT unnest({SQL_TOKS}) AS item FROM documents
-            WHERE length(trim(text)) > 0
-        ),
-        grid AS (
-            SELECT r.r AS row,
-                   CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || '|'
-                        || item), 1, 8)) AS BIGINT) % 256 AS col,
-                   COUNT(*) AS cnt
-            FROM tok CROSS JOIN (SELECT unnest(range(4)) AS r) r
-            GROUP BY 1, 2
-        ),
-        exact AS (
-            SELECT item, COUNT(*) AS exact_count FROM tok
-            GROUP BY item ORDER BY exact_count DESC, item LIMIT 20
-        ),
-        est AS (
-            SELECT e.item, e.exact_count, MIN(g.cnt) AS cm_estimate
-            FROM exact e
-            CROSS JOIN (SELECT unnest(range(4)) AS r) r
-            JOIN grid g
-              ON g.row = r.r
-             AND g.col = CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR)
-                              || '|' || e.item), 1, 8)) AS BIGINT) % 256
-            GROUP BY e.item, e.exact_count
-        )
-        SELECT item, CAST(exact_count AS BIGINT) AS exact_count,
-               CAST(cm_estimate AS BIGINT) AS cm_estimate,
-               cm_estimate >= exact_count AS never_underestimates
-        FROM est
-        ORDER BY exact_count DESC, item
-    """,
+    "(operators/sketches.countmin_build / heavy_hitters_certificate). "
+    "The grid is depth*width integers regardless of corpus size and "
+    "merges by cell-wise addition — the bounded-memory answer to "
+    "frequency tracking at 100 TB.",
+    oracle=sketches.CMS_HEAVY_HITTERS_ORACLE,
     category="text",
 )
 def d78_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3499,25 +3467,8 @@ def d78_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.trim("text")) > 0
     )
     toks = docs.select(F.explode(text.tokens("text")).alias("item"))
-    sketch = sketches.countmin_build(toks)
-    exact = (
-        toks.groupBy("item")
-        .agg(F.count("*").alias("exact_count"))
-        .orderBy(F.desc("exact_count"), "item")
-        .limit(20)
-    )
-    return (
-        sketches.countmin_estimate(sketch, exact.select("item"))
-        .join(exact, "item")
-        .select(
-            "item",
-            "exact_count",
-            "cm_estimate",
-            (F.col("cm_estimate") >= F.col("exact_count")).alias(
-                "never_underestimates"
-            ),
-        )
-        .orderBy(F.desc("exact_count"), "item")
+    return sketches.heavy_hitters_certificate(
+        toks, sketches.countmin_build(toks)
     )
 
 

@@ -20,6 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_example_spark.plans.registry import register
+from etl_example_spark.operators.sketches import (
+    CMS_HEAVY_HITTERS_ORACLE,
+)
 from etl_example_spark.streaming.sinks import run_to_memory
 from etl_example_spark.streaming.sources import read_events_stream
 from etl_example_spark.streaming.stateful import first_seen_dedup
@@ -671,39 +674,7 @@ def st47_stream_quality_gate(
     "with the certified never-underestimates flag; the oracle builds "
     "the same grid in batch SQL, so stream-merged == batch-built is "
     "hash-verified externally (operators/sketches).",
-    oracle=f"""
-        WITH tok AS (
-            SELECT unnest({SQL_TOKS}) AS item FROM documents
-            WHERE length(trim(text)) > 0
-        ),
-        grid AS (
-            SELECT r.r AS row,
-                   CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || '|'
-                        || item), 1, 8)) AS BIGINT) % 256 AS col,
-                   COUNT(*) AS cnt
-            FROM tok CROSS JOIN (SELECT unnest(range(4)) AS r) r
-            GROUP BY 1, 2
-        ),
-        exact AS (
-            SELECT item, COUNT(*) AS exact_count FROM tok
-            GROUP BY item ORDER BY exact_count DESC, item LIMIT 20
-        ),
-        est AS (
-            SELECT e.item, e.exact_count, MIN(g.cnt) AS cm_estimate
-            FROM exact e
-            CROSS JOIN (SELECT unnest(range(4)) AS r) r
-            JOIN grid g
-              ON g.row = r.r
-             AND g.col = CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR)
-                              || '|' || e.item), 1, 8)) AS BIGINT) % 256
-            GROUP BY e.item, e.exact_count
-        )
-        SELECT item, CAST(exact_count AS BIGINT) AS exact_count,
-               CAST(cm_estimate AS BIGINT) AS cm_estimate,
-               cm_estimate >= exact_count AS never_underestimates
-        FROM est
-        ORDER BY exact_count DESC, item
-    """,
+    oracle=CMS_HEAVY_HITTERS_ORACLE,
     category="streaming",
 )
 def st48_stream_countmin_maintenance(
@@ -754,22 +725,4 @@ def st48_stream_countmin_maintenance(
         F.length(F.trim("text")) > 0
     )
     toks = docs.select(F.explode(text.tokens("text")).alias("item"))
-    exact = (
-        toks.groupBy("item")
-        .agg(F.count("*").alias("exact_count"))
-        .orderBy(F.desc("exact_count"), "item")
-        .limit(20)
-    )
-    return (
-        sketches.countmin_estimate(merged, exact.select("item"))
-        .join(exact, "item")
-        .select(
-            "item",
-            "exact_count",
-            "cm_estimate",
-            (F.col("cm_estimate") >= F.col("exact_count")).alias(
-                "never_underestimates"
-            ),
-        )
-        .orderBy(F.desc("exact_count"), "item")
-    )
+    return sketches.heavy_hitters_certificate(toks, merged)

@@ -165,6 +165,12 @@ def test_normalize_text_nfc_controls_whitespace(spark):
         ).collect()
     }
     assert got[1] == unicodedata.normalize("NFC", decomposed) + " menu"
+    # strip-before-NFC: a Cf char between base and combining mark must
+    # not block composition (idempotence counterexample if it did)
+    zwnj_split = "e\u200c\u0301x"
+    extra = spark.createDataFrame([(9, zwnj_split)], ["doc_id", "text"])
+    got9 = extra.select(normalize_text("text").alias("n")).collect()[0].n
+    assert got9 == "\u00e9x"
     assert len(got[1].split(" ")[0]) == 4  # composed é: 4 chars not 5
     assert got[2] == "zerowidth"
     assert got[3] == "ctrlbell and lines"
