@@ -19,6 +19,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Shared DuckDB prefix for every transition-graph oracle: node = the
+#: 'k' prop; directed steps from per-user consecutive events ordered by
+#: (ts, event_id); ``de`` is the distinct undirected (u < v) edge set.
+EVENT_GRAPH_SQL = """
+        ev AS (
+            SELECT user_id, ts, event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+            FROM events
+        ),
+        tr AS (
+            SELECT page AS src,
+                   LEAD(page) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+            FROM ev
+        ),
+        de AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM tr WHERE dst IS NOT NULL AND src != dst
+        )"""
+
+
 def transition_edges(
     events: DataFrame,
     node_col,
@@ -91,18 +112,9 @@ def pagerank_oracle_sql(iters: int = 4, damping_pct: int = 85) -> str:
     transition graph (node = the ``k`` prop; edges from per-user
     consecutive events ordered by (ts, event_id))."""
     teleport = (100 - damping_pct) * 10_000
-    head = """
-        ev AS (
-            SELECT user_id, ts, event_id,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
-            FROM events
-        ),
-        tr AS (
-            SELECT page AS src,
-                   LEAD(page) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS dst
-            FROM ev
-        ),
+    head = (
+        EVENT_GRAPH_SQL
+        + """,
         edges AS (
             SELECT src, dst, COUNT(*) AS c FROM tr
             WHERE dst IS NOT NULL GROUP BY src, dst
@@ -110,6 +122,7 @@ def pagerank_oracle_sql(iters: int = 4, damping_pct: int = 85) -> str:
         outw AS (SELECT src, SUM(c) AS w FROM edges GROUP BY src),
         nodes AS (SELECT DISTINCT page AS node FROM ev),
         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    )
     parts = [head]
     for i in range(1, iters + 1):
         parts.append(
@@ -235,27 +248,15 @@ def bfs_levels(
 def bfs_oracle_sql(max_depth: int = 4) -> str:
     """Unrolled DuckDB twin of :func:`bfs_levels` from the min event
     page node over the transition graph."""
-    head = """
-        ev AS (
-            SELECT user_id, ts, event_id,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
-            FROM events
-        ),
-        tr AS (
-            SELECT page AS src,
-                   LEAD(page) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS dst
-            FROM ev
-        ),
-        de AS (
-            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-            FROM tr WHERE dst IS NOT NULL AND src != dst
-        ),
+    head = (
+        EVENT_GRAPH_SQL
+        + """,
         adj AS (
             SELECT u, v FROM de UNION ALL SELECT v AS u, u AS v FROM de
         ),
         src AS (SELECT MIN(page) AS s FROM ev),
         l0 AS (SELECT s AS node, 0 AS dist FROM src WHERE s IS NOT NULL)"""
+    )
     parts = [head]
     union = ["SELECT node, dist FROM l0"]
     for d in range(1, max_depth + 1):

@@ -3472,23 +3472,7 @@ def d78_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EDGES_SQL = """
-        ev AS (
-            SELECT user_id, ts, event_id,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
-            FROM events
-        ),
-        tr AS (
-            SELECT page AS src,
-                   LEAD(page) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS dst
-            FROM ev
-        ),
-        de AS (
-            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-            FROM tr WHERE dst IS NOT NULL AND src != dst
-        )"""
-
+_EDGES_SQL = graph.EVENT_GRAPH_SQL
 
 @register(
     "g02_triangle_count",
