@@ -3269,6 +3269,7 @@ def d72_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id
     """,
     category="text",
+    bench=True,  # the per-document inference hot path of the new family
 )
 def d73_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
