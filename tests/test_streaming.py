@@ -475,3 +475,35 @@ class TestPythonStreamSourceRestart:
         # exactly the new rows were read — no reprocessing, no gaps
         ids = sorted(r.id for r in second.collect())
         assert ids == list(range(2000))
+
+
+def test_countmin_epoch_replay_is_idempotent(spark, tmp_path):
+    """st48's grid writes must survive a micro-batch retry: writing the
+    same epoch twice (the retry shape) leaves the merged sketch equal to
+    a single whole-input build — overwrite-per-epoch, never re-append."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators.sketches import countmin_build
+
+    grid_dir = str(tmp_path / "grid")
+    items_a = spark.createDataFrame([("x",)] * 30 + [("y",)] * 5, ["item"])
+    items_b = spark.createDataFrame([("y",)] * 10 + [("z",)] * 2, ["item"])
+
+    def write_epoch(df, epoch_id):
+        countmin_build(df).write.mode("overwrite").parquet(
+            os.path.join(grid_dir, f"epoch={epoch_id}")
+        )
+
+    write_epoch(items_a, 0)
+    write_epoch(items_a, 0)  # retry replays the same epoch
+    write_epoch(items_b, 1)
+    merged = (
+        spark.read.parquet(grid_dir)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = countmin_build(items_a.unionByName(items_b))
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
