@@ -464,6 +464,12 @@ def normalize_text_udf():
     character stream and NFC∘strip is a fixpoint. The DuckDB oracle
     mirrors the same order with regexp_replace + nfc_normalize, making
     the Python path externally hash-verified.
+
+    Scope note: stripping ALL of Cf includes ZWJ/ZWNJ, which carry
+    meaning in Indic scripts and ZWJ emoji sequences — the standard
+    C4-style trade for Latin-script web corpora, lossy elsewhere. For a
+    multi-script corpus, narrow the strip class (keep 200C/200D) before
+    reusing this stage.
     """
     import re
     import unicodedata
