@@ -3280,3 +3280,68 @@ def q100_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "q101_scd2_point_in_time",
+    "SCD Type-2 reconstruction + point-in-time join: each user's event "
+    "stream becomes validity intervals (effective_from = ts, "
+    "effective_to = next ts via LEAD — the standard SCD2 build), the "
+    "state as of a fixed timestamp is the interval containing it, and "
+    "the reconstructed state enriches with the customer dimension for "
+    "a per-segment rollup. One window shuffle on the user key builds "
+    "ALL intervals; the point-in-time filter is a pushable predicate; "
+    "the dim join broadcasts — the warehouse time-travel shape without "
+    "a log-structured table format.",
+    oracle="""
+        WITH intervals AS (
+            SELECT user_id, value, ts AS effective_from,
+                   LEAD(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS effective_to
+            FROM events
+        ),
+        pit AS (
+            SELECT user_id, value FROM intervals
+            WHERE effective_from <= TIMESTAMP '2024-06-01 00:00:00'
+              AND (effective_to IS NULL
+                   OR effective_to > TIMESTAMP '2024-06-01 00:00:00')
+        )
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS n_users,
+               CAST(SUM(CAST(ROUND(a.value * 100) AS BIGINT)) AS BIGINT)
+                   AS total_value_cents
+        FROM pit a JOIN customer c ON a.user_id = c.c_custkey
+        GROUP BY segment
+        ORDER BY segment
+    """,
+    category="relational",
+)
+def q101_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    intervals = events.select(
+        "user_id",
+        "value",
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w).alias("effective_to"),
+    )
+    t = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    asof = intervals.filter(
+        (F.col("effective_from") <= t)
+        & (F.col("effective_to").isNull() | (F.col("effective_to") > t))
+    )
+    return (
+        asof.join(
+            F.broadcast(customer),
+            asof.user_id == customer.c_custkey,
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "total_value_cents"
+            ),
+        )
+        .orderBy("segment")
+    )
