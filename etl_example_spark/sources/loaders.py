@@ -143,3 +143,13 @@ def load_tables(
             df.createOrReplaceTempView(name)
         tables[name] = df
     return tables
+
+
+def load_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC source (built into Spark, vectorized reader + predicate
+    pushdown like parquet). Schema optional — ORC files carry their
+    types; pass one to project/validate instead of trusting the file."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

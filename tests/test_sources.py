@@ -143,3 +143,21 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     # pruning still reaches the scan: selecting only `a` must not read b
     scan = merged.select("a")._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema" in scan and "b" not in scan.split("ReadSchema")[1][:60]
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC read/write parity with parquet, including filter pushdown
+    reaching the ORC scan (same PushedFilters contract)."""
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.sources.loaders import load_orc, load_table
+
+    dest = str(tmp_path / "orders_orc")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.orc(dest)
+    back = load_orc(spark, dest)
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
+    filtered = back.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderstatus" in plan
