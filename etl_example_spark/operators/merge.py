@@ -170,3 +170,67 @@ def retire_tombstones(
             & (F.col(sequence_col) < F.lit(older_than_seq))
         )
     )
+
+
+def retractable_state(
+    deltas: DataFrame,
+    key_col: str = "user_id",
+    op_col: str = "op",
+    cents_col: str = "cents",
+) -> DataFrame:
+    """Materialized-view state from a changelog of signed deltas
+    (op = +1 insert / −1 retraction): per key, live row count and exact
+    cents sum. The retraction algebra every incremental engine
+    (Flink/Materialize-style) runs on: state is a pair of SUMs, so
+    maintenance is one partial-aggregated shuffle per batch and two
+    states merge by addition (:func:`merge_retractable_states` — the
+    law tests/test_merge.py pins). The state deliberately keeps
+    non-positive counts: a retraction can land in an earlier batch than
+    its insert, so filtering liveness per batch would break the merge
+    law — liveness is a READ-time filter (:func:`live_rows`), and a
+    fully retracted key vanishes there without any tombstone because
+    the count IS the liveness.
+    """
+    return deltas.groupBy(key_col).agg(
+        F.sum(op_col).alias("n_live"),
+        F.sum(F.col(op_col) * F.col(cents_col)).alias("cents_sum"),
+    )
+
+
+def merge_retractable_states(
+    a: DataFrame, b: DataFrame, key_col: str = "user_id"
+) -> DataFrame:
+    """Combine two retractable states by addition — the incremental
+    maintenance step: state(batch₁ ∪ batch₂) =
+    merge(state(batch₁), state(batch₂)). Full-outer join on the key
+    (both sides are state-sized, not changelog-sized), coalesced sums,
+    no liveness filter (read through :func:`live_rows`)."""
+    an = a.select(
+        F.col(key_col),
+        F.col("n_live").alias("_n_a"),
+        F.col("cents_sum").alias("_c_a"),
+    )
+    bn = b.select(
+        F.col(key_col),
+        F.col("n_live").alias("_n_b"),
+        F.col("cents_sum").alias("_c_b"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        an.join(bn, key_col, "full_outer")
+        .select(
+            key_col,
+            (F.coalesce("_n_a", zero) + F.coalesce("_n_b", zero)).alias(
+                "n_live"
+            ),
+            (F.coalesce("_c_a", zero) + F.coalesce("_c_b", zero)).alias(
+                "cents_sum"
+            ),
+        )
+    )
+
+
+def live_rows(state: DataFrame) -> DataFrame:
+    """The queryable view of a retractable state: keys with at least one
+    un-retracted insert."""
+    return state.filter(F.col("n_live") > 0)

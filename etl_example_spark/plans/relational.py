@@ -3345,3 +3345,41 @@ def q101_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "q102_retractable_agg",
+    "Retraction-algebra incremental view: the event stream as a signed "
+    "changelog (error events retract, everything else inserts), "
+    "maintained as per-user (n_live, cents_sum) sums — the Flink/"
+    "Materialize-style state where two batches' states MERGE BY "
+    "ADDITION (law-tested incl. retraction-before-insert batch "
+    "orders), liveness is a read-time filter, and fully retracted keys "
+    "vanish with no tombstone (operators/merge.retractable_state).",
+    oracle="""
+        WITH deltas AS (
+            SELECT user_id,
+                   CASE WHEN event_type = 'error' THEN -1 ELSE 1 END AS op,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT user_id,
+               CAST(SUM(op) AS BIGINT) AS n_live,
+               CAST(SUM(op * cents) AS BIGINT) AS cents_sum
+        FROM deltas
+        GROUP BY user_id
+        HAVING SUM(op) > 0
+        ORDER BY user_id
+    """,
+    category="relational",
+)
+def q102_retractable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.operators.merge import live_rows, retractable_state
+
+    events = load_table(spark, sf_dir, "events")
+    deltas = events.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", -1).otherwise(1).alias("op"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return live_rows(retractable_state(deltas)).orderBy("user_id")

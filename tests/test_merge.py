@@ -193,3 +193,34 @@ def test_chunk_audio_bounds(spark, sf_dir):
         for rs in per_doc.values()
         for i in range(len(rs) - 1)
     )
+
+
+class TestRetractableState:
+    def test_merge_law_including_retraction_before_insert(self, spark):
+        """state(b1 ∪ b2) == merge(state(b1), state(b2)) even when a
+        retraction lands in an earlier batch than its insert — the case
+        a per-batch liveness filter would corrupt."""
+        from etl_example_spark.operators.merge import (
+            live_rows,
+            merge_retractable_states,
+            retractable_state,
+        )
+
+        b1 = spark.createDataFrame(
+            # u2's retraction arrives BEFORE its insert (in b2)
+            [(1, 1, 500), (1, 1, 300), (2, -1, 700)],
+            ["user_id", "op", "cents"],
+        )
+        b2 = spark.createDataFrame(
+            [(1, -1, 500), (2, 1, 700), (3, 1, 100)],
+            ["user_id", "op", "cents"],
+        )
+        whole = retractable_state(b1.unionByName(b2))
+        merged = merge_retractable_states(
+            retractable_state(b1), retractable_state(b2)
+        )
+        assert sorted(map(tuple, whole.collect())) == sorted(
+            map(tuple, merged.collect())
+        )
+        live = {r.user_id: (r.n_live, r.cents_sum) for r in live_rows(merged).collect()}
+        assert live == {1: (1, 300), 3: (1, 100)}  # u2 fully retracted
