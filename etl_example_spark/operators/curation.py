@@ -178,3 +178,33 @@ def backup_then_remove(
     result["curated"] = curated_path
     result["kept"] = spark.read.parquet(curated_path).count()
     return result
+
+
+def observed_quality_filter(
+    df: DataFrame, col: str
+) -> tuple[DataFrame, "object"]:
+    """:func:`quality_filter` instrumented with the Observation API:
+    returns (filtered_df, observation) where the observation's metrics
+    — rows scanned, rows kept, problematic rows — are collected as a
+    side effect of whatever action the CALLER runs on the filtered
+    frame. At 100 TB this is the difference between free telemetry and
+    a second full scan (the reference logs these counts with separate
+    COUNT(*) queries, src/job.py:302; count_tables/count_problematic
+    reproduce that shape — this is the one-pass production form).
+
+    The kept/problematic split is observed BEFORE the filter so both
+    sides are visible; metrics are exact (observe aggregates run in the
+    same job, not sampled).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("quality")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.count_if(quality_predicate(col) == False).alias(  # noqa: E712
+            "rows_kept"
+        ),
+        F.count_if(quality_predicate(col)).alias("rows_problematic"),
+    )
+    return observed.filter(~quality_predicate(col)), obs

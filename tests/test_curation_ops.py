@@ -446,3 +446,21 @@ def test_bfs_levels_path_graph(spark):
     )
     got = {r.node: r.dist for r in bfs_levels(edges, 0, max_depth=4).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_observed_quality_filter_free_telemetry(spark):
+    """Observation metrics must match exact counts and cost no second
+    scan: one action yields both the filtered data and the counts."""
+    from etl_example_spark.operators.curation import observed_quality_filter
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, -1), (4, 2_000_000), (5, 10)],
+        "id long, quantity int",
+    )
+    filtered, obs = observed_quality_filter(df, "quantity")
+    kept = filtered.count()  # the ONE action; metrics ride along
+    assert kept == 2
+    m = obs.get
+    assert m["rows_scanned"] == 5
+    assert m["rows_kept"] == 2
+    assert m["rows_problematic"] == 3
