@@ -146,6 +146,16 @@ SHOW = {
         "fan-out ~sqrt(|E|) per key, so the two-hop join survives hub "
         "skew; the closing-edge join is an equi-join, never a cross."
     ),
+    "q101_scd2_point_in_time": (
+        "SCD2 time travel: ONE window shuffle on the user key builds "
+        "every validity interval, the as-of predicate filters before "
+        "the broadcast dim join — no log-structured format needed."
+    ),
+    "q102_retractable_agg": (
+        "Retraction algebra: signed-changelog state is one partial-"
+        "aggregated shuffle of (key, int) pairs; merge-by-addition and "
+        "read-time liveness keep maintenance incremental."
+    ),
 }
 
 
