@@ -36,13 +36,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: Words longer than this are excluded from training (HF-tokenizers'
+#: max_input_chars_per_word discipline): a single unbroken 10 kB token
+#: (minified JS, base64 blobs) would make the per-word O(len²) merge
+#: expression the whole job, while contributing no useful merges. The
+#: oracle applies the identical cap.
+MAX_WORD_CHARS = 64
+
+
 def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, cnt) vocabulary — the one corpus-wide scan + shuffle."""
+    """(word, cnt) vocabulary — the one corpus-wide scan + shuffle.
+    Degenerate super-long words are dropped (``MAX_WORD_CHARS``)."""
     from etl_example_spark.operators.text import tokens
 
     return (
         df.select(F.explode(tokens(text_col)).alias("word"))
-        .filter(F.length("word") > 0)
+        .filter(
+            (F.length("word") > 0)
+            & (F.length("word") <= MAX_WORD_CHARS)
+        )
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
@@ -212,7 +224,7 @@ def bpe_oracle_sql(n_merges: int = 6) -> str:
                 SELECT unnest(string_split_regex(trim(lower(text)),
                                                  '\\s+')) AS tok
                 FROM documents
-            ) WHERE length(tok) > 0 GROUP BY tok
+            ) WHERE length(tok) > 0 AND length(tok) <= 64 GROUP BY tok
         ),
         u1 AS (
             SELECT cnt,

@@ -388,6 +388,7 @@ def containment_pairs_sampled(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """The PRODUCTION path for containment detection: the inverted-index
     self-join runs only on a deterministic 1/``sample_mod`` sample of
@@ -421,16 +422,24 @@ def containment_pairs_sampled(
         == 0
     )
     st = staged_shingles(df, n, text_col, id_col)
-    idx = (
-        st.sets.select(
-            "doc_id",
-            "n_shingles",
-            F.explode("sh_set").alias("shingle"),
-        )
-        .filter(sampled_pred)
+    exploded = st.sets.select(
+        "doc_id",
+        "n_shingles",
+        F.explode("sh_set").alias("shingle"),
+    ).filter(sampled_pred)
+    if max_shingle_df is not None:
+        # sampling divides bucket density uniformly, but a boilerplate
+        # shingle that survives the sample is still hot — the same df
+        # guard as jaccard_pairs composes here (sizes stay exact; the
+        # estimator then under-counts boilerplate overlap, which is the
+        # point of the guard)
+        exploded = drop_hot_shingles(exploded, max_shingle_df)
+    idx = exploded.select(
         # narrow 8-byte join key; Spark-internal (the oracle joins on
         # the string shingle — equal modulo ~2⁻⁶⁵ collisions)
-        .select("doc_id", "n_shingles", F.xxhash64("shingle").alias("h"))
+        "doc_id",
+        "n_shingles",
+        F.xxhash64("shingle").alias("h"),
     )
     a, b = idx.alias("a"), idx.alias("b")
     joined = (
