@@ -205,6 +205,14 @@ def bpe_merges_df(
     )
 
 
+def _bpe_rounds_sql(n_merges: int) -> list[str]:
+    """The shared CTE chain (w, u1, then per-round p/m/s/u) used by both
+    the training oracle (:func:`bpe_oracle_sql`) and the encode oracle
+    (:func:`bpe_apply_oracle_sql`); ``word`` is carried through every
+    round so the final unit arrays can join back to the corpus."""
+    return _build_rounds(n_merges)
+
+
 def bpe_oracle_sql(n_merges: int = 6) -> str:
     """Generate the unrolled k-round DuckDB twin of :func:`bpe_train`.
 
@@ -217,6 +225,20 @@ def bpe_oracle_sql(n_merges: int = 6) -> str:
     The learned pair is correlated through the CROSS JOIN of the one-row
     ``m{k}`` — the SQL is static; no training result is interpolated.
     """
+    parts = _bpe_rounds_sql(n_merges)
+    finals = " UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, pair, "
+        f"CAST(pair_count AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f" SELECT * FROM ({finals}) ORDER BY merge_rank"
+    )
+
+
+def _build_rounds(n_merges: int) -> list[str]:
     parts = [
         """
         w AS (
@@ -227,7 +249,7 @@ def bpe_oracle_sql(n_merges: int = 6) -> str:
             ) WHERE length(tok) > 0 AND length(tok) <= 64 GROUP BY tok
         ),
         u1 AS (
-            SELECT cnt,
+            SELECT word, cnt,
                    list_transform(range(1, length(word) + 1),
                                   i -> word[i]) AS u
             FROM w
@@ -249,7 +271,7 @@ def bpe_oracle_sql(n_merges: int = 6) -> str:
             FROM p{k} ORDER BY pair_count DESC, pair ASC LIMIT 1
         ),
         s{k} AS (
-            SELECT cnt, u, pa, pb,
+            SELECT word, cnt, u, pa, pb,
                    list_transform(range(1, len(u) + 1), p ->
                        p < len(u) AND u[p] = pa AND u[p + 1] = pb
                        AND (pa != pb OR
@@ -261,7 +283,7 @@ def bpe_oracle_sql(n_merges: int = 6) -> str:
             FROM u{k} CROSS JOIN m{k}
         ),
         u{k + 1} AS (
-            SELECT cnt,
+            SELECT word, cnt,
                    flatten(list_transform(range(1, len(u) + 1), j ->
                        CASE WHEN sel[j] THEN [pa || pb]
                             WHEN j > 1 AND sel[j - 1] THEN []
@@ -269,13 +291,54 @@ def bpe_oracle_sql(n_merges: int = 6) -> str:
             FROM s{k}
         )"""
         )
-    finals = " UNION ALL ".join(
-        f"SELECT {k} AS merge_rank, pair, "
-        f"CAST(pair_count AS BIGINT) AS pair_count FROM m{k}"
-        for k in range(1, n_merges + 1)
-    )
+    return parts
+
+
+def bpe_apply_units(df: DataFrame, merges: list[tuple[int, str, int]]):
+    """ENCODE with a learned merge list: the (word, n_units) table after
+    applying every merge in rank order to the corpus vocabulary — the
+    apply half of the tokenizer loop (:func:`bpe_train` is the fit
+    half). Work is vocab-sized (Heap's law), per-merge one narrow
+    rewrite; the corpus text is touched only by the caller's final
+    word join. Words over ``MAX_WORD_CHARS`` are absent — callers fall
+    back to character count (the same cap as training).
+    """
+    units = word_vocab(df).select(
+        "word", _char_units(F.col("word")).alias("u")
+    ).localCheckpoint(eager=True)
+    for _rank, pair, _cnt in merges:
+        a, b = pair.split(" ")
+        units = units.select(
+            "word", _merge_pair(F.col("u"), a, b).alias("u")
+        ).localCheckpoint(eager=True)
+    return units.select("word", F.size("u").alias("n_units"))
+
+
+def bpe_apply_oracle_sql(n_merges: int = 6) -> str:
+    """Unrolled DuckDB twin of train-then-encode: the same round CTEs as
+    :func:`bpe_oracle_sql`, with the final unit arrays joined back to
+    the exploded corpus for per-source token accounting (char-count
+    fallback for words beyond the training cap, mirroring the Spark
+    side)."""
+    parts = _bpe_rounds_sql(n_merges)
+    final_u = f"u{n_merges + 1}"
     return (
         "WITH "
         + ",".join(parts)
-        + f" SELECT * FROM ({finals}) ORDER BY merge_rank"
+        + f""",
+        corpus AS (
+            SELECT source,
+                   unnest(string_split_regex(trim(lower(text)),
+                                             '\\s+')) AS word
+            FROM documents
+        )
+        SELECT c.source,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(length(c.word)) AS BIGINT) AS n_chars,
+               CAST(SUM(CASE WHEN v.word IS NULL THEN length(c.word)
+                             ELSE len(v.u) END) AS BIGINT) AS n_units
+        FROM (SELECT source, word FROM corpus WHERE length(word) > 0) c
+        LEFT JOIN {final_u} v ON v.word = c.word
+        GROUP BY c.source
+        ORDER BY c.source"""
     )

@@ -3621,3 +3621,37 @@ def m41_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "d79_bpe_encode_stats",
+    "The APPLY half of the tokenizer loop: train 6 BPE merges on the "
+    "corpus (d76's fit), encode the vocabulary with them in rank order "
+    "(vocab-sized work per merge), and account per-source token "
+    "compression — words, characters, and post-BPE units (char-count "
+    "fallback for words over the training cap) "
+    "(operators/bpe.bpe_apply_units). The oracle unrolls train AND "
+    "encode end-to-end, so the full fit→apply loop is one externally "
+    "hash-verified chain.",
+    oracle=bpe.bpe_apply_oracle_sql(6),
+    category="text",
+)
+def d79_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, n_merges=6)
+    units = bpe.bpe_apply_units(docs, merges)
+    words = docs.select(
+        "source", F.explode(text.tokens("text")).alias("word")
+    ).filter(F.length("word") > 0)
+    return (
+        words.join(units, "word", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum(
+                F.coalesce("n_units", F.length("word"))
+            ).alias("n_units"),
+        )
+        .orderBy("source")
+    )

@@ -464,3 +464,20 @@ def test_observed_quality_filter_free_telemetry(spark):
     assert m["rows_scanned"] == 5
     assert m["rows_kept"] == 2
     assert m["rows_problematic"] == 3
+
+
+def test_bpe_apply_units_compresses_trained_words(spark):
+    """Encoding with learned merges shrinks trained words' unit counts
+    and leaves unseen-character words at character granularity."""
+    from etl_example_spark.operators.bpe import bpe_apply_units, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "the the the the cat"), (2, "the thermos")],
+        ["doc_id", "text"],
+    )
+    merges = bpe_train(df, n_merges=2)  # learns t+h, th+e
+    assert [m[1] for m in merges] == ["t h", "th e"]
+    units = {r.word: r.n_units for r in bpe_apply_units(df, merges).collect()}
+    assert units["the"] == 1          # fully merged
+    assert units["thermos"] == 5      # the+r+m+o+s
+    assert units["cat"] == 3          # untouched by the merges
