@@ -475,8 +475,10 @@ def test_bpe_apply_units_compresses_trained_words(spark):
         [(1, "the the the the cat"), (2, "the thermos")],
         ["doc_id", "text"],
     )
-    merges = bpe_train(df, n_merges=2)  # learns t+h, th+e
-    assert [m[1] for m in merges] == ["t h", "th e"]
+    # (t,h) and (h,e) tie at 6 occurrences; pair-ASC tie-break picks
+    # 'h e' first, then (t,he) merges to 'the'
+    merges = bpe_train(df, n_merges=2)
+    assert [m[1] for m in merges] == ["h e", "t he"]
     units = {r.word: r.n_units for r in bpe_apply_units(df, merges).collect()}
     assert units["the"] == 1          # fully merged
     assert units["thermos"] == 5      # the+r+m+o+s
