@@ -458,3 +458,74 @@ def test_bpe_train_order_invariant_and_matches_reference(spark, docs):
     want = _reference_bpe(counts, 4)
     assert bpe_train(df, n_merges=4) == want
     assert bpe_train(rev, n_merges=4) == want
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=64
+    ),
+    rate=st.sampled_from([8_000, 16_000, 44_100]),
+)
+@SETTINGS
+def test_wav_codec_roundtrip_any_samples(samples, rate):
+    """encode→decode is the identity for every int16 sequence/rate."""
+    import numpy as np
+
+    from etl_example_spark.operators.multimodal import decode_wav, encode_wav
+
+    arr = np.array(samples, dtype=np.int16)
+    r, ch, out = decode_wav(encode_wav(arr, rate=rate))
+    assert r == rate and ch == 1 and (out == arr).all()
+
+
+@given(
+    shape=st.tuples(
+        st.integers(min_value=1, max_value=8),
+        st.integers(min_value=1, max_value=8),
+    ),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@SETTINGS
+def test_ppm_codec_roundtrip_any_raster(shape, seed):
+    """encode→decode is the identity for every uint8 RGB raster."""
+    import numpy as np
+
+    from etl_example_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+    out = decode_ppm(encode_ppm(arr))
+    assert (out == arr).all()
+
+
+deltas_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),      # key
+        st.sampled_from([1, -1]),                   # op
+        st.integers(min_value=-500, max_value=500),  # cents
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(d1=deltas_strategy, d2=deltas_strategy)
+@SETTINGS
+def test_retractable_merge_law_random_batches(spark, d1, d2):
+    """state(b1 ∪ b2) == merge(state(b1), state(b2)) for ANY batch
+    split, including negative interim counts."""
+    from etl_example_spark.operators.merge import (
+        merge_retractable_states,
+        retractable_state,
+    )
+
+    schema = "user_id long, op int, cents long"
+    b1 = spark.createDataFrame(d1 or [], schema)
+    b2 = spark.createDataFrame(d2 or [], schema)
+    whole = retractable_state(b1.unionByName(b2))
+    merged = merge_retractable_states(
+        retractable_state(b1), retractable_state(b2)
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
