@@ -8,6 +8,7 @@ to reproduce the driver's exact scale.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from etl_example_spark.plans.registry import load_all
 from tests.oracle import duckdb_connection, run_differential
@@ -35,3 +36,27 @@ def test_all_queries_return_rows(spark, sf_dir):
         df = q.spark_builder(spark, sf_dir)
         assert df.columns, f"{name}: no columns"
         df.limit(1).collect()
+
+
+def test_differential_harness_detects_injected_errors(spark, con, sf_dir):
+    """The gate must not be vacuous: a perturbed query (wrong constant,
+    dropped row, renamed column) has to produce mismatches."""
+    import copy
+
+    base = REGISTRY["q2_top_products"]
+
+    wrong_value = copy.copy(base)
+    wrong_value.spark_builder = lambda s, d: base.spark_builder(s, d).withColumn(
+        "unidades", F.col("unidades") + 1
+    )
+    assert run_differential(spark, con, wrong_value, sf_dir)
+
+    wrong_rows = copy.copy(base)
+    wrong_rows.spark_builder = lambda s, d: base.spark_builder(s, d).limit(3)
+    assert run_differential(spark, con, wrong_rows, sf_dir)
+
+    wrong_cols = copy.copy(base)
+    wrong_cols.spark_builder = lambda s, d: base.spark_builder(
+        s, d
+    ).withColumnRenamed("unidades", "units")
+    assert run_differential(spark, con, wrong_cols, sf_dir)
