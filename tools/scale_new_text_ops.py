@@ -17,9 +17,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from etl_example_spark.operators.bpe import bpe_train  # noqa: E402
+from etl_example_spark.operators.bpe import (  # noqa: E402
+    bpe_apply_units,
+    bpe_train,
+)
 from etl_example_spark.operators.dedup import (  # noqa: E402
     containment_pairs,
+    containment_pairs_sampled,
 )
 from etl_example_spark.operators.text import (  # noqa: E402
     hashed_linear_quality,
@@ -81,11 +85,19 @@ def main() -> None:
             "d75 containment pairs",
             lambda: containment_pairs(docs, threshold=0.9).count(),
         )
+        timed(
+            "d77 sampled containment",
+            lambda: containment_pairs_sampled(docs, threshold=0.9).count(),
+        )
         t0 = time.monotonic()
         merges = bpe_train(docs, n_merges=6)
         print(
             f"  d76 bpe_train(6): {time.monotonic() - t0:.1f} s "
             f"(last merge {merges[-1]!r})"
+        )
+        timed(
+            "d79 bpe_apply(6)",
+            lambda: bpe_apply_units(docs, merges).count(),
         )
         docs.unpersist()
 
