@@ -156,6 +156,11 @@ SHOW = {
         "aggregated shuffle of (key, int) pairs; merge-by-addition and "
         "read-time liveness keep maintenance incremental."
     ),
+    "d79_bpe_encode_stats": (
+        "BPE encode: the six merge rewrites run on the checkpointed "
+        "vocabulary (RDD scans in-plan, vocab-sized); the corpus is "
+        "touched once by the final word join + rollup."
+    ),
 }
 
 
