@@ -140,13 +140,18 @@ def _merge_pair(u: Column, a: str, b: str) -> Column:
     )
 
 
-def bpe_train(
+def bpe_fit(
     df: DataFrame,
     n_merges: int = 6,
     text_col: str = "text",
-) -> list[tuple[int, str, int]]:
-    """Learn ``n_merges`` BPE merges; returns
-    ``[(rank, 'left right', pair_count), …]`` in merge order.
+):
+    """Learn ``n_merges`` BPE merges AND return the encoded vocabulary:
+    ``(merges, units_df)`` with merges =
+    ``[(rank, 'left right', pair_count), …]`` in merge order and
+    units_df = (word, cnt, u) after every merge — the training
+    by-product that IS the apply result for the training corpus, so
+    fit-then-encode costs one corpus scan total (d79 reads it
+    directly; :func:`bpe_apply_units` re-encodes a DIFFERENT corpus).
 
     Each round: count adjacent unit pairs across the vocab (weighted by
     word frequency), pick the (count DESC, pair ASC) argmax, rewrite
@@ -157,7 +162,7 @@ def bpe_train(
     """
     units = (
         word_vocab(df, text_col)
-        .select("cnt", _char_units(F.col("word")).alias("u"))
+        .select("word", "cnt", _char_units(F.col("word")).alias("u"))
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, int]] = []
@@ -174,8 +179,18 @@ def bpe_train(
         merges.append((rank, pair, cnt))
         a, b = pair.split(" ")
         units = units.select(
-            "cnt", _merge_pair(F.col("u"), a, b).alias("u")
+            "word", "cnt", _merge_pair(F.col("u"), a, b).alias("u")
         ).localCheckpoint(eager=True)
+    return merges, units
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+) -> list[tuple[int, str, int]]:
+    """The merges alone (see :func:`bpe_fit`)."""
+    merges, _units = bpe_fit(df, n_merges, text_col)
     return merges
 
 
@@ -205,14 +220,6 @@ def bpe_merges_df(
     )
 
 
-def _bpe_rounds_sql(n_merges: int) -> list[str]:
-    """The shared CTE chain (w, u1, then per-round p/m/s/u) used by both
-    the training oracle (:func:`bpe_oracle_sql`) and the encode oracle
-    (:func:`bpe_apply_oracle_sql`); ``word`` is carried through every
-    round so the final unit arrays can join back to the corpus."""
-    return _build_rounds(n_merges)
-
-
 def bpe_oracle_sql(n_merges: int = 6) -> str:
     """Generate the unrolled k-round DuckDB twin of :func:`bpe_train`.
 
@@ -238,15 +245,22 @@ def bpe_oracle_sql(n_merges: int = 6) -> str:
     )
 
 
-def _build_rounds(n_merges: int) -> list[str]:
+def _bpe_rounds_sql(n_merges: int) -> list[str]:
+    """The shared CTE chain (w, u1, then per-round p/m/s/u) used by both
+    the training oracle (:func:`bpe_oracle_sql`) and the encode oracle
+    (:func:`bpe_apply_oracle_sql`); ``word`` is carried through every
+    round so the final unit arrays can join back to the corpus. Each
+    round's s/u CTEs LEFT-join the one-row argmax so a vocabulary that
+    fully merges before round k passes through unchanged — the exact
+    mirror of bpe_train's early stop."""
     parts = [
-        """
+        f"""
         w AS (
             SELECT tok AS word, COUNT(*) AS cnt FROM (
                 SELECT unnest(string_split_regex(trim(lower(text)),
                                                  '\\s+')) AS tok
                 FROM documents
-            ) WHERE length(tok) > 0 AND length(tok) <= 64 GROUP BY tok
+            ) WHERE length(tok) > 0 AND length(tok) <= {MAX_WORD_CHARS} GROUP BY tok
         ),
         u1 AS (
             SELECT word, cnt,
@@ -280,7 +294,7 @@ def _build_rounds(n_merges: int) -> list[str]:
                                              j -> u[j] != pa))) - 1)
                             % 2 = 0)
                    ) AS sel
-            FROM u{k} CROSS JOIN m{k}
+            FROM u{k} LEFT JOIN m{k} ON TRUE
         ),
         u{k + 1} AS (
             SELECT word, cnt,
@@ -294,16 +308,22 @@ def _build_rounds(n_merges: int) -> list[str]:
     return parts
 
 
-def bpe_apply_units(df: DataFrame, merges: list[tuple[int, str, int]]):
-    """ENCODE with a learned merge list: the (word, n_units) table after
-    applying every merge in rank order to the corpus vocabulary — the
-    apply half of the tokenizer loop (:func:`bpe_train` is the fit
-    half). Work is vocab-sized (Heap's law), per-merge one narrow
-    rewrite; the corpus text is touched only by the caller's final
-    word join. Words over ``MAX_WORD_CHARS`` are absent — callers fall
-    back to character count (the same cap as training).
+def bpe_apply_units(
+    df: DataFrame,
+    merges: list[tuple[int, str, int]],
+    text_col: str = "text",
+):
+    """ENCODE a corpus with an already-learned merge list: the
+    (word, n_units) table after applying every merge in rank order to
+    ``df``'s vocabulary — for encoding a corpus OTHER than the one the
+    merges were fit on (for the training corpus itself, :func:`bpe_fit`
+    already returns the encoded vocabulary; reusing it saves this
+    function's one corpus scan). Work after the scan is vocab-sized
+    (Heap's law), per-merge one narrow rewrite. Words over
+    ``MAX_WORD_CHARS`` are absent — callers fall back to character
+    count (the same cap as training).
     """
-    units = word_vocab(df).select(
+    units = word_vocab(df, text_col).select(
         "word", _char_units(F.col("word")).alias("u")
     ).localCheckpoint(eager=True)
     for _rank, pair, _cnt in merges:

@@ -202,9 +202,7 @@ def observed_quality_filter(
     observed = df.observe(
         obs,
         F.count(F.lit(1)).alias("rows_scanned"),
-        F.count_if(quality_predicate(col) == False).alias(  # noqa: E712
-            "rows_kept"
-        ),
+        F.count_if(~quality_predicate(col)).alias("rows_kept"),
         F.count_if(quality_predicate(col)).alias("rows_problematic"),
     )
-    return observed.filter(~quality_predicate(col)), obs
+    return quality_filter(observed, col), obs

@@ -3638,8 +3638,10 @@ def m41_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d79_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    merges = bpe.bpe_train(docs, n_merges=6)
-    units = bpe.bpe_apply_units(docs, merges)
+    # fit's encoded vocabulary IS the apply result for this corpus —
+    # one scan total, no re-application of the merges
+    _merges, fitted = bpe.bpe_fit(docs, n_merges=6)
+    units = fitted.select("word", F.size("u").alias("n_units"))
     words = docs.select(
         "source", F.explode(text.tokens("text")).alias("word")
     ).filter(F.length("word") > 0)

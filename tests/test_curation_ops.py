@@ -483,3 +483,58 @@ def test_bpe_apply_units_compresses_trained_words(spark):
     assert units["the"] == 1          # fully merged
     assert units["thermos"] == 5      # the+r+m+o+s
     assert units["cat"] == 3          # untouched by the merges
+
+
+def test_containment_sampled_hot_shingle_guard(spark):
+    """max_shingle_df drops boilerplate-shingle buckets from the sampled
+    self-join: a shared boilerplate block stops generating pairs, while
+    a genuine whole-document containment pair survives (its specific
+    shingles stay under the cap)."""
+    from etl_example_spark.operators.dedup import containment_pairs_sampled
+
+    boiler = " ".join(f"b{i}" for i in range(60))
+    rows = [(k, boiler + f" unique{k}x unique{k}y") for k in range(1, 9)]
+    body = " ".join(f"w{i}" for i in range(120))
+    rows += [(20, body), (21, body + " " + " ".join(f"x{i}" for i in range(200)))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    unguarded = {
+        (r.doc_a, r.doc_b)
+        for r in containment_pairs_sampled(df, 0.9, sample_mod=2).collect()
+    }
+    guarded = {
+        (r.doc_a, r.doc_b)
+        for r in containment_pairs_sampled(
+            df, 0.9, sample_mod=2, max_shingle_df=4
+        ).collect()
+    }
+    boiler_pairs = {(a, b) for a in range(1, 9) for b in range(1, 9) if a < b}
+    assert unguarded & boiler_pairs          # boilerplate floods unguarded
+    assert not (guarded & boiler_pairs)      # guard removes the flood
+    assert (20, 21) in guarded               # genuine containment survives
+
+
+def test_bpe_apply_oracle_survives_early_exhaustion(spark):
+    """A vocabulary that fully merges before n_merges rounds must give
+    the SAME encode stats in Spark and the unrolled oracle (the apply
+    oracle's per-round LEFT JOIN passes exhausted rounds through)."""
+    import duckdb
+
+    from etl_example_spark.operators.bpe import (
+        bpe_apply_oracle_sql,
+        bpe_fit,
+    )
+
+    rows = [(1, "aa aa aa", "s0")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    _merges, fitted = bpe_fit(df, n_merges=3)  # exhausts after 1 merge
+    spark_units = {r.word: r.u for r in fitted.collect()}
+    assert spark_units == {"aa": ["aa"]}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT 1 AS doc_id, 'aa aa aa' AS text,"
+        " 's0' AS source"
+    )
+    got = con.execute(bpe_apply_oracle_sql(3)).fetchall()
+    # (source, n_words, n_chars, n_units): 3 words, 6 chars, 3 units
+    assert got == [("s0", 3, 6, 3)]
