@@ -1270,7 +1270,9 @@ def s40a_ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s42a_pq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     exact = similarity.brute_force_topk(emb, k=10)
-    approx = similarity.pq_topk(emb, k=10)
+    approx = similarity.pq_topk(
+        emb, k=10, m=16, n_codes=32, iters=4, shortlist=200
+    )
     return _recall_certificate(exact, approx, min_hits=8)
 
 
@@ -1567,7 +1569,13 @@ def d50_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s42_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.pq_topk(emb, k=10)
+    # m=16 x 32 codes, 4 k-means iters: calibrated so recall@10 holds
+    # 10/10 from sf0.001 through sf0.1 on this random (worst-case,
+    # clusterless) corpus — coarser configs lose true neighbors beyond
+    # any shortlist depth once the corpus outgrows the codebooks
+    return similarity.pq_topk(
+        emb, k=10, m=16, n_codes=32, iters=4, shortlist=200
+    )
 
 
 def _split_fields_udtf_class():
@@ -3084,26 +3092,34 @@ def d70_incremental_line_dedup(
             FROM embeddings ORDER BY vec_id LIMIT 1
         ),
         kw AS (
-            SELECT doc_id,
-                   len(list_filter({SQL_TOKS}, x -> x = 'data'))
-                   + len(list_filter({SQL_TOKS}, x -> x = 'table'))
-                   + len(list_filter({SQL_TOKS}, x -> x = 'spark'))
-                       AS kw_score
-            FROM documents
+            -- each arm ranks over ITS OWN corpus before fusion (the
+            -- keyword index covers documents the vector index may not)
+            SELECT doc_id, kw_score,
+                   ROW_NUMBER() OVER (
+                       ORDER BY kw_score DESC, doc_id) AS kw_rank
+            FROM (
+                SELECT doc_id,
+                       len(list_filter({SQL_TOKS}, x -> x = 'data'))
+                       + len(list_filter({SQL_TOKS}, x -> x = 'table'))
+                       + len(list_filter({SQL_TOKS}, x -> x = 'spark'))
+                           AS kw_score
+                FROM documents
+            )
         ),
         sem AS (
-            SELECT vec_id AS doc_id,
-                   ROUND(list_cosine_similarity(
-                       CAST(embedding AS DOUBLE[]), qv), 6) AS cosine_sim
-            FROM embeddings CROSS JOIN q
+            SELECT doc_id, cosine_sim,
+                   ROW_NUMBER() OVER (
+                       ORDER BY cosine_sim DESC, doc_id) AS sem_rank
+            FROM (
+                SELECT vec_id AS doc_id,
+                       ROUND(list_cosine_similarity(
+                           CAST(embedding AS DOUBLE[]), qv), 6)
+                           AS cosine_sim
+                FROM embeddings CROSS JOIN q
+            )
         ),
         r AS (
-            SELECT kw.doc_id, kw_score,
-                   ROW_NUMBER() OVER (
-                       ORDER BY kw_score DESC, kw.doc_id) AS kw_rank,
-                   cosine_sim,
-                   ROW_NUMBER() OVER (
-                       ORDER BY cosine_sim DESC, kw.doc_id) AS sem_rank
+            SELECT kw.doc_id, kw_score, kw_rank, cosine_sim, sem_rank
             FROM kw JOIN sem USING (doc_id)
         )
         SELECT doc_id,

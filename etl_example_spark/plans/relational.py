@@ -2132,12 +2132,18 @@ def q77_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem GROUP BY l_returnflag
         )
         SELECT l_returnflag, n,
-               CAST(n * sxy - sx * sy AS DOUBLE)
-                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+               CAST(CAST(n AS HUGEINT) * sxy
+                    - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                   / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                                - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                      * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                                  - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
                    AS qty_price_corr,
-               CAST(n * sxy - sx * sy AS DOUBLE)
-                   / CAST(n * sxx - sx * sx AS DOUBLE) AS price_per_qty
+               CAST(CAST(n AS HUGEINT) * sxy
+                    - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * sxx
+                          - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                   AS price_per_qty
         FROM m
         ORDER BY l_returnflag
     """,
@@ -2154,15 +2160,17 @@ def q78_moment_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(y * y).alias("syy"),
         F.sum(x * y).alias("sxy"),
     )
-    cov_n = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    )
-    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-        "double"
-    )
-    var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
-        "double"
-    )
+    # the moment products overflow int64 once the corpus is big enough
+    # (sy² at sf0.1 already exceeds 2⁶³): widen to exact decimal(18,0)
+    # operands (products are decimal(37,0), still exact) and convert the
+    # exact integer to double ONCE — identical bits to the oracle's
+    # HUGEINT arithmetic
+    def d18(name: str):
+        return F.col(name).cast("decimal(18,0)")
+
+    cov_n = (d18("n") * d18("sxy") - d18("sx") * d18("sy")).cast("double")
+    var_x = (d18("n") * d18("sxx") - d18("sx") * d18("sx")).cast("double")
+    var_y = (d18("n") * d18("syy") - d18("sy") * d18("sy")).cast("double")
     return m.select(
         "l_returnflag",
         "n",
