@@ -1071,6 +1071,29 @@ def leakage_safe_split(
 # ---------------------------------------------------------------------------
 
 
+def _lines_array(text_col: str, line_tokens: int) -> Column:
+    """Per-document array of derived lines, as a pure column expression
+    (map-side, no shuffle) — shared by the explode path
+    (:func:`doc_lines`) and the reassembly path of the line-dedup
+    operators, which recompute it from the original row instead of
+    shuffling line text back."""
+    toks = tokens(text_col)
+    n_lines = F.ceil(F.size(toks) / F.lit(line_tokens)).cast("int")
+    # sequence(0, -1) yields [0, -1] (negative default step), which would
+    # fabricate two phantom empty lines per zero-token document — guard
+    # the empty case to an empty array (no lines, doc absent downstream,
+    # matching the oracle's range(0)).
+    return F.when(
+        n_lines > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * line_tokens + 1, line_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def doc_lines(
     df: DataFrame,
     text_col: str = "text",
@@ -1090,24 +1113,93 @@ def doc_lines(
     Returns (doc_id, line_idx, line_text); a narrow projection + explode,
     no shuffle.
     """
-    toks = tokens(text_col)
-    n_lines = F.ceil(F.size(toks) / F.lit(line_tokens)).cast("int")
-    # sequence(0, -1) yields [0, -1] (negative default step), which would
-    # fabricate two phantom empty lines per zero-token document — guard
-    # the empty case to an empty array (no lines, doc absent downstream,
-    # matching the oracle's range(0)).
-    lines = F.when(
-        n_lines > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_lines - 1),
-            lambda i: F.array_join(
-                F.slice(toks, i * line_tokens + 1, line_tokens), " "
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(lines).alias("line_idx", "line_text"),
+        F.posexplode(_lines_array(text_col, line_tokens)).alias(
+            "line_idx", "line_text"
+        ),
+    )
+
+
+def _first_occurrence_keeps(lines: DataFrame) -> DataFrame:
+    """The kept (doc_id, line_idx) pairs — each distinct line's global
+    first occurrence — computed as ``groupBy(line_hash).min(struct)``.
+
+    This aggregate shape is the skew armor of the whole family: partial
+    aggregation folds every map task's copies of a hot line into ONE
+    pre-shuffle row, so a boilerplate line repeated billions of times
+    across a web corpus costs each reducer one row per upstream task. A
+    ``row_number`` window over the same key cannot partial-aggregate —
+    every copy of the hot line lands in a single task (the straggler/OOM
+    the aggregate avoids).
+    """
+    return (
+        lines.groupBy(F.md5("line_text").alias("line_hash"))
+        .agg(F.min(F.struct("doc_id", "line_idx")).alias("_first"))
+        .select(
+            F.col("_first.doc_id").alias("doc_id"),
+            F.col("_first.line_idx").alias("line_idx"),
+        )
+    )
+
+
+def _docs_with_kept_lines(
+    df: DataFrame,
+    keeps: DataFrame,
+    text_col: str,
+    id_col: str,
+    line_tokens: int,
+) -> DataFrame:
+    """Reassembly shared by the line-dedup operators: fold the kept
+    (doc_id, line_idx) pairs into a per-doc index array, join that back
+    to the corpus on doc_id (unique key — no skew possible), and rebuild
+    each document's surviving lines MAP-SIDE from its own text. Line
+    text itself is never shuffled: only (digest, ids) rows move.
+
+    Output columns: doc_id, _lines (all derived lines, in order),
+    _kept_lines (surviving (idx, txt) structs, in order).
+    """
+    kept_per_doc = keeps.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("line_idx")).alias("_kept_idx")
+    )
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        _lines_array(text_col, line_tokens).alias("_lines"),
+    )
+    indexed = F.transform(
+        "_lines", lambda x, i: F.struct(i.alias("idx"), x.alias("txt"))
+    )
+    return (
+        docs.join(kept_per_doc, "doc_id", "left")
+        .withColumn(
+            "_kept_idx",
+            F.coalesce("_kept_idx", F.array().cast("array<int>")),
+        )
+        .withColumn(
+            "_kept_lines",
+            F.filter(
+                indexed,
+                lambda s: F.array_contains(F.col("_kept_idx"), s["idx"]),
+            ),
+        )
+    )
+
+
+def _line_dedup_summary(assembled: DataFrame) -> DataFrame:
+    """Per-doc audit projection over :func:`_docs_with_kept_lines`
+    output — (doc_id, n_lines, kept_lines, dropped_lines, cleaned_fp)."""
+    return assembled.filter(F.size("_lines") > 0).select(
+        "doc_id",
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.size("_kept_lines").cast("long").alias("kept_lines"),
+        (F.size("_lines") - F.size("_kept_lines"))
+        .cast("long")
+        .alias("dropped_lines"),
+        F.md5(
+            F.array_join(
+                F.transform("_kept_lines", lambda s: s["txt"]), "\n"
+            )
+        ).alias("cleaned_fp"),
     )
 
 
@@ -1121,47 +1213,24 @@ def line_dedup(
     occurrence (min (doc_id, line_idx)) anywhere in the corpus; later
     copies are dropped from their documents.
 
-    Shuffle architecture: one hash shuffle on md5(line_text) for the
-    first-occurrence window, then one shuffle on doc_id to reassemble —
-    both on narrow (digest, ids) rows, never the full text twice. A
-    pathologically hot line (empty boilerplate repeated billions of
-    times) skews the line-hash partition; the standard guard is dropping
-    lines whose corpus frequency exceeds a cap before the window (cf.
-    ``drop_hot_shingles``), since a line that common is boilerplate by
-    definition and every copy after the first is dropped anyway.
+    Shuffle architecture (hot-line-skew safe): first occurrences come
+    from ``groupBy(line_hash).agg(min(struct(doc_id, line_idx)))`` —
+    partial aggregation absorbs a boilerplate line repeated billions of
+    times map-side (see :func:`_first_occurrence_keeps`; the previous
+    ``row_number`` window formulation funneled every copy of a hot line
+    into one task). The kept pairs then aggregate per doc and join back
+    on doc_id — a unique key, so no shuffle in the plan has a skewable
+    hot key — and each document rebuilds its surviving lines from its
+    own text map-side. Only (digest, ids) rows ever shuffle.
 
     Returns per-doc (doc_id, n_lines, kept_lines, dropped_lines,
     cleaned_fp) where cleaned_fp is the md5 of the surviving lines
     joined with newline — the fingerprint of the cleaned document.
     """
-    from pyspark.sql import Window
-
     lines = doc_lines(df, text_col, id_col, line_tokens)
-    w = Window.partitionBy(F.md5("line_text")).orderBy("doc_id", "line_idx")
-    ranked = lines.withColumn("rk", F.row_number().over(w))
-    kept_struct = F.when(
-        F.col("rk") == 1, F.struct("line_idx", "line_text")
-    )
-    return (
-        ranked.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_lines"),
-            F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).alias(
-                "kept_lines"
-            ),
-            F.sum(F.when(F.col("rk") > 1, 1).otherwise(0)).alias(
-                "dropped_lines"
-            ),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(kept_struct)),
-                        lambda s: s["line_text"],
-                    ),
-                    "\n",
-                )
-            ).alias("cleaned_fp"),
-        )
+    keeps = _first_occurrence_keeps(lines)
+    return _line_dedup_summary(
+        _docs_with_kept_lines(df, keeps, text_col, id_col, line_tokens)
     )
 
 
@@ -1335,46 +1404,26 @@ def probe_line_index(
     published survivors are immutable — and it is what lets each batch
     settle without rescanning the corpus.
 
-    Plan: the batch's lines shuffle once on the line hash (within-batch
-    first-occurrence window + a join against the index restricted to
-    the same hash space); the index never rescans its source corpus.
-    Returns the same per-doc summary schema as :func:`line_dedup`.
+    Plan (hot-line-skew safe): the batch's lines partial-aggregate to
+    one row per distinct line hash (``min(struct(doc_id, line_idx))`` —
+    same skew armor as :func:`line_dedup`), that one-row-per-hash table
+    anti-joins the index (unique keys both sides, no skew), and the
+    surviving first occurrences fold back per doc. The index never
+    rescans its source corpus. Returns the same per-doc summary schema
+    as :func:`line_dedup`.
     """
-    from pyspark.sql import Window
-
-    lines = doc_lines(batch, text_col, id_col, line_tokens).withColumn(
-        "line_hash", F.md5("line_text")
+    lines = doc_lines(batch, text_col, id_col, line_tokens)
+    batch_firsts = lines.groupBy(
+        F.md5("line_text").alias("line_hash")
+    ).agg(F.min(F.struct("doc_id", "line_idx")).alias("_first"))
+    new_keeps = batch_firsts.join(
+        index.select("line_hash"), "line_hash", "left_anti"
+    ).select(
+        F.col("_first.doc_id").alias("doc_id"),
+        F.col("_first.line_idx").alias("line_idx"),
     )
-    w = Window.partitionBy("line_hash").orderBy("doc_id", "line_idx")
-    ranked = lines.withColumn("rk", F.row_number().over(w))
-    hit = (
-        index.select("line_hash")
-        .join(lines.select("line_hash").distinct(), "line_hash", "left_semi")
-        .withColumn("_indexed", F.lit(True))
-    )
-    keep = ranked.join(hit, "line_hash", "left").withColumn(
-        "kept",
-        (F.col("rk") == 1) & F.col("_indexed").isNull(),
-    )
-    kept_struct = F.when(
-        F.col("kept"), F.struct("line_idx", "line_text")
-    )
-    return (
-        keep.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_lines"),
-            F.sum(F.col("kept").cast("long")).alias("kept_lines"),
-            F.sum((~F.col("kept")).cast("long")).alias("dropped_lines"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(kept_struct)),
-                        lambda s: s["line_text"],
-                    ),
-                    "\n",
-                )
-            ).alias("cleaned_fp"),
-        )
+    return _line_dedup_summary(
+        _docs_with_kept_lines(batch, new_keeps, text_col, id_col, line_tokens)
     )
 
 
@@ -1393,30 +1442,17 @@ def line_dedup_clean(
 
     Idempotent by construction: the survivors are exactly the corpus's
     first occurrences, so a second pass finds every remaining line
-    unique and drops nothing (property-tested).
+    unique and drops nothing (property-tested). Same hot-line-skew-safe
+    aggregate plan as :func:`line_dedup` — no window over the line hash.
     """
-    from pyspark.sql import Window
-
     lines = doc_lines(df, text_col, id_col, line_tokens)
-    w = Window.partitionBy(F.md5("line_text")).orderBy("doc_id", "line_idx")
-    ranked = lines.withColumn("rk", F.row_number().over(w))
-    kept_struct = F.when(
-        F.col("rk") == 1, F.struct("line_idx", "line_text")
+    keeps = _first_occurrence_keeps(lines)
+    assembled = _docs_with_kept_lines(
+        df, keeps, text_col, id_col, line_tokens
     )
-    cleaned = ranked.groupBy("doc_id").agg(
+    return assembled.select(
+        "doc_id",
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)),
-                lambda s: s["line_text"],
-            ),
-            " ",
-        ).alias("_cleaned")
-    )
-    return (
-        df.select(F.col(id_col).alias("doc_id"))
-        .join(cleaned, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("_cleaned", F.lit("")).alias(text_col),
-        )
+            F.transform("_kept_lines", lambda s: s["txt"]), " "
+        ).alias(text_col),
     )

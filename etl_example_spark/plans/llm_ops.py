@@ -2320,8 +2320,11 @@ def d61_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "documents explode into 10-token lines, a line survives only at its "
     "global first occurrence (min (doc_id, line_idx) per line hash), and "
     "each document reports kept/dropped counts plus the md5 fingerprint "
-    "of its cleaned text (operators/dedup.line_dedup). Shuffles narrow "
-    "(digest, ids) rows only — never the text twice.",
+    "of its cleaned text (operators/dedup.line_dedup). First occurrences "
+    "come from a groupBy(line_hash).min(struct) aggregate — partial "
+    "aggregation absorbs corpus-scale hot boilerplate lines map-side "
+    "(no Window over a content hash anywhere in the plan; plan-linted). "
+    "Shuffles narrow (digest, ids) rows only — never the text itself.",
     oracle=f"""
         WITH t AS (
             SELECT doc_id, {SQL_TOKS} AS toks FROM documents

@@ -46,7 +46,7 @@ QUERIES: dict[str, Query] = {}
 #: rotation of the already-verified backlog through the driver window so
 #: regressions in verified queries are eventually re-caught (a different
 #: ~39-query sample each round instead of only the 6 sentinels).
-ROUND = 6
+ROUND = 7
 
 #: Queries the external driver has already verified in earlier rounds
 #: (union of non-errored rows across CORRECTNESS_r01–r04). The driver's
@@ -109,6 +109,25 @@ PRIOR_VERIFIED: frozenset[str] = frozenset(
         "q88_histogram_bins", "q89_regexp_breadth", "q90_ntile_buckets",
         "q91_forecast_revenue", "q92_volume_shipping", "q93_returned_items",
         "q94_customer_distribution",
+        # round 6 (CORRECTNESS_r06: 50/50 green)
+        "d62_line_dedup", "d63_bloom_contamination", "d64_host_frequency_cap",
+        "d65_unigram_rarity", "d66_shard_manifest", "d67_export_pipeline",
+        "d68_vocab_coverage", "d69_domain_shift",
+        "d70_incremental_line_dedup", "d71_line_dedup_apply",
+        "d72_ngram_novelty", "d73_quality_classifier", "d74_normalize_text",
+        "d75_containment_pairs", "d76_bpe_merges", "d77_containment_sampled",
+        "d78_countmin_heavy_hitters", "d79_bpe_encode_stats",
+        "g01_pagerank_transitions", "g02_triangle_count", "g03_bfs_levels",
+        "m39_ppm_resize", "m40_channel_stats", "m41_wav_stats",
+        "q95_regression_stats", "q96_arg_extrema", "q97_distinct_window",
+        "q98_window_ignore_nulls", "q99_xml_extract", "q100_cohort_retention",
+        "q101_scd2_point_in_time", "q102_retractable_agg",
+        "q22a_approx_distinct_bound", "q61a_approx_quantile_bound",
+        "s33a_ann_recall_bound", "s40a_ivf_recall_bound",
+        "s42a_pq_recall_bound", "s43_knn_graph",
+        "s44_semantic_dedup_clusters", "s45_hybrid_search_rrf",
+        "s46_mmr_diversified_topk", "st46_stream_bloom_probe",
+        "st47_stream_quality_gate", "st48_stream_countmin_maintenance",
     }
 )
 
@@ -119,11 +138,16 @@ SENTINELS: tuple[str, ...] = (
     "q4_seasonality", "q5_curation_filter", "q6_date_repair",
 )
 
-#: Head of this round's rotation. Empty for round 6: every registered
-#: query has at least one external green row (CORRECTNESS_r01–r05), so
-#: never-verified rank-2 ordering alone surfaces this round's brand-new
-#: queries, and the rest of the window rotates the verified backlog.
-ROTATION_PRIORITY: tuple[str, ...] = ()
+#: Head of this round's rotation. Round 7: the line-dedup family was
+#: REWRITTEN this round (skew-safe aggregate instead of the row_number
+#: window — VERDICT r6 ask #1), so its three queries must re-enter the
+#: external window even though they are in the verified backlog; brand-
+#: new queries (d80/d81/s47/s48) follow via never-verified rank-2.
+ROTATION_PRIORITY: tuple[str, ...] = (
+    "d62_line_dedup",
+    "d70_incremental_line_dedup",
+    "d71_line_dedup_apply",
+)
 
 
 def register(

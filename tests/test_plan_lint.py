@@ -136,6 +136,20 @@ def test_no_broadcast_hint_on_cluster_labels(spark, sf_dir, name):
     assert "strategy=broadcast" not in optimized, name
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["d62_line_dedup", "d70_incremental_line_dedup", "d71_line_dedup_apply"],
+)
+def test_line_dedup_plans_have_no_window(plans, name):
+    """A Window partitioned by a content hash cannot partial-aggregate:
+    every copy of one hot boilerplate line (empty lines, cookie banners
+    — guaranteed at web-corpus scale) lands in a single task. The
+    line-dedup family must compute first occurrences with the
+    groupBy(line_hash).min(struct) aggregate instead, so its physical
+    plans contain NO Window operator at all."""
+    assert "Window" not in plans[name], name
+
+
 def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     """A fact written with partitionBy + a selective dim filter must plan
     a dynamicpruning PartitionFilter — the scan skips whole partitions at
