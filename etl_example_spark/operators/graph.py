@@ -120,7 +120,11 @@ def pagerank_oracle_sql(iters: int = 4, damping_pct: int = 85) -> str:
             WHERE dst IS NOT NULL GROUP BY src, dst
         ),
         outw AS (SELECT src, SUM(c) AS w FROM edges GROUP BY src),
-        nodes AS (SELECT DISTINCT page AS node FROM ev),
+        -- NULL pages (events missing the 'k' prop) are not vertices:
+        -- DuckDB ORDER BY defaults NULLS LAST vs Spark's NULLS FIRST,
+        -- so an unfiltered NULL node would diverge in the ordered hash.
+        nodes AS (SELECT DISTINCT page AS node FROM ev
+                  WHERE page IS NOT NULL),
         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
     )
     parts = [head]

@@ -107,12 +107,20 @@ def countmin_estimate(
 
 
 def heavy_hitters_certificate(
-    items: DataFrame, sketch: DataFrame, k: int = 20
+    items: DataFrame,
+    sketch: DataFrame,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 256,
 ) -> DataFrame:
     """The certified heavy-hitter read shared by the batch (d78) and
     streaming (st48) registrations: exact top-``k`` items joined to
     their sketch estimates, with the never-underestimates CMS guarantee
-    emitted as an externally-verifiable boolean."""
+    emitted as an externally-verifiable boolean.
+
+    ``depth``/``width`` MUST match the dims the sketch was built with —
+    probing a grid with foreign dims would address non-existent cells,
+    coalesce them to 0, and silently falsify the certificate."""
     exact = (
         items.groupBy("item")
         .agg(F.count("*").alias("exact_count"))
@@ -120,7 +128,9 @@ def heavy_hitters_certificate(
         .limit(k)
     )
     return (
-        countmin_estimate(sketch, exact.select("item"))
+        countmin_estimate(
+            sketch, exact.select("item"), depth=depth, width=width
+        )
         .join(exact, "item")
         .select(
             "item",

@@ -664,7 +664,8 @@ def m36_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "{0,1,2,6,7,8}, so DuckDB verifies the decoded pixel values with "
     "pure hex arithmetic — the codec itself is externally checked.",
     oracle="""
-        WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        WITH h AS (SELECT doc_id, md5(COALESCE(text, '')) AS hx
+                   FROM documents),
         b AS (
             SELECT doc_id,
                    list_transform(
@@ -2938,7 +2939,8 @@ def s44_semantic_dedup_clusters(
     "decoder's byte-exact output is externally verified, not just its "
     "shape.",
     oracle="""
-        WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        WITH h AS (SELECT doc_id, md5(COALESCE(text, '')) AS hx
+                   FROM documents),
         b AS (
             SELECT doc_id,
                    list_transform(
@@ -3464,7 +3466,13 @@ def g01_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     node = F.get_json_object("props", "$.k").cast("long")
     edges = graph.transition_edges(events, node)
-    nodes = events.select(node.alias("node")).distinct()
+    # events missing the 'k' prop are not vertices (mirrors the oracle's
+    # page IS NOT NULL — NULL ordering differs between engines)
+    nodes = (
+        events.select(node.alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+    )
     return graph.pagerank(edges, nodes, iters=4).orderBy("node")
 
 
@@ -3552,7 +3560,8 @@ def g03_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "audio codec itself is externally checked, closing the audio half "
     "of the codec story the way m39 closed images.",
     oracle="""
-        WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        WITH h AS (SELECT doc_id, md5(COALESCE(text, '')) AS hx
+                   FROM documents),
         b AS (
             SELECT doc_id,
                    list_transform(range(0, 16), j ->

@@ -2152,25 +2152,35 @@ def q78_moment_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("long")
     y = F.round(F.col("l_extendedprice")).cast("long")
+
+    # Exactness domain: per-row products fit int64 trivially (qty ≤ 50,
+    # rounded price ≤ ~1e5), but the SUMS must not be bigint — syy
+    # crosses 1e18 around sf100 and 2⁶³ soon after, and a bigint sum
+    # would wrap/NULL silently. Summing decimal(28,0) terms yields
+    # decimal(38,0) accumulators: exact to 1e38, the same working range
+    # as the oracle's HUGEINT (±1.7e38), reached only around 100 PB.
+    def dsum(c):
+        return F.sum(c.cast("decimal(28,0)"))
+
     m = lineitem.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
-        F.sum(x * y).alias("sxy"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+        dsum(x * y).alias("sxy"),
     )
-    # the moment products overflow int64 once the corpus is big enough
-    # (sy² at sf0.1 already exceeds 2⁶³): widen to exact decimal(18,0)
-    # operands (products are decimal(37,0), still exact) and convert the
-    # exact integer to double ONCE — identical bits to the oracle's
-    # HUGEINT arithmetic
-    def d18(name: str):
-        return F.col(name).cast("decimal(18,0)")
+    # moment products of decimal(38,0) operands stay decimal(38,0)
+    # (exact for every physically reachable input; past 1e38 Spark nulls
+    # where the oracle's HUGEINT errors — both out of working range);
+    # the exact integer converts to double ONCE, so the float bits are
+    # identical to the oracle's
+    def d38(name: str):
+        return F.col(name).cast("decimal(38,0)")
 
-    cov_n = (d18("n") * d18("sxy") - d18("sx") * d18("sy")).cast("double")
-    var_x = (d18("n") * d18("sxx") - d18("sx") * d18("sx")).cast("double")
-    var_y = (d18("n") * d18("syy") - d18("sy") * d18("sy")).cast("double")
+    cov_n = (d38("n") * d38("sxy") - d38("sx") * d38("sy")).cast("double")
+    var_x = (d38("n") * d38("sxx") - d38("sx") * d38("sx")).cast("double")
+    var_y = (d38("n") * d38("syy") - d38("sy") * d38("sy")).cast("double")
     return m.select(
         "l_returnflag",
         "n",

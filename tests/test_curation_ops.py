@@ -426,6 +426,26 @@ def test_countmin_mergeable_and_never_underestimates(spark):
     assert hot.cm_estimate >= 50
 
 
+def test_countmin_certificate_respects_nondefault_dims(spark):
+    """heavy_hitters_certificate must probe with the SAME depth/width the
+    sketch was built with — a mismatched probe addresses non-existent
+    cells, coalesces to 0, and falsifies the never-underestimates
+    certificate (the r6 ADVICE finding)."""
+    from etl_example_spark.operators.sketches import (
+        countmin_build,
+        heavy_hitters_certificate,
+    )
+
+    items = [(f"t{i % 7}",) for i in range(300)] + [("hot",)] * 80
+    df = spark.createDataFrame(items, ["item"])
+    sketch = countmin_build(df, depth=2, width=64)
+    cert = heavy_hitters_certificate(
+        df, sketch, k=5, depth=2, width=64
+    ).collect()
+    assert cert and all(r.never_underestimates for r in cert)
+    assert cert[0].item == "hot" and cert[0].cm_estimate >= 80
+
+
 def test_triangle_count_hand_graph(spark):
     """K4 has 4 triangles; adding a pendant edge changes nothing."""
     from etl_example_spark.operators.graph import triangle_count
