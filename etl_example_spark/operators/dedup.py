@@ -1456,3 +1456,162 @@ def line_dedup_clean(
             F.transform("_kept_lines", lambda s: s["txt"]), " "
         ).alias(text_col),
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup (remove duplicated token spans)
+# ---------------------------------------------------------------------------
+
+
+def _span_occurrences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_tokens: int,
+) -> DataFrame:
+    """(doc_id, pos, h): every ``span_tokens``-token sliding window of
+    every document, positioned. Documents shorter than the span length
+    emit nothing (a span that short is document-exact dedup's job).
+    Narrow projection + explode — no shuffle."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    hashes = F.when(
+        n >= span_tokens,
+        F.transform(
+            F.sequence(F.lit(0), n - span_tokens),
+            lambda i: F.md5(
+                F.array_join(F.slice(toks, i + 1, span_tokens), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(hashes).alias("pos", "h"),
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated-substring detection — the suffix-array
+    "deduplicating training data" pass (remove-duplicated-substrings), as
+    relational algebra: every ``span_tokens``-token window that occurs
+    anywhere else in the corpus BEFORE it (min (doc_id, pos) keeps the
+    first copy) is a duplicate anchor; overlapping/adjacent anchors merge
+    into maximal removal intervals. A duplicated run of R >= span_tokens
+    tokens yields R - span_tokens + 1 consecutive anchors, so interval
+    merging IS the anchor-extend step (cf. the winnowing anchors, d43).
+
+    Shuffle architecture (same skew armor as :func:`line_dedup`): first
+    occurrences come from ``groupBy(h).agg(min(struct))`` — partial
+    aggregation absorbs corpus-scale hot spans (license boilerplate)
+    map-side; duplicate anchors are the anti-join of positions against
+    kept pairs on the UNIQUE (doc_id, pos) key; the only window runs per
+    doc_id over that doc's own anchors (bounded by document length —
+    never by corpus frequency).
+
+    Returns merged (doc_id, span_start, span_end, span_len) intervals,
+    token-indexed, end-exclusive.
+    """
+    from pyspark.sql import Window
+
+    occ = _span_occurrences(df, text_col, id_col, span_tokens)
+    keeps = (
+        occ.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("_first"))
+        .select(
+            F.col("_first.doc_id").alias("doc_id"),
+            F.col("_first.pos").alias("pos"),
+        )
+    )
+    dups = occ.select("doc_id", "pos").join(
+        keeps, ["doc_id", "pos"], "left_anti"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + span_tokens).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islanded = dups.withColumn(
+        "_new",
+        F.when(
+            F.col("pos") > F.coalesce(prev_max_end, F.lit(-1)), 1
+        ).otherwise(0),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islanded.groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + span_tokens).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """The APPLY form of :func:`duplicated_spans`: the cleaned corpus
+    itself — (doc_id, text) with every token covered by a duplicated
+    non-first span removed, survivors rejoined in order. Corpus
+    membership is preserved (documents with nothing removed come back
+    with their tokens rejoined; fully-duplicated documents come back
+    empty). The removal intervals fold to one array per doc and join
+    back on doc_id (unique key, no skew); each document filters its own
+    token array map-side — token text never shuffles.
+    """
+    spans_per_doc = (
+        duplicated_spans(df, text_col, id_col, span_tokens)
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("span_start").alias("s"),
+                        F.col("span_end").alias("e"),
+                    )
+                )
+            ).alias("_rm")
+        )
+    )
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+    )
+    indexed = F.transform(
+        "_toks", lambda x, i: F.struct(i.cast("long").alias("i"), x.alias("x"))
+    )
+    covered = lambda s: F.exists(  # noqa: E731
+        F.col("_rm"), lambda r: (s["i"] >= r["s"]) & (s["i"] < r["e"])
+    )
+    return (
+        docs.join(spans_per_doc, "doc_id", "left")
+        .withColumn(
+            "_rm",
+            F.coalesce(
+                "_rm", F.array().cast("array<struct<s:bigint,e:bigint>>")
+            ),
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.filter(indexed, lambda s: ~covered(s)),
+                    lambda s: s["x"],
+                ),
+                " ",
+            ).alias(text_col),
+        )
+    )

@@ -185,15 +185,20 @@ def nn_resize(arr, width: int, height: int):
     return arr[rows][:, cols]
 
 
-def decode_media(payload: bytes, fmt: str):
-    """Format dispatch for the decode kernel: uncompressed PPM decodes
-    for real (numpy, no codec library needed); compressed formats
-    (jpeg/png/...) still route to :func:`decode_stub` until a codec
-    is plugged in."""
+def decode_media(payload: bytes, fmt: str, decoder=None):
+    """Format dispatch for the decode kernel: uncompressed PPM/WAV decode
+    for real (numpy, no codec library needed). For every other format,
+    ``decoder`` — a ``Callable[[bytes, str], np.ndarray]`` — is tried
+    next, so a cluster that DOES ship PIL/ffmpeg plugs its codec in
+    without forking the operators (e.g. ``lambda p, f:
+    np.asarray(PIL.Image.open(io.BytesIO(p)))``). With no decoder,
+    compressed formats route to :func:`decode_stub`, which raises."""
     if fmt == "ppm":
         return decode_ppm(payload)
     if fmt == "wav":
         return decode_wav(payload)
+    if decoder is not None:
+        return decoder(payload, fmt)
     return decode_stub(payload, fmt)
 
 
@@ -207,23 +212,52 @@ def fake_decode_features(payload: bytes, dims: int = 8) -> list[float]:
     return [b / 255.0 for b in digest[:dims]]
 
 
+def decoded_features(arr, dims: int = 8) -> list[float]:
+    """Feature vector from a DECODED media array: the first ``dims``
+    flattened samples scaled to [0, 1] (zero-padded) — a deterministic
+    reduction so a plugged-in codec path stays testable without a model.
+    A real build replaces this with the embedding forward pass."""
+    import numpy as np
+
+    flat = np.asarray(arr).ravel().astype("float64")[:dims]
+    out = [float(v) / 255.0 for v in flat]
+    return out + [0.0] * (dims - len(out))
+
+
 def extract_features(
-    media_df: DataFrame, dims: int = 8, batch_size_hint: int = 256
+    media_df: DataFrame,
+    dims: int = 8,
+    batch_size_hint: int = 256,
+    decoder=None,
 ) -> DataFrame:
     """Arrow-batched feature extraction over (doc_id, payload, media) rows.
 
     ``mapInPandas`` streams Arrow record batches through Python — memory
     is bounded by batch size, not partition size, and the output schema is
     declared up front (FEATURE_SCHEMA) so Catalyst can keep planning
-    around the UDF. The kernel calls ``fake_decode_features``; swap in
-    ``decode_stub``-backed real decoding when codecs exist.
+    around the UDF.
+
+    ``decoder`` makes the codec boundary pluggable without forking the
+    operator: when given (``Callable[[bytes, str], np.ndarray]``, e.g. a
+    PIL wrapper on a cluster that ships it), payloads decode through
+    :func:`decode_media` and featurize from the decoded array
+    (:func:`decoded_features`); with no decoder, the kernel keeps the
+    deterministic byte-digest stand-in ``fake_decode_features``.
     """
     import hashlib
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            feats = [fake_decode_features(p, dims) for p in payloads]
+            if decoder is None:
+                feats = [fake_decode_features(p, dims) for p in payloads]
+            else:
+                feats = [
+                    decoded_features(
+                        decode_media(bytes(p), m["format"], decoder), dims
+                    )
+                    for p, m in zip(payloads, pdf["media"])
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -349,7 +383,11 @@ def chunk_audio(
 
 
 def resize_media(
-    media_df: DataFrame, width: int = 32, height: int = 32
+    media_df: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    decoder=None,
+    encoder=None,
 ) -> DataFrame:
     """Resize plumbing for visual payloads (image/video): same schema out
     as in, with updated dimensions and the re-encoded payload.
@@ -358,10 +396,14 @@ def resize_media(
     ``decode_ppm`` -> ``nn_resize`` (numpy nearest-neighbor) ->
     ``encode_ppm`` — exercising the actual decode/transform/re-encode
     cycle a production image pipeline runs per batch. Other visual
-    formats still go through the stubbed codec boundary
-    (``decode_stub`` marks where PIL/ffmpeg belongs); their stand-in
-    emits ``md5(payload)`` bytes so the pipeline stays deterministic
-    end-to-end. Non-visual payloads pass through untouched."""
+    formats go through the pluggable codec boundary: a supplied
+    ``decoder(payload, fmt) -> ndarray`` (PIL/ffmpeg wrapper on a
+    cluster that ships one) decodes them, ``nn_resize`` scales, and
+    ``encoder(arr, fmt) -> bytes`` re-encodes (default: canonical PPM
+    raster bytes). With no decoder, the stand-in emits ``md5(payload)``
+    bytes so the pipeline stays deterministic end-to-end (the stubbed
+    ``decode_stub`` marks where the codec belongs). Non-visual payloads
+    pass through untouched."""
     import hashlib
 
     out_schema = media_df.schema
@@ -378,6 +420,19 @@ def resize_media(
                             nn_resize(
                                 decode_ppm(bytes(payload)), width, height
                             )
+                        )
+                    elif decoder is not None:
+                        arr = nn_resize(
+                            decode_media(
+                                bytes(payload), meta["format"], decoder
+                            ),
+                            width,
+                            height,
+                        )
+                        resized = (
+                            encoder(arr, meta["format"])
+                            if encoder is not None
+                            else encode_ppm(arr)
                         )
                     else:
                         resized = hashlib.md5(bytes(payload)).digest()

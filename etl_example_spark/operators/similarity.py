@@ -170,33 +170,26 @@ def signed_projection_buckets(
     )
 
 
-def ivf_assign(
+def ivf_assign_with_centroids(
     embeddings: DataFrame,
-    n_centroids: int = 16,
+    centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF coarse quantization: assign every vector to its nearest
-    centroid (max cosine, ties to the lower centroid id).
-
-    Centroids are the ``n_centroids`` lowest-id corpus vectors —
-    deterministic seeding; production IVF runs a few Lloyd iterations
-    (or pyspark.ml KMeans) over the same assign step, which changes only
-    centroid *values*, not the plan shape. The assignment is one
-    broadcast-crossJoin (corpus × tiny centroid table — a narrow map, no
-    shuffle of the corpus) folded by a single hash aggregate (``max_by``),
-    so the corpus shuffles once, on its id, at 100 TB."""
-    centroids = (
-        embeddings.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).alias("centroid_vec"),
-        )
+    """Assign every vector to its nearest of the GIVEN centroids
+    (max cosine, ties to the lower centroid id) — the shared kernel of
+    :func:`ivf_assign` (seeded centroids) and :func:`ivf_append`
+    (stored centroids). One broadcast-crossJoin (corpus × tiny centroid
+    table — a narrow map, no shuffle of the corpus) folded by a single
+    hash aggregate (``max_by``), so the corpus shuffles once, on its
+    id, at 100 TB. Returns (id, vec, centroid_id, c_sim)."""
+    cents = centroids.select(
+        F.col(centroids.columns[0]).alias("centroid_id"),
+        F.col(centroids.columns[1]).alias("centroid_vec"),
     )
     sim = F.round(cosine(vec_col, "centroid_vec"), 6)
     return (
-        embeddings.crossJoin(F.broadcast(centroids))
+        embeddings.crossJoin(F.broadcast(cents))
         .select(
             F.col(id_col),
             F.col(vec_col),
@@ -210,8 +203,58 @@ def ivf_assign(
                 "centroid_id",
                 F.struct(F.col("c_sim"), (-F.col("centroid_id")).alias("nid")),
             ).alias("centroid_id"),
+            F.max("c_sim").alias("c_sim"),
         )
     )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (max cosine, ties to the lower centroid id).
+
+    Centroids are the ``n_centroids`` lowest-id corpus vectors —
+    deterministic seeding; production IVF runs a few Lloyd iterations
+    (or pyspark.ml KMeans) over the same assign step, which changes only
+    centroid *values*, not the plan shape."""
+    centroids = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+    return ivf_assign_with_centroids(embeddings, centroids, id_col, vec_col)
+
+
+def ivf_append(
+    assignments: DataFrame,
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INCREMENTAL IVF index maintenance: assign only the arriving
+    vectors against the STORED centroids and append to the stored
+    assignment artifact — the indexed corpus is never rescanned (the
+    discipline the text side already has: d55's MinHash probe, d70's
+    line-index probe). Work per ingest is O(batch × centroids).
+
+    Law (tested): with centroids held fixed, ``ivf_append(assign(old),
+    new, C)`` ==  ``ivf_assign_with_centroids(old ∪ new, C)`` —
+    incremental equals full rebuild restricted to the same quantizer.
+    Re-training centroids (the full ``ivf_train``) is the periodic
+    offline job; between runs the index stays probe-consistent.
+    """
+    new_assign = ivf_assign_with_centroids(
+        new_vectors, centroids, id_col, vec_col
+    )
+    return assignments.unionByName(new_assign)
 
 
 def ivf_train(
@@ -525,12 +568,22 @@ def pq_train(
 
 
 def pq_encode(
-    sub: DataFrame, codebooks: DataFrame, id_col: str = "vec_id"
+    sub: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    round_digits: int | None = None,
 ) -> DataFrame:
-    """(id, codes): nearest code per subspace, assembled in j order."""
+    """(id, codes): nearest code per subspace, assembled in j order.
+    ``round_digits`` rounds the squared distance before the argmin (ties
+    then break to the lower code) — the cross-engine-deterministic mode
+    the oracle-checked s48 registration uses, mirroring the rounded-
+    cosine convention of the search queries."""
+    d2 = _sq_l2("sv", "cv")
+    if round_digits is not None:
+        d2 = F.round(d2, round_digits)
     return (
         sub.join(F.broadcast(codebooks), "j")
-        .withColumn("d2", _sq_l2("sv", "cv"))
+        .withColumn("d2", d2)
         .groupBy(id_col, "j")
         .agg(
             F.min_by("code", F.struct(F.col("d2"), F.col("code"))).alias(
@@ -543,6 +596,55 @@ def pq_encode(
                 "transform(array_sort(collect_list(struct(j, code))), "
                 "s -> s.code)"
             ).alias("codes")
+        )
+    )
+
+
+def pq_encode_vectors(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """End-to-end PQ encode of raw vectors against trained codebooks:
+    l2-normalize, slice into ``m`` subvectors, nearest code per
+    subspace. The (id, codes) artifact this emits is what a PQ index
+    stores per vector."""
+    normalized = l2_normalize(vectors, vec_col)
+    first = normalized.select(vec_col).limit(1).collect()
+    if not first:  # empty input -> empty artifact with the right schema
+        return vectors.sparkSession.createDataFrame(
+            [], f"{id_col} long, codes array<int>"
+        )
+    dim = len(first[0][0])
+    sub = _subvectors(normalized, m, dim, id_col, vec_col)
+    return pq_encode(sub, codebooks, id_col, round_digits)
+
+
+def pq_append(
+    codes: DataFrame,
+    new_vectors: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL PQ index maintenance: encode only the arriving
+    vectors against the STORED codebooks and append to the stored code
+    artifact — no re-encoding of the indexed corpus (the d55/d70/
+    ivf_append discipline). Work per ingest is O(batch × m × n_codes).
+
+    Law (tested): with codebooks held fixed, ``pq_append(encode(old),
+    new, cb)`` == ``pq_encode_vectors(old ∪ new, cb)`` — incremental
+    equals full rebuild under the same quantizer. Codebook re-training
+    (``pq_train``) is the periodic offline job.
+    """
+    return codes.unionByName(
+        pq_encode_vectors(
+            new_vectors, codebooks, m, id_col, vec_col, round_digits
         )
     )
 

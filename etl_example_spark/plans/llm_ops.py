@@ -3685,3 +3685,123 @@ def d79_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: shared DuckDB prefix for the substring-dedup oracles: positioned
+#: 8-token sliding windows, ROW_NUMBER first-occurrence rule (the
+#: oracle can afford the window; the engine uses the skew-safe
+#: aggregate), gaps-and-islands merge of the duplicate anchors.
+_SPAN_DEDUP_SQL = f"""
+        t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+        occ AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(toks[(i+1):(i+8)], ' ')) AS h
+            FROM t, LATERAL (
+                SELECT unnest(range(len(toks) - 8 + 1)) AS i
+            ) g
+            WHERE len(toks) >= 8
+        ),
+        dup AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY h ORDER BY doc_id, pos
+                       ) AS rk
+                FROM occ
+            ) WHERE rk > 1
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM dup
+        ),
+        grp AS (
+            SELECT doc_id, pos,
+                   SUM(new_island) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                   ) AS island
+            FROM isl
+        ),
+        spans AS (
+            SELECT doc_id,
+                   CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(MAX(pos) + 8 AS BIGINT) AS span_end
+            FROM grp GROUP BY doc_id, island
+        )"""
+
+
+@register(
+    "d80_duplicated_spans",
+    "Substring-level exact dedup, detection half (the suffix-array "
+    "'deduplicating training data' remove-duplicated-substrings pass): "
+    "every 8-token window occurring anywhere earlier in the corpus "
+    "(min (doc_id, pos) keeps the first copy) is a duplicate anchor; "
+    "overlapping/adjacent anchors merge into maximal removal intervals "
+    "(anchor-extend as gaps-and-islands). First occurrences via the "
+    "skew-safe groupBy(hash).min(struct) aggregate + anti-join on the "
+    "unique (doc_id, pos) key — the only window is per-document, "
+    "bounded by doc length, never by corpus frequency "
+    "(operators/dedup.duplicated_spans).",
+    oracle=f"""
+        WITH {_SPAN_DEDUP_SQL}
+        SELECT doc_id, span_start, span_end,
+               span_end - span_start AS span_len
+        FROM spans
+        ORDER BY doc_id, span_start
+    """,
+    category="dedup",
+    bench=True,
+)
+def d80_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(docs, span_tokens=8).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+@register(
+    "d81_remove_duplicated_spans",
+    "Substring-level exact dedup, APPLY half: the cleaned corpus itself "
+    "— every token covered by a duplicated non-first 8-token span "
+    "removed, survivors rejoined in order; corpus membership preserved "
+    "(docs with nothing removed return their tokens rejoined). Removal "
+    "intervals fold to one array per doc and join back on the unique "
+    "doc_id key; each document filters its own token array map-side "
+    "(operators/dedup.remove_duplicated_spans).",
+    oracle=f"""
+        WITH {_SPAN_DEDUP_SQL},
+        cov AS (
+            SELECT doc_id, unnest(range(span_start, span_end)) AS i
+            FROM spans
+        ),
+        tokpos AS (
+            SELECT doc_id, i, toks[CAST(i + 1 AS INT)] AS tok
+            FROM t, LATERAL (
+                SELECT unnest(range(len(toks))) AS i
+            ) g
+        ),
+        clean AS (
+            SELECT tp.doc_id,
+                   string_agg(tp.tok, ' ' ORDER BY tp.i) AS text
+            FROM tokpos tp
+            LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.i = tp.i
+            WHERE c.i IS NULL
+            GROUP BY tp.doc_id
+        )
+        SELECT d.doc_id, COALESCE(c.text, '') AS text
+        FROM documents d LEFT JOIN clean c USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    category="dedup",
+)
+def d81_remove_duplicated_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_duplicated_spans(docs, span_tokens=8).orderBy(
+        "doc_id"
+    )

@@ -402,3 +402,102 @@ class TestLineDedupClean:
             for r in line_dedup_clean(df, line_tokens=2).collect()
         }
         assert got == {1: "a b", 2: ""}
+
+
+class TestSubstringDedup:
+    """duplicated_spans / remove_duplicated_spans: the suffix-array-style
+    remove-duplicated-substrings pass on planted duplicates."""
+
+    def test_cross_doc_copied_run_yields_one_merged_span(self, spark):
+        from etl_example_spark.operators.dedup import duplicated_spans
+
+        run = " ".join(f"w{i}" for i in range(20))  # 20-token shared run
+        df = _docs(
+            spark,
+            [
+                (1, run),  # first occurrence: untouched
+                (2, "p0 p1 p2 " + run + " s0 s1"),  # copy at pos 3..22
+                (3, "a b c d e f g h i j"),  # unrelated
+            ],
+        )
+        spans = duplicated_spans(df, span_tokens=8).collect()
+        assert len(spans) == 1
+        s = spans[0]
+        # anchors 3..15 (20-8=12 of them) merge into exactly [3, 23)
+        assert (s.doc_id, s.span_start, s.span_end, s.span_len) == (
+            2, 3, 23, 20,
+        )
+
+    def test_within_doc_repetition_removes_later_copy(self, spark):
+        from etl_example_spark.operators.dedup import (
+            duplicated_spans,
+            remove_duplicated_spans,
+        )
+
+        run = " ".join(f"x{i}" for i in range(8))
+        df = _docs(spark, [(1, run + " mid " + run)])
+        spans = duplicated_spans(df, span_tokens=8).collect()
+        assert [(s.span_start, s.span_end) for s in spans] == [(9, 17)]
+        got = {
+            r.doc_id: r.text
+            for r in remove_duplicated_spans(df, span_tokens=8).collect()
+        }
+        assert got[1] == run + " mid"
+
+    def test_apply_preserves_membership_and_first_copies(self, spark):
+        from etl_example_spark.operators.dedup import remove_duplicated_spans
+
+        run = " ".join(f"w{i}" for i in range(20))
+        df = _docs(
+            spark,
+            [
+                (1, run),
+                (2, "p0 p1 p2 " + run + " s0 s1"),
+                (3, "short doc"),  # < span_tokens: passes through
+                (4, ""),  # empty: stays, empty
+            ],
+        )
+        got = {
+            r.doc_id: r.text
+            for r in remove_duplicated_spans(df, span_tokens=8).collect()
+        }
+        assert set(got) == {1, 2, 3, 4}
+        assert got[1] == run  # first occurrence keeps every token
+        assert got[2] == "p0 p1 p2 s0 s1"
+        assert got[3] == "short doc"
+        assert got[4] == ""
+
+    def test_fully_duplicated_doc_comes_back_empty(self, spark):
+        from etl_example_spark.operators.dedup import remove_duplicated_spans
+
+        run = " ".join(f"w{i}" for i in range(12))
+        df = _docs(spark, [(1, run), (2, run)])
+        got = {
+            r.doc_id: r.text
+            for r in remove_duplicated_spans(df, span_tokens=8).collect()
+        }
+        assert got[1] == run
+        assert got[2] == ""
+
+    def test_interleaved_fresh_tokens_survive_between_spans(self, spark):
+        """Duplicated runs separated by fresh tokens yield separate
+        spans — the fresh tokens between them are never swallowed,
+        whether the gap is one token or many."""
+        from etl_example_spark.operators.dedup import duplicated_spans
+
+        a = " ".join(f"a{i}" for i in range(8))
+        b = " ".join(f"b{i}" for i in range(8))
+        gap = " ".join(f"g{i}" for i in range(9))
+        df = _docs(
+            spark,
+            [
+                (1, a + " " + b),
+                (2, a + " " + gap + " " + b),  # wide gap: two spans
+                (3, a + " z " + b),  # one-token gap: still two spans
+            ],
+        )
+        spans = sorted(
+            (s.doc_id, s.span_start, s.span_end)
+            for s in duplicated_spans(df, span_tokens=8).collect()
+        )
+        assert spans == [(2, 0, 8), (2, 17, 25), (3, 0, 8), (3, 9, 17)]

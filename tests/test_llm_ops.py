@@ -190,6 +190,66 @@ def test_resize_media_real_ppm_path(spark):
     assert out.media.format == "ppm"
 
 
+def test_injected_decoder_flows_through_map_in_pandas(spark):
+    """The codec boundary is pluggable (r6 VERDICT ask #3): a user-
+    supplied decoder for a compressed format (a fake 'jpeg' codec here;
+    PIL on a real cluster) must flow end-to-end through the
+    mapInPandas kernels of extract_features AND resize_media — no
+    operator fork, and the stub path stays intact when no decoder is
+    given."""
+    import numpy as np
+
+    # fake "jpeg": payload is raw bytes of a 2x2 RGB image
+    arr = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3) * 10
+
+    def fake_jpeg_decoder(payload: bytes, fmt: str):
+        assert fmt == "jpeg"
+        return np.frombuffer(payload, dtype=np.uint8).reshape(2, 2, 3)
+
+    payload = arr.tobytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("jpeg").alias("format"),
+            F.lit(len(payload)).cast("long").alias("n_bytes"),
+            F.lit(2).alias("width"),
+            F.lit(2).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("media"),
+    )
+
+    # extract_features: decoded-array features, not the byte-digest fake
+    feats = multimodal.extract_features(
+        df, dims=4, decoder=fake_jpeg_decoder
+    ).collect()[0]
+    assert feats.feature == [float(v) / 255.0 for v in arr.ravel()[:4]]
+
+    # resize_media: decode via the injected codec, resize, re-encode
+    out = multimodal.resize_media(
+        df, width=1, height=1, decoder=fake_jpeg_decoder
+    ).collect()[0]
+    got = multimodal.decode_ppm(bytes(out.payload))
+    assert np.array_equal(got, arr[[0]][:, [0]])
+    assert (out.media.width, out.media.height) == (1, 1)
+
+    # no decoder -> the documented stub still raises for jpeg
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(payload, "jpeg")
+    # and a custom encoder overrides the canonical PPM re-encode
+    out2 = multimodal.resize_media(
+        df,
+        width=1,
+        height=1,
+        decoder=fake_jpeg_decoder,
+        encoder=lambda a, fmt: a.tobytes(),
+    ).collect()[0]
+    assert bytes(out2.payload) == arr[[0]][:, [0]].tobytes()
+
+
 def test_frame_sample_fanout_counts(spark, sf_dir):
     """sample_frames: one row per sampled frame, capped, videos only."""
     docs = load_table(spark, sf_dir, "documents").limit(60)
