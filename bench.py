@@ -36,9 +36,16 @@ def time_query(
     def once() -> float:
         t0 = time.perf_counter()
         df = query.spark_builder(spark, sf_dir)
-        # count() forces full execution of every operator without paying
-        # driver-side collection cost for large results.
-        df.count()
+        # noop-sink write forces full execution of EVERY operator and
+        # output column without driver-side collection cost. The earlier
+        # count() method under-measured apply-shaped queries: under a
+        # bare count, Catalyst prunes output expressions and ELIMINATES
+        # left joins against unique-keyed aggregates (verified on d81:
+        # its optimized count plan contained zero joins and zero
+        # explodes), so a count-timed number for those queries was the
+        # scan, not the query. Switched in round 8; queries without that
+        # shape time the same under both methods (measured).
+        df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
     for _ in range(warmups):  # excluded, mirroring BASELINE.md warm-server

@@ -1071,13 +1071,20 @@ def leakage_safe_split(
 # ---------------------------------------------------------------------------
 
 
-def _lines_array(text_col: str, line_tokens: int) -> Column:
-    """Per-document array of derived lines, as a pure column expression
-    (map-side, no shuffle) — shared by the explode path
+def _lines_from_tokens(toks_col: str, line_tokens: int) -> Column:
+    """Per-document array of derived lines from a BOUND token-array
+    column (map-side, no shuffle) — shared by the explode path
     (:func:`doc_lines`) and the reassembly path of the line-dedup
     operators, which recompute it from the original row instead of
-    shuffling line text back."""
-    toks = tokens(text_col)
+    shuffling line text back.
+
+    Takes a materialized column NAME, never the ``tokens(...)``
+    expression itself: an unbound split() inlined into the transform
+    lambda is re-evaluated once PER LINE (Catalyst does not
+    subexpression-eliminate across lambda elements) — measured 8× on
+    the sibling span path. Callers project ``tokens(...)`` into a real
+    column first so the lambda body references an attribute."""
+    toks = F.col(toks_col)
     n_lines = F.ceil(F.size(toks) / F.lit(line_tokens)).cast("int")
     # sequence(0, -1) yields [0, -1] (negative default step), which would
     # fabricate two phantom empty lines per zero-token document — guard
@@ -1114,16 +1121,75 @@ def doc_lines(
     no shuffle.
     """
     return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(_lines_array(text_col, line_tokens)).alias(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+    ).select(
+        "doc_id",
+        F.posexplode(_lines_from_tokens("_toks", line_tokens)).alias(
             "line_idx", "line_text"
         ),
     )
 
 
+#: bits reserved for the position half of a packed occurrence key —
+#: 2^20 ≈ 1M lines/spans per document, asserted per row.
+_POS_BITS = 20
+_POS_MASK = (1 << _POS_BITS) - 1
+_MAX_PACK_DOC = (1 << (63 - _POS_BITS)) - 1  # doc ids up to 2^43 - 1
+
+
+def _integral_id(df: DataFrame, col: str) -> bool:
+    return dict(df.dtypes).get(col) in ("tinyint", "smallint", "int", "bigint")
+
+
+def _pack_occurrence(doc_id: Column, pos: Column) -> Column:
+    """(doc_id, pos) packed into ONE bigint whose natural order equals
+    lexicographic (doc_id, pos) order: ``doc_id·2^20 + pos``.
+
+    Why pack: ``min(struct(doc_id, pos))`` has no mutable aggregation
+    buffer, so Catalyst compiles the whole first-occurrence aggregate to
+    SortAggregate — both sides of the shuffle sort the full occurrence
+    stream (one row per corpus line/span). ``min(bigint)`` keeps a
+    mutable long buffer → HashAggregate inside whole-stage codegen.
+    Bounds (doc_id in [0, 2^43), pos in [0, 2^20)) are asserted per row
+    so an out-of-range corpus fails loudly instead of mis-ordering.
+    """
+    guard = (
+        (doc_id >= 0)
+        & (doc_id <= _MAX_PACK_DOC)
+        & (pos >= 0)
+        & (pos <= _POS_MASK)
+    )
+    packed = doc_id.cast("long") * F.lit(1 << _POS_BITS).cast("long") + pos
+    return F.when(
+        F.assert_true(
+            guard, F.lit("occurrence key out of packing bounds")
+        ).isNull(),
+        packed,
+    )
+
+
+def _unpack_occurrence(packed: Column) -> tuple[Column, Column]:
+    """Inverse of :func:`_pack_occurrence`: (doc_id, pos) as longs."""
+    return (
+        F.shiftright(packed, _POS_BITS),
+        packed.bitwiseAND(F.lit(_POS_MASK)),
+    )
+
+
+def _content_hash_pair(col: Column | str) -> list[Column]:
+    """Two independent 64-bit hashes of a content column — the grouping
+    key for internal first-occurrence aggregates. 128 hash bits keep the
+    collision budget negligible at web-corpus scale (10^12 distinct
+    lines → ~10^-15 pair collision odds) at HALF the shuffle width of a
+    32-char md5 hex string, and long keys hash-aggregate without string
+    comparisons."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [F.xxhash64(c).alias("_h1"), F.xxhash64(c, F.lit(1)).alias("_h2")]
+
+
 def _first_occurrence_keeps(lines: DataFrame) -> DataFrame:
     """The kept (doc_id, line_idx) pairs — each distinct line's global
-    first occurrence — computed as ``groupBy(line_hash).min(struct)``.
+    first occurrence — computed as ``groupBy(line hashes).min(packed)``.
 
     This aggregate shape is the skew armor of the whole family: partial
     aggregation folds every map task's copies of a hot line into ONE
@@ -1131,14 +1197,31 @@ def _first_occurrence_keeps(lines: DataFrame) -> DataFrame:
     across a web corpus costs each reducer one row per upstream task. A
     ``row_number`` window over the same key cannot partial-aggregate —
     every copy of the hot line lands in a single task (the straggler/OOM
-    the aggregate avoids).
+    the aggregate avoids). The min runs over a packed bigint occurrence
+    key (:func:`_pack_occurrence`) so the aggregate is a HashAggregate,
+    not the SortAggregate a struct-typed min buffer forces; non-integral
+    doc ids fall back to the struct formulation (same answers, sorted
+    aggregation).
     """
+    if not _integral_id(lines, "doc_id"):
+        return (
+            lines.groupBy(F.md5("line_text").alias("line_hash"))
+            .agg(F.min(F.struct("doc_id", "line_idx")).alias("_first"))
+            .select(
+                F.col("_first.doc_id").alias("doc_id"),
+                F.col("_first.line_idx").alias("line_idx"),
+            )
+        )
+    id_type = dict(lines.dtypes)["doc_id"]
+    packed = _pack_occurrence(F.col("doc_id"), F.col("line_idx"))
+    first_doc, first_idx = _unpack_occurrence(F.col("_k"))
     return (
-        lines.groupBy(F.md5("line_text").alias("line_hash"))
-        .agg(F.min(F.struct("doc_id", "line_idx")).alias("_first"))
+        lines.select(*_content_hash_pair("line_text"), packed.alias("_p"))
+        .groupBy("_h1", "_h2")
+        .agg(F.min("_p").alias("_k"))
         .select(
-            F.col("_first.doc_id").alias("doc_id"),
-            F.col("_first.line_idx").alias("line_idx"),
+            first_doc.cast(id_type).alias("doc_id"),
+            first_idx.cast("int").alias("line_idx"),
         )
     )
 
@@ -1163,8 +1246,10 @@ def _docs_with_kept_lines(
         F.array_sort(F.collect_list("line_idx")).alias("_kept_idx")
     )
     docs = df.select(
-        F.col(id_col).alias("doc_id"),
-        _lines_array(text_col, line_tokens).alias("_lines"),
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+    ).select(
+        "doc_id",
+        _lines_from_tokens("_toks", line_tokens).alias("_lines"),
     )
     indexed = F.transform(
         "_lines", lambda x, i: F.struct(i.alias("idx"), x.alias("txt"))
@@ -1368,19 +1453,37 @@ def line_index(
     scale) and probe each arriving batch against it, then merge the
     batch's own first occurrences in — same discipline as the MinHash
     index behind d55/st45. Size is bounded by distinct lines, and rows
-    are (digest, ids) only.
+    are (digest, ids) only. The md5 ``line_hash`` column is the stored
+    artifact's key contract; the first-occurrence min runs over the
+    packed bigint key (:func:`_pack_occurrence`) so the aggregate is a
+    HashAggregate, with a struct fallback for non-integral doc ids.
     """
-    return (
-        doc_lines(df, text_col, id_col, line_tokens)
-        .groupBy(F.md5("line_text").alias("line_hash"))
-        .agg(
-            F.min(F.struct("doc_id", "line_idx")).alias("_first"),
-            F.count("*").alias("n_seen"),
+    lines = doc_lines(df, text_col, id_col, line_tokens)
+    if not _integral_id(lines, "doc_id"):
+        return (
+            lines.groupBy(F.md5("line_text").alias("line_hash"))
+            .agg(
+                F.min(F.struct("doc_id", "line_idx")).alias("_first"),
+                F.count("*").alias("n_seen"),
+            )
+            .select(
+                "line_hash",
+                F.col("_first.doc_id").alias("first_doc"),
+                F.col("_first.line_idx").alias("first_idx"),
+                "n_seen",
+            )
         )
+    id_type = dict(lines.dtypes)["doc_id"]
+    packed = _pack_occurrence(F.col("doc_id"), F.col("line_idx"))
+    first_doc, first_idx = _unpack_occurrence(F.col("_k"))
+    return (
+        lines.select(F.md5("line_text").alias("line_hash"), packed.alias("_p"))
+        .groupBy("line_hash")
+        .agg(F.min("_p").alias("_k"), F.count("*").alias("n_seen"))
         .select(
             "line_hash",
-            F.col("_first.doc_id").alias("first_doc"),
-            F.col("_first.line_idx").alias("first_idx"),
+            first_doc.cast(id_type).alias("first_doc"),
+            first_idx.cast("int").alias("first_idx"),
             "n_seen",
         )
     )
@@ -1413,14 +1516,34 @@ def probe_line_index(
     as :func:`line_dedup`.
     """
     lines = doc_lines(batch, text_col, id_col, line_tokens)
-    batch_firsts = lines.groupBy(
-        F.md5("line_text").alias("line_hash")
-    ).agg(F.min(F.struct("doc_id", "line_idx")).alias("_first"))
+    if not _integral_id(lines, "doc_id"):
+        batch_firsts = lines.groupBy(
+            F.md5("line_text").alias("line_hash")
+        ).agg(F.min(F.struct("doc_id", "line_idx")).alias("_first"))
+        new_keeps = batch_firsts.join(
+            index.select("line_hash"), "line_hash", "left_anti"
+        ).select(
+            F.col("_first.doc_id").alias("doc_id"),
+            F.col("_first.line_idx").alias("line_idx"),
+        )
+        return _line_dedup_summary(
+            _docs_with_kept_lines(
+                batch, new_keeps, text_col, id_col, line_tokens
+            )
+        )
+    id_type = dict(lines.dtypes)["doc_id"]
+    packed = _pack_occurrence(F.col("doc_id"), F.col("line_idx"))
+    first_doc, first_idx = _unpack_occurrence(F.col("_k"))
+    batch_firsts = (
+        lines.select(F.md5("line_text").alias("line_hash"), packed.alias("_p"))
+        .groupBy("line_hash")
+        .agg(F.min("_p").alias("_k"))
+    )
     new_keeps = batch_firsts.join(
         index.select("line_hash"), "line_hash", "left_anti"
     ).select(
-        F.col("_first.doc_id").alias("doc_id"),
-        F.col("_first.line_idx").alias("line_idx"),
+        first_doc.cast(id_type).alias("doc_id"),
+        first_idx.cast("int").alias("line_idx"),
     )
     return _line_dedup_summary(
         _docs_with_kept_lines(batch, new_keeps, text_col, id_col, line_tokens)
@@ -1469,25 +1592,35 @@ def _span_occurrences(
     id_col: str,
     span_tokens: int,
 ) -> DataFrame:
-    """(doc_id, pos, h): every ``span_tokens``-token sliding window of
-    every document, positioned. Documents shorter than the span length
-    emit nothing (a span that short is document-exact dedup's job).
-    Narrow projection + explode — no shuffle."""
-    toks = tokens(text_col)
+    """(doc_id, pos, _h1, _h2): every ``span_tokens``-token sliding
+    window of every document, positioned and content-hashed with the
+    two-long xxhash64 pair (:func:`_content_hash_pair` — 16 bytes per
+    anchor instead of a 32-char md5 hex string; at one anchor per corpus
+    token that halves the aggregate's shuffle width). Documents shorter
+    than the span length emit nothing (a span that short is
+    document-exact dedup's job). Narrow projection + explode — no
+    shuffle; the span text is dropped in the same projection that hashes
+    it. The token array binds to a real column BEFORE the sliding-window
+    transform — an unbound split() inlined into the lambda re-evaluates
+    once per position (O(tokens²) splitting per document, measured 8× on
+    this corpus)."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
-    hashes = F.when(
+    spans = F.when(
         n >= span_tokens,
         F.transform(
             F.sequence(F.lit(0), n - span_tokens),
-            lambda i: F.md5(
-                F.array_join(F.slice(toks, i + 1, span_tokens), " ")
-            ),
+            lambda i: F.array_join(F.slice(toks, i + 1, span_tokens), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(hashes).alias("pos", "h"),
-    )
+    return base.select(
+        "doc_id",
+        F.posexplode(spans).alias("pos", "_s"),
+    ).select("doc_id", "pos", *_content_hash_pair("_s"))
 
 
 def duplicated_spans(
@@ -1506,30 +1639,56 @@ def duplicated_spans(
     merging IS the anchor-extend step (cf. the winnowing anchors, d43).
 
     Shuffle architecture (same skew armor as :func:`line_dedup`): first
-    occurrences come from ``groupBy(h).agg(min(struct))`` — partial
-    aggregation absorbs corpus-scale hot spans (license boilerplate)
-    map-side; duplicate anchors are the anti-join of positions against
-    kept pairs on the UNIQUE (doc_id, pos) key; the only window runs per
-    doc_id over that doc's own anchors (bounded by document length —
-    never by corpus frequency).
+    occurrences come from ``groupBy(hash pair).agg(min(packed bigint))``
+    — partial aggregation absorbs corpus-scale hot spans (license
+    boilerplate) map-side, and the packed-long min keeps the whole
+    aggregate a HashAggregate (a struct-typed min buffer would compile
+    to SortAggregate: both shuffle sides sorting one row per corpus
+    token, a measured ~10× constant-factor tax); duplicate anchors are
+    the anti-join of positions against kept pairs on the UNIQUE
+    (doc_id, pos) key; the only window runs per doc_id over that doc's
+    own anchors (bounded by document length — never by corpus
+    frequency).
 
     Returns merged (doc_id, span_start, span_end, span_len) intervals,
     token-indexed, end-exclusive.
     """
-    from pyspark.sql import Window
-
     occ = _span_occurrences(df, text_col, id_col, span_tokens)
-    keeps = (
-        occ.groupBy("h")
-        .agg(F.min(F.struct("doc_id", "pos")).alias("_first"))
-        .select(
-            F.col("_first.doc_id").alias("doc_id"),
-            F.col("_first.pos").alias("pos"),
+    if _integral_id(occ, "doc_id"):
+        id_type = dict(occ.dtypes)["doc_id"]
+        packed = _pack_occurrence(F.col("doc_id"), F.col("pos"))
+        first_doc, first_pos = _unpack_occurrence(F.col("_k"))
+        keeps = (
+            occ.select("_h1", "_h2", packed.alias("_p"))
+            .groupBy("_h1", "_h2")
+            .agg(F.min("_p").alias("_k"))
+            .select(
+                first_doc.cast(id_type).alias("doc_id"),
+                first_pos.cast("int").alias("pos"),
+            )
         )
-    )
+    else:  # non-integral doc ids: same aggregate, struct-ordered min
+        keeps = (
+            occ.groupBy("_h1", "_h2")
+            .agg(F.min(F.struct("doc_id", "pos")).alias("_first"))
+            .select(
+                F.col("_first.doc_id").alias("doc_id"),
+                F.col("_first.pos").alias("pos"),
+            )
+        )
     dups = occ.select("doc_id", "pos").join(
         keeps, ["doc_id", "pos"], "left_anti"
     )
+    return _merge_anchor_islands(dups, span_tokens)
+
+
+def _merge_anchor_islands(dups: DataFrame, span_tokens: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicate anchors into maximal removal
+    intervals — shared by :func:`duplicated_spans` and the df-floor
+    variant. The only window is per doc_id over that document's own
+    anchors (bounded by document length, never by corpus frequency)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_max_end = F.max(F.col("pos") + span_tokens).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -1556,6 +1715,58 @@ def duplicated_spans(
             (F.col("span_end") - F.col("span_start")).alias("span_len"),
         )
     )
+
+
+def duplicated_spans_df_floor(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+    min_span_df: int = 3,
+) -> DataFrame:
+    """:func:`duplicated_spans` with a corpus-frequency floor — the
+    Lee et al. "Deduplicating Training Data Makes Language Models
+    Better" threshold: only spans occurring at least ``min_span_df``
+    times in the corpus trigger removal anchors (their non-first
+    occurrences); rarer repeats (e.g. one quoted passage, cnt=2 under
+    floor 3) are left alone. ``min_span_df=2`` reproduces
+    :func:`duplicated_spans` exactly.
+
+    Shuffle architecture: one HashAggregate per span hash emits
+    (first-occurrence packed key, span df); occurrences re-join that
+    per-hash stats table on the hash pair. Unlike the base operator's
+    anti-join on unique (doc_id, pos), this probe join's key IS the
+    span hash — but the build side is one row per distinct hash
+    (aggregate output, unique keys), so a hot boilerplate span makes a
+    skewed PROBE partition, which AQE's skew-join split handles by
+    splitting the probe side and replicating the one matching build
+    row (a window over the same key could never split). Firsts drop
+    map-side via packed-key comparison after the join.
+
+    Returns the same merged (doc_id, span_start, span_end, span_len)
+    intervals, restricted to floor-qualifying spans.
+    """
+    occ = _span_occurrences(df, text_col, id_col, span_tokens)
+    if not _integral_id(occ, "doc_id"):
+        raise ValueError(
+            "duplicated_spans_df_floor requires an integral id column "
+            "(packed occurrence keys); got "
+            + dict(occ.dtypes)["doc_id"]
+        )
+    packed = _pack_occurrence(F.col("doc_id"), F.col("pos"))
+    stats = (
+        occ.select("_h1", "_h2", packed.alias("_p"))
+        .groupBy("_h1", "_h2")
+        .agg(F.min("_p").alias("_k"), F.count("*").alias("_df"))
+        .filter(F.col("_df") >= min_span_df)
+    )
+    dups = (
+        occ.withColumn("_p", packed)
+        .join(stats, ["_h1", "_h2"])
+        .filter(F.col("_p") != F.col("_k"))
+        .select("doc_id", "pos")
+    )
+    return _merge_anchor_islands(dups, span_tokens)
 
 
 def remove_duplicated_spans(
@@ -1587,8 +1798,12 @@ def remove_duplicated_spans(
             ).alias("_rm")
         )
     )
+    # NULL text coalesces to '' so NULL-text documents come back with
+    # empty text like every fully-removed document (the oracle's
+    # COALESCE(text, '') convention) instead of propagating NULL.
     docs = df.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+        F.col(id_col).alias("doc_id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
     )
     indexed = F.transform(
         "_toks", lambda x, i: F.struct(i.cast("long").alias("i"), x.alias("x"))

@@ -245,11 +245,15 @@ def ivf_append(
     discipline the text side already has: d55's MinHash probe, d70's
     line-index probe). Work per ingest is O(batch × centroids).
 
-    Law (tested): with centroids held fixed, ``ivf_append(assign(old),
-    new, C)`` ==  ``ivf_assign_with_centroids(old ∪ new, C)`` —
-    incremental equals full rebuild restricted to the same quantizer.
-    Re-training centroids (the full ``ivf_train``) is the periodic
-    offline job; between runs the index stays probe-consistent.
+    Law: with centroids held fixed, ``ivf_append(assign(old), new, C)``
+    == ``ivf_assign_with_centroids(old ∪ new, C)`` — incremental equals
+    full rebuild restricted to the same quantizer. Proven two ways: the
+    s47_ivf_append registration's DuckDB oracle recomputes the FULL
+    assignment from scratch and hash-compares it to this incremental
+    output, and tests/test_llm_ops.py::TestIncrementalAnn asserts
+    incremental == full-rebuild row-for-row in Spark. Re-training
+    centroids (the full ``ivf_train``) is the periodic offline job;
+    between runs the index stays probe-consistent.
     """
     new_assign = ivf_assign_with_centroids(
         new_vectors, centroids, id_col, vec_col
@@ -519,8 +523,11 @@ def pq_train(
         .collect()
     ]
     spark = embeddings.sparkSession
+    # id type derived from the input so string/int id columns seed too
+    seed_id_type = embeddings.schema[id_col].dataType.simpleString()
     code_map = spark.createDataFrame(
-        [(i, c) for c, i in enumerate(seed_ids)], f"{id_col} long, code int"
+        [(i, c) for c, i in enumerate(seed_ids)],
+        f"{id_col} {seed_id_type}, code int",
     )
     cb = (
         sub.join(F.broadcast(code_map), id_col)
@@ -615,8 +622,11 @@ def pq_encode_vectors(
     normalized = l2_normalize(vectors, vec_col)
     first = normalized.select(vec_col).limit(1).collect()
     if not first:  # empty input -> empty artifact with the right schema
+        # derive the id type from the input so the empty artifact unions
+        # cleanly with real codes for non-long (e.g. string) id columns
+        id_type = vectors.schema[id_col].dataType.simpleString()
         return vectors.sparkSession.createDataFrame(
-            [], f"{id_col} long, codes array<int>"
+            [], f"{id_col} {id_type}, codes array<int>"
         )
     dim = len(first[0][0])
     sub = _subvectors(normalized, m, dim, id_col, vec_col)
@@ -637,9 +647,14 @@ def pq_append(
     artifact — no re-encoding of the indexed corpus (the d55/d70/
     ivf_append discipline). Work per ingest is O(batch × m × n_codes).
 
-    Law (tested): with codebooks held fixed, ``pq_append(encode(old),
-    new, cb)`` == ``pq_encode_vectors(old ∪ new, cb)`` — incremental
-    equals full rebuild under the same quantizer. Codebook re-training
+    Law: with codebooks held fixed, ``pq_append(encode(old), new, cb)``
+    == ``pq_encode_vectors(old ∪ new, cb)`` — incremental equals full
+    rebuild under the same quantizer. Proven two ways: the
+    s48_pq_append registration's DuckDB oracle re-encodes the FULL
+    corpus from scratch (normalize → slice → seeded codebook → rounded
+    argmin) and hash-compares it to this incremental output, and
+    tests/test_llm_ops.py::TestIncrementalAnn asserts incremental ==
+    full-rebuild row-for-row in Spark. Codebook re-training
     (``pq_train``) is the periodic offline job.
     """
     return codes.unionByName(

@@ -547,8 +547,10 @@ def s32_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "re-rank of candidates (operators/similarity.ann_topk). 4-bit buckets "
     "here: this corpus is random/near-orthogonal (sign-LSH's worst case), "
     "so fewer bits buy recall; clustered real embeddings support more "
-    "bits. Approximate by design → no SQL oracle; recall vs brute force "
-    "is asserted in tests/test_llm_ops.py.",
+    "bits. Approximate by design → rows-only here; the externally "
+    "hash-verified certificate is the s33a_ann_recall_bound twin "
+    "(recall@10 >= 3/10 vs exact brute force, oracle-checked, green in "
+    "CORRECTNESS_r06); recall is also asserted in tests/test_llm_ops.py.",
     oracle=None,
     category="similarity",
 )
@@ -564,7 +566,9 @@ def s33_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate), probe the nprobe cells nearest the query, exact-rerank "
     "members (operators/similarity.ivf_topk). Scan fraction = "
     "nprobe/n_centroids — the inverted-file scale path. Approximate by "
-    "design -> recall vs brute force asserted in tests, no SQL oracle.",
+    "design -> rows-only here; the externally hash-verified certificate "
+    "is the s40a_ivf_recall_bound twin (recall@10 >= 3/10 vs exact "
+    "brute force, oracle-checked, green in CORRECTNESS_r06).",
     oracle=None,
     category="similarity",
 )
@@ -1117,10 +1121,13 @@ def d44_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q61_approx_quantiles",
     "Approximate quantiles (Greenwald-Khanna approx_percentile, rel. "
     "error 0.01) of order totals per order status — the sketch companion "
-    "to q44's exact percentiles. Approximate by design -> no SQL oracle; "
-    "tests assert each estimate lands within the sketch's rank-error "
-    "bound of the exact quantile. The quantile array is posexploded to "
-    "(status, quantile, value) rows so the result is flat scalar columns.",
+    "to q44's exact percentiles. Approximate by design -> rows-only in "
+    "the driver; the externally hash-verified certificate is the "
+    "q61a_approx_quantile_bound twin, whose oracle-checked output "
+    "asserts every estimate lands within the sketch's rank-error bound "
+    "of the exact quantile (green in CORRECTNESS_r06). The quantile "
+    "array is posexploded to (status, quantile, value) rows so the "
+    "result is flat scalar columns.",
     oracle=None,
     category="relational",
 )
@@ -1275,6 +1282,139 @@ def s42a_pq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, k=10, m=16, n_codes=32, iters=4, shortlist=200
     )
     return _recall_certificate(exact, approx, min_hits=8)
+
+
+@register(
+    "s47_ivf_append",
+    "INCREMENTAL IVF index maintenance law, externally verified: a new "
+    "batch (vec_id % 4 == 0) is assigned against the STORED centroids "
+    "(the 16 lowest-id existing vectors) and appended to the stored "
+    "assignment artifact — the indexed corpus is never rescanned; work "
+    "per ingest is O(batch x centroids) "
+    "(operators/similarity.ivf_append). The oracle recomputes the FULL "
+    "assignment of every vector from scratch against the same "
+    "centroids, so a hash match IS the incremental == full-rebuild-"
+    "restricted law (the d55/d70 discipline applied to ANN).",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cents AS (
+            SELECT vec_id AS centroid_id, v AS cv
+            FROM e WHERE vec_id % 4 != 0 ORDER BY vec_id LIMIT 16
+        ),
+        sims AS (
+            SELECT e.vec_id, c.centroid_id,
+                   ROUND(list_cosine_similarity(e.v, c.cv), 6) AS c_sim
+            FROM e CROSS JOIN cents c
+        )
+        SELECT vec_id, centroid_id, c_sim FROM (
+            SELECT vec_id, centroid_id, c_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY c_sim DESC, centroid_id
+                   ) AS rk
+            FROM sims
+        ) WHERE rk = 1
+        ORDER BY vec_id
+    """,
+    category="similarity",
+)
+def s47_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+    cents = (
+        old.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    stored = similarity.ivf_assign_with_centroids(old, cents)
+    incremental = similarity.ivf_append(stored, new, cents)
+    return incremental.select("vec_id", "centroid_id", "c_sim").orderBy(
+        "vec_id"
+    )
+
+
+@register(
+    "s48_pq_append",
+    "INCREMENTAL PQ index maintenance law, externally verified: a new "
+    "batch (vec_id % 4 == 0) is encoded against the STORED codebooks "
+    "(seeded from the 16 lowest-id existing vectors' subvector slices, "
+    "m=8 subspaces) and appended to the stored (id, codes) artifact — "
+    "no re-encoding of the indexed corpus; work per ingest is "
+    "O(batch x m x n_codes) (operators/similarity.pq_append, "
+    "round_digits=6 for the cross-engine-deterministic argmin). The "
+    "oracle re-encodes the FULL corpus from scratch (normalize -> "
+    "slice -> seeded codebook -> rounded argmin), so a hash match IS "
+    "the incremental == full-rebuild-restricted law.",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id,
+                   CASE WHEN sqrt(list_aggregate(
+                            list_transform(v, y -> y*y), 'sum')) = 0
+                        THEN v
+                        ELSE list_transform(v, x -> x / sqrt(
+                            list_aggregate(
+                                list_transform(v, y -> y*y), 'sum')))
+                   END AS v
+            FROM e
+        ),
+        sub AS (
+            SELECT vec_id, j, list_slice(v, j*8 + 1, j*8 + 8) AS sv
+            FROM n CROSS JOIN (SELECT unnest(range(8)) AS j) js
+        ),
+        seeds AS (
+            SELECT vec_id AS seed_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS code
+            FROM (
+                SELECT vec_id FROM embeddings
+                WHERE vec_id % 4 != 0 ORDER BY vec_id LIMIT 16
+            )
+        ),
+        cb AS (
+            SELECT sub.j, s.code, sub.sv AS cv
+            FROM seeds s JOIN sub ON sub.vec_id = s.seed_id
+        ),
+        d AS (
+            SELECT sub.vec_id, sub.j, cb.code,
+                   ROUND(list_aggregate(list_transform(
+                       list_zip(sub.sv, cb.cv),
+                       p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6)
+                       AS d2
+            FROM sub JOIN cb ON cb.j = sub.j
+        )
+        SELECT vec_id, CAST(j AS INT) AS j, code
+        FROM (
+            SELECT vec_id, j, code,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, j ORDER BY d2, code
+                   ) AS rk
+            FROM d
+        ) WHERE rk = 1
+        ORDER BY vec_id, j
+    """,
+    category="similarity",
+)
+def s48_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+    codebooks = similarity.pq_train(old, m=8, n_codes=16, iters=0)
+    stored = similarity.pq_encode_vectors(old, codebooks, m=8, round_digits=6)
+    incremental = similarity.pq_append(
+        stored, new, codebooks, m=8, round_digits=6
+    )
+    return incremental.select(
+        "vec_id", F.posexplode("codes").alias("j", "code")
+    ).orderBy("vec_id", "j")
 
 
 @register(
@@ -1564,8 +1704,11 @@ def d50_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "codebooks (8 subspaces x 16 codes -> 8 small codes per vector "
     "instead of 256 raw floats), query-side ADC lookup table, broadcast-"
     "join scored shortlist, exact cosine re-rank of the shortlist only. "
-    "Approximate by design -> rows-only here; recall vs brute force is "
-    "asserted in tests (operators/similarity.pq_topk).",
+    "Approximate by design -> rows-only here; the externally hash-"
+    "verified certificate is the s42a_pq_recall_bound twin (recall@10 "
+    ">= 8/10 vs exact brute force, oracle-checked, green in "
+    "CORRECTNESS_r06); recall is also asserted in tests "
+    "(operators/similarity.pq_topk).",
     category="similarity",
 )
 def s42_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3687,11 +3830,16 @@ def d79_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: shared DuckDB prefix for the substring-dedup oracles: positioned
-#: 8-token sliding windows, ROW_NUMBER first-occurrence rule (the
-#: oracle can afford the window; the engine uses the skew-safe
-#: aggregate), gaps-and-islands merge of the duplicate anchors.
-_SPAN_DEDUP_SQL = f"""
+def _span_dedup_sql(min_df: int = 2) -> str:
+    """Shared DuckDB prefix for the substring-dedup oracles: positioned
+    8-token sliding windows, ROW_NUMBER first-occurrence rule (the
+    oracle can afford the window; the engine uses the skew-safe
+    aggregate), gaps-and-islands merge of the duplicate anchors.
+    ``min_df`` is the corpus-frequency floor (Lee et al. threshold):
+    only spans with at least that many occurrences anchor removals;
+    2 is the plain every-repeat rule (rk > 1 already implies df >= 2).
+    """
+    return f"""
         t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
         occ AS (
             SELECT doc_id, i AS pos,
@@ -3706,9 +3854,10 @@ _SPAN_DEDUP_SQL = f"""
                 SELECT doc_id, pos,
                        ROW_NUMBER() OVER (
                            PARTITION BY h ORDER BY doc_id, pos
-                       ) AS rk
+                       ) AS rk,
+                       COUNT(*) OVER (PARTITION BY h) AS df_cnt
                 FROM occ
-            ) WHERE rk > 1
+            ) WHERE rk > 1 AND df_cnt >= {min_df}
         ),
         isl AS (
             SELECT doc_id, pos,
@@ -3732,6 +3881,9 @@ _SPAN_DEDUP_SQL = f"""
                    CAST(MAX(pos) + 8 AS BIGINT) AS span_end
             FROM grp GROUP BY doc_id, island
         )"""
+
+
+_SPAN_DEDUP_SQL = _span_dedup_sql(2)
 
 
 @register(
@@ -3797,6 +3949,7 @@ def d80_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id
     """,
     category="dedup",
+    bench=True,
 )
 def d81_remove_duplicated_spans(
     spark: SparkSession, sf_dir: str
@@ -3805,3 +3958,32 @@ def d81_remove_duplicated_spans(
     return dedup.remove_duplicated_spans(docs, span_tokens=8).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "d82_duplicated_spans_df_floor",
+    "Substring-level dedup with a corpus-frequency floor — the Lee et "
+    "al. 'Deduplicating Training Data' threshold: only 8-token spans "
+    "occurring >= 3 times in the corpus anchor removals (their "
+    "non-first occurrences); one-off quoted passages (df=2) are left "
+    "alone. Per-hash HashAggregate emits (first packed key, span df); "
+    "occurrences probe-join the unique-keyed stats table — a hot "
+    "boilerplate span skews only the AQE-splittable probe side "
+    "(operators/dedup.duplicated_spans_df_floor). min_span_df=2 "
+    "reproduces d80 exactly.",
+    oracle=f"""
+        WITH {_span_dedup_sql(3)}
+        SELECT doc_id, span_start, span_end,
+               span_end - span_start AS span_len
+        FROM spans
+        ORDER BY doc_id, span_start
+    """,
+    category="dedup",
+)
+def d82_duplicated_spans_df_floor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_spans_df_floor(
+        docs, span_tokens=8, min_span_df=3
+    ).orderBy("doc_id", "span_start")

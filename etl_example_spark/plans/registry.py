@@ -46,7 +46,7 @@ QUERIES: dict[str, Query] = {}
 #: rotation of the already-verified backlog through the driver window so
 #: regressions in verified queries are eventually re-caught (a different
 #: ~39-query sample each round instead of only the 6 sentinels).
-ROUND = 7
+ROUND = 8
 
 #: Queries the external driver has already verified in earlier rounds
 #: (union of non-errored rows across CORRECTNESS_r01–r04). The driver's
@@ -128,6 +128,9 @@ PRIOR_VERIFIED: frozenset[str] = frozenset(
         "s44_semantic_dedup_clusters", "s45_hybrid_search_rrf",
         "s46_mmr_diversified_topk", "st46_stream_bloom_probe",
         "st47_stream_quality_gate", "st48_stream_countmin_maintenance",
+        # round 7 (CORRECTNESS_r07: 48 green + the 2 no_oracle-by-design
+        # approximates q22/s42, whose bound twins were verified in r6)
+        "d80_duplicated_spans", "d81_remove_duplicated_spans",
     }
 )
 
@@ -138,12 +141,16 @@ SENTINELS: tuple[str, ...] = (
     "q4_seasonality", "q5_curation_filter", "q6_date_repair",
 )
 
-#: Head of this round's rotation. Round 7: the line-dedup family was
-#: REWRITTEN this round (skew-safe aggregate instead of the row_number
-#: window — VERDICT r6 ask #1), so its three queries must re-enter the
-#: external window even though they are in the verified backlog; brand-
-#: new queries (d80/d81/s47/s48) follow via never-verified rank-2.
+#: Head of this round's rotation. Round 8: the whole first-occurrence
+#: dedup family was REWRITTEN this round (packed-bigint min instead of
+#: min(struct) so the aggregate is a HashAggregate, xxhash64-pair
+#: anchors instead of md5 hex, and the O(tokens²) inline-split fix —
+#: VERDICT r7 ask #2), so all five re-enter the external window even
+#: though they are in the verified backlog; the brand-new s47/s48
+#: incremental-ANN law queries follow via never-verified rank-2.
 ROTATION_PRIORITY: tuple[str, ...] = (
+    "d80_duplicated_spans",
+    "d81_remove_duplicated_spans",
     "d62_line_dedup",
     "d70_incremental_line_dedup",
     "d71_line_dedup_apply",

@@ -506,10 +506,12 @@ def q21_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_approx_distinct",
     "Approximate distinct counts (HyperLogLog++) next to exact — the "
     "at-scale cardinality primitive (constant memory per group vs the "
-    "exact two-phase expansion). Oracle checks the exact column; the "
-    "approximate column is asserted within 5% relative error in tests "
-    "(approx values are engine-specific, so they stay out of the oracle).",
-    oracle=None,  # approx values differ across engines by design
+    "exact two-phase expansion). Approx values are engine-specific, so "
+    "this row is rows-only in the driver BY DESIGN; its externally "
+    "hash-verified certificate is the q22a_approx_distinct_bound twin, "
+    "whose oracle-checked output asserts the 5% relative-error bound "
+    "(green in CORRECTNESS_r06).",
+    oracle=None,  # approx values differ across engines; see q22a twin
 )
 def q22_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -2116,19 +2118,23 @@ def q77_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "second pass for the means).",
     oracle="""
         WITH m AS (
+            -- sums kept HUGEINT (DuckDB's native SUM(BIGINT) type) so
+            -- the oracle's exactness ceiling matches the engine's
+            -- decimal(38,0) accumulators — syy crosses 2^63 around
+            -- sf100, where a BIGINT-cast sum would error first
             SELECT l_returnflag,
                    COUNT(*) AS n,
-                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sx,
                    CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT))
-                        AS BIGINT) AS sy,
+                        AS HUGEINT) AS sy,
                    CAST(SUM(CAST(l_quantity AS BIGINT)
-                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+                        * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sxx,
                    CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)
                         * CAST(ROUND(l_extendedprice) AS BIGINT))
-                        AS BIGINT) AS syy,
+                        AS HUGEINT) AS syy,
                    CAST(SUM(CAST(l_quantity AS BIGINT)
                         * CAST(ROUND(l_extendedprice) AS BIGINT))
-                        AS BIGINT) AS sxy
+                        AS HUGEINT) AS sxy
             FROM lineitem GROUP BY l_returnflag
         )
         SELECT l_returnflag, n,
@@ -2158,7 +2164,8 @@ def q78_moment_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # crosses 1e18 around sf100 and 2⁶³ soon after, and a bigint sum
     # would wrap/NULL silently. Summing decimal(28,0) terms yields
     # decimal(38,0) accumulators: exact to 1e38, the same working range
-    # as the oracle's HUGEINT (±1.7e38), reached only around 100 PB.
+    # as the oracle's sums (held as HUGEINT, ±1.7e38, end to end),
+    # reached only around 100 PB.
     def dsum(c):
         return F.sum(c.cast("decimal(28,0)"))
 

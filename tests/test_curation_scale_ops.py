@@ -428,6 +428,61 @@ class TestSubstringDedup:
             2, 3, 23, 20,
         )
 
+    def test_df_floor_spares_rare_repeats(self, spark):
+        from etl_example_spark.operators.dedup import (
+            duplicated_spans_df_floor,
+        )
+
+        run = " ".join(f"w{i}" for i in range(8))
+        rare = " ".join(f"r{i}" for i in range(8))
+        df = _docs(
+            spark,
+            [
+                (1, run),          # copies in docs 1,2,3 -> df=3
+                (2, run),
+                (3, run),
+                (4, rare),         # copies in docs 4,5 only -> df=2
+                (5, rare),
+            ],
+        )
+        spans = duplicated_spans_df_floor(
+            df, span_tokens=8, min_span_df=3
+        ).collect()
+        # frequent span: non-first copies (docs 2,3) anchored; the
+        # df=2 span survives the floor entirely (doc 5 untouched)
+        assert sorted((s.doc_id, s.span_start, s.span_end) for s in spans) == [
+            (2, 0, 8),
+            (3, 0, 8),
+        ]
+
+    def test_df_floor_two_reproduces_duplicated_spans(self, spark):
+        from etl_example_spark.operators.dedup import (
+            duplicated_spans,
+            duplicated_spans_df_floor,
+        )
+
+        run = " ".join(f"w{i}" for i in range(12))
+        df = _docs(
+            spark,
+            [
+                (1, run),
+                (2, "p0 p1 " + run),
+                (3, "a b c d e f g h i j"),
+                (4, run + " tail0 tail1"),
+            ],
+        )
+        base = sorted(
+            (s.doc_id, s.span_start, s.span_end)
+            for s in duplicated_spans(df, span_tokens=8).collect()
+        )
+        floored = sorted(
+            (s.doc_id, s.span_start, s.span_end)
+            for s in duplicated_spans_df_floor(
+                df, span_tokens=8, min_span_df=2
+            ).collect()
+        )
+        assert base == floored and base
+
     def test_within_doc_repetition_removes_later_copy(self, spark):
         from etl_example_spark.operators.dedup import (
             duplicated_spans,

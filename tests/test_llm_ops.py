@@ -325,6 +325,89 @@ class TestProductQuantization:
         assert all(len(r.cv) == 8 for r in rows)  # 64 dims / 8 subspaces
 
 
+class TestIncrementalAnn:
+    """The incremental-ANN maintenance law (the d55/d70 discipline
+    applied to the vector side): with the quantizer held fixed,
+    append(index(old), new) == full-rebuild(old ∪ new). Externally
+    certified by the s47/s48 registrations' from-scratch DuckDB
+    oracles; asserted row-for-row in Spark here."""
+
+    def _split(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        old = emb.filter(F.col("vec_id") % 4 != 0)
+        new = emb.filter(F.col("vec_id") % 4 == 0)
+        return emb, old, new
+
+    def test_ivf_append_equals_full_assign(self, spark, sf_dir):
+        emb, old, new = self._split(spark, sf_dir)
+        cents = (
+            old.orderBy("vec_id")
+            .limit(16)
+            .select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("centroid_vec"),
+            )
+        )
+        stored = similarity.ivf_assign_with_centroids(old, cents)
+        inc = {
+            (r.vec_id, r.centroid_id, r.c_sim)
+            for r in similarity.ivf_append(stored, new, cents)
+            .select("vec_id", "centroid_id", "c_sim")
+            .collect()
+        }
+        full = {
+            (r.vec_id, r.centroid_id, r.c_sim)
+            for r in similarity.ivf_assign_with_centroids(emb, cents)
+            .select("vec_id", "centroid_id", "c_sim")
+            .collect()
+        }
+        assert inc == full
+        assert len(inc) == emb.count()
+
+    def test_pq_append_equals_full_encode(self, spark, sf_dir):
+        emb, old, new = self._split(spark, sf_dir)
+        cb = similarity.pq_train(old, m=8, n_codes=16, iters=0)
+        stored = similarity.pq_encode_vectors(old, cb, m=8, round_digits=6)
+        inc = {
+            (r.vec_id, tuple(r.codes))
+            for r in similarity.pq_append(
+                stored, new, cb, m=8, round_digits=6
+            ).collect()
+        }
+        full = {
+            (r.vec_id, tuple(r.codes))
+            for r in similarity.pq_encode_vectors(
+                emb, cb, m=8, round_digits=6
+            ).collect()
+        }
+        assert inc == full
+        assert len(inc) == emb.count()
+
+    def test_pq_append_to_empty_index_string_ids(self, spark):
+        """Appending to an EMPTY stored artifact must union cleanly even
+        for non-long id columns (the empty artifact derives its id type
+        from the input schema instead of hardcoding long)."""
+        rows = [(f"doc-{i}", [float(i + j) for j in range(8)]) for i in range(6)]
+        vecs = spark.createDataFrame(rows, "vid string, embedding array<float>")
+        cb = similarity.pq_train(
+            vecs, m=2, n_codes=2, iters=0, id_col="vid"
+        )
+        empty = vecs.filter(F.lit(False))
+        stored = similarity.pq_encode_vectors(
+            empty, cb, m=2, id_col="vid", round_digits=6
+        )
+        assert dict(stored.dtypes)["vid"] == "string"
+        appended = similarity.pq_append(
+            stored, vecs, cb, m=2, id_col="vid", round_digits=6
+        )
+        full = similarity.pq_encode_vectors(
+            vecs, cb, m=2, id_col="vid", round_digits=6
+        )
+        got = {(r.vid, tuple(r.codes)) for r in appended.collect()}
+        want = {(r.vid, tuple(r.codes)) for r in full.collect()}
+        assert got == want and len(got) == 6
+
+
 class TestStagedShingleCache:
     def test_unhashable_plan_is_cache_miss(self, spark):
         """A failed semanticHash must be a cache MISS, never an id()-keyed

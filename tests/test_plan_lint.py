@@ -37,6 +37,8 @@ _CROSS_JOIN_BY_DESIGN = {
     "s40a_ivf_recall_bound",  # 1-row certificate crossJoin + IVF inner ops
     "s42a_pq_recall_bound",  # 1-row certificate crossJoin + PQ inner ops
     "s41_batch_topk",
+    "s47_ivf_append",  # broadcast centroid block for cell assignment
+
     "s45_hybrid_search_rrf",  # broadcast one-row query-vector block
     "q15_cte_subquery",  # broadcast one-row scalar aggregate
     "q69_quiet_big_accounts",  # broadcast one-row scalar aggregate
@@ -148,6 +150,27 @@ def test_line_dedup_plans_have_no_window(plans, name):
     groupBy(line_hash).min(struct) aggregate instead, so its physical
     plans contain NO Window operator at all."""
     assert "Window" not in plans[name], name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "d62_line_dedup",
+        "d70_incremental_line_dedup",
+        "d71_line_dedup_apply",
+        "d80_duplicated_spans",
+        "d81_remove_duplicated_spans",
+    ],
+)
+def test_first_occurrence_aggregates_are_hash_based(plans, name):
+    """The first-occurrence min must aggregate over a packed bigint
+    occurrence key, never min(struct): a struct-typed min has no mutable
+    aggregation buffer, so Catalyst compiles the whole aggregate to
+    SortAggregate — both sides of the shuffle sort one row per corpus
+    line/span (a measured ~10× constant-factor tax on d80's anchor
+    stream). No SortAggregate may appear anywhere in these plans;
+    collect_list folds use ObjectHashAggregate, which is fine."""
+    assert "SortAggregate" not in plans[name], name
 
 
 def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
