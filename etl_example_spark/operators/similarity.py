@@ -181,30 +181,60 @@ def ivf_assign_with_centroids(
     :func:`ivf_assign` (seeded centroids) and :func:`ivf_append`
     (stored centroids). One broadcast-crossJoin (corpus × tiny centroid
     table — a narrow map, no shuffle of the corpus) folded by a single
-    hash aggregate (``max_by``), so the corpus shuffles once, on its
-    id, at 100 TB. Returns (id, vec, centroid_id, c_sim)."""
+    aggregate, so the corpus shuffles once, on its id, at 100 TB.
+
+    The argmax is a plain ``max`` over ONE packed bigint — the rounded
+    cosine in micro-units (6 decimals → integral) concatenated with the
+    complement of a dense centroid code — because ``max_by`` with a
+    struct ordering key has no mutable aggregation buffer and compiles
+    the whole fold to SortAggregate; the packed max keeps it a
+    HashAggregate (the same discipline as the dedup family's
+    first-occurrence min). Dense codes come from a row_number over the
+    centroid table (tiny by contract — it broadcasts), so centroid ids
+    stay arbitrary. Returns (id, vec, centroid_id, c_sim)."""
+    from pyspark.sql import Window
+
+    n_codes = 1 << 21  # up to 2M centroids; codes asserted in range
     cents = centroids.select(
         F.col(centroids.columns[0]).alias("centroid_id"),
         F.col(centroids.columns[1]).alias("centroid_vec"),
     )
+    coded = cents.withColumn(
+        "_code",
+        F.row_number().over(Window.orderBy("centroid_id")) - 1,
+    ).withColumn(
+        "_code",
+        F.when(
+            F.assert_true(
+                F.col("_code") < n_codes, F.lit("too many centroids")
+            ).isNull(),
+            F.col("_code"),
+        ),
+    )
+    # sim is already rounded to 6 decimals, so micro-units are integral
     sim = F.round(cosine(vec_col, "centroid_vec"), 6)
+    packed = (
+        F.round(sim * 1e6).cast("long") * F.lit(n_codes).cast("long")
+        + (F.lit(n_codes - 1) - F.col("_code"))
+    )
+    best_packed = F.col("_k")
+    best_sim = F.floor(best_packed / F.lit(n_codes))
+    best_code = (
+        F.lit(n_codes - 1) - (best_packed - best_sim * F.lit(n_codes))
+    ).cast("int")
     return (
-        embeddings.crossJoin(F.broadcast(cents))
+        embeddings.crossJoin(F.broadcast(coded))
+        .select(F.col(id_col), F.col(vec_col), packed.alias("_p"))
+        .groupBy(id_col, vec_col)
+        .agg(F.max("_p").alias("_k"))
         .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.col("centroid_id"),
-            sim.alias("c_sim"),
+            id_col,
+            vec_col,
+            best_code.alias("_code"),
+            (best_sim.cast("double") / 1e6).alias("c_sim"),
         )
-        .groupBy(id_col)
-        .agg(
-            F.any_value(vec_col).alias(vec_col),
-            F.max_by(
-                "centroid_id",
-                F.struct(F.col("c_sim"), (-F.col("centroid_id")).alias("nid")),
-            ).alias("centroid_id"),
-            F.max("c_sim").alias("c_sim"),
-        )
+        .join(F.broadcast(coded.select("_code", "centroid_id")), "_code")
+        .select(id_col, vec_col, "centroid_id", "c_sim")
     )
 
 
@@ -584,26 +614,52 @@ def pq_encode(
     ``round_digits`` rounds the squared distance before the argmin (ties
     then break to the lower code) — the cross-engine-deterministic mode
     the oracle-checked s48 registration uses, mirroring the rounded-
-    cosine convention of the search queries."""
+    cosine convention of the search queries. In that mode the rounded
+    distance is integral in 10^-round_digits units, so the argmin is a
+    plain ``min`` over one packed bigint (distance units ‖ code) and
+    the per-(id, j) fold stays a HashAggregate; a struct-keyed
+    ``min_by`` (the unrounded path) has no mutable buffer and compiles
+    to SortAggregate."""
+    joined = sub.join(F.broadcast(codebooks), "j")
     d2 = _sq_l2("sv", "cv")
     if round_digits is not None:
-        d2 = F.round(d2, round_digits)
-    return (
-        sub.join(F.broadcast(codebooks), "j")
-        .withColumn("d2", d2)
-        .groupBy(id_col, "j")
-        .agg(
-            F.min_by("code", F.struct(F.col("d2"), F.col("code"))).alias(
-                "code"
+        n_codes = 1 << 21  # matches the ivf packing bound
+        units = F.round(
+            F.round(d2, round_digits) * F.lit(10.0**round_digits)
+        ).cast("long")
+        packed = units * F.lit(n_codes).cast("long") + F.col("code")
+        per_subspace = (
+            joined.select(
+                F.col(id_col),
+                "j",
+                F.when(
+                    F.assert_true(
+                        (F.col("code") >= 0) & (F.col("code") < n_codes),
+                        F.lit("code out of packing range"),
+                    ).isNull(),
+                    packed,
+                ).alias("_p"),
+            )
+            .groupBy(id_col, "j")
+            .agg(
+                (F.min("_p") % F.lit(n_codes)).cast("int").alias("code")
             )
         )
-        .groupBy(id_col)
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(j, code))), "
-                "s -> s.code)"
-            ).alias("codes")
+    else:
+        per_subspace = (
+            joined.withColumn("d2", d2)
+            .groupBy(id_col, "j")
+            .agg(
+                F.min_by(
+                    "code", F.struct(F.col("d2"), F.col("code"))
+                ).alias("code")
+            )
         )
+    return per_subspace.groupBy(id_col).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(j, code))), "
+            "s -> s.code)"
+        ).alias("codes")
     )
 
 

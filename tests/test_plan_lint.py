@@ -160,6 +160,9 @@ def test_line_dedup_plans_have_no_window(plans, name):
         "d71_line_dedup_apply",
         "d80_duplicated_spans",
         "d81_remove_duplicated_spans",
+        "d82_duplicated_spans_df_floor",
+        "s47_ivf_append",
+        "s48_pq_append",
     ],
 )
 def test_first_occurrence_aggregates_are_hash_based(plans, name):

@@ -101,9 +101,33 @@ SHOW = {
         "operator anywhere."
     ),
     "d62_line_dedup": (
-        "Corpus-level line dedup: explode to (digest, ids), ONE hash "
-        "shuffle for the first-occurrence window, one doc_id shuffle to "
+        "Corpus-level line dedup: explode to (digest, ids), first "
+        "occurrences from a HashAggregate over packed bigint keys (no "
+        "Window, no SortAggregate), one unique-key doc_id join to "
         "reassemble — the text is never shuffled."
+    ),
+    "d80_duplicated_spans": (
+        "Substring-level dedup detection: hashed sliding-window anchors "
+        "(xxhash64 pair, token array bound before the transform), "
+        "HashAggregate min over packed bigint first-occurrence keys, "
+        "anti-join on the unique (doc_id, pos) key; the only window is "
+        "per-document islands merging."
+    ),
+    "d81_remove_duplicated_spans": (
+        "Substring-dedup apply: removal intervals fold to one array per "
+        "doc, join back on unique doc_id, each document filters its own "
+        "token array map-side — token text never shuffles."
+    ),
+    "s47_ivf_append": (
+        "Incremental IVF maintenance: new batch broadcast-crossJoins "
+        "the tiny centroid table, one packed-key max HashAggregate per vector, "
+        "union with the stored artifact — the indexed corpus never "
+        "rescans."
+    ),
+    "s48_pq_append": (
+        "Incremental PQ maintenance: new batch normalizes and slices "
+        "map-side, broadcast-joins the codebooks, two HashAggregates "
+        "(argmin per subspace, assemble codes), union with stored codes."
     ),
     "d63_bloom_contamination": (
         "Relational Bloom probe: the position table broadcasts twice "
