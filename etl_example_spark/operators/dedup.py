@@ -1830,3 +1830,40 @@ def remove_duplicated_spans(
             ).alias(text_col),
         )
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate-aware sampling weights — soft dedup: instead of
+    DROPPING non-first copies (:func:`exact_dedup`), every document
+    stays in the corpus carrying weight 1/n_copies, so each distinct
+    content contributes one unit of sampling mass however many times it
+    was crawled (the duplicate-count reweighting used alongside hard
+    dedup in web-corpus mixing; feed the weight column straight into
+    sampling.mixture_sample or a weighted loss).
+
+    One hash aggregate on the normalized-text fingerprint sizes each
+    cluster; documents probe-join the unique-keyed size table — a viral
+    copypasta skews only the AQE-splittable probe side. The weight is
+    one IEEE double division of exact integers: deterministic and
+    engine-portable. For NEAR-dup clusters, substitute dedup_clusters'
+    component labels for the fingerprint — the shape is identical.
+
+    Returns (doc_id, n_copies, weight), corpus membership preserved.
+    """
+    fp = normalized_fingerprint(text_col)
+    sizes = (
+        df.select(fp.alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.count("*").alias("n_copies"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), fp.alias("_fp"))
+        .join(sizes, "_fp")
+        .select(
+            "doc_id",
+            "n_copies",
+            (F.lit(1.0) / F.col("n_copies")).alias("weight"),
+        )
+    )

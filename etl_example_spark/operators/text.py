@@ -527,3 +527,69 @@ def hashed_linear_quality_cols(
         lambda acc, x: acc + x,
     )
     return F.size(toks), w_sum
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-trained bigram language-model quality scoring — the
+    CCNet/FineWeb-style perplexity gate: train add-one-smoothed bigram
+    probabilities on the corpus itself, score each document by its mean
+    negative log-probability per bigram (monotone in perplexity;
+    gibberish and boilerplate-free natural text separate cleanly).
+
+    p(w2|w1) = (c12 + 1) / (c1 + V): c12 from ONE hash-aggregated
+    bigram count over the corpus, context counts c1 by re-aggregating
+    c12 (never a second corpus scan), V the distinct-unigram count (a
+    one-row broadcast). Each document's bigrams probe-join the count
+    tables on the bigram/context keys — build sides are unique-keyed
+    aggregates, so a hot bigram ("of the") skews only the probe side,
+    which AQE's skew-join split handles. Per-bigram -ln p rounds to 6
+    decimals and sums as decimal(18,6) — exact, order-independent,
+    engine-portable (the one transcendental is rounded before any
+    aggregation; +,/ on exact integers are correctly-rounded IEEE ops
+    on both engines).
+
+    Returns (doc_id, n_bigrams, avg_neg_logp) for documents with at
+    least one bigram.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+    ).filter(F.size("_toks") >= 2)
+    toks = F.col("_toks")
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.struct(
+                    F.element_at(toks, i + 1).alias("w1"),
+                    F.element_at(toks, i + 2).alias("w2"),
+                ),
+            )
+        ).alias("_bg"),
+    ).select("doc_id", "_bg.w1", "_bg.w2")
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("cnt12"))
+    c1 = c12.groupBy("w1").agg(F.sum("cnt12").alias("cnt1"))
+    vocab = base.select(
+        F.explode("_toks").alias("_tok")
+    ).agg(F.countDistinct("_tok").alias("vocab"))
+    p = (F.col("cnt12") + 1).cast("double") / (
+        F.col("cnt1") + F.col("vocab")
+    ).cast("double")
+    neg_logp = F.round(-F.log(p), 6).cast("decimal(18,6)")
+    return (
+        bigrams.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", neg_logp.alias("_nl"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum("_nl").cast("double") / F.count("*"), 6
+            ).alias("avg_neg_logp"),
+        )
+    )

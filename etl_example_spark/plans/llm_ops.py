@@ -1284,6 +1284,36 @@ def s42a_pq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_certificate(exact, approx, min_hits=8)
 
 
+#: Full-from-scratch IVF assignment of EVERY vector against the 16
+#: lowest-id existing (vec_id % 4 != 0) vectors as centroids — the
+#: oracle shared by s47 (batch incremental append) and st49 (streaming
+#: maintenance): both engines' incremental outputs must hash-match this
+#: complete rebuild under the same fixed quantizer.
+IVF_FULL_ASSIGN_ORACLE = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS centroid_id, v AS cv
+        FROM e WHERE vec_id % 4 != 0 ORDER BY vec_id LIMIT 16
+    ),
+    sims AS (
+        SELECT e.vec_id, c.centroid_id,
+               ROUND(list_cosine_similarity(e.v, c.cv), 6) AS c_sim
+        FROM e CROSS JOIN cents c
+    )
+    SELECT vec_id, centroid_id, c_sim FROM (
+        SELECT vec_id, centroid_id, c_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY c_sim DESC, centroid_id
+               ) AS rk
+        FROM sims
+    ) WHERE rk = 1
+    ORDER BY vec_id
+"""
+
+
 @register(
     "s47_ivf_append",
     "INCREMENTAL IVF index maintenance law, externally verified: a new "
@@ -1295,29 +1325,7 @@ def s42a_pq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assignment of every vector from scratch against the same "
     "centroids, so a hash match IS the incremental == full-rebuild-"
     "restricted law (the d55/d70 discipline applied to ANN).",
-    oracle="""
-        WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        ),
-        cents AS (
-            SELECT vec_id AS centroid_id, v AS cv
-            FROM e WHERE vec_id % 4 != 0 ORDER BY vec_id LIMIT 16
-        ),
-        sims AS (
-            SELECT e.vec_id, c.centroid_id,
-                   ROUND(list_cosine_similarity(e.v, c.cv), 6) AS c_sim
-            FROM e CROSS JOIN cents c
-        )
-        SELECT vec_id, centroid_id, c_sim FROM (
-            SELECT vec_id, centroid_id, c_sim,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY vec_id
-                       ORDER BY c_sim DESC, centroid_id
-                   ) AS rk
-            FROM sims
-        ) WHERE rk = 1
-        ORDER BY vec_id
-    """,
+    oracle=IVF_FULL_ASSIGN_ORACLE,
     category="similarity",
 )
 def s47_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1415,6 +1423,87 @@ def s48_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.select(
         "vec_id", F.posexplode("codes").alias("j", "code")
     ).orderBy("vec_id", "j")
+
+
+@register(
+    "d83_bigram_logprob_quality",
+    "Self-trained bigram LM quality scoring — the CCNet/FineWeb-style "
+    "perplexity gate: add-one-smoothed p(w2|w1) = (c12+1)/(c1+V) "
+    "trained on the corpus itself, each doc scored by mean -ln p per "
+    "bigram (monotone in perplexity). Counts are hash aggregates; "
+    "context counts re-aggregate the bigram table (one corpus scan); "
+    "docs probe-join the unique-keyed count tables (hot bigrams skew "
+    "only the AQE-splittable probe side); per-bigram -ln p rounds to 6 "
+    "decimals BEFORE summing as decimal(18,6), so the aggregation is "
+    "exact and order-independent on both engines "
+    "(operators/text.bigram_logprob_score).",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+        b AS (
+            SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+            FROM t, LATERAL (
+                SELECT unnest(range(len(toks) - 1)) AS i
+            ) g
+            WHERE len(toks) >= 2
+        ),
+        c12 AS (
+            SELECT w1, w2, COUNT(*) AS cnt12 FROM b GROUP BY w1, w2
+        ),
+        c1 AS (SELECT w1, SUM(cnt12) AS cnt1 FROM c12 GROUP BY w1),
+        v AS (
+            SELECT COUNT(DISTINCT tok) AS vocab
+            FROM (SELECT unnest(toks) AS tok FROM t)
+        ),
+        lp AS (
+            SELECT b.doc_id,
+                   CAST(ROUND(-ln(CAST(cnt12 + 1 AS DOUBLE)
+                        / CAST(cnt1 + vocab AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS nl
+            FROM b
+            JOIN c12 USING (w1, w2)
+            JOIN c1 USING (w1)
+            CROSS JOIN v
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               ROUND(CAST(SUM(nl) AS DOUBLE) / COUNT(*), 6)
+                   AS avg_neg_logp
+        FROM lp GROUP BY doc_id ORDER BY doc_id
+    """,
+    category="text",
+)
+def d83_bigram_logprob_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bigram_logprob_score(docs).orderBy("doc_id")
+
+
+@register(
+    "d84_soft_dedup_weights",
+    "Duplicate-aware sampling weights (soft dedup): every document "
+    "stays in the corpus carrying weight 1/n_copies of its exact-"
+    "content cluster, so each distinct content contributes one unit of "
+    "sampling mass however often it was crawled — the reweighting "
+    "companion to d24's keep-first hard dedup; the weight column feeds "
+    "the mixture sampler directly. One fingerprint hash aggregate + a "
+    "unique-keyed probe join (viral copypasta skews only the AQE-"
+    "splittable probe side); the weight is one IEEE double division of "
+    "exact integers (operators/dedup.soft_dedup_weights).",
+    oracle=f"""
+        WITH c AS (
+            SELECT doc_id, md5({SQL_NORM}) AS fp FROM documents
+        ),
+        sizes AS (SELECT fp, COUNT(*) AS n_copies FROM c GROUP BY fp)
+        SELECT c.doc_id, s.n_copies,
+               CAST(1 AS DOUBLE) / s.n_copies AS weight
+        FROM c JOIN sizes s USING (fp)
+        ORDER BY c.doc_id
+    """,
+    category="dedup",
+)
+def d84_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.soft_dedup_weights(docs).orderBy("doc_id")
 
 
 @register(

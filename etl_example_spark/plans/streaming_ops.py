@@ -39,6 +39,7 @@ SQL_EXACT_VALUE_SUM = (
 
 # shared DuckDB fragments for the document-stream oracles
 from etl_example_spark.plans.llm_ops import (  # noqa: E402
+    IVF_FULL_ASSIGN_ORACLE,
     JACCARD_COND,
     SQL_SHINGLES3,
     SQL_TOKS,
@@ -726,3 +727,84 @@ def st48_stream_countmin_maintenance(
     )
     toks = docs.select(F.explode(text.tokens("text")).alias("item"))
     return sketches.heavy_hitters_certificate(toks, merged)
+
+
+@register(
+    "st49_stream_ivf_maintenance",
+    "Streaming ANN index maintenance — the streaming half of the "
+    "s47/s48 incremental-ANN story: the coarse quantizer (16 lowest-id "
+    "existing vectors) and the existing corpus's assignments are "
+    "SEEDED to parquet once (epoch=-1); each arriving micro-batch of "
+    "new embeddings (vec_id % 4 == 0) is assigned against the STORED "
+    "centroids read back from the quantizer artifact and written to "
+    "its own epoch slice (overwrite per epoch — idempotent under "
+    "micro-batch retry, the st45/st48 discipline). The indexed corpus "
+    "is never rescanned; per-batch work is O(batch x centroids). The "
+    "final read of the epoch-partitioned assignment table must "
+    "hash-match the oracle's FULL from-scratch assignment of every "
+    "vector — stream-maintained == batch-rebuilt, externally verified "
+    "(operators/similarity.ivf_assign_with_centroids).",
+    oracle=IVF_FULL_ASSIGN_ORACLE,
+    category="streaming",
+)
+def st49_stream_ivf_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators.similarity import (
+        ivf_assign_with_centroids,
+    )
+    from etl_example_spark.sources.loaders import load_table
+    from etl_example_spark.streaming.sources import read_embeddings_stream
+
+    static = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 4 != 0
+    )
+    cents_dir = _tempfile.mkdtemp(prefix="ivf_quantizer_")
+    assign_dir = _tempfile.mkdtemp(prefix="ivf_assign_")
+    # the stored quantizer artifact: centroids written once, read back
+    # per micro-batch — assignment never depends on driver state
+    (
+        static.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        .write.mode("overwrite")
+        .parquet(cents_dir)
+    )
+    cents = spark.read.parquet(cents_dir)
+    ivf_assign_with_centroids(static, cents).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(assign_dir, "epoch=-1"))
+
+    stream = read_embeddings_stream(
+        spark, sf_dir, max_files_per_trigger=1
+    ).filter(F.col("vec_id") % 4 == 0)
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        stored_cents = batch_df.sparkSession.read.parquet(cents_dir)
+        ivf_assign_with_centroids(batch_df, stored_cents).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(assign_dir, f"epoch={epoch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(update)
+        .option(
+            "checkpointLocation", _tempfile.mkdtemp(prefix="ckpt_ivf_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return (
+        spark.read.parquet(assign_dir)
+        .select("vec_id", "centroid_id", "c_sim")
+        .orderBy("vec_id")
+    )

@@ -131,3 +131,26 @@ def read_documents_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(_table_staging_dir(sf_dir, "documents"))
+
+
+EMBEDDINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def read_embeddings_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream source over ``{sf_dir}/embeddings.parquet`` — the
+    continuously-embedded-corpus shape (each arriving file is a batch
+    of freshly embedded vectors to fold into the ANN index)."""
+    reader = spark.readStream.schema(EMBEDDINGS_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(_table_staging_dir(sf_dir, "embeddings"))

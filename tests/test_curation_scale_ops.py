@@ -556,3 +556,113 @@ class TestSubstringDedup:
             for s in duplicated_spans(df, span_tokens=8).collect()
         )
         assert spans == [(2, 0, 8), (2, 17, 25), (3, 0, 8), (3, 9, 17)]
+
+
+class TestSoftDedupWeights:
+    def test_weights_partition_unit_mass_per_content(self, spark):
+        from etl_example_spark.operators.dedup import soft_dedup_weights
+
+        df = _docs(
+            spark,
+            [
+                (1, "a b c"),
+                (2, "a b c"),   # exact copy of 1
+                (3, "A  b   C"),  # normalizes to the same content
+                (4, "unique text here"),
+            ],
+        )
+        got = {
+            r.doc_id: (r.n_copies, r.weight)
+            for r in soft_dedup_weights(df).collect()
+        }
+        assert got == {
+            1: (3, 1 / 3),
+            2: (3, 1 / 3),
+            3: (3, 1 / 3),
+            4: (1, 1.0),
+        }
+        # total mass == number of distinct contents
+        assert abs(sum(w for _, w in got.values()) - 2.0) < 1e-12
+
+    def test_membership_preserved(self, spark):
+        from etl_example_spark.operators.dedup import soft_dedup_weights
+
+        df = _docs(spark, [(i, f"doc {i} text") for i in range(10)])
+        assert soft_dedup_weights(df).count() == 10
+
+
+class TestBigramLogprob:
+    def test_hand_computed_probabilities(self, spark):
+        import math
+
+        from etl_example_spark.operators.text import bigram_logprob_score
+
+        # corpus: "a b" twice, "a c" once -> c(a,b)=2 c(a,c)=1 c1(a)=3
+        # vocab V=3; p(b|a)=(2+1)/(3+3)=0.5, p(c|a)=(1+1)/(3+3)=1/3
+        df = _docs(spark, [(1, "a b"), (2, "a b"), (3, "a c")])
+        got = {
+            r.doc_id: (r.n_bigrams, r.avg_neg_logp)
+            for r in bigram_logprob_score(df).collect()
+        }
+        assert got[1] == (1, round(-math.log(0.5), 6))
+        assert got[2] == got[1]
+        assert got[3] == (1, round(-math.log(1 / 3), 6))
+
+    def test_repetitive_text_scores_more_probable(self, spark):
+        from etl_example_spark.operators.text import bigram_logprob_score
+
+        rep = " ".join(["spam ham"] * 20)
+        rare = "every token here appears exactly once in this corpus"
+        df = _docs(spark, [(1, rep), (2, rep), (3, rare)])
+        got = {
+            r.doc_id: r.avg_neg_logp
+            for r in bigram_logprob_score(df).collect()
+        }
+        # the repeated bigrams dominate the LM -> far more probable
+        assert got[1] < got[3]
+
+    def test_single_token_docs_excluded(self, spark):
+        from etl_example_spark.operators.text import bigram_logprob_score
+
+        df = _docs(spark, [(1, "solo"), (2, "two tokens")])
+        assert {
+            r.doc_id for r in bigram_logprob_score(df).collect()
+        } == {2}
+
+
+class TestStreamIvfLaw:
+    def test_stream_maintained_equals_batch_rebuild(self, spark, sf_dir):
+        """The st49 law at the engine surface: the epoch-partitioned
+        assignment table a stream maintains equals one batch assignment
+        of the full corpus under the same stored quantizer."""
+        from etl_example_spark.plans.registry import load_all
+        from etl_example_spark.operators.similarity import (
+            ivf_assign_with_centroids,
+        )
+        from etl_example_spark.sources.loaders import load_table
+        from pyspark.sql import functions as F
+
+        R = load_all()
+        streamed = {
+            (r.vec_id, r.centroid_id, r.c_sim)
+            for r in R["st49_stream_ivf_maintenance"]
+            .spark_builder(spark, sf_dir)
+            .collect()
+        }
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = (
+            emb.filter(F.col("vec_id") % 4 != 0)
+            .orderBy("vec_id")
+            .limit(16)
+            .select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("centroid_vec"),
+            )
+        )
+        full = {
+            (r.vec_id, r.centroid_id, r.c_sim)
+            for r in ivf_assign_with_centroids(emb, cents)
+            .select("vec_id", "centroid_id", "c_sim")
+            .collect()
+        }
+        assert streamed == full and len(streamed) == emb.count()
