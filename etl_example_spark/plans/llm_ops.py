@@ -1314,6 +1314,62 @@ IVF_FULL_ASSIGN_ORACLE = """
 """
 
 
+#: Full-from-scratch PQ encode of EVERY vector (normalize -> slice into
+#: m=8 subvectors -> seeded codebook from the 16 lowest-id existing
+#: vectors -> rounded argmin) — the oracle shared by s48 (batch
+#: incremental append) and st50 (streaming maintenance).
+PQ_FULL_ENCODE_ORACLE = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id,
+               CASE WHEN sqrt(list_aggregate(
+                        list_transform(v, y -> y*y), 'sum')) = 0
+                    THEN v
+                    ELSE list_transform(v, x -> x / sqrt(
+                        list_aggregate(
+                            list_transform(v, y -> y*y), 'sum')))
+               END AS v
+        FROM e
+    ),
+    sub AS (
+        SELECT vec_id, j, list_slice(v, j*8 + 1, j*8 + 8) AS sv
+        FROM n CROSS JOIN (SELECT unnest(range(8)) AS j) js
+    ),
+    seeds AS (
+        SELECT vec_id AS seed_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS code
+        FROM (
+            SELECT vec_id FROM embeddings
+            WHERE vec_id % 4 != 0 ORDER BY vec_id LIMIT 16
+        )
+    ),
+    cb AS (
+        SELECT sub.j, s.code, sub.sv AS cv
+        FROM seeds s JOIN sub ON sub.vec_id = s.seed_id
+    ),
+    d AS (
+        SELECT sub.vec_id, sub.j, cb.code,
+               ROUND(list_aggregate(list_transform(
+                   list_zip(sub.sv, cb.cv),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6)
+                   AS d2
+        FROM sub JOIN cb ON cb.j = sub.j
+    )
+    SELECT vec_id, CAST(j AS INT) AS j, code
+    FROM (
+        SELECT vec_id, j, code,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, j ORDER BY d2, code
+               ) AS rk
+        FROM d
+    ) WHERE rk = 1
+    ORDER BY vec_id, j
+"""
+
+
 @register(
     "s47_ivf_append",
     "INCREMENTAL IVF index maintenance law, externally verified: a new "
@@ -1359,56 +1415,7 @@ def s47_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle re-encodes the FULL corpus from scratch (normalize -> "
     "slice -> seeded codebook -> rounded argmin), so a hash match IS "
     "the incremental == full-rebuild-restricted law.",
-    oracle="""
-        WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        ),
-        n AS (
-            SELECT vec_id,
-                   CASE WHEN sqrt(list_aggregate(
-                            list_transform(v, y -> y*y), 'sum')) = 0
-                        THEN v
-                        ELSE list_transform(v, x -> x / sqrt(
-                            list_aggregate(
-                                list_transform(v, y -> y*y), 'sum')))
-                   END AS v
-            FROM e
-        ),
-        sub AS (
-            SELECT vec_id, j, list_slice(v, j*8 + 1, j*8 + 8) AS sv
-            FROM n CROSS JOIN (SELECT unnest(range(8)) AS j) js
-        ),
-        seeds AS (
-            SELECT vec_id AS seed_id,
-                   CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
-                       AS code
-            FROM (
-                SELECT vec_id FROM embeddings
-                WHERE vec_id % 4 != 0 ORDER BY vec_id LIMIT 16
-            )
-        ),
-        cb AS (
-            SELECT sub.j, s.code, sub.sv AS cv
-            FROM seeds s JOIN sub ON sub.vec_id = s.seed_id
-        ),
-        d AS (
-            SELECT sub.vec_id, sub.j, cb.code,
-                   ROUND(list_aggregate(list_transform(
-                       list_zip(sub.sv, cb.cv),
-                       p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6)
-                       AS d2
-            FROM sub JOIN cb ON cb.j = sub.j
-        )
-        SELECT vec_id, CAST(j AS INT) AS j, code
-        FROM (
-            SELECT vec_id, j, code,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY vec_id, j ORDER BY d2, code
-                   ) AS rk
-            FROM d
-        ) WHERE rk = 1
-        ORDER BY vec_id, j
-    """,
+    oracle=PQ_FULL_ENCODE_ORACLE,
     category="similarity",
 )
 def s48_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,6 +41,7 @@ SQL_EXACT_VALUE_SUM = (
 from etl_example_spark.plans.llm_ops import (  # noqa: E402
     IVF_FULL_ASSIGN_ORACLE,
     JACCARD_COND,
+    PQ_FULL_ENCODE_ORACLE,
     SQL_SHINGLES3,
     SQL_TOKS,
 )
@@ -807,4 +808,85 @@ def st49_stream_ivf_maintenance(
         spark.read.parquet(assign_dir)
         .select("vec_id", "centroid_id", "c_sim")
         .orderBy("vec_id")
+    )
+
+
+@register(
+    "st50_stream_pq_maintenance",
+    "Streaming PQ index maintenance — st49's product-quantization "
+    "twin: codebooks (seeded from the 16 lowest-id existing vectors' "
+    "subvector slices, m=8) and the existing corpus's codes are SEEDED "
+    "to parquet once; each arriving micro-batch of new embeddings "
+    "(vec_id % 4 == 0) is encoded against the STORED codebooks read "
+    "back from the artifact (rounded argmin, round_digits=6) and "
+    "written to its own epoch slice (overwrite per epoch — idempotent "
+    "under retry). No re-encoding of the indexed corpus; per-batch "
+    "work is O(batch x m x n_codes). The final read of the "
+    "epoch-partitioned code table must hash-match the oracle's FULL "
+    "from-scratch encode — stream-maintained == batch-rebuilt "
+    "(operators/similarity.pq_encode_vectors).",
+    oracle=PQ_FULL_ENCODE_ORACLE,
+    category="streaming",
+)
+def st50_stream_pq_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators.similarity import (
+        pq_encode_vectors,
+        pq_train,
+    )
+    from etl_example_spark.sources.loaders import load_table
+    from etl_example_spark.streaming.sources import read_embeddings_stream
+
+    static = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 4 != 0
+    )
+    cb_dir = _tempfile.mkdtemp(prefix="pq_codebooks_")
+    codes_dir = _tempfile.mkdtemp(prefix="pq_codes_")
+    # stored quantizer artifact: codebooks written once (iters=0 keeps
+    # the seeding deterministic and oracle-replayable), read back per
+    # micro-batch
+    pq_train(static, m=8, n_codes=16, iters=0).write.mode(
+        "overwrite"
+    ).parquet(cb_dir)
+    cb = spark.read.parquet(cb_dir)
+
+    def encode_exploded(batch_df: DataFrame) -> DataFrame:
+        stored_cb = batch_df.sparkSession.read.parquet(cb_dir)
+        return pq_encode_vectors(
+            batch_df, stored_cb, m=8, round_digits=6
+        ).select("vec_id", F.posexplode("codes").alias("j", "code"))
+
+    encode_exploded(static).write.mode("overwrite").parquet(
+        os.path.join(codes_dir, "epoch=-1")
+    )
+
+    stream = read_embeddings_stream(
+        spark, sf_dir, max_files_per_trigger=1
+    ).filter(F.col("vec_id") % 4 == 0)
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        encode_exploded(batch_df).write.mode("overwrite").parquet(
+            os.path.join(codes_dir, f"epoch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(update)
+        .option(
+            "checkpointLocation", _tempfile.mkdtemp(prefix="ckpt_pq_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return (
+        spark.read.parquet(codes_dir)
+        .select("vec_id", "j", "code")
+        .orderBy("vec_id", "j")
     )

@@ -666,3 +666,57 @@ class TestStreamIvfLaw:
             .collect()
         }
         assert streamed == full and len(streamed) == emb.count()
+
+
+class TestOccurrencePacking:
+    def test_pack_unpack_round_trip_preserves_order(self, spark):
+        from etl_example_spark.operators.dedup import (
+            _pack_occurrence,
+            _unpack_occurrence,
+        )
+
+        rows = [
+            (0, 0), (0, 1), (1, 0), (7, 1048575),
+            ((1 << 43) - 1, 0), (12345, 999999),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, pos int")
+        packed = df.select(
+            "doc_id", "pos",
+            _pack_occurrence(F.col("doc_id"), F.col("pos")).alias("k"),
+        )
+        d, p = _unpack_occurrence(F.col("k"))
+        got = [
+            (r.doc_id, r.pos, r.d, r.p, r.k)
+            for r in packed.select(
+                "doc_id", "pos", "k", d.alias("d"), p.alias("p")
+            ).collect()
+        ]
+        for doc_id, pos, d_, p_, _ in got:
+            assert (d_, p_) == (doc_id, pos)
+        # packed order == lexicographic (doc_id, pos) order
+        ks = sorted((r[0], r[1], r[4]) for r in got)
+        assert [k for _, _, k in ks] == sorted(k for _, _, k in ks)
+
+    def test_out_of_range_position_raises(self, spark):
+        import pytest
+
+        from etl_example_spark.operators.dedup import _pack_occurrence
+
+        df = spark.createDataFrame(
+            [(1, 1 << 20)], "doc_id long, pos int"
+        )
+        with pytest.raises(Exception, match="packing bounds|ASSERT"):
+            df.select(
+                _pack_occurrence(F.col("doc_id"), F.col("pos")).alias("k")
+            ).collect()
+
+    def test_out_of_range_doc_id_raises(self, spark):
+        import pytest
+
+        from etl_example_spark.operators.dedup import _pack_occurrence
+
+        df = spark.createDataFrame([(1 << 43, 0)], "doc_id long, pos int")
+        with pytest.raises(Exception, match="packing bounds|ASSERT"):
+            df.select(
+                _pack_occurrence(F.col("doc_id"), F.col("pos")).alias("k")
+            ).collect()
