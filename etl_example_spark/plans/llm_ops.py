@@ -1482,7 +1482,7 @@ def d83_bigram_logprob_quality(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return text.bigram_logprob_score(docs).orderBy("doc_id")
+    return text.bigram_logprob_score(docs)
 
 
 @register(
@@ -1510,7 +1510,7 @@ def d83_bigram_logprob_quality(
 )
 def d84_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.soft_dedup_weights(docs).orderBy("doc_id")
+    return dedup.soft_dedup_weights(docs)
 
 
 @register(
@@ -2604,7 +2604,7 @@ def d61_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d62_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.line_dedup(docs, line_tokens=10).orderBy("doc_id")
+    return dedup.line_dedup(docs, line_tokens=10)
 
 
 @register(
@@ -3318,7 +3318,7 @@ def d70_incremental_line_dedup(
     existing = docs.filter(F.col("doc_id") % 3 != 0)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
     index = dedup.line_index(existing)
-    return dedup.probe_line_index(index, batch).orderBy("doc_id")
+    return dedup.probe_line_index(index, batch)
 
 
 @register(
@@ -3444,7 +3444,7 @@ def s45_hybrid_search_rrf(
 )
 def d71_line_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.line_dedup_clean(docs, line_tokens=10).orderBy("doc_id")
+    return dedup.line_dedup_clean(docs, line_tokens=10)
 
 
 @register(
@@ -4006,9 +4006,7 @@ _SPAN_DEDUP_SQL = _span_dedup_sql(2)
 )
 def d80_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.duplicated_spans(docs, span_tokens=8).orderBy(
-        "doc_id", "span_start"
-    )
+    return dedup.duplicated_spans(docs, span_tokens=8)
 
 
 @register(
@@ -4051,9 +4049,7 @@ def d81_remove_duplicated_spans(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.remove_duplicated_spans(docs, span_tokens=8).orderBy(
-        "doc_id"
-    )
+    return dedup.remove_duplicated_spans(docs, span_tokens=8)
 
 
 @register(
@@ -4082,4 +4078,4 @@ def d82_duplicated_spans_df_floor(
     docs = load_table(spark, sf_dir, "documents")
     return dedup.duplicated_spans_df_floor(
         docs, span_tokens=8, min_span_df=3
-    ).orderBy("doc_id", "span_start")
+    )

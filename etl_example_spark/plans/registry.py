@@ -17,6 +17,11 @@ Determinism rules for oracle-checked queries (the driver hash-compares
 values): float sums go through DECIMAL casts (exact, order-independent)
 and back to DOUBLE; every computed column is aliased identically in both
 implementations; top-k queries carry deterministic tie-break keys.
+Full-output queries return UNORDERED results: the comparison sorts rows
+before hashing, and a cosmetic final ``orderBy`` is not free — Spark's
+global sort runs the ENTIRE upstream pipeline an extra time to sample
+range-partition boundaries (measured +60% on d62), work no production
+sink would pay.
 """
 
 from __future__ import annotations
