@@ -11,12 +11,15 @@ Design (the part that matters at 100 TB):
   decode parallelism independent of file layout;
 - the decode kernel is pluggable, and the UNCOMPRESSED formats decode
   for real in pure numpy: binary PPM images (``decode_ppm`` /
-  ``nn_resize`` / ``encode_ppm``) and RIFF PCM16 WAV audio
-  (``decode_wav`` / ``encode_wav``) — both oracle-verified end-to-end
-  (m39/m40, m41). Compressed codecs (PIL/ffmpeg/torchaudio) are NOT in
-  this environment, so jpeg/png/mp4 route to ``decode_stub``, which
-  raises NotImplementedError exactly where the codec call belongs;
-  ``fake_decode_features`` is the deterministic stand-in used by tests.
+  ``nn_resize`` / ``encode_ppm``), 8-bit non-interlaced PNG — an
+  ACTUAL compressed format: stdlib-zlib DEFLATE plus all five scanline
+  filters (``decode_png`` / ``encode_png``) — and RIFF PCM16 WAV audio
+  (``decode_wav`` / ``encode_wav``) — all oracle-verified end-to-end
+  (m39/m40, m42, m41). Codec libraries (PIL/ffmpeg/torchaudio) are NOT
+  in this environment, so jpeg/mp4/palette-or-16-bit PNG route to
+  ``decode_stub``, which raises NotImplementedError exactly where the
+  codec call belongs; ``fake_decode_features`` is the deterministic
+  stand-in used by tests.
 """
 
 from __future__ import annotations
@@ -172,6 +175,184 @@ def encode_ppm(arr) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type -> channel count (8-bit, non-interlaced support)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes):
+    """REAL compressed-image decode for 8-bit non-interlaced PNG —
+    entirely stdlib (zlib inflate, struct, crc32) + numpy: chunk walk
+    with CRC verification, IDAT concatenation, inflate, and per-row
+    reversal of all five scanline filters (None/Sub/Up/Average/Paeth).
+    Color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA). Returns a
+    ``(height, width, channels)`` uint8 ndarray.
+
+    Unlike the PPM path this exercises an actual compression pipeline
+    (DEFLATE + predictive filters), so the codec boundary is no longer
+    stub-only for compressed formats; palette/16-bit/interlaced PNGs
+    still route to the pluggable ``decoder=``.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = b""
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk data")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(f"bad CRC on {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("missing/malformed IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}); "
+            "plug a full codec via decoder="
+        )
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG compression/filter/interlace")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG raster size mismatch: {len(raw)} != {h * (stride + 1)}"
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = ch
+    p = 0
+    for r in range(h):
+        f = raw[p]
+        line = np.frombuffer(raw, np.uint8, stride, p + 1)
+        p += stride + 1
+        if f == 0:
+            rec = line.copy()
+        elif f == 2:  # Up — uint8 addition wraps mod 256 by itself
+            rec = line + prev
+        elif f in (1, 3, 4):  # Sub/Average/Paeth: left-dependent, so
+            rec32 = np.zeros(stride, dtype=np.int32)  # sequential
+            for i in range(stride):
+                a = int(rec32[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                rec32[i] = (int(line[i]) + pred) % 256
+            rec = rec32.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[r] = rec
+        prev = rec
+    return out.reshape(h, w, ch)
+
+
+def encode_png(arr, filter_mode: str = "cycle") -> bytes:
+    """Inverse of :func:`decode_png`: 8-bit gray/gray+alpha/RGB/RGBA
+    array as PNG bytes. ``filter_mode='cycle'`` applies scanline filter
+    ``row % 5`` (forward filtering is vectorizable — the neighbors are
+    the ORIGINAL bytes), so a round trip through :func:`decode_png`
+    exercises every filter's sequential inverse; ``'zero'`` writes
+    unfiltered rows."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = ch
+    stride = w * ch
+    flat = a.reshape(h, stride).astype(np.int32)
+    zero = np.zeros(bpp, dtype=np.int32)
+    scanlines = []
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        cur = flat[r]
+        left = np.concatenate([zero, cur[:-bpp]]) if stride > bpp else (
+            np.zeros(stride, dtype=np.int32)
+        )
+        up = prev
+        diag = np.concatenate([zero, up[:-bpp]]) if stride > bpp else (
+            np.zeros(stride, dtype=np.int32)
+        )
+        f = (r % 5) if filter_mode == "cycle" else 0
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = (cur - left) % 256
+        elif f == 2:
+            filt = (cur - up) % 256
+        elif f == 3:
+            filt = (cur - (left + up) // 2) % 256
+        else:  # Paeth
+            pp = left + up - diag
+            pa = np.abs(pp - left)
+            pb = np.abs(pp - up)
+            pc = np.abs(pp - diag)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, up, diag),
+            )
+            filt = (cur - pred) % 256
+        scanlines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(scanlines))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def nn_resize(arr, width: int, height: int):
     """Nearest-neighbor resize by pure numpy fancy indexing: output
     pixel (i, j) takes source pixel (i*H_in//H_out, j*W_in//W_out) —
@@ -195,6 +376,8 @@ def decode_media(payload: bytes, fmt: str, decoder=None):
     compressed formats route to :func:`decode_stub`, which raises."""
     if fmt == "ppm":
         return decode_ppm(payload)
+    if fmt == "png":
+        return decode_png(payload)
     if fmt == "wav":
         return decode_wav(payload)
     if decoder is not None:

@@ -3166,18 +3166,11 @@ def s44_semantic_dedup_clusters(
     )
 
 
-@register(
-    "m40_channel_stats",
-    "Decode -> feature-extract, the multimodal pipeline hot path, "
-    "through the REAL codec: each document's 4x2 P6 PPM (built from its "
-    "md5 bytes as in m39) is decoded by the actual numpy PPM parser and "
-    "reduced to per-channel integer sums + brightness inside the Arrow "
-    "batch. The raster layout maps channel c of pixel (i,j) to digest "
-    "byte (12i + 3j + c) mod-wrapped into the 16-byte digest, so DuckDB "
-    "re-derives every channel sum from pure hex arithmetic — the "
-    "decoder's byte-exact output is externally verified, not just its "
-    "shape.",
-    oracle="""
+#: Channel sums of the md5-derived 24-byte RGB raster (byte k of
+#: digest+digest[:8] is channel k%3 in row-major order) from pure hex
+#: arithmetic — shared by m40 (PPM codec round trip) and m42 (PNG codec
+#: round trip): both decoders' byte-exact output must match it.
+MD5_RGB24_CHANNEL_SUMS_ORACLE = """
         WITH h AS (SELECT doc_id, md5(COALESCE(text, '')) AS hx
                    FROM documents),
         b AS (
@@ -3213,7 +3206,21 @@ def s44_semantic_dedup_clusters(
                     + list_sum(b_vals) AS BIGINT) AS brightness
         FROM b
         ORDER BY doc_id
-    """,
+    """
+
+
+@register(
+    "m40_channel_stats",
+    "Decode -> feature-extract, the multimodal pipeline hot path, "
+    "through the REAL codec: each document's 4x2 P6 PPM (built from its "
+    "md5 bytes as in m39) is decoded by the actual numpy PPM parser and "
+    "reduced to per-channel integer sums + brightness inside the Arrow "
+    "batch. The raster layout maps channel c of pixel (i,j) to digest "
+    "byte (12i + 3j + c) mod-wrapped into the 16-byte digest, so DuckDB "
+    "re-derives every channel sum from pure hex arithmetic — the "
+    "decoder's byte-exact output is externally verified, not just its "
+    "shape.",
+    oracle=MD5_RGB24_CHANNEL_SUMS_ORACLE,
     category="multimodal",
 )
 def m40_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3236,6 +3243,63 @@ def m40_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # round-trip through the real codec: encode, decode, sum
                 decoded = multimodal.decode_ppm(
                     multimodal.encode_ppm(arr)
+                )
+                sums = decoded.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    (doc_id, int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "r_sum", "g_sum", "b_sum"]
+            )
+
+    return (
+        docs.mapInPandas(
+            stats, "doc_id long, r_sum long, g_sum long, b_sum long"
+        )
+        .withColumn(
+            "brightness",
+            F.col("r_sum") + F.col("g_sum") + F.col("b_sum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "m42_png_channel_stats",
+    "Decode -> feature-extract through the REAL COMPRESSED codec: each "
+    "document's md5-derived 8x1 RGB raster (byte k of digest+digest[:8] "
+    "is channel k%3 — the same 24 bytes as m40) is encoded as an actual "
+    "PNG (DEFLATE + cycling scanline filters, so rows exercise all "
+    "five: None/Sub/Up/Average/Paeth), decoded back by the stdlib-zlib "
+    "+ numpy PNG parser (operators/multimodal.decode_png), and reduced "
+    "to per-channel sums inside the Arrow batch. DuckDB re-derives the "
+    "sums from pure hex arithmetic, so the inflate+unfilter pipeline's "
+    "byte-exact output is externally verified.",
+    oracle=MD5_RGB24_CHANNEL_SUMS_ORACLE,
+    category="multimodal",
+)
+def m42_png_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.md5((t or "").encode()).digest()
+                arr = np.frombuffer(d + d[:8], dtype=np.uint8).reshape(
+                    8, 1, 3
+                )
+                # round-trip through the real compressed codec: DEFLATE
+                # + all five filters forward, inflate + unfilter back
+                decoded = multimodal.decode_media(
+                    multimodal.encode_png(arr, filter_mode="cycle"),
+                    "png",
                 )
                 sums = decoded.astype(np.int64).sum(axis=(0, 1))
                 rows.append(

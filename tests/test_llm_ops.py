@@ -154,10 +154,10 @@ def test_ppm_codec_round_trip_and_exact_resize():
         multimodal.decode_ppm(b"P5\n4 2\n255\n" + arr.tobytes())
     with pytest.raises(ValueError):
         multimodal.decode_ppm(b"P6\n4 2\n255\n" + arr.tobytes()[:-1])
-    # decode_media dispatch: ppm real, png still the documented stub
+    # decode_media dispatch: ppm real; jpeg still the documented stub
     assert np.array_equal(multimodal.decode_media(payload, "ppm"), arr)
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(payload, "png")
+        multimodal.decode_media(payload, "jpeg")
 
 
 def test_resize_media_real_ppm_path(spark):
@@ -562,3 +562,130 @@ def test_wav_codec_roundtrip_and_chunk_walk(spark):
 
     with _pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"OGGS" + payload[4:])
+
+
+class TestPngCodec:
+    """decode_png against both its own encoder and hand-built fixtures
+    whose filtered scanlines were computed by hand from the PNG spec —
+    the fixture path anchors the sequential unfilter to the standard,
+    not merely to the sibling encoder."""
+
+    def test_round_trip_all_shapes_and_filters(self):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        for shape in [(8, 1, 3), (5, 7, 3), (6, 4, 4), (9, 3, 1), (4, 2, 2)]:
+            arr = rng.randint(0, 256, size=shape).astype(np.uint8)
+            for mode in ("cycle", "zero"):
+                got = multimodal.decode_png(
+                    multimodal.encode_png(arr, filter_mode=mode)
+                )
+                assert np.array_equal(got, arr), (shape, mode)
+
+    def test_hand_filtered_fixture_matches_spec(self):
+        """2x2 RGB image, row 0 Sub-filtered, row 1 Paeth-filtered; the
+        filtered bytes below were derived by hand from the spec's
+        filter definitions (left/up/upper-left predictors, Paeth
+        tie-break a, then b, then c)."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        # pixels: row0 (10,20,30)(40,50,60); row1 (15,25,35)(55,65,75)
+        # Sub row:   10,20,30, 40-10,50-20,60-30  = 10,20,30,30,30,30
+        # Paeth row: first pixel pred=up -> 5,5,5; second: a=15/25/35,
+        #   b=40/50/60, c=10/20/30 -> p=45/55/65, pb smallest -> pred=b
+        #   -> 55-40,65-50,75-60 = 15,15,15
+        raw = (
+            b"\x01" + bytes([10, 20, 30, 30, 30, 30])
+            + b"\x04" + bytes([5, 5, 5, 15, 15, 15])
+        )
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        want = np.array(
+            [[[10, 20, 30], [40, 50, 60]], [[15, 25, 35], [55, 65, 75]]],
+            dtype=np.uint8,
+        )
+        assert np.array_equal(multimodal.decode_png(png), want)
+
+    def test_up_and_average_filters_by_hand(self):
+        """2x1 gray image: value 100 then 230. Up: 230-100=130.
+        Average on row 0 (no up, no left): pred 0 -> raw value."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        raw = b"\x03" + bytes([100]) + b"\x02" + bytes([130])
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 2, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        got = multimodal.decode_png(png)
+        assert np.array_equal(
+            got, np.array([[[100]], [[230]]], dtype=np.uint8)
+        )
+
+    def test_corrupt_crc_and_bad_signature_rejected(self):
+        import numpy as np
+        import pytest
+
+        arr = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+        png = bytearray(multimodal.encode_png(arr))
+        png[40] ^= 0xFF
+        with pytest.raises(ValueError):
+            multimodal.decode_png(bytes(png))
+        with pytest.raises(ValueError):
+            multimodal.decode_png(b"NOTAPNG" + bytes(png))
+
+    def test_unsupported_depth_routes_to_pluggable_decoder(self):
+        import struct
+        import zlib
+
+        import pytest
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        png16 = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" + b"\x00" * 6))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="unsupported PNG"):
+            multimodal.decode_png(png16)
+
+    def test_resize_through_png_path(self):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        arr = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+        decoded = multimodal.decode_media(multimodal.encode_png(arr), "png")
+        small = multimodal.nn_resize(decoded, 4, 4)
+        assert small.shape == (4, 4, 3)
+        assert np.array_equal(small[0, 0], arr[0, 0])
