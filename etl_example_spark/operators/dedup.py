@@ -1774,6 +1774,7 @@ def remove_duplicated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     span_tokens: int = 8,
+    min_span_df: int = 2,
 ) -> DataFrame:
     """The APPLY form of :func:`duplicated_spans`: the cleaned corpus
     itself — (doc_id, text) with every token covered by a duplicated
@@ -1783,9 +1784,20 @@ def remove_duplicated_spans(
     empty). The removal intervals fold to one array per doc and join
     back on doc_id (unique key, no skew); each document filters its own
     token array map-side — token text never shuffles.
+
+    ``min_span_df > 2`` applies the corpus-frequency floor
+    (:func:`duplicated_spans_df_floor` — the Lee et al. threshold):
+    only spans occurring at least that often trigger removal; 2 is the
+    plain every-repeat rule.
     """
+    if min_span_df > 2:
+        detected = duplicated_spans_df_floor(
+            df, text_col, id_col, span_tokens, min_span_df
+        )
+    else:
+        detected = duplicated_spans(df, text_col, id_col, span_tokens)
     spans_per_doc = (
-        duplicated_spans(df, text_col, id_col, span_tokens)
+        detected
         .groupBy("doc_id")
         .agg(
             F.array_sort(

@@ -4143,3 +4143,54 @@ def d82_duplicated_spans_df_floor(
     return dedup.duplicated_spans_df_floor(
         docs, span_tokens=8, min_span_df=3
     )
+
+
+#: the removal tail shared by the span-dedup apply oracles (d81, d85):
+#: expand removal intervals, drop covered token positions, rejoin.
+_SPAN_REMOVAL_SQL_TAIL = """
+    cov AS (
+        SELECT doc_id, unnest(range(span_start, span_end)) AS i
+        FROM spans
+    ),
+    tokpos AS (
+        SELECT doc_id, i, toks[CAST(i + 1 AS INT)] AS tok
+        FROM t, LATERAL (
+            SELECT unnest(range(len(toks))) AS i
+        ) g
+    ),
+    clean AS (
+        SELECT tp.doc_id,
+               string_agg(tp.tok, ' ' ORDER BY tp.i) AS text
+        FROM tokpos tp
+        LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.i = tp.i
+        WHERE c.i IS NULL
+        GROUP BY tp.doc_id
+    )
+    SELECT d.doc_id, COALESCE(c.text, '') AS text
+    FROM documents d LEFT JOIN clean c USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
+@register(
+    "d85_remove_spans_df_floor",
+    "APPLY half of the df-floor substring dedup (d82): the cleaned "
+    "corpus with only floor-qualifying spans (corpus frequency >= 3) "
+    "removed — rare two-off repeats survive in place, frequent "
+    "boilerplate is stripped from every non-first occurrence. Same "
+    "unique-key reassembly as d81; the detection half is d82\'s "
+    "probe-join plan (operators/dedup.remove_duplicated_spans with "
+    "min_span_df=3).",
+    oracle=f"""
+        WITH {_span_dedup_sql(3)},
+        {_SPAN_REMOVAL_SQL_TAIL}
+    """,
+    category="dedup",
+)
+def d85_remove_spans_df_floor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_duplicated_spans(
+        docs, span_tokens=8, min_span_df=3
+    )

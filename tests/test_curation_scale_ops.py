@@ -455,6 +455,27 @@ class TestSubstringDedup:
             (3, 0, 8),
         ]
 
+    def test_df_floor_apply_spares_rare_repeat_text(self, spark):
+        from etl_example_spark.operators.dedup import (
+            remove_duplicated_spans,
+        )
+
+        run = " ".join(f"w{i}" for i in range(8))
+        rare = " ".join(f"r{i}" for i in range(8))
+        df = _docs(
+            spark,
+            [(1, run), (2, run), (3, run), (4, rare), (5, rare)],
+        )
+        got = {
+            r.doc_id: r.text
+            for r in remove_duplicated_spans(
+                df, span_tokens=8, min_span_df=3
+            ).collect()
+        }
+        # frequent span stripped from non-first copies; the df=2 rare
+        # repeat survives the floor with text intact in BOTH docs
+        assert got == {1: run, 2: "", 3: "", 4: rare, 5: rare}
+
     def test_df_floor_two_reproduces_duplicated_spans(self, spark):
         from etl_example_spark.operators.dedup import (
             duplicated_spans,
