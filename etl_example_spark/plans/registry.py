@@ -151,8 +151,10 @@ SENTINELS: tuple[str, ...] = (
 #: min(struct) so the aggregate is a HashAggregate, xxhash64-pair
 #: anchors instead of md5 hex, and the O(tokens²) inline-split fix —
 #: VERDICT r7 ask #2), so all five re-enter the external window even
-#: though they are in the verified backlog; the brand-new s47/s48
-#: incremental-ANN law queries follow via never-verified rank-2.
+#: though they are in the verified backlog; the round's brand-new
+#: queries (s47/s48 incremental-ANN law, st49/st50 streaming ANN
+#: maintenance, d82/d85 df-floor span dedup, d83 bigram LM, d84 soft
+#: dedup, m42 PNG codec) follow via never-verified rank-2.
 ROTATION_PRIORITY: tuple[str, ...] = (
     "d80_duplicated_spans",
     "d81_remove_duplicated_spans",

@@ -529,3 +529,57 @@ def test_retractable_merge_law_random_batches(spark, d1, d2):
     assert sorted(map(tuple, whole.collect())) == sorted(
         map(tuple, merged.collect())
     )
+
+
+@given(
+    shape=st.tuples(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+    ),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    mode=st.sampled_from(["cycle", "zero"]),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+@SETTINGS
+def test_png_codec_roundtrip_any_raster(shape, channels, mode, seed):
+    """encode→decode is the identity for every 8-bit raster in every
+    supported color type, whichever scanline filters the encoder used
+    (the cycle mode walks all five)."""
+    import numpy as np
+
+    from etl_example_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(*shape, channels), dtype=np.uint8)
+    out = decode_png(encode_png(arr, filter_mode=mode))
+    assert out.shape == arr.shape and (out == arr).all()
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 43) - 1),
+            st.integers(min_value=0, max_value=(1 << 20) - 1),
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_packed_occurrence_order_matches_lexicographic(spark, pairs):
+    """min over the packed bigint must pick the lexicographic min
+    (doc_id, pos) for ANY in-bounds occurrence set — the law that lets
+    the first-occurrence aggregates run as HashAggregate."""
+    from etl_example_spark.operators.dedup import (
+        _pack_occurrence,
+        _unpack_occurrence,
+    )
+
+    df = spark.createDataFrame(pairs, "doc_id long, pos int")
+    packed_min = df.select(
+        _pack_occurrence(F.col("doc_id"), F.col("pos")).alias("k")
+    ).agg(F.min("k").alias("k"))
+    d, p = _unpack_occurrence(F.col("k"))
+    got = packed_min.select(d.alias("d"), p.alias("p")).collect()[0]
+    want = min(pairs)
+    assert (got.d, got.p) == want
