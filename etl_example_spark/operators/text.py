@@ -547,13 +547,16 @@ def bigram_logprob_score(
     tables on the bigram/context keys — build sides are unique-keyed
     aggregates, so a hot bigram ("of the") skews only the probe side,
     which AQE's skew-join split handles. Per-bigram -ln p rounds to 6
-    decimals and sums as decimal(18,6) — exact, order-independent,
-    engine-portable (the one transcendental is rounded before any
-    aggregation; +,/ on exact integers are correctly-rounded IEEE ops
-    on both engines).
+    decimals and sums as decimal(18,6), then everything converts to
+    exact integer MICRO-UNITS (1e-6 nats) — order-independent and
+    engine-portable end to end: the one transcendental is rounded
+    before any aggregation, and the final average is an integer floor
+    division, never a rounded float divide (a trailing
+    ``ROUND(sum/n, 6)`` flipped 2 rows in 5,000 at sf0.1 on half-ulp
+    boundaries; measured, hence this form).
 
-    Returns (doc_id, n_bigrams, avg_neg_logp) for documents with at
-    least one bigram.
+    Returns (doc_id, n_bigrams, sum_neg_logp_micro, avg_neg_logp_micro)
+    for documents with at least one bigram.
     """
     base = df.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
@@ -588,8 +591,16 @@ def bigram_logprob_score(
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(
-                F.sum("_nl").cast("double") / F.count("*"), 6
-            ).alias("avg_neg_logp"),
+            (F.sum("_nl") * 1_000_000)
+            .cast("long")
+            .alias("sum_neg_logp_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_neg_logp_micro",
+            F.expr("sum_neg_logp_micro div n_bigrams").alias(
+                "avg_neg_logp_micro"
+            ),
         )
     )

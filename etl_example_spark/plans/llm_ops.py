@@ -1441,9 +1441,10 @@ def s48_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     "context counts re-aggregate the bigram table (one corpus scan); "
     "docs probe-join the unique-keyed count tables (hot bigrams skew "
     "only the AQE-splittable probe side); per-bigram -ln p rounds to 6 "
-    "decimals BEFORE summing as decimal(18,6), so the aggregation is "
-    "exact and order-independent on both engines "
-    "(operators/text.bigram_logprob_score).",
+    "decimals BEFORE summing, and the outputs are exact integer "
+    "micro-units with an integer-floor-division average — no rounded "
+    "float divide anywhere, so the result is bit-identical across "
+    "engines at every scale (operators/text.bigram_logprob_score).",
     oracle=f"""
         WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
         b AS (
@@ -1472,8 +1473,9 @@ def s48_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             CROSS JOIN v
         )
         SELECT doc_id, COUNT(*) AS n_bigrams,
-               ROUND(CAST(SUM(nl) AS DOUBLE) / COUNT(*), 6)
-                   AS avg_neg_logp
+               CAST(SUM(nl) * 1000000 AS BIGINT) AS sum_neg_logp_micro,
+               CAST(SUM(nl) * 1000000 AS BIGINT) // COUNT(*)
+                   AS avg_neg_logp_micro
         FROM lp GROUP BY doc_id ORDER BY doc_id
     """,
     category="text",

@@ -619,15 +619,20 @@ class TestBigramLogprob:
         from etl_example_spark.operators.text import bigram_logprob_score
 
         # corpus: "a b" twice, "a c" once -> c(a,b)=2 c(a,c)=1 c1(a)=3
-        # vocab V=3; p(b|a)=(2+1)/(3+3)=0.5, p(c|a)=(1+1)/(3+3)=1/3
+        # vocab V=3; p(b|a)=(2+1)/(3+3)=0.5, p(c|a)=(1+1)/(3+3)=1/3;
+        # scores are exact integer micro-nats
         df = _docs(spark, [(1, "a b"), (2, "a b"), (3, "a c")])
         got = {
-            r.doc_id: (r.n_bigrams, r.avg_neg_logp)
+            r.doc_id: (
+                r.n_bigrams, r.sum_neg_logp_micro, r.avg_neg_logp_micro
+            )
             for r in bigram_logprob_score(df).collect()
         }
-        assert got[1] == (1, round(-math.log(0.5), 6))
+        half = round(round(-math.log(0.5), 6) * 1_000_000)
+        third = round(round(-math.log(1 / 3), 6) * 1_000_000)
+        assert got[1] == (1, half, half)
         assert got[2] == got[1]
-        assert got[3] == (1, round(-math.log(1 / 3), 6))
+        assert got[3] == (1, third, third)
 
     def test_repetitive_text_scores_more_probable(self, spark):
         from etl_example_spark.operators.text import bigram_logprob_score
@@ -636,7 +641,7 @@ class TestBigramLogprob:
         rare = "every token here appears exactly once in this corpus"
         df = _docs(spark, [(1, rep), (2, rep), (3, rare)])
         got = {
-            r.doc_id: r.avg_neg_logp
+            r.doc_id: r.avg_neg_logp_micro
             for r in bigram_logprob_score(df).collect()
         }
         # the repeated bigrams dominate the LM -> far more probable
