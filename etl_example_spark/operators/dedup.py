@@ -1891,6 +1891,159 @@ def remove_duplicated_spans(
     )
 
 
+def span_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """The stored artifact for INCREMENTAL substring dedup: one row per
+    distinct ``span_tokens``-token window with its first occurrence —
+    (_h1, _h2, first_doc, first_pos, n_seen).
+
+    Production pipelines don't re-run the duplicated-span pass over the
+    whole corpus per ingest; they keep this index (a parquet table at
+    scale — rows are the 16-byte xxhash64 pair plus three ids, never
+    span text) and probe each arriving batch against it
+    (:func:`probe_span_index`), then fold the batch in
+    (:func:`merge_span_index`) — the discipline of
+    :func:`line_index`/:func:`probe_line_index` applied one level down,
+    from lines to sliding windows. The first-occurrence min runs over
+    the packed bigint key (:func:`_pack_occurrence`) so the aggregate
+    is a HashAggregate, with a struct-ordered fallback for
+    non-integral doc ids.
+    """
+    occ = _span_occurrences(df, text_col, id_col, span_tokens)
+    if not _integral_id(occ, "doc_id"):
+        return (
+            occ.groupBy("_h1", "_h2")
+            .agg(
+                F.min(F.struct("doc_id", "pos")).alias("_first"),
+                F.count("*").alias("n_seen"),
+            )
+            .select(
+                "_h1",
+                "_h2",
+                F.col("_first.doc_id").alias("first_doc"),
+                F.col("_first.pos").alias("first_pos"),
+                "n_seen",
+            )
+        )
+    id_type = dict(occ.dtypes)["doc_id"]
+    packed = _pack_occurrence(F.col("doc_id"), F.col("pos"))
+    first_doc, first_pos = _unpack_occurrence(F.col("_k"))
+    return (
+        occ.select("_h1", "_h2", packed.alias("_p"))
+        .groupBy("_h1", "_h2")
+        .agg(F.min("_p").alias("_k"), F.count("*").alias("n_seen"))
+        .select(
+            "_h1",
+            "_h2",
+            first_doc.cast(id_type).alias("first_doc"),
+            first_pos.cast("int").alias("first_pos"),
+            "n_seen",
+        )
+    )
+
+
+def probe_span_index(
+    index: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Incremental duplicated-span detection of one arriving batch
+    against the stored index: a batch anchor is a duplicate if its span
+    hash already exists in the index (arrival order beats id order —
+    published survivors are immutable, the same incremental contract as
+    :func:`probe_line_index`) OR it is not the batch's own first
+    occurrence. Anchors merge into maximal removal intervals exactly as
+    in :func:`duplicated_spans`.
+
+    Plan (hot-span-skew safe): the batch's occurrences partial-aggregate
+    to one row per distinct hash pair (packed-bigint min —
+    HashAggregate), that table anti-joins the index on the unique hash
+    key, and surviving batch-first positions anti-join back against the
+    batch's positions (unique (doc_id, pos) key). The indexed corpus is
+    never rescanned — work per ingest is O(batch tokens), not O(corpus).
+    Returns merged (doc_id, span_start, span_end, span_len) intervals,
+    token-indexed, end-exclusive, batch documents only.
+    """
+    occ = _span_occurrences(batch, text_col, id_col, span_tokens)
+    if _integral_id(occ, "doc_id"):
+        id_type = dict(occ.dtypes)["doc_id"]
+        packed = _pack_occurrence(F.col("doc_id"), F.col("pos"))
+        first_doc, first_pos = _unpack_occurrence(F.col("_k"))
+        batch_firsts = (
+            occ.select("_h1", "_h2", packed.alias("_p"))
+            .groupBy("_h1", "_h2")
+            .agg(F.min("_p").alias("_k"))
+        )
+        new_keeps = batch_firsts.join(
+            index.select("_h1", "_h2"), ["_h1", "_h2"], "left_anti"
+        ).select(
+            first_doc.cast(id_type).alias("doc_id"),
+            first_pos.cast("int").alias("pos"),
+        )
+    else:
+        batch_firsts = occ.groupBy("_h1", "_h2").agg(
+            F.min(F.struct("doc_id", "pos")).alias("_first")
+        )
+        new_keeps = batch_firsts.join(
+            index.select("_h1", "_h2"), ["_h1", "_h2"], "left_anti"
+        ).select(
+            F.col("_first.doc_id").alias("doc_id"),
+            F.col("_first.pos").alias("pos"),
+        )
+    dups = occ.select("doc_id", "pos").join(
+        new_keeps, ["doc_id", "pos"], "left_anti"
+    )
+    return _merge_anchor_islands(dups, span_tokens)
+
+
+def merge_span_index(
+    index: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Fold one ingested batch into the stored span index: hashes the
+    index already holds keep their published first occurrence (arrival
+    precedence) and add the batch's occurrence count; unseen hashes
+    enter with their batch-first occurrence. One full-outer join on the
+    unique hash key between two one-row-per-hash tables — no skew side,
+    no corpus rescan.
+
+    Law (tested, and externally verified through d86's oracle shape):
+    when arrival order agrees with (doc_id, pos) order — new ids above
+    all indexed ids, the append-only production case —
+    ``merge_span_index(span_index(old), new)`` row-equals
+    ``span_index(old ∪ new)``.
+    """
+    b = span_index(batch, text_col, id_col, span_tokens)
+    i = (
+        index.withColumnRenamed("first_doc", "_i_doc")
+        .withColumnRenamed("first_pos", "_i_pos")
+        .withColumnRenamed("n_seen", "_i_n")
+    )
+    b = (
+        b.withColumnRenamed("first_doc", "_b_doc")
+        .withColumnRenamed("first_pos", "_b_pos")
+        .withColumnRenamed("n_seen", "_b_n")
+    )
+    return i.join(b, ["_h1", "_h2"], "full_outer").select(
+        "_h1",
+        "_h2",
+        F.coalesce("_i_doc", "_b_doc").alias("first_doc"),
+        F.coalesce("_i_pos", "_b_pos").alias("first_pos"),
+        (
+            F.coalesce("_i_n", F.lit(0)) + F.coalesce("_b_n", F.lit(0))
+        ).alias("n_seen"),
+    )
+
+
 def soft_dedup_weights(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

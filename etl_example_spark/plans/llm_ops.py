@@ -4196,3 +4196,76 @@ def d85_remove_spans_df_floor(
     return dedup.remove_duplicated_spans(
         docs, span_tokens=8, min_span_df=3
     )
+
+
+@register(
+    "d86_incremental_span_dedup",
+    "INCREMENTAL substring dedup: the stored span index (one row per "
+    "distinct 8-token window, built from the already-ingested corpus — "
+    "doc_id % 3 != 0 stands in) absorbs each arriving batch without "
+    "rescanning the corpus; a batch anchor is duplicate if its hash is "
+    "indexed (arrival order beats id order — the incremental contract "
+    "of d70, applied one level down from lines to sliding windows) or "
+    "repeats within the batch, and anchors merge to maximal removal "
+    "intervals exactly as in d80. Index rows are (hash pair, ids) only "
+    "— never span text (operators/dedup.span_index / "
+    "probe_span_index).",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+        occ AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(toks[(i+1):(i+8)], ' ')) AS h
+            FROM t, LATERAL (
+                SELECT unnest(range(len(toks) - 8 + 1)) AS i
+            ) g
+            WHERE len(toks) >= 8
+        ),
+        ex AS (
+            SELECT DISTINCT h FROM occ WHERE doc_id % 3 != 0
+        ),
+        dup AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos, h,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY h ORDER BY doc_id, pos
+                       ) AS rk
+                FROM occ WHERE doc_id % 3 = 0
+            ) WHERE rk > 1 OR h IN (SELECT h FROM ex)
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM dup
+        ),
+        grp AS (
+            SELECT doc_id, pos,
+                   SUM(new_island) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                   ) AS island
+            FROM isl
+        ),
+        spans AS (
+            SELECT doc_id,
+                   CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(MAX(pos) + 8 AS BIGINT) AS span_end
+            FROM grp GROUP BY doc_id, island
+        )
+        SELECT doc_id, span_start, span_end,
+               span_end - span_start AS span_len
+        FROM spans
+        ORDER BY doc_id, span_start
+    """,
+    category="dedup",
+)
+def d86_incremental_span_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    index = dedup.span_index(existing, span_tokens=8)
+    return dedup.probe_span_index(index, batch, span_tokens=8)

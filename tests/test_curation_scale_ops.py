@@ -354,6 +354,82 @@ class TestIncrementalLineDedup:
         assert idx[ab] == (1, 0, 2)
 
 
+class TestIncrementalSpanDedup:
+    def test_probe_agrees_with_full_pass_when_orders_align(self, spark):
+        from etl_example_spark.operators.dedup import (
+            duplicated_spans,
+            probe_span_index,
+            span_index,
+        )
+
+        old = _docs(spark, [(1, "a b c d e"), (2, "p q r s")])
+        new = _docs(
+            spark, [(10, "x a b c y"), (11, "p q r z"), (12, "u v w")]
+        )
+        idx = span_index(old, span_tokens=3)
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end)
+            for r in probe_span_index(idx, new, span_tokens=3).collect()
+        )
+        full = sorted(
+            (r.doc_id, r.span_start, r.span_end)
+            for r in duplicated_spans(
+                old.unionByName(new), span_tokens=3
+            ).collect()
+            if r.doc_id >= 10
+        )
+        # new ids above all indexed ids -> arrival order == global
+        # (doc_id, pos) order -> incremental == full restricted
+        assert got == full
+        assert got == [(10, 1, 4), (11, 0, 3)]
+
+    def test_indexed_span_wins_over_lower_batch_id(self, spark):
+        from etl_example_spark.operators.dedup import (
+            probe_span_index,
+            span_index,
+        )
+
+        old = _docs(spark, [(100, "a b c")])
+        new = _docs(spark, [(1, "a b c")])  # lower id, arrives later
+        idx = span_index(old, span_tokens=3)
+        got = probe_span_index(idx, new, span_tokens=3).collect()
+        assert [(r.doc_id, r.span_start, r.span_end) for r in got] == [
+            (1, 0, 3)
+        ]
+
+    def test_merge_equals_rebuild_when_orders_align(self, spark):
+        from etl_example_spark.operators.dedup import (
+            merge_span_index,
+            span_index,
+        )
+
+        old = _docs(spark, [(1, "a b c d"), (2, "a b c")])
+        new = _docs(spark, [(10, "a b c x"), (11, "m n o")])
+        merged = sorted(
+            map(tuple, merge_span_index(
+                span_index(old, span_tokens=3), new, span_tokens=3
+            ).collect())
+        )
+        rebuilt = sorted(
+            map(tuple, span_index(
+                old.unionByName(new), span_tokens=3
+            ).collect())
+        )
+        assert merged == rebuilt
+
+    def test_index_rows_are_first_occurrences(self, spark):
+        from etl_example_spark.operators.dedup import span_index
+
+        df = _docs(spark, [(1, "a b c d"), (2, "z a b c")])
+        got = {
+            (r.first_doc, r.first_pos): r.n_seen
+            for r in span_index(df, span_tokens=3).collect()
+        }
+        # "a b c" first at (1,0) seen twice; "b c d" at (1,1);
+        # "z a b" at (2,0)
+        assert got == {(1, 0): 2, (1, 1): 1, (2, 0): 1}
+
+
 class TestEmptyDocLines:
     def test_zero_token_doc_produces_no_lines(self, spark):
         # regression: sequence(0, -1) = [0, -1] fabricated two phantom

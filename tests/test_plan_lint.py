@@ -162,6 +162,7 @@ def test_line_dedup_plans_have_no_window(plans, name):
         "d80_duplicated_spans",
         "d81_remove_duplicated_spans",
         "d82_duplicated_spans_df_floor",
+        "d86_incremental_span_dedup",
         "s47_ivf_append",
         "s48_pq_append",
     ],
