@@ -890,3 +890,139 @@ def st50_stream_pq_maintenance(
         .select("vec_id", "j", "code")
         .orderBy("vec_id", "j")
     )
+
+
+@register(
+    "st51_stream_span_maintenance",
+    "Streaming substring-dedup index maintenance — the streaming half "
+    "of the d86 incremental-span story: the stored span index "
+    "(one row per distinct 8-token window, hash pair + first "
+    "occurrence, never span text) is SEEDED to parquet from the "
+    "already-ingested corpus (doc_id % 5 != 0, epoch=-1); each "
+    "arriving micro-batch of new documents probes the index read back "
+    "from parquet (operators/dedup.probe_span_index — duplicate "
+    "anchors merge to maximal removal intervals, arrival order beats "
+    "id order) and then APPENDS its own epoch slice of span-index "
+    "rows, so later batches are checked against the static corpus AND "
+    "every earlier batch (no new-by-new blind spot). Both writes "
+    "OVERWRITE their epoch slice — idempotent under micro-batch "
+    "retry, the st45/st49 discipline; offline compaction of the "
+    "epoch slices is operators/dedup.merge_span_index. The indexed "
+    "corpus is never rescanned — per-batch work is O(batch tokens).",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+        occ AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(toks[(i+1):(i+8)], ' ')) AS h
+            FROM t, LATERAL (
+                SELECT unnest(range(len(toks) - 8 + 1)) AS i
+            ) g
+            WHERE len(toks) >= 8
+        ),
+        ex AS (
+            SELECT DISTINCT h FROM occ WHERE doc_id % 5 != 0
+        ),
+        dup AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos, h,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY h ORDER BY doc_id, pos
+                       ) AS rk
+                FROM occ WHERE doc_id % 5 = 0
+            ) WHERE rk > 1 OR h IN (SELECT h FROM ex)
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM dup
+        ),
+        grp AS (
+            SELECT doc_id, pos,
+                   SUM(new_island) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                   ) AS island
+            FROM isl
+        ),
+        spans AS (
+            SELECT doc_id,
+                   CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(MAX(pos) + 8 AS BIGINT) AS span_end
+            FROM grp GROUP BY doc_id, island
+        )
+        SELECT doc_id, span_start, span_end,
+               span_end - span_start AS span_len
+        FROM spans
+        ORDER BY doc_id, span_start
+    """,
+    category="streaming",
+)
+def st51_stream_span_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators.dedup import (
+        probe_span_index,
+        span_index,
+    )
+    from etl_example_spark.sources.loaders import load_table
+    from etl_example_spark.streaming.sources import read_documents_stream
+
+    static = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 != 0
+    )
+    idx_dir = _tempfile.mkdtemp(prefix="span_idx_")
+    spans_dir = _tempfile.mkdtemp(prefix="span_out_")
+    span_index(static, span_tokens=8).write.mode("overwrite").parquet(
+        os.path.join(idx_dir, "epoch=-1")
+    )
+
+    stream = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 5 == 0
+    )
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        # membership is all the probe needs, so the union of epoch
+        # slices (same hash possibly in several epochs) IS the index;
+        # merge_span_index consolidates offline when slices pile up
+        stored = sess.read.parquet(idx_dir)
+        probe_span_index(stored, batch_df, span_tokens=8).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(spans_dir, f"epoch={epoch_id}"))
+        span_index(batch_df, span_tokens=8).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(idx_dir, f"epoch={epoch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(update)
+        .option(
+            "checkpointLocation", _tempfile.mkdtemp(prefix="ckpt_span_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    found = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(spans_dir)
+        for f in files
+    )
+    if not found:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, span_start long, span_end long, span_len long",
+        )
+    return (
+        spark.read.parquet(spans_dir)
+        .select("doc_id", "span_start", "span_end", "span_len")
+        .orderBy("doc_id", "span_start")
+    )
