@@ -1759,11 +1759,36 @@ def staged_span_occurrences(
     text_col: str = "text",
     id_col: str = "doc_id",
     span_tokens: int = 8,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Get-or-build the staged (doc_id, pos, _h1, _h2) occurrence table
     for ``df`` — the d25/d26 staged-shingle discipline applied to
     substring dedup. Keyed by the input's semantic plan hash; unkeyable
-    inputs stage without caching."""
+    inputs stage without caching.
+
+    ``stage_path`` is the 100 TB form: a WRITE-ONCE parquet staging
+    table (any Hadoop-visible URI — HDFS/S3/local) instead of a
+    localCheckpoint pinned in executor storage. First call scans the
+    corpus once and writes the artifact; every later call — the detect
+    pass, the apply pass, a rerun after a driver restart — reads the
+    parquet back without touching the text again. Executor memory/disk
+    no longer bounds the artifact, and it survives the session. The
+    caller owns the path's lifecycle (delete it to force a re-scan;
+    the in-memory LRU's file-snapshot keying does not apply here:
+    presence of the artifact IS the cache)."""
+    if stage_path is not None:
+        spark = df.sparkSession
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(stage_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(
+            spark._jvm.org.apache.hadoop.fs.Path(
+                stage_path, "_SUCCESS"
+            )
+        ):
+            _span_occurrences(df, text_col, id_col, span_tokens).write.mode(
+                "overwrite"
+            ).parquet(stage_path)
+        return spark.read.parquet(stage_path)
     try:
         sem = df.semanticHash()
     except Exception:  # noqa: BLE001 — no stable key: treat as cache MISS
@@ -1800,6 +1825,7 @@ def duplicated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     span_tokens: int = 8,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Cross-document duplicated-substring detection — the suffix-array
     "deduplicating training data" pass (remove-duplicated-substrings), as
@@ -1826,9 +1852,14 @@ def duplicated_spans(
     of once per consumer (measured 2×+ on d80/d81).
 
     Returns merged (doc_id, span_start, span_end, span_len) intervals,
-    token-indexed, end-exclusive.
+    token-indexed, end-exclusive. ``stage_path`` stages the occurrence
+    scan to a write-once parquet artifact instead of executor storage
+    (see :func:`staged_span_occurrences`) — pass the SAME path to the
+    apply form so detect and apply share one corpus scan durably.
     """
-    occ = staged_span_occurrences(df, text_col, id_col, span_tokens)
+    occ = staged_span_occurrences(
+        df, text_col, id_col, span_tokens, stage_path
+    )
     if _integral_id(occ, "doc_id"):
         id_type = dict(occ.dtypes)["doc_id"]
         packed = _pack_occurrence(F.col("doc_id"), F.col("pos"))
@@ -1898,6 +1929,7 @@ def duplicated_spans_df_floor(
     id_col: str = "doc_id",
     span_tokens: int = 8,
     min_span_df: int = 3,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """:func:`duplicated_spans` with a corpus-frequency floor — the
     Lee et al. "Deduplicating Training Data Makes Language Models
@@ -1921,7 +1953,9 @@ def duplicated_spans_df_floor(
     Returns the same merged (doc_id, span_start, span_end, span_len)
     intervals, restricted to floor-qualifying spans.
     """
-    occ = staged_span_occurrences(df, text_col, id_col, span_tokens)
+    occ = staged_span_occurrences(
+        df, text_col, id_col, span_tokens, stage_path
+    )
     if not _integral_id(occ, "doc_id"):
         raise ValueError(
             "duplicated_spans_df_floor requires an integral id column "
@@ -1950,6 +1984,7 @@ def remove_duplicated_spans(
     id_col: str = "doc_id",
     span_tokens: int = 8,
     min_span_df: int = 2,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """The APPLY form of :func:`duplicated_spans`: the cleaned corpus
     itself — (doc_id, text) with every token covered by a duplicated
@@ -1967,10 +2002,12 @@ def remove_duplicated_spans(
     """
     if min_span_df > 2:
         detected = duplicated_spans_df_floor(
-            df, text_col, id_col, span_tokens, min_span_df
+            df, text_col, id_col, span_tokens, min_span_df, stage_path
         )
     else:
-        detected = duplicated_spans(df, text_col, id_col, span_tokens)
+        detected = duplicated_spans(
+            df, text_col, id_col, span_tokens, stage_path
+        )
     spans_per_doc = (
         detected
         .groupBy("doc_id")

@@ -1008,3 +1008,177 @@ class TestIvfDegenerateVectors:
         assert got[3] == (None, None)
         assert got[1][0] == 10 and got[2][0] == 20
         assert got[4][0] in (10, 20) and got[4][1] is not None
+
+
+class TestNewlineLineDedup:
+    def test_catches_boilerplate_missed_by_chunk_mode(self, spark):
+        """The reason the mode exists: a repeated REAL line that is not
+        aligned to 10-token chunk boundaries is invisible to token-chunk
+        line dedup but caught exactly by separator mode."""
+        from etl_example_spark.operators.dedup import line_dedup
+
+        boiler = "subscribe to our newsletter"
+        docs = _docs(
+            spark,
+            [
+                (1, f"unique opening words\n{boiler}\nmore unique text"),
+                (2, f"totally different page\n{boiler}\nother body copy"),
+            ],
+        )
+        chunk = {
+            r.doc_id: r.dropped_lines
+            for r in line_dedup(docs, line_tokens=10).collect()
+        }
+        assert chunk == {1: 0, 2: 0}, "chunk mode should miss it"
+        nl = {
+            r.doc_id: (r.n_lines, r.kept_lines, r.dropped_lines)
+            for r in line_dedup(docs, separator="\n").collect()
+        }
+        assert nl[1] == (3, 3, 0)
+        assert nl[2] == (3, 2, 1), "second copy of the boilerplate drops"
+
+    def test_clean_rejoins_with_separator_and_is_idempotent(self, spark):
+        from etl_example_spark.operators.dedup import line_dedup_clean
+
+        docs = _docs(
+            spark,
+            [(1, "keep me\ndup line\ntail"), (2, "dup line\nfresh")],
+        )
+        cleaned = {
+            r.doc_id: r.text
+            for r in line_dedup_clean(docs, separator="\n").collect()
+        }
+        assert cleaned[1] == "keep me\ndup line\ntail"
+        assert cleaned[2] == "fresh"
+        again = {
+            r.doc_id: r.text
+            for r in line_dedup_clean(
+                _docs(spark, list(cleaned.items())), separator="\n"
+            ).collect()
+        }
+        assert again == cleaned, "second pass must be a no-op"
+
+    def test_blank_lines_dedup_to_first(self, spark):
+        """Empty lines are lines: the first blank survives, later blanks
+        (within or across docs) drop — matching DuckDB string_split."""
+        from etl_example_spark.operators.dedup import line_dedup
+
+        docs = _docs(spark, [(1, "a\n\nb\n\nc"), (2, "")])
+        got = {
+            r.doc_id: (r.n_lines, r.dropped_lines)
+            for r in line_dedup(docs, separator="\n").collect()
+        }
+        assert got[1] == (5, 1)  # second blank drops
+        assert got[2] == (1, 1)  # doc 2's single empty line is a dup
+
+    def test_incremental_separator_mode(self, spark):
+        """line_index/probe_line_index honor the separator: an indexed
+        newline-line beats a batch copy; batch-internal dups drop."""
+        from etl_example_spark.operators.dedup import (
+            line_dedup,
+            line_index,
+            probe_line_index,
+        )
+
+        old = _docs(spark, [(10, "boiler plate\nalpha")])
+        batch = _docs(
+            spark, [(1, "boiler plate\nbeta"), (2, "beta\ngamma")]
+        )
+        idx = line_index(old, separator="\n")
+        got = {
+            r.doc_id: (r.kept_lines, r.dropped_lines)
+            for r in probe_line_index(idx, batch, separator="\n").collect()
+        }
+        # doc 1: 'boiler plate' indexed -> drops; 'beta' first in batch
+        assert got[1] == (1, 1)
+        # doc 2: 'beta' already taken by doc 1; 'gamma' new
+        assert got[2] == (1, 1)
+        # contrast with the full-corpus pass: there precedence is id
+        # order, so doc 1 (id < 10) takes 'boiler plate' and the INDEXED
+        # doc 10 loses its copy — the published-survivors-are-immutable
+        # contract is what the incremental form adds
+        full = {
+            r.doc_id: r.dropped_lines
+            for r in line_dedup(
+                old.unionByName(batch), separator="\n"
+            ).collect()
+        }
+        assert full[10] == 1 and full[1] == 0
+
+
+class TestDurableSpanStaging:
+    def test_stage_path_write_once_and_shared(self, spark, tmp_path):
+        """stage_path: first call writes the parquet occurrence artifact;
+        detect and apply both read it back (one corpus scan durably);
+        results equal the in-memory-staged path exactly."""
+        import os
+
+        from etl_example_spark.operators.dedup import (
+            duplicated_spans,
+            remove_duplicated_spans,
+            staged_span_occurrences,
+        )
+
+        docs = _docs(
+            spark,
+            [
+                (1, "one two three four five six unique tail here"),
+                (2, "zzz one two three four five six other ending"),
+            ],
+        )
+        stage = str(tmp_path / "span_stage")
+        det = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in duplicated_spans(
+                docs, span_tokens=6, stage_path=stage
+            ).collect()
+        }
+        assert os.path.exists(os.path.join(stage, "_SUCCESS"))
+        mtime = os.path.getmtime(os.path.join(stage, "_SUCCESS"))
+        base = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in duplicated_spans(docs, span_tokens=6).collect()
+        }
+        assert det == base and det == {(2, 1, 7)}
+
+        cleaned = {
+            r.doc_id: r.text
+            for r in remove_duplicated_spans(
+                docs, span_tokens=6, stage_path=stage
+            ).collect()
+        }
+        assert cleaned[1].startswith("one two three")
+        assert cleaned[2] == "zzz other ending"
+        # the artifact was written exactly once (apply reused it)
+        assert os.path.getmtime(os.path.join(stage, "_SUCCESS")) == mtime
+
+    def test_stage_path_presence_is_the_cache(self, spark, tmp_path):
+        """The documented contract: with the artifact present, the
+        source is NOT rescanned — detection over a CHANGED corpus still
+        answers from the staged artifact until the path is deleted."""
+        import shutil
+
+        from etl_example_spark.operators.dedup import (
+            staged_span_occurrences,
+        )
+
+        stage = str(tmp_path / "stage2")
+        d1 = _docs(spark, [(1, "a b c d e f g")])
+        n1 = staged_span_occurrences(
+            d1, span_tokens=6, stage_path=stage
+        ).count()
+        assert n1 == 2
+        d2 = _docs(spark, [(1, "a b c d e f g h i")])
+        assert (
+            staged_span_occurrences(
+                d2, span_tokens=6, stage_path=stage
+            ).count()
+            == n1
+        )
+        shutil.rmtree(stage)
+        assert (
+            staged_span_occurrences(
+                d2, span_tokens=6, stage_path=stage
+            ).count()
+            == 4
+        )
