@@ -15,8 +15,14 @@ Design (the part that matters at 100 TB):
   ACTUAL compressed format: stdlib-zlib DEFLATE plus all five scanline
   filters (``decode_png`` / ``encode_png``) — and RIFF PCM16 WAV audio
   (``decode_wav`` / ``encode_wav``) — all oracle-verified end-to-end
-  (m39/m40, m42, m41). Codec libraries (PIL/ffmpeg/torchaudio) are NOT
-  in this environment, so jpeg/mp4/palette-or-16-bit PNG route to
+  (m39/m40, m42, m41), plus BASELINE SEQUENTIAL JPEG — the dominant
+  web-image format: marker walk, Annex-C huffman rebuild, entropy
+  decode with restart markers, dequant + orthonormal IDCT, chroma
+  upsampling, JFIF YCbCr->RGB (``decode_jpeg`` / ``encode_jpeg``,
+  m43: the DC-only path is exact by construction and externally
+  verified; the AC/color paths are bounded-error property-tested).
+  Codec libraries (PIL/ffmpeg/torchaudio) are NOT in this environment,
+  so mp4 / progressive JPEG / palette-or-16-bit PNG route to
   ``decode_stub``, which raises NotImplementedError exactly where the
   codec call belongs; ``fake_decode_features`` is the deterministic
   stand-in used by tests.
@@ -367,21 +373,24 @@ def nn_resize(arr, width: int, height: int):
 
 
 def decode_media(payload: bytes, fmt: str, decoder=None):
-    """Format dispatch for the decode kernel: uncompressed PPM/WAV decode
-    for real (numpy, no codec library needed). For every other format,
-    ``decoder`` — a ``Callable[[bytes, str], np.ndarray]`` — is tried
-    next, so a cluster that DOES ship PIL/ffmpeg plugs its codec in
-    without forking the operators (e.g. ``lambda p, f:
-    np.asarray(PIL.Image.open(io.BytesIO(p)))``). With no decoder,
-    compressed formats route to :func:`decode_stub`, which raises."""
+    """Format dispatch for the decode kernel. An explicitly injected
+    ``decoder`` — a ``Callable[[bytes, str], np.ndarray]`` — WINS over
+    the built-ins for every format (the user said "use my codec": a
+    cluster shipping PIL/ffmpeg plugs in ``lambda p, f:
+    np.asarray(PIL.Image.open(io.BytesIO(p)))`` without forking the
+    operators, and can override the stdlib paths wholesale). Without
+    one, PPM/PNG/baseline-JPEG/WAV decode for real (stdlib + numpy);
+    the rest route to :func:`decode_stub`, which raises."""
+    if decoder is not None:
+        return decoder(payload, fmt)
     if fmt == "ppm":
         return decode_ppm(payload)
     if fmt == "png":
         return decode_png(payload)
+    if fmt in ("jpeg", "jpg"):
+        return decode_jpeg(payload)
     if fmt == "wav":
         return decode_wav(payload)
-    if decoder is not None:
-        return decoder(payload, fmt)
     return decode_stub(payload, fmt)
 
 
@@ -745,3 +754,548 @@ def encode_wav(samples, rate: int = 16_000, channels: int = 1) -> bytes:
         + data
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec — stdlib + numpy, no codec library
+# ---------------------------------------------------------------------------
+#
+# Scope: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr with
+# any integer-ratio sampling factors (4:4:4 / 4:2:2 / 4:2:0), custom or
+# standard huffman tables (the decoder rebuilds any DHT via the Annex C
+# canonical-code procedure), restart intervals, APPn/COM skipping.
+# Progressive (SOF2), arithmetic coding, and 12-bit precision route to
+# the pluggable ``decoder=`` as before.
+
+
+def _jpeg_zigzag() -> list[int]:
+    """Raster index of each zigzag position, generated (not transcribed):
+    diagonal s = row+col walks alternate direction; odd diagonals run
+    row-ascending, even ones row-descending."""
+    out = []
+    for s in range(15):
+        rs = range(max(0, s - 7), min(7, s) + 1)
+        rows = rs if s % 2 == 1 else reversed(list(rs))
+        out.extend(r * 8 + (s - r) for r in rows)
+    return out
+
+
+_ZIGZAG = _jpeg_zigzag()
+
+
+def _dct_matrix():
+    """Orthonormal 8x8 DCT-II matrix — identical to the JPEG FDCT
+    normalization (F = M f M^T), so no extra scaling anywhere."""
+    import math
+
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            c = (1 / 8) ** 0.5 if u == 0 else 0.5
+            m[u, x] = c * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+class _BitReader:
+    """Entropy-segment bit reader: 0xFF00 byte-unstuffing, RSTn sync."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:  # a marker — entropy data ended prematurely
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} in entropy data"
+                    )
+            self.bits = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self, n: int) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.nbits = 0
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != (
+            0xD0 + (n & 7)
+        ):
+            raise ValueError(
+                f"expected RST{n & 7} at byte {self.pos}, got "
+                f"{self.data[self.pos:self.pos + 2]!r}"
+            )
+        self.pos += 2
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """(length, code) -> symbol via the Annex C canonical procedure."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_read(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in entropy data")
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG EXTEND: t-bit magnitude bits -> signed value."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes):
+    """REAL baseline JPEG decode — stdlib + numpy: marker walk, DQT/DHT
+    table parse (canonical huffman rebuild per Annex C), interleaved or
+    single-component entropy decode with byte-unstuffing and restart
+    markers, dequantize + de-zigzag, orthonormal IDCT, chroma
+    upsampling by sample replication, JFIF YCbCr->RGB. Returns uint8
+    ``(h, w)`` for grayscale or ``(h, w, 3)`` RGB.
+
+    Progressive/arithmetic/12-bit JPEGs raise ValueError and route to
+    the pluggable ``decoder=`` in :func:`decode_media`."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qt: dict[int, object] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+    sof = None
+    restart_interval = 0
+    while True:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        (seglen,) = __import__("struct").unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int32)
+                for i in range(64):
+                    tbl[_ZIGZAG[i]] = seg[p + 1 + i]
+                qt[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT — possibly several tables
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = (
+                seg[0],
+                int.from_bytes(seg[1:3], "big"),
+                int.from_bytes(seg[3:5], "big"),
+                seg[5],
+            )
+            if prec != 8:
+                raise ValueError("only 8-bit baseline JPEG supported")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tqi = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tqi}
+                )
+            sof = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}); "
+                "plug a full codec via decoder="
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
+                scan.append({"cs": cs, "td": tdta >> 4, "ta": tdta & 0xF})
+            pos += seglen
+            break
+        # APPn / COM / anything else: skip
+        pos += seglen
+
+    if sof is None:
+        raise ValueError("missing SOF0 before SOS")
+    h, w, comps = sof["h"], sof["w"], sof["comps"]
+    by_id = {c["id"]: c for c in comps}
+    for s in scan:
+        c = by_id[s["cs"]]
+        c["td"], c["ta"] = s["td"], s["ta"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    m = _dct_matrix()
+
+    if len(scan) == 1 and len(comps) == 1:
+        # non-interleaved single-component scan: MCU == one block
+        c = comps[0]
+        bx, by = -(-w // 8), -(-h // 8)
+        mcus_x, mcus_y = bx, by
+        layout = [(c, 1, 1)]
+        plane_shapes = {c["id"]: (by * 8, bx * 8)}
+    else:
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        layout = [(c, c["h"], c["v"]) for c in comps]
+        plane_shapes = {
+            c["id"]: (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)
+            for c in comps
+        }
+
+    planes = {
+        cid: np.zeros(shape, dtype=np.float64)
+        for cid, shape in plane_shapes.items()
+    }
+    reader = _BitReader(payload, pos)
+    preds = {c["id"]: 0 for c in comps}
+    n_mcus = mcus_x * mcus_y
+    rst = 0
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            reader.sync_restart(rst)
+            rst = (rst + 1) & 7
+            preds = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu, mcus_x)
+        for c, ch, cv in layout:
+            dc_tbl = huff[(0, c["td"])]
+            ac_tbl = huff[(1, c["ta"])]
+            q = qt[c["tq"]]
+            for v_ in range(cv):
+                for h_ in range(ch):
+                    coef = np.zeros(64, dtype=np.int32)
+                    t = _huff_read(reader, dc_tbl)
+                    diff = _extend(reader.read_bits(t), t) if t else 0
+                    preds[c["id"]] += diff
+                    coef[0] = preds[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs_sym = _huff_read(reader, ac_tbl)
+                        run, size = rs_sym >> 4, rs_sym & 0xF
+                        if size == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC coefficient overrun")
+                        coef[k] = _extend(reader.read_bits(size), size)
+                        k += 1
+                    block = np.zeros((8, 8))
+                    for i in range(64):
+                        block.flat[_ZIGZAG[i]] = coef[i]
+                    block *= q
+                    px = m.T @ block @ m + 128.0
+                    r0 = (my * cv + v_) * 8
+                    c0 = (mx * ch + h_) * 8
+                    planes[c["id"]][r0 : r0 + 8, c0 : c0 + 8] = px
+
+    out_planes = []
+    for c in comps:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(comps) == 1:
+        return np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    """Entropy bit writer: MSB-first, 0xFF byte-stuffing, 1-padded flush."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _fixed_length_huff(symbols: set[int]) -> tuple[list[int], list[int]]:
+    """A valid DHT (BITS, HUFFVAL) giving every used symbol the same
+    code length L with 2^L > n (the all-ones code stays unused, so the
+    canonical code is a strict prefix code). Compression-suboptimal and
+    entirely legal — the decoder rebuilds ANY table from BITS/HUFFVAL,
+    including libjpeg's Annex K defaults, via the same Annex C walk."""
+    vals = sorted(symbols)
+    n = len(vals)
+    length = 1
+    while (1 << length) - 1 < n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, vals
+
+
+def _huff_encode_table(
+    bits: list[int], vals: list[int]
+) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length); inverse view of the Annex C walk."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, appended bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    t = abs(v).bit_length()
+    return t, v if v > 0 else v + (1 << t) - 1
+
+
+def _block_symbols(coef) -> tuple[list, list]:
+    """Zigzag-ordered quantized block -> (dc entry, ac entries) as
+    (symbol, extra-bit value, extra-bit count) triples; DC symbol left
+    as the category placeholder (diff applied by the caller)."""
+    ac = []
+    run = 0
+    last = 63
+    while last > 0 and coef[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        if coef[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            ac.append((0xF0, 0, 0))  # ZRL
+            run -= 16
+        t, extra = _magnitude(int(coef[k]))
+        ac.append(((run << 4) | t, extra, t))
+        run = 0
+    if last < 63:
+        ac.append((0x00, 0, 0))  # EOB
+    return coef, ac
+
+
+#: quality-100 table: every step 1 (AC roundoff only); DC8 keeps the
+#: flat-block path exact (DC of a flat block of value v is 8(v-128),
+#: divisible by 8, and the IDCT of a DC-only block is exactly flat)
+_JPEG_Q_UNIT = [1] * 64
+
+
+def encode_jpeg(
+    arr,
+    quant=None,
+    chroma_quant=None,
+    subsampling: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JPEG encoder — the test/oracle counterpart of
+    :func:`decode_jpeg` (the same role :func:`encode_png` plays for the
+    PNG path): grayscale ``(h, w)`` or RGB ``(h, w, 3)`` uint8 input,
+    orthonormal FDCT, quantization by the given raster-order 64-entry
+    tables (default: all-ones — "quality 100", DCT roundoff only),
+    fixed-length custom huffman tables (legal DHT; decoder-agnostic),
+    optional 2x1/2x2 chroma subsampling (``subsampling=(h, v)`` factors
+    applied to the LUMA plane, chroma stays 1x1 — (2, 2) is 4:2:0) and
+    restart intervals. Edge padding replicates border pixels."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    m = _dct_matrix()
+    q_luma = np.asarray(quant if quant is not None else _JPEG_Q_UNIT,
+                        dtype=np.int32).reshape(8, 8)
+    q_chroma = np.asarray(
+        chroma_quant if chroma_quant is not None else q_luma,
+        dtype=np.int32,
+    ).reshape(8, 8)
+
+    if gray:
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "plane": a.astype(np.float64)}]
+    else:
+        rgb = a.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        sh, sv = subsampling
+        if (sh, sv) != (1, 1):
+            # average-pool chroma by the sampling ratio (pad first)
+            ph, pw = -(-h // sv) * sv, -(-w // sh) * sh
+            def pool(p):
+                p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+                return p.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+            cb, cr = pool(cb), pool(cr)
+        comps = [
+            {"id": 1, "h": sh, "v": sv, "tq": 0, "plane": y},
+            {"id": 2, "h": 1, "v": 1, "tq": 1, "plane": cb},
+            {"id": 3, "h": 1, "v": 1, "tq": 1, "plane": cr},
+        ]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # quantize every block, in MCU traversal order per component
+    for c in comps:
+        p = c["plane"]
+        th, tw = mcus_y * c["v"] * 8, mcus_x * c["h"] * 8
+        p = np.pad(
+            p,
+            ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+            mode="edge",
+        )
+        q = q_luma if c["tq"] == 0 else q_chroma
+        blocks = {}
+        for by in range(th // 8):
+            for bx in range(tw // 8):
+                f = m @ (p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0) @ m.T
+                qc = np.rint(f / q).astype(np.int32)
+                blocks[(by, bx)] = qc.flat[_ZIGZAG]
+        c["blocks"] = blocks
+
+    # first pass: collect huffman symbol sets (DC diffs need MCU order)
+    dc_syms: dict[int, set] = {0: set(), 1: set()}
+    ac_syms: dict[int, set] = {0: set(), 1: set()}
+    units = []  # (comp, zigzag coefs) in scan order
+    preds = {c["id"]: 0 for c in comps}
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            preds = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu, mcus_x)
+        for c in comps:
+            for v_ in range(c["v"]):
+                for h_ in range(c["h"]):
+                    coef = c["blocks"][(my * c["v"] + v_, mx * c["h"] + h_)]
+                    tid = 0 if c["tq"] == 0 else 1
+                    diff = int(coef[0]) - preds[c["id"]]
+                    preds[c["id"]] = int(coef[0])
+                    t, _ = _magnitude(diff)
+                    dc_syms[tid].add(t)
+                    _, ac = _block_symbols(coef)
+                    ac_syms[tid].update(s for s, _, _ in ac)
+                    units.append((c, tid, diff, ac))
+
+    n_tables = 2 if any(c["tq"] == 1 for c in comps) else 1
+    dc_tbls, ac_tbls, dht = {}, {}, b""
+    import struct
+
+    for tid in range(n_tables):
+        bits, vals = _fixed_length_huff(dc_syms[tid] or {0})
+        dc_tbls[tid] = _huff_encode_table(bits, vals)
+        dht += bytes([0x00 | tid]) + bytes(bits) + bytes(vals)
+        bits, vals = _fixed_length_huff(ac_syms[tid] or {0})
+        ac_tbls[tid] = _huff_encode_table(bits, vals)
+        dht += bytes([0x10 | tid]) + bytes(bits) + bytes(vals)
+
+    # entropy-encode
+    writer = _BitWriter()
+    rst = 0
+    per_mcu = sum(c["h"] * c["v"] for c in comps)
+    for i, (c, tid, diff, ac) in enumerate(units):
+        mcu = i // per_mcu
+        if (
+            restart_interval
+            and mcu
+            and mcu % restart_interval == 0
+            and i % per_mcu == 0
+        ):
+            writer.flush()
+            writer.out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+        t, extra = _magnitude(diff)
+        code, ln = dc_tbls[tid][t]
+        writer.write(code, ln)
+        if t:
+            writer.write(extra, t)
+        for sym, ex, exbits in ac:
+            code, ln = ac_tbls[tid][sym]
+            writer.write(code, ln)
+            if exbits:
+                writer.write(ex, exbits)
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = bytes([0]) + bytes(
+        int(q_luma.flat[_ZIGZAG[i]]) for i in range(64)
+    )
+    if n_tables == 2:
+        dqt += bytes([1]) + bytes(
+            int(q_chroma.flat[_ZIGZAG[i]]) for i in range(64)
+        )
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    sos = bytes([len(comps)])
+    for c in comps:
+        tid = 0 if c["tq"] == 0 else 1
+        sos += bytes([c["id"], (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+
+    out = b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC0, sof) + seg(0xC4, dht)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, sos) + bytes(writer.out) + b"\xff\xd9"
+    return out

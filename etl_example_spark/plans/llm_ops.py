@@ -3330,6 +3330,99 @@ def m42_png_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m43_jpeg_block_stats",
+    "Decode -> feature-extract through the REAL BASELINE-JPEG codec: "
+    "each document's md5 digest becomes a 16x64 grayscale image of 16 "
+    "FLAT 8x8 blocks (block k = digest byte k), encoded as an actual "
+    "baseline sequential JPEG (FDCT, quantization, custom huffman "
+    "tables, restart markers every 3 MCUs) and decoded back by the "
+    "stdlib+numpy parser (operators/multimodal.decode_jpeg: Annex-C "
+    "huffman rebuild, entropy decode with RST sync, dequant, "
+    "orthonormal IDCT). Flat blocks are DC-only and the unit-quant DC "
+    "path is EXACT by construction (DC of a flat block is 8(v-128), "
+    "integral; a DC-only IDCT is exactly flat), so DuckDB re-derives "
+    "the block values from pure hex arithmetic and byte-exactly "
+    "verifies the full marker/huffman/RST/IDCT pipeline. The lossy "
+    "AC/chroma paths are bounded-error property-tested "
+    "(tests/test_properties.py).",
+    oracle="""
+        WITH h AS (SELECT doc_id, md5(COALESCE(text, '')) AS hx
+                   FROM documents),
+        b AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(16),
+                       o -> 16 * (strpos('0123456789abcdef',
+                                         substr(hx, 2 * o + 1, 1)) - 1)
+                            + (strpos('0123456789abcdef',
+                                      substr(hx, 2 * o + 2, 1)) - 1)
+                   ) AS vals
+            FROM h
+        )
+        SELECT doc_id,
+               CAST(list_sum(vals) AS BIGINT) AS v_sum,
+               CAST(list_sum(list_transform(
+                   range(16), i -> (i + 1) * vals[i + 1]
+               )) AS BIGINT) AS v_wsum,
+               CAST(list_min(vals) AS BIGINT) AS v_min,
+               CAST(list_max(vals) AS BIGINT) AS v_max
+        FROM b
+        ORDER BY doc_id
+    """,
+    category="multimodal",
+)
+def m43_jpeg_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.md5((t or "").encode()).digest()
+                # 2x8 grid of flat 8x8 blocks, block k = digest byte k
+                vals = np.frombuffer(d, dtype=np.uint8).reshape(2, 8)
+                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                decoded = multimodal.decode_media(
+                    multimodal.encode_jpeg(img, restart_interval=3),
+                    "jpeg",
+                )
+                # every decoded block must be EXACTLY flat — fail loudly
+                # if the IDCT/entropy path smeared anything
+                blocks = decoded.reshape(2, 8, 8, 8).swapaxes(1, 2)
+                if blocks.max(axis=(2, 3)).tolist() != blocks.min(
+                    axis=(2, 3)
+                ).tolist():
+                    raise AssertionError(
+                        f"non-flat decoded JPEG block for doc {doc_id}"
+                    )
+                got = decoded[::8, ::8].astype(np.int64).ravel()
+                # position-weighted checksum catches block permutation
+                rows.append(
+                    (
+                        doc_id,
+                        int(got.sum()),
+                        int(((np.arange(16) + 1) * got).sum()),
+                        int(got.min()),
+                        int(got.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "v_sum", "v_wsum", "v_min", "v_max"],
+            )
+
+    return docs.mapInPandas(
+        stats, "doc_id long, v_sum long, v_wsum long, v_min long, v_max long"
+    ).orderBy("doc_id")
+
+
+@register(
     "d70_incremental_line_dedup",
     "INCREMENTAL boilerplate pass: the stored line index (one row per "
     "distinct line hash, built from the already-ingested corpus — "

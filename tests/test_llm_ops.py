@@ -154,9 +154,13 @@ def test_ppm_codec_round_trip_and_exact_resize():
         multimodal.decode_ppm(b"P5\n4 2\n255\n" + arr.tobytes())
     with pytest.raises(ValueError):
         multimodal.decode_ppm(b"P6\n4 2\n255\n" + arr.tobytes()[:-1])
-    # decode_media dispatch: ppm real; jpeg still the documented stub
+    # decode_media dispatch: ppm real; mp4 still the documented stub
+    # (jpeg decodes for real since m43 — a non-JPEG payload under the
+    # jpeg format now fails loudly in the codec, not the stub)
     assert np.array_equal(multimodal.decode_media(payload, "ppm"), arr)
     with pytest.raises(NotImplementedError):
+        multimodal.decode_media(payload, "mp4")
+    with pytest.raises(ValueError, match="SOI"):
         multimodal.decode_media(payload, "jpeg")
 
 
@@ -236,9 +240,9 @@ def test_injected_decoder_flows_through_map_in_pandas(spark):
     assert np.array_equal(got, arr[[0]][:, [0]])
     assert (out.media.width, out.media.height) == (1, 1)
 
-    # no decoder -> the documented stub still raises for jpeg
+    # no decoder -> the documented stub still raises for mp4
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(payload, "jpeg")
+        multimodal.decode_media(payload, "mp4")
     # and a custom encoder overrides the canonical PPM re-encode
     out2 = multimodal.resize_media(
         df,

@@ -583,3 +583,130 @@ def test_packed_occurrence_order_matches_lexicographic(spark, pairs):
     got = packed_min.select(d.alias("d"), p.alias("p")).collect()[0]
     want = min(pairs)
     assert (got.d, got.p) == want
+
+
+@given(
+    shape=st.tuples(
+        st.integers(min_value=1, max_value=28),
+        st.integers(min_value=1, max_value=28),
+    ),
+    color=st.booleans(),
+    rst=st.sampled_from([0, 1, 2, 5]),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+@SETTINGS
+def test_jpeg_codec_roundtrip_bounded_error(shape, color, rst, seed):
+    """Baseline JPEG at unit quantization: encode→decode reproduces any
+    raster within the FDCT/IDCT round-off budget — ±1 per grayscale
+    sample (one rint each way), ±3 per RGB sample (adds two YCbCr
+    rounding hops) — across arbitrary (non-multiple-of-8) dimensions
+    and restart intervals. Exactness on DC-only content is pinned
+    separately (flat-block test + the m43 external oracle)."""
+    import numpy as np
+
+    from etl_example_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    size = (*shape, 3) if color else shape
+    arr = rng.integers(0, 256, size=size, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(arr, restart_interval=rst))
+    assert out.shape == arr.shape
+    err = np.abs(out.astype(np.int64) - arr.astype(np.int64)).max()
+    assert err <= (3 if color else 1), f"round-trip error {err}"
+
+
+@given(
+    blocks=st.integers(min_value=1, max_value=6),
+    rows=st.integers(min_value=1, max_value=3),
+    rst=st.sampled_from([0, 3]),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+@SETTINGS
+def test_jpeg_flat_blocks_roundtrip_exact(blocks, rows, rst, seed):
+    """DC-only content is EXACT: a grayscale image of flat 8x8 blocks
+    survives encode→decode bit-for-bit (the m43 oracle's construction:
+    a flat block's DC is 8(v-128) — integral under unit quant — and a
+    DC-only IDCT is exactly flat)."""
+    import numpy as np
+
+    from etl_example_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 256, size=(rows, blocks), dtype=np.uint8)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    out = decode_jpeg(encode_jpeg(img, restart_interval=rst))
+    assert (out == img).all()
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+@SETTINGS
+def test_jpeg_420_smooth_chroma_bounded(seed):
+    """4:2:0 subsampling with chroma constant per 2x2: the only loss is
+    YCbCr rounding, so the round trip stays within the color budget."""
+    import numpy as np
+
+    from etl_example_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, size=(8, 12, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+    out = decode_jpeg(encode_jpeg(img, subsampling=(2, 2)))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(np.int64) - img.astype(np.int64)).max()
+    assert err <= 3, f"4:2:0 smooth round-trip error {err}"
+
+
+def test_jpeg_lossy_quant_table_still_decodes_sanely():
+    """A real (coarse) quant table loses information but the decode must
+    stay structurally correct: a smooth gradient survives within the
+    quantization budget, and the quant table round-trips through DQT."""
+    import numpy as np
+
+    from etl_example_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # gradient image; coarse-ish table (DC step 16, AC step 24)
+    x = np.linspace(40, 215, 32)
+    img = np.clip(np.rint(x[None, :] + x[:, None] / 2), 0, 255).astype(
+        np.uint8
+    )
+    quant = [16] + [24] * 63
+    out = decode_jpeg(encode_jpeg(img, quant=quant))
+    err = np.abs(out.astype(np.int64) - img.astype(np.int64)).max()
+    assert err <= 40, f"gradient error {err} exceeds quant budget"
+    assert abs(float(out.mean()) - float(img.mean())) <= 4.0
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    import pytest
+
+    from etl_example_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    # flip baseline SOF0 (0xC0) to progressive SOF2 (0xC2)
+    import numpy as np
+
+    payload = bytearray(
+        encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    )
+    idx = payload.find(b"\xff\xc0")
+    payload[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(payload))
