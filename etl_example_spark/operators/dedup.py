@@ -1201,12 +1201,32 @@ def doc_lines(
     operator shape (explode → global first-occurrence rule →
     reassemble) is identical in both modes.
 
+    The generator argument stays an INLINE expression, never a bound
+    ``_lines`` column: ``posexplode`` over a column reference triggers
+    Catalyst's InferFiltersFromGenerate, whose inferred
+    ``size(e) > 0 AND isnotnull(e)`` filter substitutes the whole
+    tokenize→chunk expression back in and evaluates it TWICE more per
+    row (measured: d62 1.6 s → 2.7 s at sf0.1 when an intermediate
+    projection bound the array). The token array itself is still bound
+    before the per-line lambda (that one saves O(tokens²) splitting).
+
     Returns (doc_id, line_idx, line_text); a narrow projection + explode,
     no shuffle.
     """
-    return _doc_line_arrays(df, text_col, id_col, line_tokens, separator).select(
+    if separator is None:
+        base = df.select(
+            F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+        )
+        arr = _lines_from_tokens("_toks", line_tokens)
+    else:
+        base = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("_raw"),
+        )
+        arr = F.split(F.col("_raw"), _regex_quote(separator), -1)
+    return base.select(
         "doc_id",
-        F.posexplode("_lines").alias("line_idx", "line_text"),
+        F.posexplode(arr).alias("line_idx", "line_text"),
     )
 
 

@@ -178,6 +178,35 @@ def test_first_occurrence_aggregates_are_hash_based(plans, name):
     assert "SortAggregate" not in plans[name], name
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "d62_line_dedup",
+        "d70_incremental_line_dedup",
+        "d71_line_dedup_apply",
+        "d87_newline_line_dedup",
+        "d80_duplicated_spans",
+        "d81_remove_duplicated_spans",
+        "d82_duplicated_spans_df_floor",
+        "d86_incremental_span_dedup",
+    ],
+)
+def test_no_inferred_filter_duplicates_generator_input(plans, name):
+    """The explode's argument must stay an INLINE expression: posexplode
+    over a BOUND array column triggers Catalyst's
+    InferFiltersFromGenerate, whose ``size(e) > 0 AND isnotnull(e)``
+    filter re-substitutes the whole tokenize→chunk/window derivation
+    and evaluates it twice more per source row (measured: d62
+    1.6 s → 2.7 s at sf0.1). The inferred filter's signature —
+    isnotnull over a lambda-bearing expression — must not appear in any
+    Filter of the family's plans. (The reassembly side's ``size > 0``
+    summary filter is fine: it carries no isnotnull(transform/split).)"""
+    for cond in re.findall(r"Filter \(?([^\n]*)", plans[name]):
+        assert not re.search(
+            r"isnotnull\((?:transform|split)\(", cond
+        ), f"{name}: inferred generate-filter re-evaluates the derivation"
+
+
 def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     """A fact written with partitionBy + a selective dim filter must plan
     a dynamicpruning PartitionFilter — the scan skips whole partitions at
