@@ -1,16 +1,29 @@
-"""Measure the IVF recall-vs-nprobe curve at replicated scale — the
-number an ANN operator tunes FIRST in production.
+"""Measure the IVF recall-vs-nprobe curve (and a PQ recall point) at
+x8-replicated scale — the number an ANN operator tunes FIRST in
+production.
 
 The gate-scale recall certificates (s33a/s40a/s42a) pin one operating
-point at sf0.01; this tool sweeps ``nprobe`` over a corpus replicated
-N× (default ×8: replicas get new ids and a deterministic small rotation
-of the embedding so they are near-duplicates, not exact copies — the
-realistic crawl-duplication shape) and reports, per nprobe:
+point at sf0.01; this tool scales the corpus 8x and sweeps ``nprobe``.
+Two designs that silently produce a USELESS curve, and how this tool
+avoids them (learned by measuring both):
 
-- mean recall@k against the exact brute-force top-k, over ``n_queries``
-  distinct query vectors (not just the min-id one);
-- the measured scan fraction (candidate rows / corpus rows) — the cost
-  lever recall is being traded against.
+- Replicas must not be near-duplicates of their source: a query's true
+  top-k would then be its own replica family, which lands in the same
+  IVF cell by construction — recall reads 1.0 at nprobe=1 no matter how
+  bad the index is. Replicas here get a deterministic per-replica SIGN
+  PATTERN on the coordinates (norm- and distribution-preserving, so
+  cell population stays balanced) — the x8 corpus is 8x more vectors
+  from the same distribution, with genuinely scattered neighbors.
+- Queries must not be the centroid seeds: ivf_assign seeds centroids
+  from the lowest-id vectors, and a query that IS a centroid trivially
+  probes its own cell first. Queries are sampled from the id range
+  ABOVE the seed block.
+
+Reports per nprobe: mean/min recall@10 against exact brute force over
+``N_QUERIES`` queries, plus the worst-case scan fraction (the nprobe
+largest cells / corpus) — the cost that recall is being traded against.
+Also one PQ-ADC recall point (m=8, n_codes=16, shortlist=100) at the
+same scale.
 
 Usage: python tools/ivf_recall_curve.py [replicas] [n_centroids]
 """
@@ -39,16 +52,16 @@ def replicated_embeddings(spark, n: int):
     )
     copies = [base]
     for i in range(1, n):
-        # near-duplicate replica: shift ids, nudge one coordinate —
-        # same neighborhood structure, no exact ties
+        # deterministic sign pattern per (replica, coordinate): keeps
+        # norms and the coordinate distribution, scrambles neighborhoods
         copies.append(
             base.select(
                 (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
                 F.transform(
                     "embedding",
                     lambda x, j: x
-                    + F.when(j == (i % 8), F.lit(0.001 * i)).otherwise(
-                        F.lit(0.0)
+                    * (1 - 2 * ((j * 31 + F.lit(i * 17)) % 2)).cast(
+                        "double"
                     ),
                 ).alias("embedding"),
             )
@@ -59,15 +72,24 @@ def replicated_embeddings(spark, n: int):
     return out.repartition(32).cache()
 
 
+def recall(got: list, want: list) -> float:
+    return len(set(got) & set(want)) / len(want)
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_centroids = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     spark = get_spark(app_name="ivf-recall-curve")
     emb = replicated_embeddings(spark, n)
     total = emb.count()
-    query_ids = [
+    # query ids: spread through the id space, past the centroid seeds
+    ids = [
         r.vec_id
-        for r in emb.orderBy("vec_id").limit(N_QUERIES).collect()
+        for r in emb.select("vec_id").orderBy("vec_id").collect()
+    ]
+    step = (len(ids) - n_centroids) // (N_QUERIES + 1)
+    query_ids = [
+        ids[n_centroids + (q + 1) * step] for q in range(N_QUERIES)
     ]
 
     exact = {
@@ -80,46 +102,54 @@ def main() -> None:
         for qid in query_ids
     }
 
+    assign = similarity.ivf_assign(emb, n_centroids)
+    cell_sizes = sorted(
+        (r["count"] for r in assign.groupBy("centroid_id").count().collect()),
+        reverse=True,
+    )
+
     curve = []
     for nprobe in (1, 2, 4, 8, n_centroids):
-        recalls = []
-        for qid in query_ids:
-            got = [
-                r.neighbor_id
-                for r in similarity.ivf_topk(
-                    emb,
-                    query_id=qid,
-                    k=K,
-                    n_centroids=n_centroids,
-                    nprobe=nprobe,
-                ).collect()
-            ]
-            recalls.append(
-                len(set(got) & set(exact[qid])) / len(exact[qid])
+        recalls = [
+            recall(
+                [
+                    r.neighbor_id
+                    for r in similarity.ivf_topk(
+                        emb,
+                        query_id=qid,
+                        k=K,
+                        n_centroids=n_centroids,
+                        nprobe=nprobe,
+                    ).collect()
+                ],
+                exact[qid],
             )
-        # scan fraction: members of the probed cells / corpus size, for
-        # the first query (cell sizes are query-independent)
-        assign = similarity.ivf_assign(emb, n_centroids)
-        cells = (
-            assign.groupBy("centroid_id")
-            .count()
-            .orderBy(F.desc("count"))
-            .collect()
-        )
-        # upper bound: the nprobe largest cells
-        worst_scan = sum(c["count"] for c in cells[:nprobe]) / total
+            for qid in query_ids
+        ]
         curve.append(
             {
                 "nprobe": nprobe,
-                "mean_recall_at_10": round(
-                    sum(recalls) / len(recalls), 3
-                ),
+                "mean_recall_at_10": round(sum(recalls) / len(recalls), 3),
                 "min_recall_at_10": round(min(recalls), 3),
-                "worst_case_scan_fraction": round(worst_scan, 3),
+                "worst_case_scan_fraction": round(
+                    sum(cell_sizes[:nprobe]) / total, 3
+                ),
             }
         )
         print(json.dumps(curve[-1]))
 
+    pq_recalls = [
+        recall(
+            [
+                r.neighbor_id
+                for r in similarity.pq_topk(
+                    emb, k=K, m=8, n_codes=16, query_id=qid
+                ).collect()
+            ],
+            exact[qid],
+        )
+        for qid in query_ids
+    ]
     print(
         json.dumps(
             {
@@ -129,6 +159,10 @@ def main() -> None:
                 "k": K,
                 "n_queries": N_QUERIES,
                 "curve": curve,
+                "pq_m8_codes16_shortlist100_mean_recall": round(
+                    sum(pq_recalls) / len(pq_recalls), 3
+                ),
+                "pq_min_recall": round(min(pq_recalls), 3),
             }
         )
     )
