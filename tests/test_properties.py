@@ -710,3 +710,26 @@ def test_jpeg_rejects_progressive_and_garbage():
     payload[idx + 1] = 0xC2
     with pytest.raises(ValueError, match="non-baseline"):
         decode_jpeg(bytes(payload))
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+@SETTINGS
+def test_jpeg_422_smooth_chroma_bounded(seed):
+    """4:2:2 (horizontal-only) subsampling with chroma constant per
+    1x2 pair: YCbCr rounding is the only loss."""
+    import numpy as np
+
+    from etl_example_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, size=(16, 10, 3), dtype=np.uint8)
+    img = np.repeat(base, 2, axis=1)
+    out = decode_jpeg(encode_jpeg(img, subsampling=(2, 1)))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(np.int64) - img.astype(np.int64)).max()
+    assert err <= 3, f"4:2:2 smooth round-trip error {err}"
