@@ -2264,3 +2264,134 @@ def soft_dedup_weights(
             (F.lit(1.0) / F.col("n_copies")).alias("weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate audits — the "what dominates my corpus" reports
+# ---------------------------------------------------------------------------
+
+
+def top_duplicated_spans(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+    min_df: int = 2,
+    stage_path: str | None = None,
+) -> DataFrame:
+    """The k most-repeated ``span_tokens``-token windows WITH their text
+    — the audit a span-dedup pass runs first ("what boilerplate
+    dominates this corpus": license headers, cookie banners, navboxes),
+    and the evidence behind choosing d82's frequency floor.
+
+    Scale shape: the per-hash stats come from the same narrow
+    occurrence aggregate as detection (count + min packed key per hash
+    pair — never span text through the shuffle); the top-k is a
+    TakeOrdered over one row per distinct repeated span; the text is
+    recovered MAP-SIDE by broadcasting the k winners onto the corpus
+    and re-slicing each winner's first-occurrence document at its
+    recorded position — k rows of text materialize, not one per
+    occurrence. Deterministic ties: equal counts order by the packed
+    first-occurrence key (unique per span).
+
+    Returns (span_text, span_df, first_doc, first_pos), highest
+    span_df first.
+    """
+    occ = staged_span_occurrences(
+        df, text_col, id_col, span_tokens, stage_path
+    )
+    if not _integral_id(occ, "doc_id"):
+        raise ValueError(
+            "top_duplicated_spans requires an integral id column "
+            "(packed occurrence keys); got " + dict(occ.dtypes)["doc_id"]
+        )
+    id_type = dict(occ.dtypes)["doc_id"]
+    packed = _pack_occurrence(F.col("doc_id"), F.col("pos"))
+    first_doc, first_pos = _unpack_occurrence(F.col("_k"))
+    top = (
+        occ.select("_h1", "_h2", packed.alias("_p"))
+        .groupBy("_h1", "_h2")
+        .agg(F.count("*").alias("span_df"), F.min("_p").alias("_k"))
+        .filter(F.col("span_df") >= min_df)
+        .orderBy(F.desc("span_df"), "_k")
+        .limit(k)
+        .select(
+            first_doc.cast(id_type).alias("doc_id"),
+            first_pos.cast("int").alias("first_pos"),
+            "span_df",
+        )
+    )
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
+    )
+    return (
+        docs.join(F.broadcast(top), "doc_id")
+        .select(
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("first_pos") + 1, span_tokens),
+                " ",
+            ).alias("span_text"),
+            "span_df",
+            F.col("doc_id").alias("first_doc"),
+            "first_pos",
+        )
+        .orderBy(F.desc("span_df"), "first_doc", "first_pos")
+    )
+
+
+def top_duplicated_lines(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_tokens: int = 10,
+    separator: str | None = None,
+    min_df: int = 2,
+) -> DataFrame:
+    """The k most-repeated LINES with their text — the C4-pass audit
+    (same report as :func:`top_duplicated_spans`, one level up), in
+    either line mode: token-chunk lines (default) or literal
+    ``separator`` lines. Identical scale shape: hash-keyed narrow
+    stats aggregate, TakeOrdered top-k, text recovered map-side from
+    each winner's first-occurrence document.
+
+    Returns (line_text, line_df, first_doc, first_idx), highest
+    line_df first.
+    """
+    lines = doc_lines(df, text_col, id_col, line_tokens, separator)
+    if not _integral_id(lines, "doc_id"):
+        raise ValueError(
+            "top_duplicated_lines requires an integral id column "
+            "(packed occurrence keys); got " + dict(lines.dtypes)["doc_id"]
+        )
+    id_type = dict(lines.dtypes)["doc_id"]
+    packed = _pack_occurrence(F.col("doc_id"), F.col("line_idx"))
+    first_doc, first_idx = _unpack_occurrence(F.col("_k"))
+    top = (
+        lines.select(*_content_hash_pair("line_text"), packed.alias("_p"))
+        .groupBy("_h1", "_h2")
+        .agg(F.count("*").alias("line_df"), F.min("_p").alias("_k"))
+        .filter(F.col("line_df") >= min_df)
+        .orderBy(F.desc("line_df"), "_k")
+        .limit(k)
+        .select(
+            first_doc.cast(id_type).alias("doc_id"),
+            first_idx.cast("int").alias("first_idx"),
+            "line_df",
+        )
+    )
+    docs = _doc_line_arrays(df, text_col, id_col, line_tokens, separator)
+    return (
+        docs.join(F.broadcast(top), "doc_id")
+        .select(
+            F.element_at(F.col("_lines"), F.col("first_idx") + 1).alias(
+                "line_text"
+            ),
+            "line_df",
+            F.col("doc_id").alias("first_doc"),
+            "first_idx",
+        )
+        .orderBy(F.desc("line_df"), "first_doc", "first_idx")
+    )

@@ -4434,3 +4434,98 @@ def d87_newline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return dedup.line_dedup(docs, separator="\n")
+
+
+@register(
+    "d88_top_duplicated_spans",
+    "Boilerplate audit, span level: the 20 most-repeated 8-token "
+    "windows WITH their text, corpus frequency, and first occurrence — "
+    "the report a span-dedup pass runs first and the evidence behind "
+    "d82's frequency floor. Stats ride the same narrow hash-keyed "
+    "occurrence aggregate as detection (span text never shuffles); "
+    "top-k is a TakeOrdered over one row per distinct repeated span; "
+    "text is recovered map-side by broadcasting the k winners onto the "
+    "corpus and re-slicing each winner's first-occurrence document. "
+    "Ties break on the packed first-occurrence key — deterministic "
+    "(operators/dedup.top_duplicated_spans).",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+        occ AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(toks[(i+1):(i+8)], ' ') AS span
+            FROM t, LATERAL (
+                SELECT unnest(range(len(toks) - 8 + 1)) AS i
+            ) g
+            WHERE len(toks) >= 8
+        ),
+        st AS (
+            SELECT span,
+                   COUNT(*) AS span_df,
+                   MIN(doc_id * 1048576 + pos) AS k
+            FROM occ GROUP BY span HAVING COUNT(*) >= 2
+        )
+        SELECT span AS span_text,
+               CAST(span_df AS BIGINT) AS span_df,
+               CAST(k // 1048576 AS BIGINT) AS first_doc,
+               CAST(k % 1048576 AS INT) AS first_pos
+        FROM st
+        ORDER BY span_df DESC, k ASC
+        LIMIT 20
+    """,
+    category="dedup",
+)
+def d88_top_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.top_duplicated_spans(docs, k=20, span_tokens=8)
+
+
+@register(
+    "d89_top_boilerplate_lines",
+    "Boilerplate audit, line level, in LITERAL newline mode: the 20 "
+    "most-repeated lines of the newline-derived corpus (same "
+    "deterministic derivation as d87) with text, frequency, and first "
+    "occurrence — the C4-pass audit. Same scale shape as d88: narrow "
+    "hash-keyed stats, TakeOrdered top-k, map-side text recovery from "
+    "the winners' first-occurrence documents "
+    "(operators/dedup.top_duplicated_lines(separator='\\n')).",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   replace(COALESCE(text, ''), 'line', chr(10)) AS text
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, string_split(text, chr(10)) AS lines FROM d
+        ),
+        l AS (
+            SELECT doc_id, i AS line_idx, lines[i+1] AS line_text
+            FROM t, LATERAL (
+                SELECT unnest(range(len(lines))) AS i
+            ) g
+        ),
+        st AS (
+            SELECT line_text,
+                   COUNT(*) AS line_df,
+                   MIN(doc_id * 1048576 + line_idx) AS k
+            FROM l GROUP BY line_text HAVING COUNT(*) >= 2
+        )
+        SELECT line_text,
+               CAST(line_df AS BIGINT) AS line_df,
+               CAST(k // 1048576 AS BIGINT) AS first_doc,
+               CAST(k % 1048576 AS INT) AS first_idx
+        FROM st
+        ORDER BY line_df DESC, k ASC
+        LIMIT 20
+    """,
+    category="dedup",
+)
+def d89_top_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("line"),
+            F.lit("\n"),
+        ).alias("text"),
+    )
+    return dedup.top_duplicated_lines(docs, k=20, separator="\n")

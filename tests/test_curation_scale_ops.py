@@ -1182,3 +1182,63 @@ class TestDurableSpanStaging:
             ).count()
             == 4
         )
+
+
+class TestBoilerplateAudits:
+    def test_top_spans_hand_corpus(self, spark):
+        from etl_example_spark.operators.dedup import top_duplicated_spans
+
+        boiler = "a b c"  # 3-token span repeated in 3 docs
+        quote = "x y z"  # repeated in 2 docs
+        docs = _docs(
+            spark,
+            [
+                (1, f"{boiler} uniq1 tail1"),
+                (2, f"opener2 {boiler} uniq2"),
+                (3, f"{boiler} end3a end3b"),
+                (4, f"{quote} four4 tail4"),
+                (5, f"start5 {quote} five5"),
+            ],
+        )
+        got = [
+            (r.span_text, r.span_df, r.first_doc, r.first_pos)
+            for r in top_duplicated_spans(
+                docs, k=2, span_tokens=3
+            ).collect()
+        ]
+        assert got[0] == ("a b c", 3, 1, 0)
+        assert got[1] == ("x y z", 2, 4, 0)
+
+    def test_top_lines_newline_mode(self, spark):
+        from etl_example_spark.operators.dedup import top_duplicated_lines
+
+        docs = _docs(
+            spark,
+            [
+                (1, "cookie banner\nbody one"),
+                (2, "cookie banner\nbody two"),
+                (3, "body three\ncookie banner"),
+            ],
+        )
+        got = [
+            (r.line_text, r.line_df, r.first_doc, r.first_idx)
+            for r in top_duplicated_lines(
+                docs, k=5, separator="\n"
+            ).collect()
+        ]
+        assert got == [("cookie banner", 3, 1, 0)]
+
+    def test_min_df_floor_and_k_cap(self, spark):
+        from etl_example_spark.operators.dedup import top_duplicated_lines
+
+        docs = _docs(
+            spark,
+            [(1, "p\nq\nr"), (2, "p\nq\ns"), (3, "p\nt\nu")],
+        )
+        got = [
+            (r.line_text, r.line_df)
+            for r in top_duplicated_lines(
+                docs, k=1, separator="\n", min_df=2
+            ).collect()
+        ]
+        assert got == [("p", 3)]  # q (df=2) cut by k=1; singletons cut by floor
