@@ -881,7 +881,20 @@ def decode_jpeg(payload: bytes):
     ``(h, w)`` for grayscale or ``(h, w, 3)`` RGB.
 
     Progressive/arithmetic/12-bit JPEGs raise ValueError and route to
-    the pluggable ``decoder=`` in :func:`decode_media`."""
+    the pluggable ``decoder=`` in :func:`decode_media`. EVERY malformed
+    or truncated payload raises ValueError too (fuzz-tested over all
+    truncation points) — a codec at the Arrow batch boundary must fail
+    with a catchable, meaningful error, never a raw IndexError from
+    half-parsed state."""
+    import struct
+
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated/malformed JPEG payload: {e}") from e
+
+
+def _decode_jpeg(payload: bytes):
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":

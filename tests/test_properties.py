@@ -733,3 +733,29 @@ def test_jpeg_422_smooth_chroma_bounded(seed):
     assert out.shape == img.shape
     err = np.abs(out.astype(np.int64) - img.astype(np.int64)).max()
     assert err <= 3, f"4:2:2 smooth round-trip error {err}"
+
+
+@given(seed=st.integers(min_value=0, max_value=2**16))
+@SETTINGS
+def test_jpeg_truncation_fuzz_never_raw_index_error(seed):
+    """A codec at the Arrow batch boundary must fail catchably: EVERY
+    truncation of a valid JPEG either still decodes (cuts that only
+    drop the EOI marker — entropy data was already complete) or raises
+    ValueError — never a raw IndexError/struct.error from half-parsed
+    state."""
+    import numpy as np
+
+    from etl_example_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(9, 14), dtype=np.uint8)
+    payload = encode_jpeg(img)
+    for cut in range(0, len(payload), 3):
+        try:
+            out = decode_jpeg(payload[:cut])
+        except ValueError:
+            continue
+        assert out.shape == img.shape  # EOI-only truncation decoded fine
