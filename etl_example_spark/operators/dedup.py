@@ -1676,6 +1676,48 @@ def probe_line_index(
     )
 
 
+def merge_line_index(
+    index: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_tokens: int = 10,
+    separator: str | None = None,
+) -> DataFrame:
+    """Fold one ingested batch into the stored line index — the line-
+    level twin of :func:`merge_span_index` (and the offline compaction
+    step for st52's epoch slices): hashes the index already holds keep
+    their published first occurrence (arrival precedence) and add the
+    batch's occurrence count; unseen hashes enter with their batch-first
+    occurrence. One full-outer join on the unique line_hash key between
+    two one-row-per-hash tables — no skew side, no corpus rescan.
+
+    Law (tested): when arrival order agrees with (doc_id, line_idx)
+    order — new ids above all indexed ids, the append-only production
+    case — ``merge_line_index(line_index(old), new)`` row-equals
+    ``line_index(old ∪ new)``.
+    """
+    b = line_index(batch, text_col, id_col, line_tokens, separator)
+    i = (
+        index.withColumnRenamed("first_doc", "_i_doc")
+        .withColumnRenamed("first_idx", "_i_idx")
+        .withColumnRenamed("n_seen", "_i_n")
+    )
+    b = (
+        b.withColumnRenamed("first_doc", "_b_doc")
+        .withColumnRenamed("first_idx", "_b_idx")
+        .withColumnRenamed("n_seen", "_b_n")
+    )
+    return i.join(b, "line_hash", "full_outer").select(
+        "line_hash",
+        F.coalesce("_i_doc", "_b_doc").alias("first_doc"),
+        F.coalesce("_i_idx", "_b_idx").alias("first_idx"),
+        (
+            F.coalesce("_i_n", F.lit(0)) + F.coalesce("_b_n", F.lit(0))
+        ).alias("n_seen"),
+    )
+
+
 def line_dedup_clean(
     df: DataFrame,
     text_col: str = "text",

@@ -1026,3 +1026,133 @@ def st51_stream_span_maintenance(
         .select("doc_id", "span_start", "span_end", "span_len")
         .orderBy("doc_id", "span_start")
     )
+
+
+@register(
+    "st52_stream_line_maintenance",
+    "Streaming C4-pass index maintenance — the streaming half of the "
+    "d70 incremental-line story, and the line-level sibling of st51: "
+    "the stored line index (one row per distinct line hash + first "
+    "occurrence, never line text) is SEEDED to parquet from the "
+    "already-ingested corpus (doc_id % 5 != 0, epoch=-1); each "
+    "arriving micro-batch probes the union of epoch slices read back "
+    "from parquet (operators/dedup.probe_line_index — a batch line "
+    "survives only if unseen in the index and first within its batch; "
+    "arrival order beats id order) and then APPENDS its own epoch "
+    "slice of line-index rows, so later batches are checked against "
+    "the static corpus AND every earlier batch. Epoch-sliced "
+    "overwrites are idempotent under micro-batch retry; offline "
+    "compaction is operators/dedup.merge_line_index. Per-batch work "
+    "is O(batch lines).",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+        ),
+        lines AS (
+            SELECT doc_id, i AS line_idx,
+                   array_to_string(toks[(i*10+1):(i*10+10)], ' ')
+                       AS line_text
+            FROM t, LATERAL (
+                SELECT unnest(range(CAST(ceil(len(toks)/10.0) AS BIGINT)))
+                       AS i
+            ) g
+        ),
+        ex AS (
+            SELECT DISTINCT md5(line_text) AS lh
+            FROM lines WHERE doc_id % 5 != 0
+        ),
+        bl AS (
+            SELECT doc_id, line_idx, line_text,
+                   md5(line_text) AS lh,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(line_text)
+                       ORDER BY doc_id, line_idx
+                   ) AS rk
+            FROM lines WHERE doc_id % 5 = 0
+        ),
+        dec AS (
+            SELECT *,
+                   (rk = 1 AND lh NOT IN (SELECT lh FROM ex)) AS kept
+            FROM bl
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(count_if(kept) AS BIGINT) AS kept_lines,
+               CAST(count_if(NOT kept) AS BIGINT) AS dropped_lines,
+               md5(COALESCE(string_agg(
+                   CASE WHEN kept THEN line_text END, chr(10)
+                   ORDER BY line_idx), '')) AS cleaned_fp
+        FROM dec
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    category="streaming",
+)
+def st52_stream_line_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators.dedup import (
+        line_index,
+        probe_line_index,
+    )
+    from etl_example_spark.sources.loaders import load_table
+    from etl_example_spark.streaming.sources import read_documents_stream
+
+    static = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 != 0
+    )
+    idx_dir = _tempfile.mkdtemp(prefix="line_idx_")
+    out_dir = _tempfile.mkdtemp(prefix="line_out_")
+    line_index(static).write.mode("overwrite").parquet(
+        os.path.join(idx_dir, "epoch=-1")
+    )
+
+    stream = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 5 == 0
+    )
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        # membership is all the probe needs — the union of epoch
+        # slices IS the index; compaction happens offline
+        stored = sess.read.parquet(idx_dir)
+        probe_line_index(stored, batch_df).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"epoch={epoch_id}"))
+        line_index(batch_df).write.mode("overwrite").parquet(
+            os.path.join(idx_dir, f"epoch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(update)
+        .option(
+            "checkpointLocation", _tempfile.mkdtemp(prefix="ckpt_line_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    found = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(out_dir)
+        for f in files
+    )
+    if not found:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_lines long, kept_lines long, "
+            "dropped_lines long, cleaned_fp string",
+        )
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            "doc_id", "n_lines", "kept_lines", "dropped_lines", "cleaned_fp"
+        )
+        .orderBy("doc_id")
+    )

@@ -1242,3 +1242,56 @@ class TestBoilerplateAudits:
             ).collect()
         ]
         assert got == [("p", 3)]  # q (df=2) cut by k=1; singletons cut by floor
+
+
+class TestMergeLineIndex:
+    def test_merge_equals_full_rebuild_append_only(self, spark):
+        """The incremental law, line level: with new ids above all
+        indexed ids, merge_line_index(line_index(old), new) row-equals
+        line_index(old ∪ new) — counts, first occurrences, everything."""
+        from etl_example_spark.operators.dedup import (
+            line_index,
+            merge_line_index,
+        )
+
+        old = _docs(
+            spark, [(1, "a b"), (2, "a b"), (3, "c d")]
+        )
+        new = _docs(
+            spark, [(10, "a b"), (11, "e f")]
+        )
+        merged = {
+            (r.line_hash, r.first_doc, r.first_idx, r.n_seen)
+            for r in merge_line_index(
+                line_index(old, line_tokens=2), new, line_tokens=2
+            ).collect()
+        }
+        full = {
+            (r.line_hash, r.first_doc, r.first_idx, r.n_seen)
+            for r in line_index(
+                old.unionByName(new), line_tokens=2
+            ).collect()
+        }
+        assert merged == full and len(merged) == 3
+
+    def test_merge_in_separator_mode(self, spark):
+        from etl_example_spark.operators.dedup import (
+            line_index,
+            merge_line_index,
+        )
+
+        old = _docs(spark, [(1, "x\ny")])
+        new = _docs(spark, [(5, "y\nz")])
+        merged = {
+            (r.first_doc, r.n_seen)
+            for r in merge_line_index(
+                line_index(old, separator="\n"), new, separator="\n"
+            ).collect()
+        }
+        full = {
+            (r.first_doc, r.n_seen)
+            for r in line_index(
+                old.unionByName(new), separator="\n"
+            ).collect()
+        }
+        assert merged == full
