@@ -1100,6 +1100,73 @@ def _fixed_length_huff(symbols: set[int]) -> tuple[list[int], list[int]]:
     return bits, vals
 
 
+def _optimal_huff(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Frequency-optimal canonical DHT (BITS, HUFFVAL), length-limited
+    to 16 bits the way real encoders build theirs: plain huffman over
+    the symbol frequencies plus one zero-frequency DUMMY symbol,
+    overlong codes folded upward per Annex K.3 (move a pair up from the
+    deepest level), then one code removed from the deepest used length
+    — the dummy's slot — which leaves the code incomplete there so the
+    all-ones codeword is never assigned (libjpeg's reservation trick).
+    Canonical assignment gives shorter codes to more frequent symbols,
+    ties by symbol value, so tables are deterministic. Exercises the
+    decoder's variable-length canonical walk the way interop JPEGs do —
+    fixed-length tables never leave one length."""
+    import heapq
+    import itertools
+
+    if not freqs:
+        freqs = {0: 1}
+    tie = itertools.count()
+    # dummy first so it merges earliest and sinks deepest
+    heap = [(0, next(tie), "DUMMY")]
+    for sym, f in sorted(freqs.items()):
+        heap.append((f, next(tie), sym))
+    heapq.heapify(heap)
+    depth: dict[object, int] = {}
+
+    def deepen(node, by):
+        if isinstance(node, tuple):
+            for child in node:
+                deepen(child, by)
+        else:
+            depth[node] = depth.get(node, 0) + by
+
+    while len(heap) > 1:
+        f1, _, n1 = heapq.heappop(heap)
+        f2, _, n2 = heapq.heappop(heap)
+        deepen(n1, 1)
+        deepen(n2, 1)
+        heapq.heappush(heap, (f1 + f2, next(tie), (n1, n2)))
+    counts = [0] * 64
+    for _, d in depth.items():
+        counts[d] += 1
+    # Annex K.3: fold levels deeper than 16 upward
+    for ln in range(len(counts) - 1, 16, -1):
+        while counts[ln] > 0:
+            j = ln - 2
+            while counts[j] == 0:
+                j -= 1
+            counts[ln] -= 2
+            counts[ln - 1] += 1
+            counts[j] -= 1
+            counts[j + 1] += 2
+    # drop one code from the deepest used length — the dummy's slot;
+    # the deepest level goes incomplete, so all-ones is never assigned
+    top = max(i for i in range(1, 17) if counts[i])
+    counts[top] -= 1
+    bits = [counts[i] for i in range(1, 17)]
+    assert sum(bits) == len(freqs)
+    # canonical fill: most frequent symbols take the shortest codes
+    by_freq = sorted(freqs, key=lambda s: (-freqs[s], s))
+    vals: list[int] = []
+    i = 0
+    for ln in range(1, 17):
+        vals.extend(by_freq[i : i + bits[ln - 1]])
+        i += bits[ln - 1]
+    return bits, vals
+
+
 def _huff_encode_table(
     bits: list[int], vals: list[int]
 ) -> dict[int, tuple[int, int]]:
@@ -1160,16 +1227,20 @@ def encode_jpeg(
     chroma_quant=None,
     subsampling: tuple[int, int] = (1, 1),
     restart_interval: int = 0,
+    optimize_huffman: bool = True,
 ) -> bytes:
     """Baseline JPEG encoder — the test/oracle counterpart of
     :func:`decode_jpeg` (the same role :func:`encode_png` plays for the
     PNG path): grayscale ``(h, w)`` or RGB ``(h, w, 3)`` uint8 input,
     orthonormal FDCT, quantization by the given raster-order 64-entry
     tables (default: all-ones — "quality 100", DCT roundoff only),
-    fixed-length custom huffman tables (legal DHT; decoder-agnostic),
-    optional 2x1/2x2 chroma subsampling (``subsampling=(h, v)`` factors
-    applied to the LUMA plane, chroma stays 1x1 — (2, 2) is 4:2:0) and
-    restart intervals. Edge padding replicates border pixels."""
+    frequency-optimal length-limited canonical huffman tables by
+    default (``optimize_huffman=False`` falls back to fixed-length
+    tables — both are legal DHTs; the decoder rebuilds either through
+    the same Annex C walk), optional 2x1/2x2 chroma subsampling
+    (``subsampling=(h, v)`` factors applied to the LUMA plane, chroma
+    stays 1x1 — (2, 2) is 4:2:0) and restart intervals. Edge padding
+    replicates border pixels."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
@@ -1227,9 +1298,12 @@ def encode_jpeg(
                 blocks[(by, bx)] = qc.flat[_ZIGZAG]
         c["blocks"] = blocks
 
-    # first pass: collect huffman symbol sets (DC diffs need MCU order)
-    dc_syms: dict[int, set] = {0: set(), 1: set()}
-    ac_syms: dict[int, set] = {0: set(), 1: set()}
+    # first pass: collect huffman symbol frequencies (DC diffs need
+    # MCU order)
+    from collections import Counter
+
+    dc_syms: dict[int, Counter] = {0: Counter(), 1: Counter()}
+    ac_syms: dict[int, Counter] = {0: Counter(), 1: Counter()}
     units = []  # (comp, zigzag coefs) in scan order
     preds = {c["id"]: 0 for c in comps}
     for mcu in range(mcus_x * mcus_y):
@@ -1244,7 +1318,7 @@ def encode_jpeg(
                     diff = int(coef[0]) - preds[c["id"]]
                     preds[c["id"]] = int(coef[0])
                     t, _ = _magnitude(diff)
-                    dc_syms[tid].add(t)
+                    dc_syms[tid][t] += 1
                     _, ac = _block_symbols(coef)
                     ac_syms[tid].update(s for s, _, _ in ac)
                     units.append((c, tid, diff, ac))
@@ -1253,11 +1327,16 @@ def encode_jpeg(
     dc_tbls, ac_tbls, dht = {}, {}, b""
     import struct
 
+    def build(counter):
+        if optimize_huffman:
+            return _optimal_huff(dict(counter) or {0: 1})
+        return _fixed_length_huff(set(counter) or {0})
+
     for tid in range(n_tables):
-        bits, vals = _fixed_length_huff(dc_syms[tid] or {0})
+        bits, vals = build(dc_syms[tid])
         dc_tbls[tid] = _huff_encode_table(bits, vals)
         dht += bytes([0x00 | tid]) + bytes(bits) + bytes(vals)
-        bits, vals = _fixed_length_huff(ac_syms[tid] or {0})
+        bits, vals = build(ac_syms[tid])
         ac_tbls[tid] = _huff_encode_table(bits, vals)
         dht += bytes([0x10 | tid]) + bytes(bits) + bytes(vals)
 

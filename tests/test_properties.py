@@ -759,3 +759,32 @@ def test_jpeg_truncation_fuzz_never_raw_index_error(seed):
         except ValueError:
             continue
         assert out.shape == img.shape  # EOI-only truncation decoded fine
+
+
+@given(
+    shape=st.tuples(
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=1, max_value=24),
+    ),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+@SETTINGS
+def test_jpeg_optimal_and_fixed_tables_decode_identically(shape, seed):
+    """Huffman tables change the bitstream, never the pixels: the
+    frequency-optimal length-limited canonical tables (variable code
+    lengths — the real-encoder shape) and the fixed-length tables must
+    decode to identical arrays, and the optimal payload is never
+    larger. Exercises the decoder's Annex-C walk across code lengths."""
+    import numpy as np
+
+    from etl_example_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    p_opt = encode_jpeg(img, optimize_huffman=True)
+    p_fix = encode_jpeg(img, optimize_huffman=False)
+    assert (decode_jpeg(p_opt) == decode_jpeg(p_fix)).all()
+    assert len(p_opt) <= len(p_fix)
