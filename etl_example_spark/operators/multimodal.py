@@ -1138,7 +1138,7 @@ def _optimal_huff(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
         deepen(n1, 1)
         deepen(n2, 1)
         heapq.heappush(heap, (f1 + f2, next(tie), (n1, n2)))
-    counts = [0] * 64
+    counts = [0] * (max(max(depth.values()) + 2, 18))
     for _, d in depth.items():
         counts[d] += 1
     # Annex K.3: fold levels deeper than 16 upward

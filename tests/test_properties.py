@@ -788,3 +788,47 @@ def test_jpeg_optimal_and_fixed_tables_decode_identically(shape, seed):
     p_fix = encode_jpeg(img, optimize_huffman=False)
     assert (decode_jpeg(p_opt) == decode_jpeg(p_fix)).all()
     assert len(p_opt) <= len(p_fix)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    seed=st.integers(min_value=0, max_value=2**16),
+    skew=st.sampled_from(["uniform", "zipf", "fibonacci"]),
+)
+@SETTINGS
+def test_optimal_huff_tables_always_valid(n, seed, skew):
+    """_optimal_huff must produce a legal JPEG table for ANY frequency
+    distribution: ≤16-bit lengths (Annex K.3 fold — fibonacci
+    frequencies force maximal unclamped depth), prefix-free canonical
+    codes, the all-ones codeword never assigned (the dummy-slot
+    reservation), and every input symbol present exactly once."""
+    import numpy as np
+
+    from etl_example_spark.operators.multimodal import (
+        _huff_encode_table,
+        _optimal_huff,
+    )
+
+    rng = np.random.default_rng(seed)
+    if skew == "uniform":
+        freqs = {s: 1 + int(rng.integers(0, 10)) for s in range(n)}
+    elif skew == "zipf":
+        freqs = {s: max(1, int(10_000 / (s + 1))) for s in range(n)}
+    else:
+        a, b, freqs = 1, 1, {}
+        for s in range(min(n, 80)):
+            freqs[s] = a
+            a, b = b, a + b
+    bits, vals = _optimal_huff(freqs)
+    assert sorted(vals) == sorted(freqs)
+    assert sum(bits) == len(freqs)
+    tbl = _huff_encode_table(bits, vals)
+    pairs = [(ln, code) for code, ln in tbl.values()]
+    assert all(ln <= 16 for ln, _ in pairs)
+    assert all(code != (1 << ln) - 1 for ln, code in pairs)
+    for i, (l1, c1) in enumerate(pairs):
+        for l2, c2 in pairs[i + 1 :]:
+            la, ca, lb, cb = (
+                (l1, c1, l2, c2) if l1 <= l2 else (l2, c2, l1, c1)
+            )
+            assert (cb >> (lb - la)) != ca, "prefix violation"
