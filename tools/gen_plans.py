@@ -129,6 +129,26 @@ SHOW = {
         "map-side, broadcast-joins the codebooks, two HashAggregates "
         "(argmin per subspace, assemble codes), union with stored codes."
     ),
+    "d87_newline_line_dedup": (
+        "LITERAL newline line dedup (C4's actual pass): split on the "
+        "separator inline in the Generate (no inferred filter "
+        "re-evaluating the derivation — plan-linted), same packed-key "
+        "HashAggregate first-occurrence rule and unique-key reassembly "
+        "as d62."
+    ),
+    "d88_top_duplicated_spans": (
+        "Boilerplate audit: narrow hash-keyed occurrence aggregate "
+        "(count + min packed key), TakeOrdered top-k over one row per "
+        "distinct repeated span, k winners broadcast back onto the "
+        "corpus for map-side text recovery — span text never shuffles."
+    ),
+    "m43_jpeg_block_stats": (
+        "Real-codec multimodal kernel: one scan feeding mapInPandas "
+        "(Arrow-batched encode_jpeg/decode_jpeg round trip per row), "
+        "then TakeOrdered — all per-image work stays inside the scan "
+        "stage's Python worker; nothing shuffles but the 5-column "
+        "result."
+    ),
     "d63_bloom_contamination": (
         "Relational Bloom probe: the position table broadcasts twice "
         "(build side is k·|benchmark| rows); the corpus scans once and "
