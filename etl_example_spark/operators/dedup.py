@@ -2070,6 +2070,22 @@ def remove_duplicated_spans(
         detected = duplicated_spans(
             df, text_col, id_col, span_tokens, stage_path
         )
+    return _remove_interval_spans(df, detected, text_col, id_col)
+
+
+def _remove_interval_spans(
+    df: DataFrame,
+    detected: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared apply kernel: given (doc_id, span_start, span_end)
+    removal intervals, return the corpus with every covered token
+    removed and survivors rejoined — the reassembly used by
+    :func:`remove_duplicated_spans` and
+    :func:`remove_benchmark_spans`. Intervals fold to one array per
+    doc and join back on the unique doc_id key; each document filters
+    its own token array map-side — token text never shuffles."""
     spans_per_doc = (
         detected
         .groupBy("doc_id")
@@ -2116,6 +2132,65 @@ def remove_duplicated_spans(
             ).alias(text_col),
         )
     )
+
+
+def benchmark_span_overlap(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 13,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Span-level benchmark decontamination, DETECTION half — the
+    GPT-3 13-gram rule as positioned intervals: every
+    ``span_tokens``-token window of the corpus that appears ANYWHERE
+    in the benchmark is an overlap anchor; overlapping/adjacent
+    anchors merge to maximal (doc_id, span_start, span_end) removal
+    intervals. Complements d47's doc-level report: this is the form
+    you APPLY when dropping whole documents is too blunt (one quoted
+    eval question shouldn't cost a long document).
+
+    Scale shape: the benchmark's distinct span hashes are a
+    (hash-pair)-only table bounded by benchmark TOKENS (eval suites
+    are tiny next to the corpus) — it BROADCASTS onto the corpus
+    occurrence scan, so the corpus never shuffles for the probe
+    (``broadcast_benchmark=False`` switches to a shuffled left-semi
+    join for benchmark-sized 'benchmarks'). Anchors then merge with
+    the same per-document bounded window as :func:`duplicated_spans`.
+    """
+    bench = (
+        _span_occurrences(benchmark, text_col, id_col, span_tokens)
+        .select("_h1", "_h2")
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    occ = staged_span_occurrences(df, text_col, id_col, span_tokens)
+    hits = occ.join(bench, ["_h1", "_h2"], "left_semi").select(
+        "doc_id", "pos"
+    )
+    return _merge_anchor_islands(hits, span_tokens)
+
+
+def remove_benchmark_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 13,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Span-level benchmark decontamination, APPLY half: the corpus
+    with every token covered by a benchmark-overlapping window
+    removed, survivors rejoined in order — corpus membership
+    preserved (clean documents return their tokens rejoined; fully
+    contaminated documents come back empty). Same map-side reassembly
+    kernel as :func:`remove_duplicated_spans`."""
+    detected = benchmark_span_overlap(
+        df, benchmark, text_col, id_col, span_tokens, broadcast_benchmark
+    )
+    return _remove_interval_spans(df, detected, text_col, id_col)
 
 
 def span_index(

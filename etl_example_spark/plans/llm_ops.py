@@ -4437,6 +4437,139 @@ def d87_newline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d90_benchmark_span_overlap",
+    "Span-level benchmark decontamination, detection half — the GPT-3 "
+    "13-gram rule as POSITIONED intervals (d47 is the doc-level "
+    "report; this is what you apply when dropping whole documents is "
+    "too blunt): every 13-token window of the corpus (source != "
+    "'src0') appearing anywhere in the benchmark (source = 'src0') "
+    "anchors an overlap, anchors merge to maximal intervals. The "
+    "benchmark's distinct span hashes — bounded by benchmark tokens — "
+    "BROADCAST onto the corpus occurrence scan; the corpus never "
+    "shuffles for the probe "
+    "(operators/dedup.benchmark_span_overlap).",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source, {SQL_TOKS} AS toks FROM documents
+        ),
+        bs AS (
+            SELECT DISTINCT
+                   array_to_string(toks[(i+1):(i+13)], ' ') AS s
+            FROM t, LATERAL (
+                SELECT unnest(range(len(toks) - 13 + 1)) AS i
+            ) g
+            WHERE source = 'src0' AND len(toks) >= 13
+        ),
+        occ AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(toks[(i+1):(i+13)], ' ') AS s
+            FROM t, LATERAL (
+                SELECT unnest(range(len(toks) - 13 + 1)) AS i
+            ) g
+            WHERE source != 'src0' AND len(toks) >= 13
+        ),
+        hit AS (
+            SELECT doc_id, pos FROM occ WHERE s IN (SELECT s FROM bs)
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > COALESCE(MAX(pos + 13) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM hit
+        ),
+        grp AS (
+            SELECT doc_id, pos,
+                   SUM(new_island) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                   ) AS island
+            FROM isl
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + 13 AS BIGINT) AS span_end,
+               CAST(MAX(pos) + 13 - MIN(pos) AS BIGINT) AS span_len
+        FROM grp GROUP BY doc_id, island
+        ORDER BY doc_id, span_start
+    """,
+    category="dedup",
+)
+def d90_benchmark_span_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return dedup.benchmark_span_overlap(corpus, bench, span_tokens=13)
+
+
+@register(
+    "d91_remove_benchmark_spans",
+    "Span-level benchmark decontamination, APPLY half: the corpus "
+    "(source != 'src0') with every token covered by a 13-gram "
+    "benchmark overlap removed, survivors rejoined in order — corpus "
+    "membership preserved (clean docs return their tokens rejoined; "
+    "fully contaminated docs come back empty). Same map-side interval "
+    "reassembly kernel as d81; the corpus shuffles only to fold the "
+    "tiny interval set (operators/dedup.remove_benchmark_spans).",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source, {SQL_TOKS} AS toks FROM documents
+        ),
+        bs AS (
+            SELECT DISTINCT
+                   array_to_string(toks[(i+1):(i+13)], ' ') AS s
+            FROM t, LATERAL (
+                SELECT unnest(range(len(toks) - 13 + 1)) AS i
+            ) g
+            WHERE source = 'src0' AND len(toks) >= 13
+        ),
+        occ AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(toks[(i+1):(i+13)], ' ') AS s
+            FROM t, LATERAL (
+                SELECT unnest(range(len(toks) - 13 + 1)) AS i
+            ) g
+            WHERE source != 'src0' AND len(toks) >= 13
+        ),
+        cov AS (
+            SELECT DISTINCT doc_id, unnest(range(pos, pos + 13)) AS i
+            FROM occ WHERE s IN (SELECT s FROM bs)
+        ),
+        tokpos AS (
+            SELECT doc_id, i, toks[CAST(i + 1 AS INT)] AS tok
+            FROM t, LATERAL (
+                SELECT unnest(range(len(toks))) AS i
+            ) g
+            WHERE source != 'src0'
+        ),
+        clean AS (
+            SELECT tp.doc_id,
+                   string_agg(tp.tok, ' ' ORDER BY tp.i) AS text
+            FROM tokpos tp
+            LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.i = tp.i
+            WHERE c.i IS NULL
+            GROUP BY tp.doc_id
+        )
+        SELECT d.doc_id, COALESCE(c.text, '') AS text
+        FROM (SELECT doc_id FROM documents WHERE source != 'src0') d
+        LEFT JOIN clean c USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    category="dedup",
+)
+def d91_remove_benchmark_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return dedup.remove_benchmark_spans(corpus, bench, span_tokens=13)
+
+
+@register(
     "d88_top_duplicated_spans",
     "Boilerplate audit, span level: the 20 most-repeated 8-token "
     "windows WITH their text, corpus frequency, and first occurrence — "

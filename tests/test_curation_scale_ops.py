@@ -1295,3 +1295,64 @@ class TestMergeLineIndex:
             ).collect()
         }
         assert merged == full
+
+
+class TestBenchmarkDecontamination:
+    def test_overlap_intervals_and_surgical_removal(self, spark):
+        """The GPT-3 rule applied surgically: only the overlapping
+        window's tokens are removed; the rest of the document (and
+        every clean document) survives untouched."""
+        from etl_example_spark.operators.dedup import (
+            benchmark_span_overlap,
+            remove_benchmark_spans,
+        )
+
+        bench = _docs(spark, [(100, "what is the capital of france")])
+        corpus = _docs(
+            spark,
+            [
+                # quotes the eval question mid-document (6-token window)
+                (1, "intro words what is the capital of france outro"),
+                (2, "a completely clean document with no overlap"),
+                # fully contaminated (IS the question)
+                (3, "what is the capital of france"),
+            ],
+        )
+        iv = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in benchmark_span_overlap(
+                corpus, bench, span_tokens=6
+            ).collect()
+        }
+        assert iv == {(1, 2, 8), (3, 0, 6)}
+        cleaned = {
+            r.doc_id: r.text
+            for r in remove_benchmark_spans(
+                corpus, bench, span_tokens=6
+            ).collect()
+        }
+        assert cleaned[1] == "intro words outro"
+        assert cleaned[2] == "a completely clean document with no overlap"
+        assert cleaned[3] == ""  # membership preserved, text emptied
+
+    def test_no_self_dedup_side_effect(self, spark):
+        """Decontamination must NOT dedup the corpus against itself:
+        two corpus docs sharing a window that is absent from the
+        benchmark are both left alone."""
+        from etl_example_spark.operators.dedup import (
+            remove_benchmark_spans,
+        )
+
+        bench = _docs(spark, [(100, "totally unrelated benchmark text")])
+        corpus = _docs(
+            spark,
+            [(1, "shared run of corpus tokens here"),
+             (2, "shared run of corpus tokens here")],
+        )
+        cleaned = {
+            r.doc_id: r.text
+            for r in remove_benchmark_spans(
+                corpus, bench, span_tokens=4
+            ).collect()
+        }
+        assert cleaned[1] == cleaned[2] == "shared run of corpus tokens here"
