@@ -2159,11 +2159,45 @@ def benchmark_span_overlap(
     join for benchmark-sized 'benchmarks'). Anchors then merge with
     the same per-document bounded window as :func:`duplicated_spans`.
     """
-    bench = (
+    bench = benchmark_hash_index(benchmark, text_col, id_col, span_tokens)
+    return probe_benchmark_hashes(
+        bench, df, text_col, id_col, span_tokens, broadcast_benchmark
+    )
+
+
+def benchmark_hash_index(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 13,
+) -> DataFrame:
+    """The durable artifact of :func:`benchmark_span_overlap`: one row
+    per DISTINCT ``span_tokens``-token window of the benchmark, hash
+    pair only (``_h1``, ``_h2`` — never span text, so the stored index
+    leaks no benchmark content). Bounded by benchmark tokens; write it
+    to parquet once and probe every corpus batch against it
+    (:func:`probe_benchmark_hashes`) — the streaming/incremental
+    decontamination form."""
+    return (
         _span_occurrences(benchmark, text_col, id_col, span_tokens)
         .select("_h1", "_h2")
         .distinct()
     )
+
+
+def probe_benchmark_hashes(
+    bench_hashes: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 13,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Probe half of :func:`benchmark_span_overlap` against a
+    precomputed (possibly parquet-stored) benchmark hash table:
+    O(batch tokens) per call, the benchmark is never re-tokenized.
+    ``span_tokens`` must match the value the index was built with."""
+    bench = bench_hashes.select("_h1", "_h2").distinct()
     if broadcast_benchmark:
         bench = F.broadcast(bench)
     occ = staged_span_occurrences(df, text_col, id_col, span_tokens)
@@ -2511,4 +2545,38 @@ def top_duplicated_lines(
             "first_idx",
         )
         .orderBy(F.desc("line_df"), "first_doc", "first_idx")
+    )
+
+
+def intradoc_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    separator: str = "\n",
+) -> DataFrame:
+    """WITHIN-document duplicate-line removal (the Gopher/Dolma
+    intra-document pass, the cheap sibling of the corpus-wide
+    :func:`line_dedup`): each document keeps only the FIRST occurrence
+    of every distinct ``separator``-delimited line it contains;
+    cross-document repetition is untouched. Returns
+    ``(id_col, n_lines, kept_lines, text)`` with survivors rejoined
+    in order.
+
+    Scale shape: pure higher-order-function arithmetic per row —
+    ``split`` → ``array_distinct`` (order-preserving first-occurrence
+    semantics, exactly this pass's rule) → ``array_join`` — a single
+    narrow codegen scan with NO shuffle and no per-line state at any
+    corpus size, which is why Gopher runs it before every global pass.
+    """
+    raw = F.coalesce(
+        F.col(text_col) if isinstance(text_col, str) else text_col,
+        F.lit(""),
+    )
+    lines = F.split(raw, _regex_quote(separator), -1)
+    kept = F.array_distinct(lines)
+    return df.select(
+        id_col,
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("kept_lines"),
+        F.array_join(kept, separator).alias("text"),
     )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from etl_example_spark.operators import (
     bpe,
     dedup,
+    extraction,
     graph,
     multimodal,
     similarity,
@@ -4423,6 +4424,7 @@ def d86_incremental_span_dedup(
         ORDER BY doc_id
     """,
     category="dedup",
+    bench=True,  # the literal C4 pass — heavy family, first stable r9
 )
 def d87_newline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
@@ -4559,6 +4561,7 @@ def d90_benchmark_span_overlap(
         ORDER BY d.doc_id
     """,
     category="dedup",
+    bench=True,  # decontamination apply — heavy family, first stable r9
 )
 def d91_remove_benchmark_spans(
     spark: SparkSession, sf_dir: str
@@ -4662,3 +4665,201 @@ def d89_top_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return dedup.top_duplicated_lines(docs, k=20, separator="\n")
+
+
+# ---------------------------------------------------------------------------
+# Markup extraction / encoding repair (operators/extraction.py) — the
+# head of a raw-web pipeline. Oracle SQL for both queries is GENERATED
+# from the operator module's own stage tables, so the DuckDB replay and
+# the Spark chain cannot drift.
+
+
+def _sql_q(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _strip_html_sql(expr: str) -> str:
+    """DuckDB replay of extraction.strip_html, stage for stage."""
+    for pat, rep in extraction._HTML_REGEX_STAGES:
+        expr = (
+            f"regexp_replace({expr}, '{_sql_q(pat)}', '{_sql_q(rep)}', 'g')"
+        )
+    for ent, ch in extraction._HTML_ENTITIES:
+        expr = f"replace({expr}, '{_sql_q(ent)}', '{_sql_q(ch)}')"
+    for pat, rep in extraction._WS_STAGES:
+        expr = (
+            f"regexp_replace({expr}, '{_sql_q(pat)}', '{_sql_q(rep)}', 'g')"
+        )
+    return expr
+
+
+def _fix_mojibake_sql(expr: str) -> str:
+    """DuckDB replay of extraction.fix_mojibake, pair for pair."""
+    for bad, good in extraction.MOJIBAKE_MAP:
+        expr = f"replace({expr}, '{_sql_q(bad)}', '{_sql_q(good)}')"
+    return expr
+
+
+#: the deterministic HTML wrapper both engines build around each
+#: document before extracting: comment + style + script payloads that
+#: must vanish, headings/paragraph breaks that must become newlines
+#: (the token 'line' plays paragraph boundary), entities that must
+#: decode AFTER tag stripping.
+_HTML_PREFIX = (
+    '<html><!-- corpus doc --><head><title>Doc </title>'
+    '<style type="text/css">p { color: red; }</style>'
+    '<script>var t = "x < y &amp;&amp; z > 0";</script></head>'
+    "<body><h1>Doc </h1><p>"
+)
+_HTML_SUFFIX = (
+    "</p><div>footer &amp; &lt;raw&gt;&nbsp;end</div></body></html>"
+)
+
+
+@register(
+    "d92_html_extract",
+    "HTML-to-text extraction — the curation step before every other "
+    "one (web corpora arrive as markup): drop comments and "
+    "script/style/noscript payloads, turn block-element boundaries "
+    "into newlines, strip remaining tags, decode the common named "
+    "entities (after stripping, so decoded '<raw>' survives as text; "
+    "'&amp;' last), collapse whitespace. Pure JVM regexp/replace "
+    "chain (operators/extraction.strip_html) — single narrow "
+    "whole-stage-codegen scan, no shuffle at any corpus size. The "
+    "driver corpus is plain text, so both sides first wrap each doc "
+    "in the same deterministic HTML (script with a literal '<', "
+    "style, comment, entities; token 'line' as paragraph break); the "
+    "oracle replays the identical stage table, generated from the "
+    "operator's own constants.",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   '{_sql_q(_HTML_PREFIX)}'
+                   || replace(COALESCE(text, ''), 'line', '</p><p>')
+                   || '{_sql_q(_HTML_SUFFIX)}' AS html
+            FROM documents
+        )
+        SELECT doc_id, {_strip_html_sql('html')} AS text
+        FROM h
+    """,
+    category="text",
+)
+def d92_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_PREFIX),
+        F.replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("line"),
+            F.lit("</p><p>"),
+        ),
+        F.lit(_HTML_SUFFIX),
+    )
+    return extraction.html_extract(
+        docs.select("doc_id", html.alias("html"))
+    )
+
+
+@register(
+    "d93_fix_mojibake",
+    "Encoding repair (the ftfy core case): undo UTF-8-bytes-read-as-"
+    "cp1252 mojibake for the high-frequency punctuation and Latin-1 "
+    "letter table (â€™->', Ã©->é, Â°->°, ...) as a pure "
+    "literal-replace chain (operators/extraction.fix_mojibake) — "
+    "narrow codegen scan, no shuffle. Both sides corrupt the corpus "
+    "deterministically first (injecting 3-byte punctuation, 2-byte "
+    "letter, and Â-family sequences), then the engine repairs and the "
+    "oracle replays the identical pair table, generated from the "
+    "operator's own MOJIBAKE_MAP.",
+    oracle=f"""
+        WITH c AS (
+            SELECT doc_id,
+                   replace(replace(replace(COALESCE(text, ''),
+                       'o', 'Ã¶'),
+                       'u', 'â€¦'),
+                       ' ', 'Â° ') AS text
+            FROM documents
+        )
+        SELECT doc_id, {_fix_mojibake_sql('text')} AS text
+        FROM c
+    """,
+    category="text",
+)
+def d93_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corrupted = F.replace(
+        F.replace(
+            F.replace(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("o"),
+                F.lit("Ã¶"),
+            ),
+            F.lit("u"),
+            F.lit("â€¦"),
+        ),
+        F.lit(" "),
+        F.lit("Â° "),
+    )
+    return extraction.fix_mojibake_df(
+        docs.select("doc_id", corrupted.alias("text"))
+    )
+
+
+@register(
+    "d94_intradoc_line_dedup",
+    "WITHIN-document duplicate-line removal — the Gopher/Dolma "
+    "intra-document pass (cheap sibling of the corpus-wide d62/d87): "
+    "each doc keeps only the first occurrence of every distinct "
+    "newline-delimited line it contains, survivors rejoined in order; "
+    "cross-document repetition untouched. Pure higher-order-function "
+    "arithmetic (split -> array_distinct, whose order-preserving "
+    "first-occurrence semantics ARE the pass's rule -> array_join): "
+    "one narrow codegen scan, NO shuffle at any corpus size "
+    "(operators/dedup.intradoc_line_dedup). The driver corpus "
+    "derives newline structure deterministically on both sides first "
+    "(same literal-replace as d87/d89).",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   replace(COALESCE(text, ''), 'line', chr(10)) AS text
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, string_split(text, chr(10)) AS lines FROM d
+        ),
+        l AS (
+            SELECT doc_id, len(lines) AS n_lines,
+                   i AS idx, lines[i+1] AS line
+            FROM t, LATERAL (
+                SELECT unnest(range(len(lines))) AS i
+            ) g
+        ),
+        r AS (
+            SELECT doc_id, n_lines, idx, line,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id, line ORDER BY idx
+                   ) AS rk
+            FROM l
+        )
+        SELECT doc_id,
+               CAST(MAX(n_lines) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS kept_lines,
+               COALESCE(string_agg(
+                   CASE WHEN rk = 1 THEN line END, chr(10)
+                   ORDER BY idx), '') AS text
+        FROM r
+        GROUP BY doc_id
+    """,
+    category="dedup",
+)
+def d94_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("line"),
+            F.lit("\n"),
+        ).alias("text"),
+    )
+    return dedup.intradoc_line_dedup(docs)

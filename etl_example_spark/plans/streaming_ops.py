@@ -1156,3 +1156,128 @@ def st52_stream_line_maintenance(
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "st53_stream_decontaminate",
+    "Streaming span-level benchmark decontamination — d90's probe as "
+    "a continuous ingestion gate: the benchmark's distinct 13-gram "
+    "hash pairs (operators/dedup.benchmark_hash_index — hash pairs "
+    "only, never benchmark text) are written to parquet ONCE; each "
+    "arriving micro-batch of corpus documents probes the stored index "
+    "(probe_benchmark_hashes — O(batch tokens), the benchmark is "
+    "never re-tokenized) and its overlap intervals OVERWRITE their "
+    "epoch slice of the output (idempotent under micro-batch retry, "
+    "the st45/st51 discipline). The probe is stateless per document, "
+    "so the union of epoch slices equals the batch d90 result "
+    "exactly — which is what the oracle recomputes from scratch.",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source, {SQL_TOKS} AS toks FROM documents
+        ),
+        bs AS (
+            SELECT DISTINCT
+                   array_to_string(toks[(i+1):(i+13)], ' ') AS s
+            FROM t, LATERAL (
+                SELECT unnest(range(len(toks) - 13 + 1)) AS i
+            ) g
+            WHERE source = 'src0' AND len(toks) >= 13
+        ),
+        occ AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(toks[(i+1):(i+13)], ' ') AS s
+            FROM t, LATERAL (
+                SELECT unnest(range(len(toks) - 13 + 1)) AS i
+            ) g
+            WHERE source != 'src0' AND len(toks) >= 13
+        ),
+        hit AS (
+            SELECT doc_id, pos FROM occ WHERE s IN (SELECT s FROM bs)
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > COALESCE(MAX(pos + 13) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM hit
+        ),
+        grp AS (
+            SELECT doc_id, pos,
+                   SUM(new_island) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                   ) AS island
+            FROM isl
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + 13 AS BIGINT) AS span_end,
+               CAST(MAX(pos) + 13 - MIN(pos) AS BIGINT) AS span_len
+        FROM grp GROUP BY doc_id, island
+        ORDER BY doc_id, span_start
+    """,
+    category="streaming",
+)
+def st53_stream_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators.dedup import (
+        benchmark_hash_index,
+        probe_benchmark_hashes,
+    )
+    from etl_example_spark.sources.loaders import load_table
+    from etl_example_spark.streaming.sources import read_documents_stream
+
+    bench = load_table(spark, sf_dir, "documents").filter(
+        F.col("source") == "src0"
+    )
+    idx_dir = _tempfile.mkdtemp(prefix="bench_idx_")
+    out_dir = _tempfile.mkdtemp(prefix="decon_out_")
+    benchmark_hash_index(bench, span_tokens=13).write.mode(
+        "overwrite"
+    ).parquet(idx_dir)
+
+    stream = read_documents_stream(spark, sf_dir).filter(
+        F.col("source") != "src0"
+    )
+
+    def probe(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        stored = sess.read.parquet(idx_dir)
+        probe_benchmark_hashes(
+            stored, batch_df, span_tokens=13
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option(
+            "checkpointLocation", _tempfile.mkdtemp(prefix="ckpt_dec_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    found = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(out_dir)
+        for f in files
+    )
+    if not found:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, span_start long, span_end long, span_len long",
+        )
+    return (
+        spark.read.parquet(out_dir)
+        .select("doc_id", "span_start", "span_end", "span_len")
+        .orderBy("doc_id", "span_start")
+    )

@@ -558,3 +558,28 @@ def test_bpe_apply_oracle_survives_early_exhaustion(spark):
     got = con.execute(bpe_apply_oracle_sql(3)).fetchall()
     # (source, n_words, n_chars, n_units): 3 words, 6 chars, 3 units
     assert got == [("s0", 3, 6, 3)]
+
+
+def test_intradoc_line_dedup_first_occurrence_order(spark):
+    """d94: within one doc, only the first occurrence of each line
+    survives and order is preserved; other docs' identical lines are
+    untouched (NOT a corpus-wide pass); empty text stays empty."""
+    from etl_example_spark.operators.dedup import intradoc_line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a\nb\na\nc\nb\na"),
+            (2, "a\na"),  # same lines as doc 1 — must keep its own 'a'
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_lines"], r["kept_lines"], r["text"])
+        for r in intradoc_line_dedup(docs).collect()
+    }
+    assert out[1] == (6, 3, "a\nb\nc")
+    assert out[2] == (2, 1, "a")
+    assert out[3] == (1, 1, "")  # split('') -> ['']
+    assert out[4] == (1, 1, "")  # NULL text coalesces to ''

@@ -165,6 +165,11 @@ def test_line_dedup_plans_have_no_window(plans, name):
         "d86_incremental_span_dedup",
         "s47_ivf_append",
         "s48_pq_append",
+        # d90/d91 compute no first-occurrence min, but their benchmark
+        # hash distinct and removal reassembly must stay HashAggregate
+        # for the same reason — one row per benchmark/corpus token.
+        "d90_benchmark_span_overlap",
+        "d91_remove_benchmark_spans",
     ],
 )
 def test_first_occurrence_aggregates_are_hash_based(plans, name):
@@ -189,6 +194,8 @@ def test_first_occurrence_aggregates_are_hash_based(plans, name):
         "d81_remove_duplicated_spans",
         "d82_duplicated_spans_df_floor",
         "d86_incremental_span_dedup",
+        "d90_benchmark_span_overlap",
+        "d91_remove_benchmark_spans",
     ],
 )
 def test_no_inferred_filter_duplicates_generator_input(plans, name):

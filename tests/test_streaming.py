@@ -507,3 +507,52 @@ def test_countmin_epoch_replay_is_idempotent(spark, tmp_path):
     whole = countmin_build(items_a.unionByName(items_b))
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_benchmark_hash_index_probe_matches_direct_overlap(spark, tmp_path):
+    """st53's decomposition law: benchmark_hash_index written to parquet
+    + probe_benchmark_hashes over arbitrary corpus slices must together
+    equal benchmark_span_overlap run directly on the whole corpus — and
+    the stored index carries hash pairs only (no benchmark text)."""
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators.dedup import (
+        benchmark_hash_index,
+        benchmark_span_overlap,
+        probe_benchmark_hashes,
+    )
+
+    toks = [f"t{i}" for i in range(40)]
+    bench_text = " ".join(toks[:20])
+    docs = spark.createDataFrame(
+        [
+            # doc 1 quotes benchmark tokens 5..17 (one 13-gram hit)
+            (1, " ".join(["a", "b"] + toks[5:18] + ["c", "d"])),
+            (2, "completely clean document with plenty of words here"),
+            # doc 3 contains the whole benchmark
+            (3, "x " + bench_text + " y"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+
+    direct = benchmark_span_overlap(docs, bench, span_tokens=13).collect()
+
+    idx_dir = str(tmp_path / "bench_idx")
+    idx = benchmark_hash_index(bench, span_tokens=13)
+    assert set(idx.columns) == {"_h1", "_h2"}  # hash pairs only
+    idx.write.mode("overwrite").parquet(idx_dir)
+    stored = spark.read.parquet(idx_dir)
+
+    # probe in two independent slices (micro-batch shape), union results
+    sliced = []
+    for pred in (F.col("doc_id") <= 1, F.col("doc_id") > 1):
+        sliced.extend(
+            probe_benchmark_hashes(
+                stored, docs.filter(pred), span_tokens=13
+            ).collect()
+        )
+    key = lambda r: (r["doc_id"], r["span_start"], r["span_end"])
+    assert sorted(map(key, sliced)) == sorted(map(key, direct))
+    hit_docs = {r["doc_id"] for r in direct}
+    assert hit_docs == {1, 3}

@@ -142,6 +142,23 @@ SHOW = {
         "distinct repeated span, k winners broadcast back onto the "
         "corpus for map-side text recovery — span text never shuffles."
     ),
+    "d90_benchmark_span_overlap": (
+        "Decontamination probe: the benchmark's distinct hash pairs "
+        "(bounded by benchmark tokens) BROADCAST onto the staged corpus "
+        "occurrence scan as a left-semi join — the corpus never "
+        "shuffles for the probe; the islands merge is the per-document "
+        "bounded window."
+    ),
+    "d92_html_extract": (
+        "HTML extraction: the whole regexp/entity/whitespace chain "
+        "fuses into ONE narrow whole-stage-codegen projection over the "
+        "scan — zero exchanges at any corpus size."
+    ),
+    "d94_intradoc_line_dedup": (
+        "Intra-document line dedup: split -> array_distinct -> "
+        "array_join higher-order functions in one codegen stage; no "
+        "shuffle, no per-line state."
+    ),
     "m43_jpeg_block_stats": (
         "Real-codec multimodal kernel: one scan feeding mapInPandas "
         "(Arrow-batched encode_jpeg/decode_jpeg round trip per row), "
