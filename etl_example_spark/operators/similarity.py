@@ -1082,3 +1082,142 @@ def mmr_oracle_sql(
         + f""" SELECT mmr_rank, cid AS vec_id, rel AS relevance
         FROM ({finals}) ORDER BY mmr_rank"""
     )
+
+
+# ── Uniform 8-bit scalar quantization (SQ8) ──────────────────────────
+#
+# The fourth vector-compression path next to sign-LSH / IVF / PQ:
+# faiss's QT_8bit_uniform — ONE global (lo, hi) bound pair for the whole
+# corpus, every element linearly quantized to an int code in [0, 255].
+# With a uniform scalar step, integer L2 over code arrays is EXACTLY
+# rank-equivalent to L2 over the dequantized vectors (d2_float =
+# step² · d2_int), so the symmetric search path is pure 64-bit integer
+# arithmetic — bit-identical across engines at any scale, which is why
+# sq8_topk can be hash-verified against a SQL oracle instead of only
+# recall-bounded like the float-scored IVF/PQ paths.
+#
+# Scale posture: train is one min/max aggregate (order-independent,
+# partial-aggregable); encode is a narrow zero-shuffle map (4× size
+# reduction vs float32 before any search runs); append encodes only the
+# arriving batch against the FROZEN stored bounds (O(batch), the
+# ivf_append/pq_append discipline); topk broadcasts the query block and
+# scans the code corpus once.
+
+
+def sq8_train(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the uniform quantizer: a 1-row (lo, hi) bounds artifact
+    from the global element min/max of the corpus. Exact picks of
+    existing values — no float arithmetic, so the artifact is
+    engine-portable by construction."""
+    v = _as_double(vec_col)
+    return vectors.select(
+        F.min(F.array_min(v)).alias("lo"),
+        F.max(F.array_max(v)).alias("hi"),
+    )
+
+
+def sq8_encode(
+    vectors: DataFrame,
+    bounds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize every element against the 1-row bounds artifact:
+    ``code = clamp(floor(round((x − lo)·255/(hi − lo), 6)), 0, 255)``.
+
+    The round-to-6 before floor is the pq_encode round_digits
+    discipline: it pins the one float expression to a cross-engine-
+    deterministic value so the floor can't straddle an ulp. Values
+    outside [lo, hi] (possible only for post-training appends under
+    frozen bounds) clamp to the edge codes; a degenerate hi == lo
+    corpus encodes as all-zero codes rather than dividing by zero.
+    Plan shape: broadcast of one row + a narrow map — zero shuffles.
+    """
+    lo, hi = F.col("lo"), F.col("hi")
+
+    def q(x: Column) -> Column:
+        t = F.floor(F.round((x - lo) * F.lit(255.0) / (hi - lo), 6))
+        return (
+            F.when(hi == lo, F.lit(0))
+            .otherwise(F.least(F.lit(255), F.greatest(F.lit(0), t)))
+            .cast("int")
+        )
+
+    return vectors.crossJoin(F.broadcast(bounds)).select(
+        id_col, F.transform(_as_double(vec_col), q).alias("codes")
+    )
+
+
+def sq8_append(
+    codes: DataFrame,
+    new_vectors: DataFrame,
+    bounds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INCREMENTAL SQ8 index maintenance: encode only the arriving
+    vectors against the STORED bounds and append to the stored code
+    artifact — the indexed corpus is never re-encoded (the ivf_append/
+    pq_append discipline). Work per ingest is O(batch × dim).
+
+    Law: with bounds held fixed, ``sq8_append(encode(old), new, b)`` ==
+    ``sq8_encode(old ∪ new, b)`` — incremental equals full rebuild
+    under the same quantizer. Proven two ways: the s50_sq8_append
+    registration's DuckDB oracle re-encodes the FULL corpus from
+    scratch against the old-corpus bounds and hash-compares it to this
+    incremental output, and tests/test_llm_ops.py asserts incremental
+    == full-rebuild row-for-row in Spark. Re-training bounds
+    (``sq8_train``) is the periodic offline job; between runs the index
+    stays probe-consistent because every stored code used the same
+    (lo, hi)."""
+    return codes.unionByName(
+        sq8_encode(new_vectors, bounds, id_col, vec_col)
+    )
+
+
+def sq8_topk(
+    codes: DataFrame,
+    query_codes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric SQ8 top-k: 64-bit integer L2 between code arrays,
+    ranked ascending with the neighbor id as the deterministic
+    tie-break. Because the quantizer step is one global scalar,
+    d2_float = step²·d2_int — the integer ranking IS the dequantized-L2
+    ranking, exactly, so this whole search path is hash-verifiable.
+
+    Plan shape: broadcast the (small by definition) query block, one
+    narrow map over the code corpus computes all query×corpus
+    distances inside whole-stage codegen, a per-query ranking window
+    over k·|queries| rows takes the top k. The corpus is scanned once
+    regardless of query count."""
+    q = query_codes.select(
+        F.col(id_col).alias("query_id"),
+        F.col("codes").alias("query_codes"),
+    )
+    # SQL lambda, not a Python-lambda builder chain: nested HOFs built
+    # from Python lambdas collide on lambda variable names (see _sq_l2)
+    d2 = F.expr(
+        "aggregate(zip_with(codes, query_codes, "
+        "(x, y) -> cast(x - y as bigint) * cast(x - y as bigint)), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("neighbor_id")
+    )
+    return (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            d2.alias("d2"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .orderBy("query_id", "rk")
+    )

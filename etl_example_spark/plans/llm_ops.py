@@ -1434,6 +1434,157 @@ def s48_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", "j")
 
 
+#: Shared CTE: uniform-SQ8 codes of every vector — global (lo, hi)
+#: element bounds, code = clamp(floor(round((x−lo)·255/(hi−lo), 6)),
+#: 0, 255). The round-to-6-before-floor is the pq round_digits
+#: discipline; everything after the quantize is 64-bit integer
+#: arithmetic, so the s49 search is hash-exact, not recall-bounded.
+SQ8_CODES_CTE = """
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    b AS (SELECT MIN(list_min(v)) AS lo, MAX(list_max(v)) AS hi
+          FROM e{bounds_filter}),
+    c AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(least(255, greatest(0,
+                   floor(round((x - lo) * 255.0 / (hi - lo), 6))))
+                   AS INT)) AS codes
+        FROM e CROSS JOIN b
+    )
+"""
+
+
+@register(
+    "s49_sq8_topk",
+    "Symmetric SQ8 ANN top-10 — faiss QT_8bit_uniform re-expressed in "
+    "Spark: one global (lo, hi) bound pair (exact min/max picks, no "
+    "float aggregation), every element linearly quantized to [0, 255] "
+    "(round-to-6-before-floor pins the one float expression, the pq "
+    "round_digits discipline), then 64-bit INTEGER L2 between code "
+    "arrays ranks neighbors. With a uniform scalar step, d2_float = "
+    "step^2 * d2_int, so the integer ranking IS the dequantized-L2 "
+    "ranking — exactly — which makes this the one ANN search path that "
+    "hash-verifies against a SQL oracle instead of only recall-"
+    "bounding like the float-scored IVF/PQ paths. Plan: one min/max "
+    "aggregate, a zero-shuffle encode map (4x smaller than float32), "
+    "broadcast query block, one code-corpus scan "
+    "(operators/similarity.sq8_train/sq8_encode/sq8_topk).",
+    oracle="WITH "
+    + SQ8_CODES_CTE.format(bounds_filter="")
+    + """,
+    q AS (SELECT vec_id AS query_id, codes AS qc
+          FROM c WHERE vec_id % 97 = 0),
+    d AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               CAST(list_aggregate(list_transform(list_zip(q.qc, c.codes),
+                   p -> CAST(p[1] - p[2] AS BIGINT)
+                        * CAST(p[1] - p[2] AS BIGINT)),
+                   'sum') AS BIGINT) AS d2
+        FROM q JOIN c ON c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, d2
+    FROM (
+        SELECT query_id, neighbor_id, d2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY d2, neighbor_id
+               ) AS rk
+        FROM d
+    ) t WHERE rk <= 10
+    ORDER BY query_id, rk
+    """,
+    category="similarity",
+    bench=True,
+)
+def s49_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bounds = similarity.sq8_train(emb)
+    codes = similarity.sq8_encode(emb, bounds)
+    queries = codes.filter(F.col("vec_id") % 97 == 0)
+    return similarity.sq8_topk(codes, queries, k=10).select(
+        "query_id", "neighbor_id", "d2"
+    )
+
+
+@register(
+    "s49a_sq8_recall_bound",
+    "EXTERNAL recall certificate for the SQ8 compression loss itself: "
+    "s49's quantized-L2 top-10 for the min-id query vs the EXACT "
+    "float-L2 top-10 on the raw vectors must share >= 8 of 10 "
+    "neighbors. s49's hash check proves the integer search is "
+    "computed right; this row proves 8-bit quantization preserves the "
+    "neighborhood — the two failure modes an SQ index has, separately "
+    "certified. The oracle emits the expected (10, TRUE) row, so a "
+    "quantization-quality collapse turns a driver row red.",
+    oracle="SELECT CAST(10 AS BIGINT) AS n_exact, TRUE AS recall_ok",
+    category="similarity",
+)
+def s49a_sq8_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            similarity._sq_l2(
+                "cast(embedding as array<double>)",
+                "cast(query_vec as array<double>)",
+            ).alias("_d2f"),
+        )
+        .orderBy(F.asc("_d2f"), F.asc("neighbor_id"))
+        .limit(10)
+    )
+    bounds = similarity.sq8_train(emb)
+    codes = similarity.sq8_encode(emb, bounds)
+    approx = similarity.sq8_topk(
+        codes, codes.join(q.select("query_id"),
+                          F.col("vec_id") == F.col("query_id"),
+                          "left_semi"),
+        k=10,
+    )
+    return _recall_certificate(exact, approx, min_hits=8)
+
+
+@register(
+    "s50_sq8_append",
+    "INCREMENTAL SQ8 index maintenance law, externally verified: a new "
+    "batch (vec_id % 4 == 0) is encoded against the STORED bounds "
+    "(global element min/max of the EXISTING corpus — the frozen "
+    "quantizer; out-of-range new elements clamp to the edge codes) and "
+    "appended to the stored (id, codes) artifact — no re-encoding of "
+    "the indexed corpus; work per ingest is O(batch x dim) "
+    "(operators/similarity.sq8_append). The oracle re-encodes the FULL "
+    "corpus from scratch against the old-corpus bounds, so a hash "
+    "match IS the incremental == full-rebuild-restricted law (the "
+    "s47/s48 discipline, completed across all three quantizers).",
+    oracle="WITH "
+    + SQ8_CODES_CTE.format(bounds_filter=" WHERE vec_id % 4 != 0")
+    + """
+    SELECT vec_id, CAST(j AS INT) AS j, codes[j + 1] AS code
+    FROM c CROSS JOIN (SELECT unnest(range(64)) AS j) js
+    ORDER BY vec_id, j
+    """,
+    category="similarity",
+)
+def s50_sq8_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+    bounds = similarity.sq8_train(old)
+    stored = similarity.sq8_encode(old, bounds)
+    incremental = similarity.sq8_append(stored, new, bounds)
+    return incremental.select(
+        "vec_id", F.posexplode("codes").alias("j", "code")
+    ).orderBy("vec_id", "j")
+
+
 @register(
     "d83_bigram_logprob_quality",
     "Self-trained bigram LM quality scoring — the CCNet/FineWeb-style "

@@ -42,6 +42,7 @@ from etl_example_spark.plans.llm_ops import (  # noqa: E402
     IVF_FULL_ASSIGN_ORACLE,
     JACCARD_COND,
     PQ_FULL_ENCODE_ORACLE,
+    SQ8_CODES_CTE,
     SQL_SHINGLES3,
     SQL_TOKS,
 )
@@ -1280,4 +1281,90 @@ def st53_stream_decontaminate(
         spark.read.parquet(out_dir)
         .select("doc_id", "span_start", "span_end", "span_len")
         .orderBy("doc_id", "span_start")
+    )
+
+
+@register(
+    "st54_stream_sq8_maintenance",
+    "Streaming SQ8 index maintenance — the uniform-scalar-quantizer "
+    "member of the st49/st50 family, completing streaming maintenance "
+    "across all three quantizers: the (lo, hi) bounds artifact (global "
+    "element min/max of the EXISTING corpus) and the existing corpus's "
+    "codes are SEEDED to parquet once (epoch=-1); each arriving "
+    "micro-batch of new embeddings (vec_id % 4 == 0) is encoded "
+    "against the STORED bounds read back from the artifact "
+    "(out-of-range elements clamp to the edge codes) and written to "
+    "its own epoch slice (overwrite per epoch — idempotent under "
+    "micro-batch retry). The indexed corpus is never re-encoded; "
+    "per-batch work is O(batch x dim). The final read of the "
+    "epoch-partitioned code table must hash-match the oracle's FULL "
+    "from-scratch encode against the same frozen bounds — "
+    "stream-maintained == batch-rebuilt, externally verified "
+    "(operators/similarity.sq8_encode/sq8_train).",
+    oracle="WITH "
+    + SQ8_CODES_CTE.format(bounds_filter=" WHERE vec_id % 4 != 0")
+    + """
+    SELECT vec_id, CAST(j AS INT) AS j, codes[j + 1] AS code
+    FROM c CROSS JOIN (SELECT unnest(range(64)) AS j) js
+    ORDER BY vec_id, j
+    """,
+    category="streaming",
+)
+def st54_stream_sq8_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators.similarity import (
+        sq8_encode,
+        sq8_train,
+    )
+    from etl_example_spark.sources.loaders import load_table
+    from etl_example_spark.streaming.sources import read_embeddings_stream
+
+    static = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 4 != 0
+    )
+    bounds_dir = _tempfile.mkdtemp(prefix="sq8_bounds_")
+    codes_dir = _tempfile.mkdtemp(prefix="sq8_codes_")
+    # stored quantizer artifact: the 1-row (lo, hi) bounds written
+    # once, read back per micro-batch — the frozen quantizer
+    sq8_train(static).write.mode("overwrite").parquet(bounds_dir)
+
+    def encode_exploded(batch_df: DataFrame) -> DataFrame:
+        stored_bounds = batch_df.sparkSession.read.parquet(bounds_dir)
+        return sq8_encode(batch_df, stored_bounds).select(
+            "vec_id", F.posexplode("codes").alias("j", "code")
+        )
+
+    encode_exploded(static).write.mode("overwrite").parquet(
+        os.path.join(codes_dir, "epoch=-1")
+    )
+
+    stream = read_embeddings_stream(
+        spark, sf_dir, max_files_per_trigger=1
+    ).filter(F.col("vec_id") % 4 == 0)
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        encode_exploded(batch_df).write.mode("overwrite").parquet(
+            os.path.join(codes_dir, f"epoch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(update)
+        .option(
+            "checkpointLocation", _tempfile.mkdtemp(prefix="ckpt_sq8_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return (
+        spark.read.parquet(codes_dir)
+        .select("vec_id", "j", "code")
+        .orderBy("vec_id", "j")
     )

@@ -412,6 +412,101 @@ class TestIncrementalAnn:
         assert got == want and len(got) == 6
 
 
+class TestSq8:
+    """Uniform 8-bit scalar quantization laws: codes stay in [0, 255];
+    reconstruction error is bounded by one quantizer step; the
+    incremental-append law holds under frozen bounds (the s50
+    registration's oracle certifies the same law externally); and the
+    integer code-space top-k equals exact L2 top-k computed on the
+    DEQUANTIZED vectors — the rank-equivalence that makes s49
+    hash-verifiable rather than recall-bounded."""
+
+    def test_codes_in_range_and_error_bound(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        bounds = similarity.sq8_train(emb)
+        lo, hi = bounds.first()
+        step = (hi - lo) / 255.0
+        joined = (
+            similarity.sq8_encode(emb, bounds)
+            .join(emb, "vec_id")
+            .select("vec_id", "codes", "embedding")
+        )
+        worst = joined.select(
+            F.array_max(
+                F.zip_with(
+                    "codes",
+                    "embedding",
+                    lambda c, x: F.abs(
+                        x.cast("double") - (F.lit(lo) + c * F.lit(step))
+                    ),
+                )
+            ).alias("err"),
+            F.array_min("codes").alias("cmin"),
+            F.array_max("codes").alias("cmax"),
+        ).agg(
+            F.max("err").alias("err"),
+            F.min("cmin").alias("cmin"),
+            F.max("cmax").alias("cmax"),
+        ).first()
+        assert worst.cmin >= 0 and worst.cmax <= 255
+        # floor quantization: x in [lo + c*step, lo + (c+1)*step)
+        assert worst.err <= step + 1e-9
+
+    def test_append_equals_full_encode_frozen_bounds(
+        self, spark, sf_dir
+    ):
+        emb = load_table(spark, sf_dir, "embeddings")
+        old = emb.filter(F.col("vec_id") % 4 != 0)
+        new = emb.filter(F.col("vec_id") % 4 == 0)
+        bounds = similarity.sq8_train(old)
+        stored = similarity.sq8_encode(old, bounds)
+        inc = {
+            (r.vec_id, tuple(r.codes))
+            for r in similarity.sq8_append(stored, new, bounds).collect()
+        }
+        full = {
+            (r.vec_id, tuple(r.codes))
+            for r in similarity.sq8_encode(emb, bounds).collect()
+        }
+        assert inc == full and len(inc) == emb.count()
+
+    def test_integer_topk_is_dequantized_l2_topk(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        bounds = similarity.sq8_train(emb)
+        lo, hi = bounds.first()
+        step = (hi - lo) / 255.0
+        codes = similarity.sq8_encode(emb, bounds)
+        got = similarity.sq8_topk(
+            codes, codes.filter(F.col("vec_id") % 97 == 0), k=5
+        ).collect()
+        # d2_float on dequantized vectors = step^2 * d2_int, exactly —
+        # so ranking by the integer distance is ranking by L2
+        by_query: dict[int, list] = {}
+        for r in got:
+            by_query.setdefault(r.query_id, []).append(r)
+        code_rows = {r.vec_id: r.codes for r in codes.collect()}
+        for qid, rows in by_query.items():
+            assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+            brute = sorted(
+                (
+                    sum((a - b) ** 2 for a, b in zip(cs, code_rows[qid])),
+                    vid,
+                )
+                for vid, cs in code_rows.items()
+                if vid != qid
+            )[: len(rows)]
+            assert [(r.d2, r.neighbor_id) for r in rows] == brute
+
+    def test_degenerate_flat_corpus_encodes_zero(self, spark):
+        vecs = spark.createDataFrame(
+            [(i, [2.5, 2.5, 2.5]) for i in range(4)],
+            "vec_id long, embedding array<float>",
+        )
+        bounds = similarity.sq8_train(vecs)
+        rows = similarity.sq8_encode(vecs, bounds).collect()
+        assert all(tuple(r.codes) == (0, 0, 0) for r in rows)
+
+
 class TestStagedShingleCache:
     def test_unhashable_plan_is_cache_miss(self, spark):
         """A failed semanticHash must be a cache MISS, never an id()-keyed

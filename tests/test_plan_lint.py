@@ -38,6 +38,9 @@ _CROSS_JOIN_BY_DESIGN = {
     "s42a_pq_recall_bound",  # 1-row certificate crossJoin + PQ inner ops
     "s41_batch_topk",
     "s47_ivf_append",  # broadcast centroid block for cell assignment
+    "s49_sq8_topk",  # broadcast 1-row bounds + broadcast query-code block
+    "s49a_sq8_recall_bound",  # 1-row certificate crossJoin + SQ8 inner ops
+    "s50_sq8_append",  # broadcast 1-row bounds artifact for the encode map
 
     "s45_hybrid_search_rrf",  # broadcast one-row query-vector block
     "q15_cte_subquery",  # broadcast one-row scalar aggregate
