@@ -295,3 +295,116 @@ def shard_assign(
             hex_digits,
         ),
     )
+
+
+def _fdiv(a: Column, b: Column) -> Column:
+    """Exact floor division for non-negative decimal(38,0) columns:
+    (a - a%b)/b — the subtraction makes the final division exact
+    (zero remainder), so the decimal quotient carries no rounded
+    fraction and the cast back to decimal(38,0) is lossless. Spark's
+    plain decimal division rounds HALF_UP at scale 6, which can land
+    one above the true floor when the quotient sits within 5e-7 of an
+    integer; this identity cannot."""
+    return ((a - F.pmod(a, b)) / b).cast("decimal(38,0)")
+
+
+def token_budget_plan(
+    df: DataFrame,
+    target_weights: dict[str, int],
+    budget_ppm: int = 500000,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TOKEN-budget mixture plan — d59's row-count mixture re-stated in
+    the unit training runs actually budget: tokens. Given integer
+    domain weights and a corpus-relative token budget (ppm of the
+    weighted corpus's total tokens), emit one plan row per stratum:
+
+    - ``tokens``            observed whitespace-token count
+    - ``target_tokens``     floor(w_s · B / W) — the stratum's share of
+                            the budget B = floor(T_total · budget_ppm /
+                            10^6)
+    - ``rate_ppm``          min(10^6, floor(target·10^6 / tokens)) —
+                            the keep rate a hash-threshold sampler
+                            (``stratified_sample``) would apply
+    - ``planned_tokens``    floor(tokens · rate_ppm / 10^6) — what the
+                            clamped rate actually yields
+    - ``needs_upsampling``  target > observed: the stratum cannot fill
+                            its share in one epoch (the DoReMi/Pile
+                            "epochs > 1" case), surfaced instead of
+                            silently under-delivering
+
+    Every number is exact integer arithmetic in decimal(38,0) (128-bit
+    HUGEINT in the DuckDB oracle) with explicit floor division — no
+    float anywhere, so the plan is bit-identical across engines at any
+    scale (the d83/q78 discipline). Unweighted strata plan to zero
+    (the d59/mixture_rates drop convention).
+
+    Plan shape: one partial-aggregable token-count aggregate over the
+    corpus, a broadcast of the one-row totals, pure column arithmetic —
+    one scan regardless of corpus size; the output is |strata| rows.
+    """
+    from etl_example_spark.operators.text import token_count
+
+    d38 = "decimal(38,0)"
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(
+        sorted(target_weights.items()),
+        f"{stratum_col} string, wt long",
+    )
+    per = (
+        df.groupBy(stratum_col)
+        .agg(
+            F.coalesce(
+                F.sum(token_count(text_col).cast("long")), F.lit(0)
+            )
+            .cast(d38)
+            .alias("_toks")
+        )
+        .join(F.broadcast(w_df), stratum_col, "left")
+        .withColumn(
+            "_wt", F.coalesce(F.col("wt"), F.lit(0)).cast(d38)
+        )
+    )
+    totals = per.agg(
+        F.sum(F.when(F.col("_wt") > 0, F.col("_toks")).otherwise(0))
+        .cast(d38)
+        .alias("_t_total"),
+        F.sum(F.when(F.col("_wt") > 0, F.col("_wt")).otherwise(0))
+        .cast(d38)
+        .alias("_w_total"),
+    )
+    lit38 = lambda v: F.lit(v).cast(d38)  # noqa: E731
+    budget = _fdiv(
+        F.col("_t_total") * lit38(budget_ppm), lit38(1_000_000)
+    )
+    target = F.when(
+        (F.col("_wt") > 0) & (F.col("_w_total") > 0),
+        _fdiv(F.col("_wt") * budget, F.col("_w_total")),
+    ).otherwise(lit38(0))
+    planned = per.crossJoin(F.broadcast(totals)).withColumn(
+        "_target", target
+    )
+    rate = F.when(
+        F.col("_toks") > 0,
+        F.least(
+            lit38(1_000_000),
+            _fdiv(F.col("_target") * lit38(1_000_000), F.col("_toks")),
+        ),
+    ).otherwise(lit38(0))
+    return (
+        planned.withColumn("_rate", rate)
+        .select(
+            stratum_col,
+            F.col("_toks").cast("long").alias("tokens"),
+            F.col("_target").cast("long").alias("target_tokens"),
+            F.col("_rate").cast("long").alias("rate_ppm"),
+            _fdiv(F.col("_toks") * F.col("_rate"), lit38(1_000_000))
+            .cast("long")
+            .alias("planned_tokens"),
+            (F.col("_target") > F.col("_toks")).alias(
+                "needs_upsampling"
+            ),
+        )
+    )

@@ -36,6 +36,10 @@ from etl_example_spark.sources.loaders import load_table
 
 SQL_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
 SQL_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+SQL_NTOKS = (
+    "CASE WHEN trim(lower(text)) = '' THEN 0 "
+    f"ELSE len({SQL_TOKS}) END"
+)
 SQL_SHINGLES3 = (
     "CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
     "ELSE list_distinct(list_transform(range(1, len(toks) - 1), "
@@ -1674,6 +1678,234 @@ def d84_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d95_token_budget_plan",
+    "TOKEN-budget mixture plan — d59's row-count mixture re-stated in "
+    "the unit training runs actually budget: per-domain whitespace-"
+    "token counts, integer mixture weights (en=2, de/es/fr/zh=1), a "
+    "corpus-relative budget of 500000 ppm of the weighted corpus's "
+    "tokens; emits per stratum the target token share floor(w*B/W), "
+    "the hash-sampler keep rate min(1e6, floor(target*1e6/tokens)), "
+    "the planned yield under the clamped rate, and a needs_upsampling "
+    "flag for strata that cannot fill their share in one epoch (the "
+    "DoReMi/Pile epochs>1 case). Every number is exact integer "
+    "arithmetic in decimal(38,0) (HUGEINT in the oracle) with explicit "
+    "floor division via (a - a%%b)/b — Spark's plain decimal divide "
+    "rounds HALF_UP at scale 6 and can land one above the true floor — "
+    "so the plan is bit-identical across engines at any scale. One "
+    "partial-aggregable token-count pass + a broadcast one-row totals "
+    "block (operators/sampling.token_budget_plan).",
+    oracle=r"""
+        WITH tc AS (
+            SELECT lang,
+                   CAST(SUM(CASE WHEN text IS NULL
+                                  OR trim(lower(text)) = '' THEN 0
+                            ELSE len(string_split_regex(
+                                trim(lower(text)), '\s+'))
+                       END) AS HUGEINT) AS toks
+            FROM documents GROUP BY lang
+        ),
+        w(lang, wt) AS (VALUES ('de', 1), ('en', 2), ('es', 1),
+                               ('fr', 1), ('zh', 1)),
+        p AS (
+            SELECT tc.lang, tc.toks,
+                   CAST(COALESCE(w.wt, 0) AS HUGEINT) AS wt
+            FROM tc LEFT JOIN w USING (lang)
+        ),
+        tot AS (
+            SELECT CAST(SUM(CASE WHEN wt > 0 THEN toks ELSE 0 END)
+                       AS HUGEINT) AS t_total,
+                   CAST(SUM(CASE WHEN wt > 0 THEN wt ELSE 0 END)
+                       AS HUGEINT) AS w_total
+            FROM p
+        ),
+        b AS (SELECT w_total,
+                     t_total * 500000 // 1000000 AS budget FROM tot),
+        plan AS (
+            SELECT p.lang, p.toks,
+                   CASE WHEN p.wt > 0 AND b.w_total > 0
+                        THEN p.wt * b.budget // b.w_total
+                        ELSE 0 END AS target_tokens
+            FROM p CROSS JOIN b
+        ),
+        r AS (
+            SELECT lang, toks, target_tokens,
+                   CASE WHEN toks > 0
+                        THEN least(1000000,
+                                   target_tokens * 1000000 // toks)
+                        ELSE 0 END AS rate_ppm
+            FROM plan
+        )
+        SELECT lang,
+               CAST(toks AS BIGINT) AS tokens,
+               CAST(target_tokens AS BIGINT) AS target_tokens,
+               CAST(rate_ppm AS BIGINT) AS rate_ppm,
+               CAST(toks * rate_ppm // 1000000 AS BIGINT)
+                   AS planned_tokens,
+               target_tokens > toks AS needs_upsampling
+        FROM r ORDER BY lang
+    """,
+    category="text",
+)
+def d95_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.operators.sampling import token_budget_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"de": 1, "en": 2, "es": 1, "fr": 1, "zh": 1}
+    return token_budget_plan(
+        docs, weights, budget_ppm=500_000, stratum_col="lang"
+    ).orderBy("lang")
+
+
+@register(
+    "d97_web_curation_v2",
+    "The round-9 END-TO-END raw-web curation chain as one verified "
+    "composition — d53's recipe upgraded with this round's operators, "
+    "in published-pipeline order (Gopher/RefinedWeb/GPT-3): newline "
+    "structuring -> WITHIN-doc duplicate-line removal (d94's "
+    "zero-shuffle array_distinct pass) -> token-length gate -> exact "
+    "dedup (keep lowest id per normalized fingerprint) -> 13-gram "
+    "benchmark decontamination (d90's broadcast span probe, dropping "
+    "any doc overlapping the src0 benchmark) -> temperature mixture "
+    "sampling -> per-language corpus stats. Every stage decision is "
+    "md5/integer-deterministic, so the oracle replays the WHOLE "
+    "pipeline in SQL and the final stats hash-match. One text scan "
+    "feeds the intra-doc pass; the benchmark hash table is bounded by "
+    "benchmark tokens and broadcasts; the only corpus-keyed shuffles "
+    "are the exact-dedup aggregate and the tiny per-language counts.",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, lang, source,
+                   replace(COALESCE(text, ''), 'line', chr(10)) AS text
+            FROM documents
+        ),
+        corp AS (SELECT * FROM d WHERE source != 'src0'),
+        lines AS (
+            SELECT doc_id, i AS idx,
+                   string_split(text, chr(10))[i+1] AS line
+            FROM corp, LATERAL (
+                SELECT unnest(range(len(string_split(text, chr(10)))))
+                    AS i
+            ) g
+        ),
+        rk AS (
+            SELECT doc_id, idx, line,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id, line ORDER BY idx
+                   ) AS rk
+            FROM lines
+        ),
+        cleaned AS (
+            SELECT doc_id,
+                   COALESCE(string_agg(
+                       CASE WHEN rk = 1 THEN line END, chr(10)
+                       ORDER BY idx), '') AS text
+            FROM rk GROUP BY doc_id
+        ),
+        c1 AS (
+            SELECT c.doc_id, corp.lang, c.text
+            FROM cleaned c JOIN corp ON corp.doc_id = c.doc_id
+        ),
+        gated AS (SELECT * FROM c1 WHERE {SQL_NTOKS} >= 5),
+        ed AS (
+            SELECT MIN(doc_id) AS keep_id FROM gated
+            GROUP BY md5({SQL_NORM})
+        ),
+        c2 AS (
+            SELECT g.* FROM gated g JOIN ed ON g.doc_id = ed.keep_id
+        ),
+        bt AS (
+            SELECT {SQL_TOKS} AS toks FROM d WHERE source = 'src0'
+        ),
+        bs AS (
+            SELECT DISTINCT
+                   array_to_string(toks[(i+1):(i+13)], ' ') AS s
+            FROM bt, LATERAL (
+                SELECT unnest(range(len(toks) - 13 + 1)) AS i
+            ) g
+            WHERE len(toks) >= 13
+        ),
+        ct AS (SELECT doc_id, {SQL_TOKS} AS toks FROM c2),
+        contaminated AS (
+            SELECT DISTINCT doc_id
+            FROM ct, LATERAL (
+                SELECT unnest(range(len(toks) - 13 + 1)) AS i
+            ) g
+            WHERE len(toks) >= 13
+              AND array_to_string(toks[(i+1):(i+13)], ' ')
+                  IN (SELECT s FROM bs)
+        ),
+        c3 AS (
+            SELECT c2.* FROM c2
+            LEFT JOIN contaminated x ON c2.doc_id = x.doc_id
+            WHERE x.doc_id IS NULL
+        ),
+        cnt AS (SELECT lang, COUNT(*) AS c FROM c3 GROUP BY lang),
+        tot AS (SELECT SUM(c) AS tt, SUM(pow(c, 0.5)) AS z FROM cnt),
+        rates AS (
+            SELECT lang,
+                   least(1.0, 0.7 * tt * pow(c, 0.5) / z / c) AS rate
+            FROM cnt CROSS JOIN tot
+        ),
+        c4 AS (
+            SELECT c3.* FROM c3 JOIN rates r ON c3.lang = r.lang
+            WHERE r.rate >= 1.0
+               OR substring(md5(c3.lang || ':' || c3.doc_id), 1, 8)
+                  < lower(lpad(to_hex(
+                        CAST(floor(r.rate * 4294967296.0) AS BIGINT)),
+                        8, '0'))
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM({SQL_NTOKS}) AS BIGINT) AS n_tokens
+        FROM c4 GROUP BY lang ORDER BY lang
+    """,
+    category="dedup",
+    bench=True,  # end-to-end chain — heavy family, first stable r9
+)
+def d97_web_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.operators.sampling import temperature_sample
+    from etl_example_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    structured = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("line"),
+            F.lit("\n"),
+        ).alias("text"),
+    )
+    corpus = structured.filter(F.col("source") != "src0")
+    bench = structured.filter(F.col("source") == "src0")
+    cleaned = dedup.intradoc_line_dedup(corpus).select("doc_id", "text")
+    c1 = cleaned.join(corpus.select("doc_id", "lang"), "doc_id")
+    gated = c1.filter(token_count("text") >= 5)
+    keepers = dedup.exact_dedup(gated, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    c2 = gated.join(keepers, "doc_id", "left_semi")
+    hits = (
+        dedup.benchmark_span_overlap(c2, bench, span_tokens=13)
+        .select("doc_id")
+        .distinct()
+    )
+    c3 = c2.join(hits, "doc_id", "left_anti")
+    sampled = temperature_sample(
+        c3, alpha=0.5, keep_fraction=0.7, stratum_col="lang",
+        id_col="doc_id",
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count("text").cast("long")).alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "d45_data_quality",
     "Declarative data-quality gate (operators/quality.py): every "
     "row-level rule (not-null, range, accepted values) folds into ONE "
@@ -1764,12 +1996,6 @@ SQL_SHINGLES5 = (
 )
 
 # whitespace token count mirroring operators/text.tokens (empty text -> 0)
-SQL_NTOKS = (
-    "CASE WHEN trim(lower(text)) = '' THEN 0 "
-    f"ELSE len({SQL_TOKS}) END"
-)
-
-
 @register(
     "d46_pack_sequences",
     "Concat-and-chunk sequence packing: documents laid end-to-end per "

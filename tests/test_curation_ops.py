@@ -25,6 +25,41 @@ def test_stratified_sample_deterministic_and_rate_shaped(spark, sf_dir):
         assert abs(frac - rate) < 0.2, (stratum, frac, rate)
 
 
+def test_token_budget_plan_invariants(spark):
+    """Exact-arithmetic planner laws on a skewed synthetic corpus: a
+    stratum too small for its weighted share is flagged
+    needs_upsampling with rate clamped at 10^6 ppm; planned <= target
+    (double floor); the planned total never exceeds the budget;
+    unweighted strata plan to zero."""
+    rows = (
+        [(i, "en", "one two three four five six seven eight") for i in range(50)]
+        + [(100 + i, "rare", "tiny doc") for i in range(2)]
+        + [(200 + i, "junk", "dropped text here") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    plan = {
+        r.lang: r
+        for r in sampling.token_budget_plan(
+            docs, {"en": 1, "rare": 1}, budget_ppm=800_000, stratum_col="lang"
+        ).collect()
+    }
+    # weighted corpus = 50*8 + 2*2 = 404 tokens; budget = 323; each
+    # weighted stratum's target = 161 — far beyond rare's 4 tokens
+    assert plan["en"].tokens == 400 and plan["rare"].tokens == 4
+    assert plan["en"].target_tokens == 161
+    assert plan["rare"].needs_upsampling and not plan["en"].needs_upsampling
+    assert plan["rare"].rate_ppm == 1_000_000
+    assert plan["rare"].planned_tokens == 4  # clamped: all it has
+    for r in plan.values():
+        assert r.planned_tokens <= max(r.target_tokens, r.tokens)
+        assert 0 <= r.rate_ppm <= 1_000_000
+    assert plan["junk"].rate_ppm == 0 and plan["junk"].planned_tokens == 0
+    budget = (404 * 800_000) // 1_000_000
+    assert sum(
+        r.planned_tokens for r in plan.values() if r.lang != "junk"
+    ) <= budget
+
+
 def test_stratified_sample_default_rate_zero_drops_unknown(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     only_known = sampling.stratified_sample(docs, {"src0": 1.0})

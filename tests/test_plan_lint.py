@@ -49,6 +49,7 @@ _CROSS_JOIN_BY_DESIGN = {
     "d65_unigram_rarity",  # broadcast one-row corpus-token-total aggregate
     "d68_vocab_coverage",  # broadcast one-row corpus-token-total aggregate
     "d83_bigram_logprob_quality",  # broadcast one-row vocab-size aggregate
+    "d95_token_budget_plan",  # broadcast one-row budget-totals aggregate
     "m38_encode_then_search",  # broadcast query-vector block (brute force)
 }
 

@@ -166,6 +166,21 @@ SHOW = {
         "stage's Python worker; nothing shuffles but the 5-column "
         "result."
     ),
+    "d95_token_budget_plan": (
+        "Token-budget mixture plan: ONE partial-aggregable token-count "
+        "pass over the corpus, the totals folded to a one-row broadcast, "
+        "then pure decimal(38,0) column arithmetic — the output is "
+        "|strata| rows regardless of corpus size."
+    ),
+    "d97_web_curation_v2": (
+        "End-to-end web curation v2: intra-doc line dedup and the "
+        "token gate fuse into the scan stage; exact dedup is the one "
+        "corpus-keyed HashAggregate + semi join; decontamination is a "
+        "broadcast span probe (benchmark-bounded build side); "
+        "temperature sampling is a hash-threshold filter off a tiny "
+        "per-language aggregate — corpus text shuffles only for the "
+        "dedup fingerprint."
+    ),
     "d63_bloom_contamination": (
         "Relational Bloom probe: the position table broadcasts twice "
         "(build side is k·|benchmark| rows); the corpus scans once and "
