@@ -11,8 +11,10 @@ DuckDB oracles in plans/llm_ops.py mirror the same expressions).
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Marker stopwords per language for the n-gram/stopword language-ID
@@ -610,4 +612,168 @@ def bigram_logprob_score(
                 "avg_neg_logp_micro"
             ),
         )
+    )
+
+
+#: Session-keyed staged (doc_id, term, tf, dl) tables for BM25 — the
+#: staged_shingles discipline (operators/dedup.py): the matched-term
+#: postings artifact is built from ONE corpus scan and reused by every
+#: branch (df fold, score join) and every repeat build over the same
+#: (corpus, query set). Keyed by semantic plan hash + input-file
+#: snapshot so in-session source overwrites miss instead of serving
+#: stale postings. At 100 TB this artifact is a written parquet
+#: postings table; locally localCheckpoint pins it.
+_STAGED_BM25: OrderedDict = OrderedDict()
+_STAGED_BM25_MAX = 8
+
+
+def _staged_bm25_tf(
+    df: DataFrame, queries: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Get-or-build the staged per-(doc, query-term) postings table:
+    tf plus the document length dl, from one broadcast-filtered corpus
+    explode. Only query-term occurrences ever shuffle."""
+    from etl_example_spark.operators.dedup import _input_file_snapshot
+
+    def build() -> DataFrame:
+        tset = F.broadcast(queries.select("term").distinct())
+        occ = df.select(
+            F.col(id_col).alias("doc_id"),
+            token_count(text_col).alias("dl"),
+            F.explode(tokens(text_col)).alias("term"),
+        ).join(tset, "term")
+        return occ.groupBy("doc_id", "term").agg(
+            F.count("*").alias("tf"),
+            # dl is constant per doc — fold it through the one
+            # aggregate instead of a second corpus-derived join
+            F.max("dl").alias("dl"),
+        ).localCheckpoint(eager=True)
+
+    try:
+        sem = (df.semanticHash(), queries.semanticHash())
+    except Exception:  # noqa: BLE001 — no stable key: treat as MISS
+        return build()
+    key = (
+        id(df.sparkSession),
+        sem,
+        _input_file_snapshot(df),
+        _input_file_snapshot(queries),
+        text_col,
+        id_col,
+    )
+    if key not in _STAGED_BM25:
+        _STAGED_BM25[key] = build()
+        while len(_STAGED_BM25) > _STAGED_BM25_MAX:
+            _STAGED_BM25.popitem(last=False)
+    else:
+        _STAGED_BM25.move_to_end(key)
+    return _STAGED_BM25[key]
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 retrieval (k1 = 1.2, b = 0.75 — the Lucene/Elastic
+    defaults) over the corpus for a set of term queries, top-``k``
+    documents per query — the lexical ranking half of every
+    retrieval/RAG stack and the standard hard-negative miner for
+    embedding training; complements :func:`d52 <unigram_rarity>`-style
+    TF-IDF with real length normalization.
+
+    ``queries`` is a (query_id, term) DataFrame — tiny, broadcast
+    everywhere it joins.
+
+    Exactness contract (the d83/d95 discipline): the ONE transcendental
+    — idf = ln((N+1)/(df+0.5)), the Lucene BM25 idf, always positive —
+    is rounded to 6 decimals BEFORE any arithmetic and becomes integer
+    micro-nats. The tf normalization is exact integers all the way
+    down: with k1 = 6/5 and b = 3/4, clearing denominators by 10·T
+    (T = total corpus tokens, N = corpus docs, dl = doc tokens,
+    avgdl = T/N exact — never a float average) gives
+
+        tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+            = 22·T·tf / (10·T·tf + 3·T + 9·dl·N)
+
+    so each (query, doc, term) contribution is ONE decimal(38,0) floor
+    division ``(idf_micro · 22·T·tf) fdiv (10·T·tf + 3·T + 9·dl·N)``
+    and per-doc scores are exact integer sums — bit-identical across
+    engines at any corpus size (decimal(38) holds to ~1e12-token
+    corpora against the ~1e38 headroom).
+
+    Shuffle architecture at 100 TB: the token explode BROADCAST-filters
+    to query terms BEFORE anything shuffles, so shuffle volume is the
+    query terms' occurrence count, not the corpus token count (the
+    decisive difference from a TF-IDF-style full-vocabulary pass); the
+    document length dl rides through the explode and folds into the
+    same tf aggregate — the resulting postings table is STAGED once
+    (:func:`_staged_bm25_tf`; localCheckpoint locally, a parquet
+    postings table in production) so the df fold and the score join
+    read one artifact instead of re-scanning the corpus per branch.
+    N and T come from one narrow no-explode aggregate over the corpus
+    (broadcast one-row block). The final per-(query, doc) sum and top-k
+    shuffle only matched rows. Zipf skew (a stop-word query term
+    matching every doc) lands on partial-aggregable groupBys, never a
+    content-keyed Window.
+
+    Returns (query_id, doc_id, score_micro, rk), rk 1..k per query,
+    ties broken by doc_id — fully deterministic.
+    """
+    qterms = F.broadcast(queries.select("query_id", "term").distinct())
+    tf = _staged_bm25_tf(df, queries, text_col, id_col)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    totals = F.broadcast(
+        df.select(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(text_col)).alias("t_total"),
+        )
+    )
+    idf_micro = (
+        F.round(
+            F.log(
+                (F.col("n_docs") + 1).cast("double")
+                / (F.col("df").cast("double") + 0.5)
+            ),
+            6,
+        ).cast("decimal(18,6)")
+        * 1_000_000
+    ).cast("decimal(38,0)")
+    scored = (
+        qterms.join(tf, "term")
+        .join(dfreq, "term")
+        .crossJoin(totals)
+        .select(
+            "query_id",
+            "doc_id",
+            idf_micro.alias("_idf"),
+            F.col("tf").cast("decimal(38,0)").alias("_tf"),
+            F.col("dl").cast("decimal(38,0)").alias("_dl"),
+            F.col("n_docs").cast("decimal(38,0)").alias("_n"),
+            F.col("t_total").cast("decimal(38,0)").alias("_t"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            # explicit floor division (a - a % b) / b in decimal(38,0):
+            # plain decimal `/` rounds HALF_UP at scale 6 (the d95
+            # lesson); domain is strictly positive so this IS floor
+            F.expr(
+                "CAST((_idf * 22 * _t * _tf"
+                " - ((_idf * 22 * _t * _tf) % (10 * _t * _tf + 3 * _t + 9 * _dl * _n)))"
+                " / (10 * _t * _tf + 3 * _t + 9 * _dl * _n) AS DECIMAL(38,0))"
+            ).alias("_contrib"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_contrib").cast("long").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "doc_id", "score_micro", "rk")
     )

@@ -1589,6 +1589,95 @@ def s50_sq8_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", "j")
 
 
+#: The s51 BM25 query set — (query_id, term) literals over the corpus
+#: vocabulary; tiny by definition, broadcast on both engines.
+BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "hash"), (1, "join"), (1, "merge"),
+    (2, "window"), (2, "sort"), (2, "order"),
+    (3, "spark"), (3, "stream"), (3, "batch"), (3, "vector"),
+]
+
+
+@register(
+    "s51_bm25_topk",
+    "Okapi BM25 retrieval (k1=1.2, b=0.75 — the Lucene defaults): "
+    "top-10 documents per term query, the lexical ranking half of a "
+    "RAG stack and the standard hard-negative miner next to the s31 "
+    "embedding search. Exact across engines by construction: the one "
+    "transcendental, idf = ln((N+1)/(df+0.5)), rounds to 6 decimals "
+    "into integer micro-nats BEFORE any arithmetic (the d83 "
+    "discipline), and the length normalization clears k1=6/5, b=3/4 "
+    "and avgdl=T/N to the all-integer form 22·T·tf / (10·T·tf + 3·T "
+    "+ 9·dl·N) — one decimal(38,0) floor division per (query,doc,"
+    "term), integer sums after (the d95 discipline). One token "
+    "explode feeds tf; df/dl/totals fold FROM the tf table (no second "
+    "corpus scan); the query set broadcasts "
+    "(operators/text.bm25_topk).",
+    oracle=f"""
+        WITH q(query_id, term) AS (
+            VALUES (1, 'hash'), (1, 'join'), (1, 'merge'),
+                   (2, 'window'), (2, 'sort'), (2, 'order'),
+                   (3, 'spark'), (3, 'stream'), (3, 'batch'),
+                   (3, 'vector')
+        ),
+        tok AS (
+            SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS HUGEINT) AS tf
+            FROM tok WHERE term <> '' GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        dl AS (
+            SELECT doc_id, CAST(SUM(tf) AS HUGEINT) AS dl
+            FROM tf GROUP BY doc_id
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n_docs,
+                   CAST(COALESCE(SUM({SQL_NTOKS}), 0) AS HUGEINT)
+                       AS t_total
+            FROM documents
+        ),
+        contrib AS (
+            SELECT q.query_id, tf.doc_id,
+                   CAST(CAST(ROUND(ln((n_docs + 1) / (df + 0.5)), 6)
+                             AS DECIMAL(18,6)) * 1000000 AS HUGEINT)
+                   * 22 * t_total * tf
+                   // (10 * t_total * tf + 3 * t_total + 9 * dl * n_docs)
+                       AS c
+            FROM q
+            JOIN tf USING (term)
+            JOIN dfreq USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN tot
+        ),
+        scored AS (
+            SELECT query_id, doc_id,
+                   CAST(SUM(c) AS BIGINT) AS score_micro
+            FROM contrib GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, score_micro, CAST(rk AS INT) AS rk
+        FROM (
+            SELECT query_id, doc_id, score_micro,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_micro DESC, doc_id
+                   ) AS rk
+            FROM scored
+        ) t WHERE rk <= 10
+        ORDER BY query_id, rk
+    """,
+    category="similarity",
+    bench=True,  # corpus-scan retrieval family — track from first round
+)
+def s51_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id int, term string"
+    )
+    return text.bm25_topk(docs, queries, k=10).orderBy("query_id", "rk")
+
+
 @register(
     "d83_bigram_logprob_quality",
     "Self-trained bigram LM quality scoring — the CCNet/FineWeb-style "
@@ -4813,6 +4902,78 @@ def d87_newline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return dedup.line_dedup(docs, separator="\n")
+
+
+@register(
+    "d96_paragraph_dedup",
+    "PARAGRAPH-granularity corpus dedup — the Dolma/RedPajama-v2 "
+    "paragraph pass: units are blank-line-delimited blocks (which "
+    "themselves contain newlines — real paragraph structure, not "
+    "lines), a paragraph survives only at its global first occurrence, "
+    "per-doc audit counts + cleaned fingerprint. Same machinery as "
+    "d62/d87 via separator='\\n\\n' "
+    "(operators/dedup.line_dedup(separator='\\n\\n')) — same skew-safe "
+    "groupBy(hash).min(packed bigint) first-occurrence HashAggregate, "
+    "no Window over paragraph content. The driver corpus carries no "
+    "newline structure, so both sides derive it deterministically "
+    "first: 'line' -> newline, then 'part' -> blank line (order "
+    "load-bearing and identical on both sides).",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   replace(replace(COALESCE(text, ''),
+                       'line', chr(10)),
+                       'part', chr(10) || chr(10)) AS text
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id,
+                   string_split(text, chr(10) || chr(10)) AS paras
+            FROM d
+        ),
+        l AS (
+            SELECT doc_id, i AS line_idx, paras[i+1] AS line_text
+            FROM t, LATERAL (
+                SELECT unnest(range(len(paras))) AS i
+            ) g
+        ),
+        ranked AS (
+            SELECT doc_id, line_idx, line_text,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(line_text)
+                       ORDER BY doc_id, line_idx
+                   ) AS rk
+            FROM l
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS kept_lines,
+               CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dropped_lines,
+               md5(COALESCE(string_agg(
+                   CASE WHEN rk = 1 THEN line_text END, chr(10)
+                   ORDER BY line_idx), '')) AS cleaned_fp
+        FROM ranked
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    category="dedup",
+)
+def d96_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(
+            F.replace(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("line"),
+                F.lit("\n"),
+            ),
+            F.lit("part"),
+            F.lit("\n\n"),
+        ).alias("text"),
+    )
+    return dedup.line_dedup(docs, separator="\n\n")
 
 
 @register(

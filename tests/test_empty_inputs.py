@@ -21,9 +21,9 @@ from tests.oracle import duckdb_connection, run_differential
 # - q13/q45/q48: Spark plans rollup/grouping-sets/cube as Expand+groupBy,
 #   so empty input yields no groups at all; DuckDB (and the SQL standard)
 #   emit the grand-total grouping as one zero-count row — engine difference
-# - s33a/s40a/s42a: recall certificates whose oracle is the expected
-#   (k, TRUE) row for the REAL corpus; on an empty corpus the exact
-#   top-k is empty and the certificate is vacuously (0, False) —
+# - s33a/s40a/s42a/s49a: recall certificates whose oracle is the
+#   expected (k, TRUE) row for the REAL corpus; on an empty corpus the
+#   exact top-k is empty and the certificate is vacuously (0, False) —
 #   run-only here, hash-checked on real data
 SKIP_DIFFERENTIAL = {
     "m34_multimodal_stats",
@@ -33,6 +33,7 @@ SKIP_DIFFERENTIAL = {
     "s33a_ann_recall_bound",
     "s40a_ivf_recall_bound",
     "s42a_pq_recall_bound",
+    "s49a_sq8_recall_bound",
 }
 
 

@@ -788,3 +788,114 @@ class TestPngCodec:
         small = multimodal.nn_resize(decoded, 4, 4)
         assert small.shape == (4, 4, 3)
         assert np.array_equal(small[0, 0], arr[0, 0])
+
+
+class TestBm25:
+    """Ranking laws for operators/text.bm25_topk (s51) — shape and
+    monotonicity the differential oracle can't state directly."""
+
+    def _topk(self, spark, docs_rows, queries_rows, k=10):
+        from etl_example_spark.operators.text import bm25_topk
+
+        docs = spark.createDataFrame(
+            docs_rows, "doc_id long, text string"
+        )
+        queries = spark.createDataFrame(
+            queries_rows, "query_id int, term string"
+        )
+        return bm25_topk(docs, queries, k=k).collect()
+
+    def test_tf_monotone_same_length(self, spark):
+        # identical length, doc 1 has the term twice -> strictly higher
+        rows = self._topk(
+            spark,
+            [
+                (1, "cat cat dog bird fish"),
+                (2, "cat mouse dog bird fish"),
+            ],
+            [(1, "cat")],
+        )
+        by_doc = {r.doc_id: r for r in rows}
+        assert by_doc[1].score_micro > by_doc[2].score_micro
+        assert by_doc[1].rk == 1
+
+    def test_length_normalization_penalizes_long_docs(self, spark):
+        # same tf=1; doc 2 is 4x longer -> lower BM25 score
+        rows = self._topk(
+            spark,
+            [
+                (1, "cat dog bird"),
+                (2, "cat " + " ".join(f"w{i}" for i in range(11))),
+            ],
+            [(1, "cat")],
+        )
+        by_doc = {r.doc_id: r for r in rows}
+        assert by_doc[1].score_micro > by_doc[2].score_micro
+
+    def test_only_matching_docs_returned_and_k_respected(self, spark):
+        rows = self._topk(
+            spark,
+            [(i, f"tok{i} filler") for i in range(20)]
+            + [(100 + i, "needle extra words here") for i in range(5)],
+            [(7, "needle")],
+            k=3,
+        )
+        assert len(rows) == 3
+        assert all(r.query_id == 7 for r in rows)
+        assert all(r.doc_id >= 100 for r in rows)
+        assert [r.rk for r in sorted(rows, key=lambda r: r.rk)] == [1, 2, 3]
+
+    def test_rarer_term_outranks_common_term(self, spark):
+        # one doc with a corpus-rare term beats one with a ubiquitous
+        # term at equal tf and length (idf dominance)
+        corpus = [(i, "common filler pad") for i in range(10)]
+        corpus += [(50, "common rare pad"), (51, "common junk pad")]
+        rows = self._topk(spark, corpus, [(1, "rare"), (2, "common")])
+        rare_hit = [r for r in rows if r.query_id == 1 and r.doc_id == 50]
+        common_hits = [r for r in rows if r.query_id == 2]
+        assert rare_hit and common_hits
+        assert rare_hit[0].score_micro > max(
+            r.score_micro for r in common_hits
+        )
+
+
+class TestParagraphDedup:
+    """line_dedup(separator='\n\n') — the d96 paragraph pass: units are
+    blank-line blocks, interior newlines stay inside one unit."""
+
+    def test_first_occurrence_wins_across_docs(self, spark):
+        from etl_example_spark.operators.dedup import line_dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha one\nalpha two\n\nshared para\nsecond line"),
+                (2, "shared para\nsecond line\n\nbeta unique"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in line_dedup(docs, separator="\n\n").collect()
+        }
+        # doc 1: both paragraphs first occurrences
+        assert out[1].n_lines == 2 and out[1].kept_lines == 2
+        # doc 2: its copy of the shared paragraph drops, 'beta' survives
+        assert out[2].n_lines == 2
+        assert out[2].kept_lines == 1
+        assert out[2].dropped_lines == 1
+
+    def test_interior_newlines_do_not_split_units(self, spark):
+        from etl_example_spark.operators.dedup import line_dedup
+
+        docs = spark.createDataFrame(
+            [(1, "a\nb"), (2, "a\nc")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in line_dedup(docs, separator="\n\n").collect()
+        }
+        # 'a\nb' and 'a\nc' are DIFFERENT single paragraphs — the shared
+        # first line must not cause any drop at paragraph granularity
+        assert out[1].kept_lines == 1 and out[2].kept_lines == 1
+        assert out[2].dropped_lines == 0

@@ -49,6 +49,7 @@ _CROSS_JOIN_BY_DESIGN = {
     "d65_unigram_rarity",  # broadcast one-row corpus-token-total aggregate
     "d68_vocab_coverage",  # broadcast one-row corpus-token-total aggregate
     "d83_bigram_logprob_quality",  # broadcast one-row vocab-size aggregate
+    "s51_bm25_topk",  # broadcast one-row (N, T) corpus-totals aggregate
     "d95_token_budget_plan",  # broadcast one-row budget-totals aggregate
     "m38_encode_then_search",  # broadcast query-vector block (brute force)
 }
@@ -145,7 +146,13 @@ def test_no_broadcast_hint_on_cluster_labels(spark, sf_dir, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["d62_line_dedup", "d70_incremental_line_dedup", "d71_line_dedup_apply"],
+    [
+        "d62_line_dedup",
+        "d70_incremental_line_dedup",
+        "d71_line_dedup_apply",
+        "d87_newline_line_dedup",
+        "d96_paragraph_dedup",
+    ],
 )
 def test_line_dedup_plans_have_no_window(plans, name):
     """A Window partitioned by a content hash cannot partial-aggregate:
@@ -163,6 +170,8 @@ def test_line_dedup_plans_have_no_window(plans, name):
         "d62_line_dedup",
         "d70_incremental_line_dedup",
         "d71_line_dedup_apply",
+        "d87_newline_line_dedup",
+        "d96_paragraph_dedup",
         "d80_duplicated_spans",
         "d81_remove_duplicated_spans",
         "d82_duplicated_spans_df_floor",
@@ -194,6 +203,7 @@ def test_first_occurrence_aggregates_are_hash_based(plans, name):
         "d70_incremental_line_dedup",
         "d71_line_dedup_apply",
         "d87_newline_line_dedup",
+        "d96_paragraph_dedup",
         "d80_duplicated_spans",
         "d81_remove_duplicated_spans",
         "d82_duplicated_spans_df_floor",
