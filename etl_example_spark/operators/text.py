@@ -631,17 +631,29 @@ def _staged_bm25_tf(
     df: DataFrame, queries: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
     """Get-or-build the staged per-(doc, query-term) postings table:
-    tf plus the document length dl, from one broadcast-filtered corpus
-    explode. Only query-term occurrences ever shuffle."""
+    tf plus the document length dl, from one term-filtered corpus
+    explode. Only query-term occurrences ever shuffle.
+
+    The query TERM SET is collected driver-side (bounded by contract —
+    a query workload, not a corpus; same sanction as centroid/codebook
+    collects) for two reasons: it keys the staging cache by VALUE —
+    ``createDataFrame`` literals get a fresh semantic hash per build,
+    which silently defeated plan-hash keying (measured: the bench's 7
+    builds re-staged 7 times) — and it lets the explode filter be a
+    literal ``isin`` evaluated inside the scan stage, no join node at
+    all."""
     from etl_example_spark.operators.dedup import _input_file_snapshot
 
+    terms = tuple(
+        sorted({r[0] for r in queries.select("term").distinct().collect()})
+    )
+
     def build() -> DataFrame:
-        tset = F.broadcast(queries.select("term").distinct())
         occ = df.select(
             F.col(id_col).alias("doc_id"),
             token_count(text_col).alias("dl"),
             F.explode(tokens(text_col)).alias("term"),
-        ).join(tset, "term")
+        ).filter(F.col("term").isin(*terms) if terms else F.lit(False))
         return occ.groupBy("doc_id", "term").agg(
             F.count("*").alias("tf"),
             # dl is constant per doc — fold it through the one
@@ -650,14 +662,14 @@ def _staged_bm25_tf(
         ).localCheckpoint(eager=True)
 
     try:
-        sem = (df.semanticHash(), queries.semanticHash())
+        sem = df.semanticHash()
     except Exception:  # noqa: BLE001 — no stable key: treat as MISS
         return build()
     key = (
         id(df.sparkSession),
         sem,
         _input_file_snapshot(df),
-        _input_file_snapshot(queries),
+        terms,
         text_col,
         id_col,
     )

@@ -1609,10 +1609,11 @@ BM25_QUERIES: list[tuple[int, str]] = [
     "discipline), and the length normalization clears k1=6/5, b=3/4 "
     "and avgdl=T/N to the all-integer form 22·T·tf / (10·T·tf + 3·T "
     "+ 9·dl·N) — one decimal(38,0) floor division per (query,doc,"
-    "term), integer sums after (the d95 discipline). One token "
-    "explode feeds tf; df/dl/totals fold FROM the tf table (no second "
-    "corpus scan); the query set broadcasts "
-    "(operators/text.bm25_topk).",
+    "term), integer sums after (the d95 discipline). The token "
+    "explode broadcast-filters to query terms BEFORE any shuffle and "
+    "stages the (doc, term, tf, dl) postings table once; df folds "
+    "from the staged postings, (N, T) from one narrow no-explode "
+    "corpus aggregate (operators/text.bm25_topk).",
     oracle=f"""
         WITH q(query_id, term) AS (
             VALUES (1, 'hash'), (1, 'join'), (1, 'merge'),
