@@ -181,6 +181,19 @@ SHOW = {
         "per-language aggregate — corpus text shuffles only for the "
         "dedup fingerprint."
     ),
+    "s51_bm25_topk": (
+        "BM25 retrieval: staged postings scan (query-term occurrences "
+        "only — the explode filtered by a literal isin inside the scan "
+        "stage), df folded from the postings, one-row (N, T) broadcast, "
+        "integer-exact scoring, per-query ranking window over matched "
+        "rows only."
+    ),
+    "d96_paragraph_dedup": (
+        "Paragraph-granularity dedup: same packed-key HashAggregate "
+        "first-occurrence rule and unique-key reassembly as d62/d87, "
+        "with blank-line units — ~10× fewer occurrence rows than the "
+        "line pass."
+    ),
     "d63_bloom_contamination": (
         "Relational Bloom probe: the position table broadcasts twice "
         "(build side is k·|benchmark| rows); the corpus scans once and "
