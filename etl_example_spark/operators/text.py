@@ -789,3 +789,199 @@ def bm25_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "doc_id", "score_micro", "rk")
     )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shannon entropy of each document's token distribution, in exact
+    integer MICRO-NATS — the Gopher-class diversity/repetition signal:
+    near-zero entropy is a one-phrase spam page or degenerate
+    generation; natural prose sits near its length-capped maximum
+    ln(n_tokens). Complements :func:`bigram_logprob_score` (d83 — a
+    corpus-relative fluency score) with a corpus-FREE per-document
+    signal: no trained counts, so it works on the first document of a
+    crawl and never shifts as the corpus grows.
+
+    Exactness (the d83/d95 discipline): with c = per-token count and
+    n = doc tokens,
+
+        H = ln n − (Σ c·ln c)/n
+
+    and every ln rounds to 6 decimals into integer micro-nats BEFORE
+    any multiplication or summation: S = Σ c·round_micro(ln c) is an
+    exact integer, and the single division is an integer floor
+    division, so entropy_micro = round_micro(ln n) − S div n is
+    bit-identical across engines at any scale (the floor bias is
+    < 1 micro-nat, stated here rather than hidden in a float divide).
+
+    Plan shape at 100 TB: one token explode → hash aggregate on
+    (doc, token) → hash aggregate on doc. Both aggregates partial-map
+    before their shuffles; shuffle volume is bounded by distinct
+    (doc, token) pairs (≤ corpus tokens, much less on repetitive
+    documents — the very documents the signal flags). No window, no
+    skewable content key: both keys contain doc_id.
+
+    Returns (doc_id, n_tokens, n_distinct, entropy_micro); empty docs
+    are dropped (H of zero tokens is undefined).
+    """
+    ln_micro_c = (
+        F.round(F.log(F.col("_c").cast("double")), 6).cast("decimal(18,6)")
+        * 1_000_000
+    ).cast("long")
+    ln_micro_n = (
+        F.round(F.log(F.col("n_tokens").cast("double")), 6).cast(
+            "decimal(18,6)"
+        )
+        * 1_000_000
+    ).cast("long")
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(text_col)).alias("_tok"),
+        )
+        .groupBy("doc_id", "_tok")
+        .agg(F.count("*").alias("_c"))
+    )
+    return (
+        tf.select(
+            "doc_id",
+            "_c",
+            (F.col("_c") * ln_micro_c).alias("_s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.sum("_s").alias("_S"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            (ln_micro_n - F.expr("_S div n_tokens")).alias(
+                "entropy_micro"
+            ),
+        )
+    )
+
+
+def bm25_serving_stats(
+    df: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[dict[str, int], int, int]:
+    """Collect the FROZEN corpus statistics BM25 ingest-time serving
+    needs: {term: idf_micro}, corpus doc count N, corpus token total T.
+
+    idf_micro is computed IN Spark with the same rounded-ln expression
+    :func:`bm25_topk` ranks with and collected as integers — the
+    collected numbers ARE the model artifact (the offline-train /
+    online-serve split), so the streaming scorer never re-derives a
+    transcendental. Bounded collect: one row per query term plus one
+    totals row (the centroid/codebook sanction)."""
+    totals = df.select(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum(token_count(text_col)), F.lit(0)).alias(
+            "t_total"
+        ),
+    ).collect()[0]
+    n_docs, t_total = int(totals["n_docs"]), int(totals["t_total"])
+    tf = _staged_bm25_tf(df, queries, text_col, id_col)
+    idf_micro = (
+        F.round(
+            F.log(
+                F.lit(n_docs + 1).cast("double")
+                / (F.col("df").cast("double") + 0.5)
+            ),
+            6,
+        ).cast("decimal(18,6)")
+        * 1_000_000
+    ).cast("long")
+    rows = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .select("term", idf_micro.alias("idf_micro"))
+        .collect()
+    )
+    return {r.term: int(r.idf_micro) for r in rows}, n_docs, t_total
+
+
+def bm25_serve_scores(
+    docs: DataFrame,
+    term_idf: dict[str, int],
+    query_terms: dict[int, list[str]],
+    n_docs: int,
+    t_total: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Score a (batch or STREAMING) document frame against frozen BM25
+    statistics: one row per (document, query) with the exact integer
+    score — the retrieval-at-ingest serving path (route each arriving
+    document to the standing queries it matches).
+
+    STATELESS by construction: per-term tf is a higher-order filter
+    over the bound token array (no explode, no shuffle, no state
+    store), the statistics are literals baked into the projection, and
+    the arithmetic is the identical decimal(38,0) floor-division form
+    as :func:`bm25_topk` — so stream-scored == batch-scored is a law,
+    not an approximation. Terms must be lowercase alphanumeric (they
+    are inlined into SQL lambda literals); asserted.
+
+    Emits only (doc, query) pairs with score_micro > 0 — queries a
+    document doesn't match produce no row, mirroring the batch
+    ranker's inner join.
+    """
+    terms = sorted({t for ts in query_terms.values() for t in ts})
+    assert all(t.isalnum() and t == t.lower() for t in terms), terms
+    live = [t for t in terms if t in term_idf]
+    bound = docs.withColumn("_toks", tokens(text_col)).withColumn(
+        "_dl", F.expr("CAST(size(_toks) AS DECIMAL(38,0))")
+    )
+    tf_cols = {}
+    for i, t in enumerate(live):
+        tf_cols[t] = f"_tf_{i}"
+        bound = bound.withColumn(
+            f"_tf_{i}",
+            F.expr(
+                f"CAST(size(filter(_toks, t -> t = '{t}')) "
+                "AS DECIMAL(38,0))"
+            ),
+        )
+    big = "CAST({v} AS DECIMAL(38,0))"
+    T, N = big.format(v=t_total), big.format(v=n_docs)
+
+    def contrib(term: str) -> str:
+        tf = tf_cols[term]
+        idf = big.format(v=term_idf[term])
+        num = f"({idf} * 22 * {T} * {tf})"
+        den = f"(10 * {T} * {tf} + 3 * {T} + 9 * _dl * {N})"
+        return (
+            f"CASE WHEN {tf} = 0 THEN CAST(0 AS DECIMAL(38,0)) "
+            f"ELSE CAST(({num} - ({num} % {den})) / {den} "
+            "AS DECIMAL(38,0)) END"
+        )
+
+    def score(qid: int) -> Column:
+        parts = [contrib(t) for t in query_terms[qid] if t in tf_cols]
+        if not parts:
+            return F.lit(0).cast("long")
+        return F.expr(" + ".join(parts)).cast("long")
+
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(qid).cast("int").alias("query_id"),
+                    score(qid).alias("score_micro"),
+                )
+                for qid in sorted(query_terms)
+            ]
+        )
+    )
+    return (
+        bound.select(pairs.alias("_p"), *docs.columns)
+        .select(*docs.columns, "_p.query_id", "_p.score_micro")
+        .filter(F.col("score_micro") > 0)
+    )

@@ -4978,6 +4978,51 @@ def d96_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d98_token_entropy",
+    "Shannon entropy of each document's token distribution in exact "
+    "integer micro-nats — the corpus-FREE diversity/repetition gate "
+    "(near-zero = one-phrase spam or degenerate generation; natural "
+    "prose approaches its ln(n) cap): H = ln n - (sum c*ln c)/n with "
+    "every ln rounded to 6 decimals into integer micro-nats BEFORE "
+    "multiplication/summation and ONE integer floor division (the "
+    "d83/d95 discipline — bit-identical across engines; floor bias "
+    "< 1 micro-nat). Complements d83's corpus-relative bigram LM with "
+    "a per-document signal that needs no trained counts. One explode "
+    "-> (doc, token) hash aggregate -> doc hash aggregate; both "
+    "partial-map, both keys contain doc_id (no skewable content key) "
+    "(operators/text.token_entropy).",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        -- DuckDB string_split_regex('') yields [''] where the engine's
+        -- tokens('') yields []; drop the empty token (d83 precedent)
+        tf AS (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM tok WHERE tok <> '' GROUP BY doc_id, tok
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(SUM(c * CAST(CAST(ROUND(ln(CAST(c AS DOUBLE)),
+                            6) AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                       AS BIGINT) AS s
+            FROM tf GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_distinct,
+               CAST(CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               - s // n_tokens AS entropy_micro
+        FROM agg ORDER BY doc_id
+    """,
+    category="text",
+)
+def d98_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_entropy(docs).orderBy("doc_id")
+
+
+@register(
     "d90_benchmark_span_overlap",
     "Span-level benchmark decontamination, detection half — the GPT-3 "
     "13-gram rule as POSITIONED intervals (d47 is the doc-level "

@@ -1368,3 +1368,98 @@ def st54_stream_sq8_maintenance(
         .select("vec_id", "j", "code")
         .orderBy("vec_id", "j")
     )
+
+
+@register(
+    "st55_stream_bm25_route",
+    "Retrieval-at-ingest: every ARRIVING document scored against the "
+    "standing BM25 query set with FROZEN corpus statistics — the "
+    "offline-train / online-serve split (stats collected once from the "
+    "static corpus as exact integers; the stream never re-derives a "
+    "transcendental). Scoring is STATELESS per row — per-term tf is a "
+    "higher-order filter over the bound token array, no explode before "
+    "the filter, no shuffle, no state store — so stream-scored == "
+    "batch-scored is a law, and the oracle replays the whole thing in "
+    "batch SQL with s51's arithmetic. Emits per query the matched-doc "
+    "count and the exact integer score mass "
+    "(operators/text.bm25_serve_scores).",
+    oracle=f"""
+        WITH q(query_id, term) AS (
+            VALUES (1, 'hash'), (1, 'join'), (1, 'merge'),
+                   (2, 'window'), (2, 'sort'), (2, 'order'),
+                   (3, 'spark'), (3, 'stream'), (3, 'batch'),
+                   (3, 'vector')
+        ),
+        tok AS (
+            SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS HUGEINT) AS tf
+            FROM tok WHERE term <> '' GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        dl AS (
+            SELECT doc_id, CAST(SUM(tf) AS HUGEINT) AS dl
+            FROM tf GROUP BY doc_id
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n_docs,
+                   CAST(COALESCE(SUM(CASE WHEN trim(lower(text)) = ''
+                            THEN 0 ELSE len({SQL_TOKS}) END), 0)
+                       AS HUGEINT) AS t_total
+            FROM documents
+        ),
+        contrib AS (
+            SELECT q.query_id, tf.doc_id,
+                   CAST(CAST(ROUND(ln((n_docs + 1) / (df + 0.5)), 6)
+                             AS DECIMAL(18,6)) * 1000000 AS HUGEINT)
+                   * 22 * t_total * tf
+                   // (10 * t_total * tf + 3 * t_total + 9 * dl * n_docs)
+                       AS c
+            FROM q
+            JOIN tf USING (term)
+            JOIN dfreq USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN tot
+        ),
+        scored AS (
+            SELECT query_id, doc_id,
+                   CAST(SUM(c) AS BIGINT) AS score_micro
+            FROM contrib GROUP BY query_id, doc_id
+        )
+        SELECT query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_matched,
+               CAST(SUM(score_micro) AS BIGINT) AS score_mass_micro
+        FROM scored WHERE score_micro > 0
+        GROUP BY query_id ORDER BY query_id
+    """,
+    category="streaming",
+)
+def st55_stream_bm25_route(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators import text
+    from etl_example_spark.plans.llm_ops import BM25_QUERIES
+    from etl_example_spark.sources.loaders import load_table
+    from etl_example_spark.streaming.sources import read_documents_stream
+
+    static = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id int, term string"
+    )
+    term_idf, n_docs, t_total = text.bm25_serving_stats(static, queries)
+    query_terms: dict[int, list[str]] = {}
+    for qid, term in BM25_QUERIES:
+        query_terms.setdefault(qid, []).append(term)
+
+    stream = read_documents_stream(spark, sf_dir)
+    scored = text.bm25_serve_scores(
+        stream, term_idf, query_terms, n_docs, t_total
+    )
+    agg = scored.groupBy("query_id").agg(
+        F.count("*").alias("n_matched"),
+        F.sum("score_micro").alias("score_mass_micro"),
+    )
+    return run_to_memory(agg, output_mode="complete").orderBy("query_id")

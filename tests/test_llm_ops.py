@@ -899,3 +899,78 @@ class TestParagraphDedup:
         # first line must not cause any drop at paragraph granularity
         assert out[1].kept_lines == 1 and out[2].kept_lines == 1
         assert out[2].dropped_lines == 0
+
+
+class TestTokenEntropy:
+    """Exact-integer laws for operators/text.token_entropy (d98)."""
+
+    def _ent(self, spark, rows):
+        from etl_example_spark.operators.text import token_entropy
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r for r in token_entropy(docs).collect()}
+
+    def test_exact_closed_forms(self, spark):
+        out = self._ent(
+            spark,
+            [
+                (1, "a b c d"),      # uniform: H = ln 4
+                (2, "a a a a"),      # degenerate: H = 0
+                (3, "a a b b"),      # H = ln 4 - ln 2 = ln 2
+                (4, ""),             # empty: dropped
+            ],
+        )
+        # ln 4 = 1.386294, ln 2 = 0.693147 (6-decimal micro-nats)
+        assert out[1].entropy_micro == 1_386_294
+        assert out[1].n_tokens == 4 and out[1].n_distinct == 4
+        assert out[2].entropy_micro == 0
+        assert out[2].n_distinct == 1
+        assert out[3].entropy_micro == 1_386_294 - 693_147
+        assert 4 not in out
+
+    def test_repetition_lowers_entropy(self, spark):
+        out = self._ent(
+            spark,
+            [
+                (1, "w x y z u v s t"),
+                (2, "w w w w u v s t"),
+            ],
+        )
+        assert out[1].entropy_micro > out[2].entropy_micro
+        assert out[1].n_tokens == out[2].n_tokens == 8
+
+
+def test_bm25_serve_scores_equal_batch_ranker(spark, sf_dir):
+    """The stateless serving scorer (st55) and the batch ranker (s51)
+    must assign the SAME exact integer score to every (query, doc) pair
+    the ranker emits — frozen-stats serving is the same model, not an
+    approximation of it."""
+    from etl_example_spark.operators.text import (
+        bm25_serve_scores,
+        bm25_serving_stats,
+        bm25_topk,
+    )
+    from etl_example_spark.plans.llm_ops import BM25_QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id int, term string"
+    )
+    term_idf, n_docs, t_total = bm25_serving_stats(docs, queries)
+    query_terms: dict[int, list[str]] = {}
+    for qid, term in BM25_QUERIES:
+        query_terms.setdefault(qid, []).append(term)
+
+    ranked = {
+        (r.query_id, r.doc_id): r.score_micro
+        for r in bm25_topk(docs, queries, k=10).collect()
+    }
+    served = {
+        (r.query_id, r.doc_id): r.score_micro
+        for r in bm25_serve_scores(
+            docs, term_idf, query_terms, n_docs, t_total
+        ).collect()
+    }
+    assert ranked, "ranker emitted nothing"
+    for key, score in ranked.items():
+        assert served.get(key) == score, (key, score, served.get(key))
