@@ -60,7 +60,7 @@ def timed(label: str, df) -> None:
 
 
 def main() -> None:
-    ns = [int(a) for a in sys.argv[1:]] or [1, 4, 8]
+    ns = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 4, 8]
     spark = get_spark(app_name="scale-round9c", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     queries = spark.createDataFrame(
@@ -100,5 +100,39 @@ def main() -> None:
         docs.unpersist()
 
 
+def extra_ops(spark, ns):
+    """x1/x4/x8 for the late round-9c additions: d98 token entropy and
+    the st55 serving scorer run BATCH-side (the stream is the same
+    stateless projection; batch timing isolates the scoring cost from
+    micro-batch harness overhead)."""
+    from etl_example_spark.plans.llm_ops import BM25_QUERIES
+
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id int, term string"
+    )
+    query_terms = {}
+    for qid, term in BM25_QUERIES:
+        query_terms.setdefault(qid, []).append(term)
+    for n in ns:
+        docs = replicated_docs(spark, n)
+        print(f"x{n}: {docs.count():,} docs", flush=True)
+        timed("d98 token_entropy", text.token_entropy(docs))
+        term_idf, n_docs, t_total = text.bm25_serving_stats(
+            docs, queries
+        )
+        timed(
+            "st55 serve_scores (batch-side)",
+            text.bm25_serve_scores(
+                docs, term_idf, query_terms, n_docs, t_total
+            ),
+        )
+        docs.unpersist()
+
+
 if __name__ == "__main__":
     main()
+    if "--extra" in sys.argv:
+        spark = get_spark(
+            app_name="scale-round9c-extra", shuffle_partitions=32
+        )
+        extra_ops(spark, [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 4, 8])
