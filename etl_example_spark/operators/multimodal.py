@@ -1391,3 +1391,24 @@ def encode_jpeg(
         out += seg(0xDD, struct.pack(">H", restart_interval))
     out += seg(0xDA, sos) + bytes(writer.out) + b"\xff\xd9"
     return out
+
+
+def average_hash(arr) -> int:
+    """Perceptual average-hash (aHash) of a decoded RGB raster, in pure
+    integer arithmetic: per-pixel gray = r + g + b (an integer luma
+    surrogate — no float weights, so the hash is exactly reproducible
+    in SQL), bit p set iff gray_p · n_pixels > Σ gray (the mean
+    threshold as an integer cross-multiplication, never a float mean),
+    bits packed row-major LSB-first.
+
+    The image-dedup primitive: visually identical images hash equal,
+    small brightness/crop perturbations land within small Hamming
+    distance — what photo-dedup pipelines bucket on before expensive
+    verification."""
+    import numpy as np
+
+    gray = arr.astype(np.int64).sum(axis=2).reshape(-1)
+    total = int(gray.sum())
+    n = gray.shape[0]
+    bits = (gray * n) > total
+    return int(sum(1 << p for p, b in enumerate(bits) if b))

@@ -627,6 +627,51 @@ _STAGED_BM25: OrderedDict = OrderedDict()
 _STAGED_BM25_MAX = 8
 
 
+def bm25_postings(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The (doc_id, term, tf, dl) postings rows of ``df`` restricted to
+    ``terms`` — one broadcast-filtered explode; only term occurrences
+    ever shuffle. Postings are PER-DOCUMENT-LOCAL (tf and dl depend on
+    one document only), which is what makes the index incrementally
+    maintainable: postings(old) ∪ postings(batch) == postings(old ∪
+    batch) exactly (the s52 law)."""
+    occ = df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(text_col).alias("dl"),
+        F.explode(tokens(text_col)).alias("term"),
+    ).filter(F.col("term").isin(*terms) if terms else F.lit(False))
+    return occ.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"),
+        # dl is constant per doc — fold it through the one
+        # aggregate instead of a second corpus-derived join
+        F.max("dl").alias("dl"),
+    )
+
+
+def bm25_append_postings(
+    stored: DataFrame,
+    new_docs: DataFrame,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INCREMENTAL postings maintenance for the BM25 index: build
+    postings for the ARRIVING documents only and append to the stored
+    artifact — the indexed corpus is never re-scanned; work per ingest
+    is O(batch) (the s47/s48/s50 discipline, completing the set for
+    the lexical index). Exact because postings are per-document-local;
+    the corpus-level statistics the ranker also needs (df, N, T) fold
+    FROM the merged postings / a batch-sized totals add, never from a
+    full re-scan."""
+    return stored.unionByName(
+        bm25_postings(new_docs, terms, text_col, id_col)
+    )
+
+
 def _staged_bm25_tf(
     df: DataFrame, queries: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
@@ -649,16 +694,8 @@ def _staged_bm25_tf(
     )
 
     def build() -> DataFrame:
-        occ = df.select(
-            F.col(id_col).alias("doc_id"),
-            token_count(text_col).alias("dl"),
-            F.explode(tokens(text_col)).alias("term"),
-        ).filter(F.col("term").isin(*terms) if terms else F.lit(False))
-        return occ.groupBy("doc_id", "term").agg(
-            F.count("*").alias("tf"),
-            # dl is constant per doc — fold it through the one
-            # aggregate instead of a second corpus-derived join
-            F.max("dl").alias("dl"),
+        return bm25_postings(
+            df, terms, text_col, id_col
         ).localCheckpoint(eager=True)
 
     try:
@@ -984,4 +1021,139 @@ def bm25_serve_scores(
         bound.select(pairs.alias("_p"), *docs.columns)
         .select(*docs.columns, "_p.query_id", "_p.score_micro")
         .filter(F.col("score_micro") > 0)
+    )
+
+
+#: The published Gopher repetition-rule n-gram ranges (Rae et al. 2021,
+#: table A1): fraction of characters in the MOST COMMON n-gram for
+#: n = 2..4, fraction of characters in DUPLICATED n-grams for n = 5..10.
+GOPHER_TOP_NS = (2, 3, 4)
+GOPHER_DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
+def gopher_repetition_fractions(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The LITERAL Gopher repetition filters (Rae et al. 2021), one row
+    per document, every fraction an exact ×1e6 integer:
+
+    - ``top_{n}gram_x1e6`` (n = 2..4): characters covered by the most
+      frequent n-gram — count(top) · len(top) · 1e6 fdiv doc_chars,
+      ties broken by lexicographically smallest gram (deterministic).
+    - ``dup_{n}gram_x1e6`` (n = 5..10): characters in n-grams occurring
+      more than once — Σ_{count≥2} count·len · 1e6 fdiv doc_chars (the
+      published overlap-uncorrected form, as in Dolma/NeMo-Curator).
+
+    doc_chars is the whitespace-normalized character length (the same
+    normalization the fingerprint ops use), so the fractions are
+    properties of the token stream, not of incidental whitespace.
+    Documents with no tokens are dropped; documents too short for some
+    n report 0 for that column.
+
+    Shuffle architecture at 100 TB: ONE explode emits all nine
+    n-gram streams tagged by n; the count aggregate's key
+    (doc_id, n, gram) contains doc_id, so a boilerplate gram repeated
+    across the corpus CANNOT skew any partition (contrast the
+    corpus-keyed dedup family, which earns its skew armor); the top-1
+    pick is a two-phase max + min(gram) join, never a content-keyed
+    window. The min(gram) tie-break is the plan's one SortAggregate (a
+    string min has no mutable hash buffer); it aggregates the
+    (doc_id, n)-keyed tie rows only — bounded by one document's gram
+    variety, a different cost class from the corpus-keyed occurrence
+    sort the dedup family's plan lint forbids.
+    """
+    toks = tokens(text_col)
+    norm_chars = F.length(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        norm_chars.alias("_chars"),
+    ).filter(F.size("_toks") > 0)
+
+    def grams_for(n: int) -> Column:
+        sz = F.size("_toks")
+        return F.when(
+            sz >= n,
+            F.transform(
+                F.sequence(F.lit(0), sz - n),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(
+                        " ", F.slice("_toks", i + 1, F.lit(n))
+                    ).alias("gram"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+
+    all_ns = GOPHER_TOP_NS + GOPHER_DUP_NS
+    exploded = base.select(
+        "doc_id",
+        "_chars",
+        F.explode(
+            F.concat(*[grams_for(n) for n in all_ns])
+        ).alias("_g"),
+    ).select("doc_id", "_chars", "_g.n", "_g.gram")
+    counts = exploded.groupBy("doc_id", "n", "gram").agg(
+        F.count("*").alias("cnt"), F.max("_chars").alias("_chars")
+    )
+
+    top_counts = counts.filter(F.col("n") <= max(GOPHER_TOP_NS))
+    mx = top_counts.groupBy("doc_id", "n").agg(F.max("cnt").alias("mx"))
+    tv = (
+        top_counts.join(mx, ["doc_id", "n"])
+        .filter(F.col("cnt") == F.col("mx"))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.min("gram").alias("_top"),
+            F.max("mx").alias("_mx"),
+            F.max("_chars").alias("_chars"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.expr(
+                "(_mx * length(_top) * 1000000) div _chars"
+            ).alias("val"),
+        )
+    )
+    dv = (
+        counts.filter(F.col("n") >= min(GOPHER_DUP_NS))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("cnt") >= 2,
+                        F.col("cnt") * F.length("gram"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("_dup"),
+            F.max("_chars").alias("_chars"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.expr("(_dup * 1000000) div _chars").alias("val"),
+        )
+    )
+    vals = tv.unionByName(dv)
+    cols = [
+        F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col("val"))), F.lit(0)
+        )
+        .cast("long")
+        .alias(
+            f"top_{n}gram_x1e6" if n in GOPHER_TOP_NS
+            else f"dup_{n}gram_x1e6"
+        )
+        for n in all_ns
+    ]
+    return (
+        base.select("doc_id")
+        .join(vals, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(*cols)
     )

@@ -1680,6 +1680,60 @@ def s51_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s52_bm25_append",
+    "INCREMENTAL lexical-index maintenance law, externally verified "
+    "(completing the s47/s48/s50 set for the BM25 postings artifact): "
+    "a new batch (doc_id %% 4 == 0) builds its postings alone — "
+    "O(batch), the stored corpus never re-scans — and appends to the "
+    "stored (doc_id, term, tf, dl) artifact; per-term df / tf mass / "
+    "dl mass then fold FROM the merged postings. The oracle computes "
+    "the same per-term statistics from the FULL corpus from scratch, "
+    "so a hash match IS the incremental == full-rebuild law (exact "
+    "because postings are per-document-local) "
+    "(operators/text.bm25_append_postings).",
+    oracle=f"""
+        WITH q(term) AS (
+            VALUES ('hash'), ('join'), ('merge'), ('window'), ('sort'),
+                   ('order'), ('spark'), ('stream'), ('batch'),
+                   ('vector')
+        ),
+        tok AS (
+            SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM tok WHERE term IN (SELECT term FROM q)
+            GROUP BY doc_id, term
+        ),
+        dl AS (SELECT doc_id, {SQL_NTOKS} AS dl FROM documents)
+        SELECT term,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(tf) AS BIGINT) AS tf_sum,
+               CAST(SUM(dl.dl) AS BIGINT) AS dl_sum
+        FROM tf JOIN dl USING (doc_id)
+        GROUP BY term ORDER BY term
+    """,
+    category="similarity",
+)
+def s52_bm25_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    terms = tuple(sorted({t for _, t in BM25_QUERIES}))
+    stored = text.bm25_postings(old, terms)
+    merged = text.bm25_append_postings(stored, new, terms)
+    return (
+        merged.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("tf_sum"),
+            F.sum("dl").alias("dl_sum"),
+        )
+        .orderBy("term")
+    )
+
+
+@register(
     "d83_bigram_logprob_quality",
     "Self-trained bigram LM quality scoring — the CCNet/FineWeb-style "
     "perplexity gate: add-one-smoothed p(w2|w1) = (c12+1)/(c1+V) "
@@ -3890,6 +3944,93 @@ def m43_jpeg_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _hex_byte(off_expr: str) -> str:
+    """DuckDB fragment: byte value at hex offset ``off_expr`` of the
+    md5 column ``hx`` (the m40 hex-arithmetic discipline)."""
+    return (
+        "(16 * (strpos('0123456789abcdef', "
+        f"substr(hx, 2 * ({off_expr}) + 1, 1)) - 1) "
+        "+ (strpos('0123456789abcdef', "
+        f"substr(hx, 2 * ({off_expr}) + 2, 1)) - 1))"
+    )
+
+
+@register(
+    "m44_image_phash_dedup",
+    "IMAGE near-dup dedup via perceptual average-hash — the multimodal "
+    "codecs feeding the dedup family: each document's md5-derived 2x4 "
+    "P6 PPM (the m39/m40 raster) round-trips through the REAL numpy "
+    "codec, hashes to 8 aHash bits in pure integer arithmetic (gray = "
+    "r+g+b, bit p set iff gray_p*n > sum gray — integer cross-"
+    "multiplication, no float mean), and images bucket by hash: the "
+    "photo-dedup decision table (keep the min-id representative per "
+    "perceptual bucket). The oracle re-derives every gray value from "
+    "hex arithmetic, so the decoder round-trip AND the hash are "
+    "externally verified. One Arrow mapInPandas scan + a bounded "
+    "(<= 2^8 buckets) partial-aggregable groupBy — no shuffle carries "
+    "image bytes (operators/multimodal.average_hash).",
+    oracle=f"""
+        WITH h AS (SELECT doc_id, md5(COALESCE(text, '')) AS hx
+                   FROM documents),
+        g AS (
+            SELECT doc_id,
+                   list_transform(range(8), p ->
+                       {_hex_byte("(3 * p) % 16")}
+                       + {_hex_byte("(3 * p + 1) % 16")}
+                       + {_hex_byte("(3 * p + 2) % 16")}
+                   ) AS gray
+            FROM h
+        ),
+        t AS (SELECT doc_id, gray, list_sum(gray) AS tot FROM g),
+        ph AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(8), p ->
+                       CASE WHEN gray[p + 1] * 8 > tot
+                            THEN CAST((1 << p) AS BIGINT)
+                            ELSE 0 END)) AS BIGINT) AS phash
+            FROM t
+        )
+        SELECT phash,
+               CAST(COUNT(*) AS BIGINT) AS n_images,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_id
+        FROM ph GROUP BY phash ORDER BY phash
+    """,
+    category="multimodal",
+)
+def m44_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def phash(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.md5((t or "").encode()).digest()
+                arr = np.frombuffer(d + d[:8], dtype=np.uint8).reshape(
+                    2, 4, 3
+                )
+                decoded = multimodal.decode_ppm(
+                    multimodal.encode_ppm(arr)
+                )
+                rows.append((doc_id, multimodal.average_hash(decoded)))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return (
+        docs.mapInPandas(phash, "doc_id long, phash long")
+        .groupBy("phash")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .orderBy("phash")
+    )
+
+
 @register(
     "d70_incremental_line_dedup",
     "INCREMENTAL boilerplate pass: the stored line index (one row per "
@@ -5020,6 +5161,95 @@ def d96_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d98_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.token_entropy(docs).orderBy("doc_id")
+
+
+@register(
+    "d99_gopher_repetition",
+    "The LITERAL Gopher repetition filters (Rae et al. 2021 table A1) "
+    "as exact x1e6 integers: fraction of characters in the MOST COMMON "
+    "n-gram for n=2..4 (ties to the lexicographically smallest gram) "
+    "and in DUPLICATED n-grams for n=5..10 (the overlap-uncorrected "
+    "published form), over whitespace-normalized character length. "
+    "Extends d40's distinct-fraction pair to the full published rule "
+    "set. ONE explode emits all nine tagged n-gram streams; the count "
+    "key (doc_id, n, gram) contains doc_id so corpus-wide boilerplate "
+    "cannot skew any partition; top-1 is a two-phase max + min(gram) "
+    "join with no content-keyed window. The min(gram) tie-break is the "
+    "plan's one SortAggregate — a string min has no mutable hash "
+    "buffer — but it runs over the (doc_id, n)-keyed TIE rows only "
+    "(bounded by one document's gram variety), not the corpus-keyed "
+    "occurrence stream the dedup family's no-SortAggregate rule "
+    "protects (operators/text.gopher_repetition_fractions).",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {SQL_TOKS} AS toks,
+                   length({SQL_NORM}) AS chars
+            FROM documents
+            WHERE {SQL_NTOKS} > 0
+        ),
+        g AS (
+            -- the LATERAL references only d (a lateral over both d and
+            -- ns trips DuckDB's binder); n-validity moves to the WHERE
+            SELECT doc_id, chars, n,
+                   array_to_string(toks[(i+1):(i+n)], ' ') AS gram
+            FROM d
+            CROSS JOIN (SELECT unnest(range(2, 11)) AS n) ns,
+            LATERAL (SELECT unnest(range(len(toks))) AS i) gg
+            WHERE i + n <= len(toks)
+        ),
+        c AS (
+            SELECT doc_id, n, gram,
+                   MAX(chars) AS chars, COUNT(*) AS cnt
+            FROM g GROUP BY doc_id, n, gram
+        ),
+        top AS (
+            SELECT doc_id, n, chars, cnt, gram,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id, n ORDER BY cnt DESC, gram
+                   ) AS rk
+            FROM c WHERE n <= 4
+        ),
+        tv AS (
+            SELECT doc_id, n,
+                   (cnt * length(gram) * 1000000) // chars AS val
+            FROM top WHERE rk = 1
+        ),
+        dv AS (
+            SELECT doc_id, n,
+                   (COALESCE(SUM(CASE WHEN cnt >= 2
+                                 THEN cnt * length(gram) END), 0)
+                    * 1000000) // MAX(chars) AS val
+            FROM c WHERE n >= 5 GROUP BY doc_id, n
+        ),
+        u AS (SELECT * FROM tv UNION ALL SELECT * FROM dv)
+        SELECT d.doc_id,
+               CAST(COALESCE(MAX(CASE WHEN n = 2 THEN val END), 0)
+                    AS BIGINT) AS top_2gram_x1e6,
+               CAST(COALESCE(MAX(CASE WHEN n = 3 THEN val END), 0)
+                    AS BIGINT) AS top_3gram_x1e6,
+               CAST(COALESCE(MAX(CASE WHEN n = 4 THEN val END), 0)
+                    AS BIGINT) AS top_4gram_x1e6,
+               CAST(COALESCE(MAX(CASE WHEN n = 5 THEN val END), 0)
+                    AS BIGINT) AS dup_5gram_x1e6,
+               CAST(COALESCE(MAX(CASE WHEN n = 6 THEN val END), 0)
+                    AS BIGINT) AS dup_6gram_x1e6,
+               CAST(COALESCE(MAX(CASE WHEN n = 7 THEN val END), 0)
+                    AS BIGINT) AS dup_7gram_x1e6,
+               CAST(COALESCE(MAX(CASE WHEN n = 8 THEN val END), 0)
+                    AS BIGINT) AS dup_8gram_x1e6,
+               CAST(COALESCE(MAX(CASE WHEN n = 9 THEN val END), 0)
+                    AS BIGINT) AS dup_9gram_x1e6,
+               CAST(COALESCE(MAX(CASE WHEN n = 10 THEN val END), 0)
+                    AS BIGINT) AS dup_10gram_x1e6
+        FROM d LEFT JOIN u ON d.doc_id = u.doc_id
+        GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+    category="text",
+    bench=True,  # nine-stream n-gram family — track from first round
+)
+def d99_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_repetition_fractions(docs).orderBy("doc_id")
 
 
 @register(

@@ -974,3 +974,88 @@ def test_bm25_serve_scores_equal_batch_ranker(spark, sf_dir):
     assert ranked, "ranker emitted nothing"
     for key, score in ranked.items():
         assert served.get(key) == score, (key, score, served.get(key))
+
+
+def test_average_hash_laws():
+    """Pure-numpy laws for the m44 perceptual hash: deterministic,
+    8-bit range, invariant to uniform brightness shifts (aHash's
+    defining property), zero for constant images (strict mean
+    threshold)."""
+    import numpy as np
+
+    rng = [17, 91, 204, 3, 66, 128, 245, 0]
+    arr = np.array(rng * 3, dtype=np.uint8).reshape(2, 4, 3)
+    h = multimodal.average_hash(arr)
+    assert 0 <= h < 256
+    assert multimodal.average_hash(arr.copy()) == h
+    # uniform brightness shift (no clipping in this data):
+    # (g+30)*8 > T+240 <=> 8g > T, so the hash is unchanged
+    brighter = (arr.astype(np.int64) + 10).astype(np.uint8)
+    assert brighter.max() <= 255
+    assert multimodal.average_hash(brighter) == h
+    assert multimodal.average_hash(
+        np.full((2, 4, 3), 50, dtype=np.uint8)
+    ) == 0
+
+
+def test_bm25_append_equals_full_rebuild(spark, sf_dir):
+    """s52's law in-Spark: postings(old) ∪ postings(batch) must equal
+    postings(old ∪ batch) ROW FOR ROW (postings are per-document-local,
+    so incremental maintenance is exact, not approximate)."""
+    from etl_example_spark.operators.text import (
+        bm25_append_postings,
+        bm25_postings,
+    )
+    from etl_example_spark.plans.llm_ops import BM25_QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = tuple(sorted({t for _, t in BM25_QUERIES}))
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    merged = bm25_append_postings(bm25_postings(old, terms), new, terms)
+    full = bm25_postings(docs, terms)
+    key = lambda r: (r.doc_id, r.term)  # noqa: E731
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b and a, f"{len(a)} vs {len(b)}"
+
+
+class TestGopherRepetition:
+    """Closed-form checks for d99 (operators/text.
+    gopher_repetition_fractions) on hand-computable documents."""
+
+    def _frac(self, spark, text):
+        from etl_example_spark.operators.text import (
+            gopher_repetition_fractions,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        )
+        return gopher_repetition_fractions(docs).collect()[0]
+
+    def test_pure_repetition_saturates(self, spark):
+        # "ab ab ab ab ab ab ab ab ab ab": norm chars = 29
+        # top 2-gram "ab ab" count 9, len 5 -> 45e6 // 29 = 1551724
+        # dup 5-gram: all 6 occurrences of the single distinct 5-gram
+        # "ab ab ab ab ab" (len 14): 6*14e6 // 29 = 2896551
+        r = self._frac(spark, " ".join(["ab"] * 10))
+        assert r.top_2gram_x1e6 == (9 * 5 * 1_000_000) // 29
+        assert r.dup_5gram_x1e6 == (6 * 14 * 1_000_000) // 29
+        assert r.dup_10gram_x1e6 == 0  # only one 10-gram -> no dup
+
+    def test_all_distinct_tokens(self, spark):
+        # no repeated n-gram of any order: top fractions reflect one
+        # occurrence, dup fractions are all zero
+        r = self._frac(spark, "a bb ccc dddd eeeee ffffff")
+        # top 2-gram by count(all 1) -> lexicographically smallest
+        # "a bb" (len 4); norm chars = 26
+        assert r.top_2gram_x1e6 == (1 * 4 * 1_000_000) // 26
+        for n in range(5, 11):
+            assert getattr(r, f"dup_{n}gram_x1e6") == 0
+
+    def test_short_doc_zero_padded(self, spark):
+        # 3 tokens: no 4-grams and nothing in the dup range
+        r = self._frac(spark, "x y z")
+        assert r.top_4gram_x1e6 == 0
+        assert r.dup_5gram_x1e6 == 0
