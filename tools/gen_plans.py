@@ -194,6 +194,27 @@ SHOW = {
         "with blank-line units — ~10× fewer occurrence rows than the "
         "line pass."
     ),
+    "d98_token_entropy": (
+        "Token-entropy gate: one explode, two partial-aggregable "
+        "HashAggregates whose keys both contain doc_id — no skewable "
+        "content key, no window, exact integer micro-nats."
+    ),
+    "d99_gopher_repetition": (
+        "The literal Gopher repetition rules: ONE explode tags all nine "
+        "n-gram streams; count key contains doc_id (corpus boilerplate "
+        "cannot skew); top-1 via two-phase max + min(gram) join — the "
+        "only SortAggregate is the doc-bounded tie-break."
+    ),
+    "m44_image_phash_dedup": (
+        "Image phash dedup: real-codec round trip + integer aHash "
+        "inside the Arrow batch; bounded 256-bucket partial-aggregable "
+        "groupBy — image bytes never shuffle."
+    ),
+    "s52_bm25_append": (
+        "Incremental postings maintenance: batch-only explode unions "
+        "with the stored artifact; per-term stats fold from the merged "
+        "postings — the indexed corpus never re-scans."
+    ),
     "d63_bloom_contamination": (
         "Relational Bloom probe: the position table broadcasts twice "
         "(build side is k·|benchmark| rows); the corpus scans once and "

@@ -136,3 +136,63 @@ if __name__ == "__main__":
             app_name="scale-round9c-extra", shuffle_partitions=32
         )
         extra_ops(spark, [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 4, 8])
+
+
+def trio_ops(spark, ns):
+    """x1/x4/x8 for d99 (Gopher repetition), m44 (image phash dedup),
+    and s52 (postings append; batch = 1/4 of docs, the bulk-reindex
+    worst case)."""
+    from etl_example_spark.operators import multimodal
+    from etl_example_spark.plans.llm_ops import BM25_QUERIES
+
+    terms = tuple(sorted({t for _, t in BM25_QUERIES}))
+    for n in ns:
+        docs = replicated_docs(spark, n)
+        print(f"x{n}: {docs.count():,} docs", flush=True)
+        timed(
+            "d99 gopher_repetition",
+            text.gopher_repetition_fractions(docs),
+        )
+        import hashlib
+
+        import pandas as pd
+
+        def phash(batches):
+            import numpy as np
+
+            for pdf in batches:
+                rows = []
+                for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                    d = hashlib.md5((t or "").encode()).digest()
+                    arr = np.frombuffer(
+                        d + d[:8], dtype=np.uint8
+                    ).reshape(2, 4, 3)
+                    decoded = multimodal.decode_ppm(
+                        multimodal.encode_ppm(arr)
+                    )
+                    rows.append(
+                        (doc_id, multimodal.average_hash(decoded))
+                    )
+                yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+        timed(
+            "m44 image_phash_dedup",
+            docs.select("doc_id", "text")
+            .mapInPandas(phash, "doc_id long, phash long")
+            .groupBy("phash")
+            .agg(F.count("*").alias("n_images"), F.min("doc_id").alias("keep_id")),
+        )
+        old = docs.filter(F.col("doc_id") % 4 != 0)
+        new = docs.filter(F.col("doc_id") % 4 == 0)
+        stored = text.bm25_postings(old, terms)
+        timed(
+            "s52 bm25_append (1/4 batch, merged stats)",
+            text.bm25_append_postings(stored, new, terms)
+            .groupBy("term")
+            .agg(
+                F.count("*").alias("df"),
+                F.sum("tf").alias("tf_sum"),
+                F.sum("dl").alias("dl_sum"),
+            ),
+        )
+        docs.unpersist()
