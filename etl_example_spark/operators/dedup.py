@@ -764,8 +764,9 @@ def simhash(col: str, bits: int = 16) -> Column:
     re-hash the document per bit — a ``bits``× blowup.
     """
     toks_sql = (
-        f"CASE WHEN length(trim(lower({col}))) = 0 "
-        f"THEN array() ELSE split(trim(lower({col})), '\\\\s+') END"
+        f"CASE WHEN length(trim(lower(coalesce({col}, '')))) = 0 "
+        f"THEN array() "
+        f"ELSE split(trim(lower(coalesce({col}, ''))), '\\\\s+') END"
     )
     return F.expr(
         f"""
@@ -785,9 +786,14 @@ def simhash_buckets(
 ) -> DataFrame:
     """Group documents by identical SimHash digest; buckets with >1 doc are
     near-dup clusters (Hamming-0 collisions; wider radii via band-split of
-    the digest, same LSH machinery as MinHash banding)."""
+    the digest, same LSH machinery as MinHash banding).
+
+    Token-less documents (NULL/empty/whitespace text) are EXCLUDED: with
+    no votes every bit ties to 1, so they'd all collide into one
+    meaningless all-ones cluster."""
     return (
-        df.select(simhash(text_col, bits).alias("simhash"), F.col(id_col))
+        df.filter(F.size(tokens(text_col)) > 0)
+        .select(simhash(text_col, bits).alias("simhash"), F.col(id_col))
         .groupBy("simhash")
         .agg(
             F.count("*").alias("n_docs"),

@@ -507,6 +507,9 @@ def sample_frames(
             for doc_id, payload, duration in zip(
                 pdf["doc_id"], pdf["payload"], pdf["duration_ms"]
             ):
+                if payload is None or pd.isna(duration):
+                    # payload-less item: no frames (oracle NULL-skip)
+                    continue
                 n = min(int(duration) // every_ms + 1, max_frames)
                 for i in range(n):
                     key = f"{bytes(payload).hex().upper()}|{i}"
@@ -558,6 +561,10 @@ def chunk_audio(
             for doc_id, payload, duration in zip(
                 pdf["doc_id"], pdf["payload"], pdf["duration_ms"]
             ):
+                if payload is None or pd.isna(duration):
+                    # payload-less item: nothing to slice — emit no
+                    # chunks, matching the oracle's NULL-duration skip
+                    continue
                 dur = int(duration)
                 n = min((dur + chunk_ms - 1) // chunk_ms, max_chunks)
                 for i in range(n):

@@ -42,9 +42,12 @@ BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s
 def bpe_tokens(col: Column | str) -> Column:
     """BPE-ish pre-tokenization: the regex word/number/punct split that
     LLM tokenizers apply before merges — the standard corpus token-count
-    estimator."""
+    estimator. NULL text ≡ empty text (the tokenization contract — see
+    :func:`tokens`): both yield []."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0)
+    return F.regexp_extract_all(
+        F.coalesce(c, F.lit("")), F.lit(BPE_TOKEN_PATTERN), 0
+    )
 
 
 def bpe_token_count(col: Column | str) -> Column:
@@ -52,11 +55,25 @@ def bpe_token_count(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens of lowercased, trimmed text; empty text → []."""
+    """Whitespace tokens of lowercased, trimmed text; empty text → [].
+
+    Two contract clauses, mirrored EXACTLY by the SQL_TOKS / SQL_NTOKS
+    oracle macros so engine and oracle tokenize identically on every
+    string:
+
+    - NULL text ≡ empty text (the coalesce): without it,
+      ``size(tokens(NULL))`` is -1 (Spark's size of a null array) while
+      an oracle SUM/len skips or NULLs — a latent corpus-statistics
+      divergence on any corpus with a NULL text cell.
+    - empty tokens are dropped (the array_remove): ``trim`` strips only
+      spaces, so text with a leading/trailing newline or tab splits
+      with a phantom '' token — not a token by any tokenizer's
+      definition, and DuckDB's filtered split agrees.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    trimmed = F.trim(F.lower(c))
+    trimmed = F.trim(F.lower(F.coalesce(c, F.lit(""))))
     return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
+        F.array_remove(F.split(trimmed, r"\s+"), "")
     )
 
 
@@ -777,7 +794,13 @@ def bm25_topk(
     totals = F.broadcast(
         df.select(
             F.count("*").alias("n_docs"),
-            F.sum(token_count(text_col)).alias("t_total"),
+            # coalesce BEFORE counting: token_count(NULL) is -1 (size of
+            # a null array), which would silently shrink T where the
+            # oracle's SUM skips the NULL — the r7 NULL-text lesson
+            F.coalesce(
+                F.sum(token_count(F.coalesce(F.col(text_col), F.lit("")))),
+                F.lit(0),
+            ).alias("t_total"),
         )
     )
     idf_micro = (
@@ -920,9 +943,11 @@ def bm25_serving_stats(
     totals row (the centroid/codebook sanction)."""
     totals = df.select(
         F.count("*").alias("n_docs"),
-        F.coalesce(F.sum(token_count(text_col)), F.lit(0)).alias(
-            "t_total"
-        ),
+        # NULL text coalesces to '' (token_count(NULL) is -1, not 0)
+        F.coalesce(
+            F.sum(token_count(F.coalesce(F.col(text_col), F.lit("")))),
+            F.lit(0),
+        ).alias("t_total"),
     ).collect()[0]
     n_docs, t_total = int(totals["n_docs"]), int(totals["t_total"])
     tf = _staged_bm25_tf(df, queries, text_col, id_col)
@@ -973,7 +998,9 @@ def bm25_serve_scores(
     terms = sorted({t for ts in query_terms.values() for t in ts})
     assert all(t.isalnum() and t == t.lower() for t in terms), terms
     live = [t for t in terms if t in term_idf]
-    bound = docs.withColumn("_toks", tokens(text_col)).withColumn(
+    bound = docs.withColumn(
+        "_toks", tokens(F.coalesce(F.col(text_col), F.lit("")))
+    ).withColumn(
         "_dl", F.expr("CAST(size(_toks) AS DECIMAL(38,0))")
     )
     tf_cols = {}

@@ -34,14 +34,30 @@ from etl_example_spark.sources.loaders import load_table
 
 # --- shared DuckDB fragments (mirror operators/text.py exactly) ----------
 
-SQL_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
-SQL_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
-SQL_NTOKS = (
-    "CASE WHEN trim(lower(text)) = '' THEN 0 "
-    f"ELSE len({SQL_TOKS}) END"
+# SQL_TOKS is ENGINE-EQUAL to operators/text.tokens by construction:
+# NULL text coalesces to '' (without it, a NULL cell flows as NULL
+# through oracle SUM/len while Spark's size(null array) is -1 — a
+# latent corpus-statistics divergence), and the outer list_filter drops
+# the [''] that string_split_regex('') yields where Spark's split('')
+# yields [] (without it, every oracle counts a phantom '' token for
+# empty/blank/NULL documents). The lambda variable is deliberately
+# obscure so inlining the macro inside another lambda can't collide.
+# SQL_NORM keeps NULL→NULL: md5-fingerprint ops are NULL-consistent on
+# both engines already (F.md5(NULL) and DuckDB md5(NULL) are both NULL).
+SQL_TOKS = (
+    "list_filter(string_split_regex(trim(lower(COALESCE(text, ''))), "
+    "'\\s+'), zz_tok -> zz_tok <> '')"
 )
+SQL_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+SQL_NTOKS = f"len({SQL_TOKS})"
+# COALESCE in the short-doc branch: DuckDB's array_to_string([], ' ')
+# is NULL where Spark's concat_ws(' ', []) is '' — without it, token-
+# less documents get a NULL shingle that every equi-join silently drops,
+# while the engine's '' shingle makes empty docs mutual near-dups (the
+# d24 exact-dedup semantics: identical empty content IS duplicate).
 SQL_SHINGLES3 = (
-    "CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+    "CASE WHEN len(toks) < 3 "
+    "THEN [COALESCE(array_to_string(toks, ' '), '')] "
     "ELSE list_distinct(list_transform(range(1, len(toks) - 1), "
     "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END"
 )
@@ -464,8 +480,8 @@ def d34_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH t AS (
             SELECT doc_id,
                    length(text) AS n_chars,
-                   len({SQL_TOKS}) AS n_ws_tokens,
-                   len(regexp_extract_all(text,
+                   {SQL_NTOKS} AS n_ws_tokens,
+                   len(regexp_extract_all(COALESCE(text, ''),
                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
                        AS n_bpe_tokens
             FROM documents
@@ -789,7 +805,7 @@ def _ngrams_udtf_class():
                CAST(unnest(CASE WHEN len(toks) < 3 THEN [0]
                     ELSE range(len(toks) - 2) END) AS INT) AS pos,
                unnest(CASE WHEN len(toks) < 3
-                    THEN [array_to_string(toks, ' ')]
+                    THEN [COALESCE(array_to_string(toks, ' '), '')]
                     ELSE list_transform(range(1, len(toks) - 1),
                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
                     END) AS ngram
@@ -1023,6 +1039,10 @@ def s41_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="text",
 )
 def d43_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL text yields a NULL fingerprint (md5 of a NULL substring,
+    # Spark's greatest(NULL, 1) being 1 where DuckDB's NULL propagates);
+    # a NULL fingerprint is meaningless — drop it, matching the oracle's
+    # NULL flow. Real fingerprints are md5 hex, never NULL.
     docs = load_table(spark, sf_dir, "documents")
     fps = F.expr(
         """
@@ -1041,6 +1061,7 @@ def d43_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         docs.select("doc_id", F.explode(fps).alias("fingerprint"))
+        .filter(F.col("fingerprint").isNotNull())
         .orderBy("doc_id", "fingerprint")
     )
 
@@ -1055,8 +1076,8 @@ def d43_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH a AS (
             SELECT doc_id,
-                   hex(encode(text)) AS hx,
-                   octet_length(encode(text)) * 10 AS dur
+                   hex(encode(COALESCE(text, ''))) AS hx,
+                   octet_length(encode(COALESCE(text, ''))) * 10 AS dur
             FROM documents
             WHERE doc_id % 3 = 1
         )
@@ -2133,7 +2154,10 @@ def d45_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # 5-gram variant of SQL_SHINGLES3 (same <n-token collapse rule)
 SQL_SHINGLES5 = (
-    "CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')] "
+    # COALESCE: DuckDB array_to_string([], ' ') is NULL, Spark
+    # concat_ws is '' — see SQL_SHINGLES3
+    "CASE WHEN len(toks) < 5 "
+    "THEN [COALESCE(array_to_string(toks, ' '), '')] "
     "ELSE list_distinct(list_transform(range(1, len(toks) - 3), "
     "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || "
     "toks[i+3] || ' ' || toks[i+4])) END"
@@ -2281,6 +2305,8 @@ def d49_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf("string", useArrow=True)
     def reverse_words(s: str) -> str:
+        if s is None:  # NULL in, NULL out — the oracle's NULL flow
+            return None
         return " ".join(reversed(s.lower().split()))
 
     return docs.select(
@@ -2495,7 +2521,7 @@ def d52_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH e AS (
             SELECT doc_id,
                    list_transform(range(1, 17),
-                       j -> CAST(ascii(substring(md5(text), j, 1))
+                       j -> CAST(ascii(substring(md5(COALESCE(text, '')), j, 1))
                             AS DOUBLE)) AS v
             FROM documents
         ),
@@ -3153,9 +3179,8 @@ def d62_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/dedup.bloom_build/bloom_probe).",
     oracle="""
         WITH b AS (
-            SELECT md5(array_to_string(
-                string_split_regex(trim(lower(text)), '\\s+')[1:4], ' '))
-                AS fp
+            SELECT md5(COALESCE(array_to_string(
+                list_filter(string_split_regex(trim(lower(COALESCE(text, ''))), '\\s+'), zz_tok -> zz_tok <> '')[1:4], ' '), '')) AS fp
             FROM documents WHERE source = 'src0'
         ),
         pos AS (
@@ -3166,9 +3191,8 @@ def d62_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         c AS (
             SELECT doc_id,
-                   md5(array_to_string(
-                       string_split_regex(trim(lower(text)), '\\s+')[1:4],
-                       ' ')) AS fp
+                   md5(COALESCE(array_to_string(
+                       list_filter(string_split_regex(trim(lower(COALESCE(text, ''))), '\\s+'), zz_tok -> zz_tok <> '')[1:4], ' '), '')) AS fp
             FROM documents WHERE source <> 'src0'
         ),
         probe AS (

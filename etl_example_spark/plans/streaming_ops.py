@@ -540,9 +540,8 @@ def st45_stream_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SQL, so the streaming filter's hits are hash-verified externally.",
     oracle="""
         WITH b AS (
-            SELECT md5(array_to_string(
-                string_split_regex(trim(lower(text)), '\\s+')[1:4], ' '))
-                AS fp
+            SELECT md5(COALESCE(array_to_string(
+                list_filter(string_split_regex(trim(lower(COALESCE(text, ''))), '\\s+'), zz_tok -> zz_tok <> '')[1:4], ' '), '')) AS fp
             FROM documents WHERE source = 'src0'
         ),
         pos AS (
@@ -553,9 +552,8 @@ def st45_stream_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         c AS (
             SELECT doc_id, source,
-                   md5(array_to_string(
-                       string_split_regex(trim(lower(text)), '\\s+')[1:4],
-                       ' ')) AS fp
+                   md5(COALESCE(array_to_string(
+                       list_filter(string_split_regex(trim(lower(COALESCE(text, ''))), '\\s+'), zz_tok -> zz_tok <> '')[1:4], ' '), '')) AS fp
             FROM documents WHERE source <> 'src0'
         ),
         flagged AS (

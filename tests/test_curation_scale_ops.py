@@ -1356,3 +1356,73 @@ class TestBenchmarkDecontamination:
             ).collect()
         }
         assert cleaned[1] == cleaned[2] == "shared run of corpus tokens here"
+
+
+class TestBm25NullTextAlignment:
+    def test_null_and_blank_docs_match_oracle(self, spark):
+        """NULL-text regression for the BM25 family: Spark's
+        token_count(NULL) is -1 (size of a null array), which would
+        silently shrink the corpus token total T where the DuckDB
+        oracle's SUM skips the NULL — shifting EVERY document's length
+        normalization. The engine coalesces text to '' before counting;
+        this corpus (NULL doc, blank doc, real docs) must hash-match
+        the registered oracle."""
+        import duckdb
+        import pandas as pd
+
+        from etl_example_spark.plans.registry import load_all
+        from etl_example_spark.operators.text import bm25_topk
+        from etl_example_spark.plans.llm_ops import BM25_QUERIES
+        from tests.oracle import compare_frames
+
+        rows = [
+            (1, "hash join merge hash"),
+            (2, "window sort order window sort"),
+            (3, None),
+            (4, "   "),
+            (5, "spark stream batch vector spark"),
+            (6, "hash hash hash filler filler"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        queries = spark.createDataFrame(
+            BM25_QUERIES, "query_id int, term string"
+        )
+        got = (
+            bm25_topk(docs, queries, k=10)
+            .orderBy("query_id", "rk")
+            .toPandas()
+        )
+
+        con = duckdb.connect()
+        con.register(
+            "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+        oracle_sql = load_all()["s51_bm25_topk"].oracle
+        want = con.execute(oracle_sql).fetchdf()
+        problems = compare_frames(got, want)
+        assert not problems, problems
+
+    def test_serve_scores_skip_null_docs(self, spark):
+        """The st55 serving scorer must emit NO row for NULL/blank
+        documents (they match no term) and must not poison the stats
+        (t_total counts them as 0 tokens, not -1)."""
+        from etl_example_spark.operators.text import (
+            bm25_serve_scores,
+            bm25_serving_stats,
+        )
+        from etl_example_spark.plans.llm_ops import BM25_QUERIES
+
+        rows = [(1, "hash join"), (2, None), (3, "  ")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        queries = spark.createDataFrame(
+            BM25_QUERIES, "query_id int, term string"
+        )
+        term_idf, n_docs, t_total = bm25_serving_stats(docs, queries)
+        assert t_total == 2  # the NULL and blank docs contribute 0
+        query_terms: dict[int, list[str]] = {}
+        for qid, term in BM25_QUERIES:
+            query_terms.setdefault(qid, []).append(term)
+        out = bm25_serve_scores(
+            docs, term_idf, query_terms, n_docs, t_total
+        ).collect()
+        assert {r.doc_id for r in out} == {1}

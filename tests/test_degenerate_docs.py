@@ -1,0 +1,89 @@
+"""Degenerate-DOCUMENT differential sweep: every oracle-checked query
+that reads the documents table must agree with DuckDB on a corpus
+containing a NULL-text document, an empty-text document, a whitespace-
+only document, and a single-token document — the cells real crawls
+contain and fixture data never does.
+
+This is the corpus-level sibling of tests/test_empty_inputs.py (zero
+ROWS there; degenerate CELLS here). The tokenization contract it pins:
+NULL text ≡ empty text on both engines (operators/text.tokens and the
+SQL_TOKS/SQL_NTOKS oracle macros coalesce identically — without that,
+Spark's size(null array) = -1 silently shifts corpus token totals that
+an oracle SUM skips).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from etl_example_spark.plans.registry import load_all
+from etl_example_spark.schemas import TESTDATA_TABLES
+from etl_example_spark.sources.loaders import load_table
+from tests.oracle import duckdb_connection, run_differential
+
+#: appended to the sf0.001 documents table; ids far above the real range
+DEGENERATE_DOCS = [
+    Row(doc_id=9_000_001, text=None, lang="en", source="src0", n_chars=0),
+    Row(doc_id=9_000_002, text="", lang="de", source="src1", n_chars=0),
+    Row(doc_id=9_000_003, text="   ", lang="es", source="src2", n_chars=3),
+    Row(doc_id=9_000_004, text="solo", lang="fr", source="src3", n_chars=4),
+]
+
+# Engine-vs-oracle differences that are NOT tokenization bugs:
+# - d30/d74/d54: fingerprint/normalization ops keep NULL -> NULL md5 on
+#   BOTH engines, but DuckDB's string_agg/md5 of a NULL row and Spark's
+#   stringified None hash differently in the comparator, and the
+#   normalize UDF's None handling is a pandas boundary — checked by
+#   their own unit tests instead.
+SKIP = set()
+
+
+@pytest.fixture(scope="module")
+def degen_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
+    """Testdata layout clone: each table ONE parquet FILE (not a Spark
+    output directory — the streaming sources symlink the file path, and
+    a directory behind the symlink streams zero rows)."""
+    import glob
+    import shutil
+
+    out = str(tmp_path_factory.mktemp("sf_degen"))
+    for name in TESTDATA_TABLES:
+        df = load_table(spark, sf_dir, name)
+        if name == "documents":
+            extra = spark.createDataFrame(DEGENERATE_DOCS, df.schema)
+            df = df.unionByName(extra)
+        tmp = os.path.join(out, f"_{name}_dir")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(out, f"{name}.parquet"))
+        shutil.rmtree(tmp)
+    return out
+
+
+def _reads_documents(q) -> bool:
+    return q.oracle is not None and "documents" in q.oracle
+
+
+def test_every_documents_query_survives_degenerate_cells(
+    spark, degen_sf_dir
+):
+    con = duckdb_connection(degen_sf_dir)
+    failures = []
+    checked = 0
+    for name, q in load_all().items():
+        if not _reads_documents(q) or name in SKIP:
+            continue
+        checked += 1
+        try:
+            problems = run_differential(spark, con, q, degen_sf_dir)
+            if problems:
+                failures.append(f"{name}: {problems[:2]}")
+        except Exception as exc:  # noqa: BLE001 — collecting all failures
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+    assert checked > 60, f"sweep matched too few queries ({checked})"
+    assert not failures, f"{len(failures)} queries diverge:\n" + "\n".join(
+        failures
+    )
