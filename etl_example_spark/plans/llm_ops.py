@@ -1324,19 +1324,33 @@ IVF_FULL_ASSIGN_ORACLE = """
         FROM e WHERE vec_id % 4 != 0 ORDER BY vec_id LIMIT 16
     ),
     sims AS (
+        -- zero-norm guard: DuckDB's list_cosine_similarity returns
+        -- -1.0 for a zero vector where Spark's dot/(na*nb) is NULL;
+        -- cosine of a zero vector is undefined on both engines
         SELECT e.vec_id, c.centroid_id,
-               ROUND(list_cosine_similarity(e.v, c.cv), 6) AS c_sim
+               CASE WHEN list_aggregate(
+                        list_transform(e.v, x -> x*x), 'sum') = 0
+                    THEN NULL
+                    ELSE ROUND(list_cosine_similarity(e.v, c.cv), 6)
+               END AS c_sim
         FROM e CROSS JOIN cents c
+    ),
+    best AS (
+        SELECT vec_id, centroid_id, c_sim FROM (
+            SELECT vec_id, centroid_id, c_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY c_sim DESC, centroid_id
+                   ) AS rk
+            FROM sims WHERE c_sim IS NOT NULL
+        ) WHERE rk = 1
     )
-    SELECT vec_id, centroid_id, c_sim FROM (
-        SELECT vec_id, centroid_id, c_sim,
-               ROW_NUMBER() OVER (
-                   PARTITION BY vec_id
-                   ORDER BY c_sim DESC, centroid_id
-               ) AS rk
-        FROM sims
-    ) WHERE rk = 1
-    ORDER BY vec_id
+    -- LEFT JOIN keeps degenerate vectors with NULL centroid: corpus
+    -- membership through the assignment artifact is preserved (the
+    -- ADVICE-r8 ivf_assign contract)
+    SELECT e.vec_id, b.centroid_id, b.c_sim
+    FROM e LEFT JOIN best b USING (vec_id)
+    ORDER BY e.vec_id
 """
 
 
@@ -3489,10 +3503,18 @@ def d67_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings
         ),
         pairs AS (
+            -- zero-norm guard: DuckDB's list_cosine_similarity is -1.0
+            -- for a zero vector; Spark's dot/(na*nb) is NULL (sorts
+            -- last under DESC on both engines)
             SELECT a.vec_id,
                    b.vec_id AS neighbor_id,
-                   ROUND(list_cosine_similarity(a.v, b.v), 6)
-                       AS cosine_sim
+                   CASE WHEN list_aggregate(
+                            list_transform(a.v, x -> x*x), 'sum') = 0
+                         OR list_aggregate(
+                            list_transform(b.v, x -> x*x), 'sum') = 0
+                        THEN NULL
+                        ELSE ROUND(list_cosine_similarity(a.v, b.v), 6)
+                   END AS cosine_sim
             FROM e a JOIN e b
               ON a.label = b.label AND a.vec_id != b.vec_id
         ),
