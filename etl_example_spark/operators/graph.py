@@ -27,6 +27,11 @@ EVENT_GRAPH_SQL = """
             SELECT user_id, ts, event_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
             FROM events
+            -- a user step needs its user and its time: besides being
+            -- undefined, a NULL ts would ORDER differently on the two
+            -- engines (Spark ASC nulls-first, DuckDB nulls-last) and
+            -- silently rewire the user's transition sequence
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
         ),
         tr AS (
             SELECT page AS src,
@@ -49,9 +54,18 @@ def transition_edges(
     """Weighted directed edges from consecutive per-user events:
     ``(src, dst, c)`` where c counts user-step transitions src→dst.
     One window shuffle on the user key; edge weights aggregate
-    map-side before their shuffle."""
+    map-side before their shuffle.
+
+    Rows missing the user or the primary order column are dropped: a
+    step needs both, and a NULL order value would sequence differently
+    across engines (Spark ASC is nulls-first, SQL engines default
+    nulls-last) — the EVENT_GRAPH_SQL oracles filter identically."""
     from pyspark.sql import Window
 
+    events = events.filter(
+        F.col(user_col).isNotNull()
+        & F.col(order_cols[0]).isNotNull()
+    )
     w = Window.partitionBy(user_col).orderBy(*order_cols)
     steps = events.select(
         node_col.alias("src"), F.lead(node_col).over(w).alias("dst")

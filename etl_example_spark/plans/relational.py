@@ -483,6 +483,7 @@ def q20_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
                    AS total_value
         FROM events
+        WHERE ts IS NOT NULL  -- F.window drops NULL event time
         GROUP BY hour_start
         ORDER BY hour_start
     """,
@@ -753,7 +754,16 @@ def q45_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events e
         ASOF LEFT JOIN od
           ON e.user_id = od.user_id AND e.ts >= od.o_orderdate
-        ORDER BY e.event_id
+        WHERE e.ts IS NOT NULL
+        UNION ALL
+        -- a NULL-ts probe has no "as of": LEFT semantics, NULL payload
+        -- (DuckDB's ASOF quirkily matches such probes to a row; the
+        -- engine's union+window form carries nothing — the honest one)
+        SELECT e.event_id, e.user_id, e.ts,
+               CAST(NULL AS DATE), CAST(NULL AS BIGINT),
+               CAST(NULL AS DOUBLE)
+        FROM events e WHERE e.ts IS NULL
+        ORDER BY event_id
     """,
 )
 def q46_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3091,18 +3101,27 @@ def q96_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q97_distinct_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # NULLS LAST to match DuckDB's default (Spark ASC is nulls-first) —
+    # a NULL-ts row's position changes every running count after it;
+    # and COUNT(DISTINCT) skips NULL types, so a NULL event_type must
+    # not raise the first-seen flag
     first_seen = (
-        F.row_number().over(
-            Window.partitionBy("user_id", "event_type").orderBy(
-                "ts", "event_id"
+        (
+            F.row_number().over(
+                Window.partitionBy("user_id", "event_type").orderBy(
+                    F.asc_nulls_last("ts"), "event_id"
+                )
             )
+            == 1
         )
-        == 1
+        & F.col("event_type").isNotNull()
     ).cast("bigint")
     flagged = ev.select(
         "event_id", "user_id", "ts", first_seen.alias("first_seen")
     )
-    running = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
     total = Window.partitionBy("user_id")
     return (
         flagged.select(
@@ -3169,7 +3188,12 @@ def q98_window_ignore_nulls(
     base = ev.select(
         "event_id", "user_id", "ts", valid.alias("valid_cents")
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULLS LAST: DuckDB's ASC default; Spark's is nulls-first, which
+    # would slot a NULL-ts row BEFORE the user's history and change
+    # every forward-fill after it
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
     running = w.rowsBetween(Window.unboundedPreceding, 0)
     upto_prev = w.rowsBetween(Window.unboundedPreceding, -1)
     return (

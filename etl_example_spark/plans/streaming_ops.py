@@ -59,6 +59,7 @@ from etl_example_spark.plans.llm_ops import (  # noqa: E402
                COUNT(*) AS n_events,
                {SQL_EXACT_VALUE_SUM} AS total_value
         FROM events
+        WHERE ts IS NOT NULL  -- F.window drops NULL event time
         GROUP BY window_start
         ORDER BY window_start
     """,
@@ -123,6 +124,7 @@ def st36_stream_sliding_watermark(
                             PARTITION BY user_id ORDER BY ts, event_id
                         ) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
             FROM events
+            WHERE ts IS NOT NULL  -- session_window drops NULL event time
         ),
         sess AS (
             SELECT user_id, ts, value,
@@ -205,6 +207,10 @@ def st39_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                        PARTITION BY user_id, event_type
                        ORDER BY ts, event_id) AS rn
             FROM events
+            -- the ingestion contract first_seen_dedup enforces: a key
+            -- needs all three fields; a NULL ts cannot be "first"
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              AND event_type IS NOT NULL
         )
         SELECT user_id, event_type,
                ts AS first_ts, event_id AS first_event_id
@@ -333,6 +339,8 @@ def st42_stream_static_enrichment(
                    ROW_NUMBER() OVER (PARTITION BY user_id
                                       ORDER BY ts DESC) AS rn
             FROM events
+            -- a change row needs its key and its sequence
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
         )
         SELECT user_id,
                CAST(ROUND(value * 100) AS BIGINT) AS value_cents
@@ -353,7 +361,11 @@ def st43_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = read_events_stream(spark, sf_dir)
-    changes = stream.select(
+    # a change row needs its key and its sequence — drop malformed rows
+    # at the CDC boundary instead of inserting a NULL-keyed target row
+    changes = stream.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
         "user_id",
         F.col("value"),
         F.when(F.col("event_type") == "error", "D")

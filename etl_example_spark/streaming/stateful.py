@@ -21,6 +21,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -67,8 +68,19 @@ def _first_seen_fn(
 
 def first_seen_dedup(events: DataFrame) -> DataFrame:
     """Streaming keep-first dedup over (user_id, event_type): one output
-    row per key, ever, carrying the earliest (ts, event_id) occurrence."""
-    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+    row per key, ever, carrying the earliest (ts, event_id) occurrence.
+
+    Ingestion contract (enforced here, not assumed): rows missing the
+    key or the event time are dropped BEFORE grouping — a NULL key
+    would reach the state kernel as a (None, None) group and crash its
+    int()/str() emit path (a single malformed event must never kill a
+    streaming job), and a NULL ts cannot be anyone's "first"."""
+    valid = events.filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    return valid.groupBy("user_id", "event_type").applyInPandasWithState(
         _first_seen_fn,
         outputStructType=FIRST_SEEN_SCHEMA,
         stateStructType=_STATE_SCHEMA,
