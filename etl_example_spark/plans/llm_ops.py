@@ -1191,7 +1191,11 @@ def q61_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderstatus,
                CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS quantile,
                TRUE AS within_bound
-        FROM (SELECT DISTINCT o_orderstatus FROM orders)
+        -- only groups with at least one non-NULL price have quantiles
+        -- to certify (percentile of an all-NULL group is NULL and the
+        -- engine's posexplode emits nothing for it)
+        FROM (SELECT DISTINCT o_orderstatus FROM orders
+              WHERE o_totalprice IS NOT NULL)
         ORDER BY o_orderstatus, quantile
     """,
     category="relational",

@@ -1413,8 +1413,15 @@ def q62_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = partial_agg(
         orders.filter(F.col("o_orderdate") < cutoff), ["o_custkey"], aggs
     )
+    # the split must be EXHAUSTIVE: a NULL cutoff column satisfies
+    # neither < nor >=, so a naive two-filter split silently drops the
+    # row from the maintained view — route NULL dates to the delta
     delta = partial_agg(
-        orders.filter(F.col("o_orderdate") >= cutoff), ["o_custkey"], aggs
+        orders.filter(
+            F.coalesce(F.col("o_orderdate") >= cutoff, F.lit(True))
+        ),
+        ["o_custkey"],
+        aggs,
     )
     return merge_partials(state, delta, ["o_custkey"], aggs).orderBy(
         "o_custkey"
@@ -1790,17 +1797,23 @@ def q70_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle after the collect_list).",
     oracle="""
         WITH per AS (
+            -- FILTER mirrors collect_list's NULL-skipping; an order
+            -- whose quantities are all NULL yields [] on both engines
             SELECT l_orderkey,
-                   list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+                   list_sort(list(CAST(l_quantity AS BIGINT))
+                             FILTER (l_quantity IS NOT NULL)) AS qtys
             FROM lineitem GROUP BY l_orderkey
         )
         SELECT l_orderkey,
-               len(qtys) AS n_items,
-               CAST(list_aggregate(qtys, 'sum') AS BIGINT) AS sum_qty,
-               len(list_filter(qtys, q -> q > 25)) AS n_big,
-               CAST(list_aggregate(list_transform(qtys, q -> q * q),
-                    'sum') AS BIGINT) AS sum_sq,
-               qtys[(len(qtys) + 1) // 2] AS lower_median
+               COALESCE(len(qtys), 0) AS n_items,
+               CAST(COALESCE(list_aggregate(qtys, 'sum'), 0) AS BIGINT)
+                   AS sum_qty,
+               COALESCE(len(list_filter(qtys, q -> q > 25)), 0) AS n_big,
+               CAST(COALESCE(list_aggregate(
+                        list_transform(qtys, q -> q * q), 'sum'), 0)
+                    AS BIGINT) AS sum_sq,
+               CASE WHEN COALESCE(len(qtys), 0) = 0 THEN NULL
+                    ELSE qtys[(len(qtys) + 1) // 2] END AS lower_median
         FROM per
         ORDER BY l_orderkey
     """,
@@ -1823,8 +1836,12 @@ def q71_hof_array_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "aggregate(transform(qtys, q -> q * q), 0L, (acc, x) -> acc + x)"
         ).alias("sum_sq"),
+        # guard the empty array (all quantities NULL -> collect_list
+        # skips them all): element_at index 0 is an ERROR, not NULL
         F.expr(
-            "element_at(qtys, CAST((size(qtys) + 1) div 2 AS INT))"
+            "CASE WHEN size(qtys) = 0 THEN NULL "
+            "ELSE element_at(qtys, CAST((size(qtys) + 1) div 2 AS INT)) "
+            "END"
         ).alias("lower_median"),
     ).orderBy("l_orderkey")
 
@@ -2309,12 +2326,19 @@ def q80_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_extendedprice") * 100).cast("long")
         ).alias("sum_price_cents"),
     )
-    return wide.unpivot(
-        ["l_returnflag"],
-        ["sum_qty", "sum_price_cents"],
-        "measure",
-        "value",
-    ).orderBy("l_returnflag", "measure")
+    return (
+        wide.unpivot(
+            ["l_returnflag"],
+            ["sum_qty", "sum_price_cents"],
+            "measure",
+            "value",
+        )
+        # SQL-standard UNPIVOT excludes NULL measures (DuckDB needs
+        # INCLUDE NULLS to keep them); Spark's unpivot keeps them —
+        # drop to match the standard
+        .filter(F.col("value").isNotNull())
+        .orderBy("l_returnflag", "measure")
+    )
 
 
 @register(
@@ -2329,6 +2353,10 @@ def q80_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
                     AS BIGINT) AS total_cents
         FROM orders
+        -- pandas groupby semantics: dropna=True (the default) — the
+        -- engine drops malformed rows before grouping; NaN->int64 on a
+        -- NULL price is a ValueError in the pandas column path
+        WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """,
@@ -2336,7 +2364,9 @@ def q80_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q81_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.pandas as ps
 
-    psdf = ps.DataFrame(load_table(spark, sf_dir, "orders"))
+    psdf = ps.DataFrame(load_table(spark, sf_dir, "orders")).dropna(
+        subset=["o_orderpriority", "o_totalprice"]
+    )
     psdf["total_cents"] = (
         (psdf["o_totalprice"] * 100).round().astype("int64")
     )
@@ -2363,6 +2393,9 @@ def q81_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
                         AS BIGINT) AS cents
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            -- a map entry needs a key: NULL returnflags can't enter
+            -- the map (Spark raises NULL_MAP_KEY)
+            WHERE l.l_returnflag IS NOT NULL
             GROUP BY o.o_orderpriority, l.l_returnflag
         )
         SELECT o_orderpriority,
@@ -2380,7 +2413,11 @@ def q82_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     per = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        lineitem
+        # a map entry needs a key: a NULL returnflag raises NULL_MAP_KEY
+        # in map_from_entries — drop it before grouping (oracle WHERE)
+        .filter(F.col("l_returnflag").isNotNull())
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderpriority", "l_returnflag")
         .agg(F.sum(cents).alias("cents"))
     )
@@ -2591,11 +2628,17 @@ def q85_interval_overlap_join(
 )
 def q86_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    joined = F.array_join(
+        F.array_sort(F.collect_set("o_orderstatus")), ","
+    )
     return (
         orders.groupBy("o_orderpriority")
         .agg(
-            F.array_join(
-                F.array_sort(F.collect_set("o_orderstatus")), ","
+            # LISTAGG of zero non-null values is NULL (string_agg
+            # semantics) — collect_set skips NULLs, so an all-NULL
+            # group would otherwise join to '' and diverge
+            F.when(
+                F.size(F.collect_set("o_orderstatus")) > 0, joined
             ).alias("statuses"),
             F.countDistinct("o_custkey").alias("n_custs"),
         )
@@ -2743,7 +2786,11 @@ def q90_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     lineitem = load_table(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    # NULLS LAST: a NULL price sorting first (Spark's ASC default)
+    # shifts every decile boundary vs DuckDB's nulls-last
+    w = Window.orderBy(
+        F.asc_nulls_last("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
         lineitem.select(
@@ -3236,12 +3283,22 @@ def q98_window_ignore_nulls(
                     AS BIGINT) AS n_urgent,
                CAST(TRUE AS BOOLEAN) AS parse_consistent
         FROM orders
+        -- the feed synthesis needs all four fields: a NULL anywhere
+        -- NULLs the whole concat'd document (nothing to parse or
+        -- certify) — both sides skip such rows
+        WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+          AND o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """,
 )
 def q99_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey").isNotNull()
+        & F.col("o_orderstatus").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
     xml = F.concat(
         F.lit("<order><key>"),
         F.col("o_orderkey").cast("string"),
