@@ -1,8 +1,9 @@
 """Degenerate-RELATIONAL sweep: every oracle-checked query reading
-lineitem or orders must agree with DuckDB when each fact table contains
-a row that is NULL in every non-key column — the rows a real ETL ingest
-produces from malformed upstream records (TPC-H's NOT NULL spec is a
-property of the generator, not of production data).
+lineitem, orders, or a perturbed dimension (customer/supplier/part)
+must agree with DuckDB when each such table contains a row that is
+NULL in every non-key column — the rows a real ETL ingest produces
+from malformed upstream records (TPC-H's NOT NULL spec is a property
+of the generator, not of production data).
 
 Completes the degenerate-input coverage across all fact tables
 (documents / embeddings / events / lineitem+orders). Contracts pinned
@@ -30,6 +31,9 @@ from tests.oracle import duckdb_connection, run_differential
 PERTURBED = {
     "lineitem": ("l_orderkey", "l_linenumber"),
     "orders": ("o_orderkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
 }
 
 
@@ -60,8 +64,8 @@ def degen_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
 
 
 def _reads_facts(q) -> bool:
-    return q.oracle is not None and (
-        "lineitem" in q.oracle or "orders" in q.oracle
+    return q.oracle is not None and any(
+        t in q.oracle for t in PERTURBED
     )
 
 
