@@ -1184,3 +1184,65 @@ def gopher_repetition_fractions(
         .groupBy("doc_id")
         .agg(*cols)
     )
+
+
+def quality_ensemble(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    entropy_floor_micro: int = 1_500_000,
+    min_votes: int = 2,
+) -> DataFrame:
+    """STATELESS quality-ensemble gate — the FineWeb-style practice of
+    keeping a document only when a MAJORITY of independent quality
+    signals agree, composed from three verified corpus-free signals:
+
+    - heuristic (the C4-style length/structure gate,
+      :func:`quality_metrics`),
+    - classifier (the hashed-feature linear score,
+      :func:`hashed_linear_quality_cols`, w_sum > 0),
+    - diversity (token-distribution entropy,
+      :func:`token_entropy`, >= ``entropy_floor_micro`` micro-nats —
+      the repetition/spam floor).
+
+    Corpus-free by construction (no trained counts), so the gate gives
+    the same verdict for a document on day one of a crawl and at
+    100 TB, and shards of the corpus gate independently with NO
+    shuffle for the first two signals (the entropy signal is the d98
+    pair of doc-keyed aggregates). Documents with no tokens fail the
+    diversity signal by definition (no entropy row → FALSE).
+
+    Returns (doc_id, s_heuristic, s_classifier, s_entropy, keep) with
+    keep = at least ``min_votes`` of the three signals TRUE — every
+    column boolean and hash-comparable across engines.
+    """
+    s1 = quality_metrics(df, text_col).select(
+        "doc_id", F.col("is_quality").alias("s_heuristic")
+    )
+    _, w_sum = hashed_linear_quality_cols(text_col, 1024)
+    s2 = df.select(
+        F.col(id_col).alias("doc_id"), (w_sum > 0).alias("s_classifier")
+    )
+    s3 = token_entropy(df, text_col, id_col).select(
+        "doc_id",
+        (F.col("entropy_micro") >= entropy_floor_micro).alias(
+            "s_entropy"
+        ),
+    )
+    votes = (
+        s1.join(s2, "doc_id")
+        .join(s3, "doc_id", "left")
+        .withColumn("s_entropy", F.coalesce("s_entropy", F.lit(False)))
+    )
+    n_votes = (
+        F.col("s_heuristic").cast("int")
+        + F.col("s_classifier").cast("int")
+        + F.col("s_entropy").cast("int")
+    )
+    return votes.select(
+        "doc_id",
+        "s_heuristic",
+        "s_classifier",
+        "s_entropy",
+        (n_votes >= min_votes).alias("keep"),
+    )

@@ -5303,6 +5303,78 @@ def d99_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d100_quality_ensemble",
+    "Stateless quality-ENSEMBLE gate — the FineWeb-style practice of "
+    "keeping a document only when a MAJORITY of independent signals "
+    "agree, composed from three verified corpus-free signals: the "
+    "C4-style heuristic gate (d28), the hashed-feature linear "
+    "classifier (d73/st47, w_sum > 0), and the token-entropy "
+    "repetition floor (d98, >= 1.5 nats). Corpus-free by construction: "
+    "the same verdict on day one of a crawl and at 100 TB, and shards "
+    "gate independently (two signals are pure row expressions; entropy "
+    "is the d98 doc-keyed aggregate pair). Token-less documents fail "
+    "the entropy signal by definition. Emits the per-document signal "
+    "booleans AND the vote, so the oracle hash-checks the whole "
+    "decision table, not just the survivor count "
+    "(operators/text.quality_ensemble).",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents
+        ),
+        heur AS (
+            SELECT doc_id,
+                   (len(toks) >= 5 AND length(text) >= 20
+                    AND length(text) <= 1000000
+                    AND length(regexp_replace(text,
+                        '[^A-Za-z]', '', 'g')) * 2
+                        > length(text)) AS s_heuristic
+            FROM t
+        ),
+        cls AS (
+            SELECT doc_id,
+                   COALESCE(list_sum(list_transform(toks,
+                       tok -> CAST(('0x' || substr(md5('w:' || CAST(
+                                  CAST(('0x' || substr(md5(tok), 1, 8))
+                                       AS BIGINT) % 1024 AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 2001 - 1000)), 0)
+                       > 0 AS s_classifier
+            FROM t
+        ),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        tf AS (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM tok GROUP BY doc_id, tok
+        ),
+        ent AS (
+            SELECT doc_id,
+                   CAST(CAST(ROUND(ln(CAST(SUM(c) AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                   - CAST(SUM(c * CAST(CAST(ROUND(ln(CAST(c AS DOUBLE)),
+                            6) AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                       AS BIGINT) // CAST(SUM(c) AS BIGINT)
+                       AS entropy_micro
+            FROM tf GROUP BY doc_id
+        )
+        SELECT h.doc_id, h.s_heuristic, c.s_classifier,
+               COALESCE(e.entropy_micro >= 1500000, FALSE) AS s_entropy,
+               (CAST(h.s_heuristic AS INT) + CAST(c.s_classifier AS INT)
+                + CAST(COALESCE(e.entropy_micro >= 1500000, FALSE)
+                       AS INT)) >= 2 AS keep
+        FROM heur h
+        JOIN cls c USING (doc_id)
+        LEFT JOIN ent e USING (doc_id)
+        ORDER BY h.doc_id
+    """,
+    category="text",
+)
+def d100_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_ensemble(
+        docs, entropy_floor_micro=1_500_000, min_votes=2
+    ).orderBy("doc_id")
+
+
+@register(
     "d90_benchmark_span_overlap",
     "Span-level benchmark decontamination, detection half — the GPT-3 "
     "13-gram rule as POSITIONED intervals (d47 is the doc-level "

@@ -1059,3 +1059,39 @@ class TestGopherRepetition:
         r = self._frac(spark, "x y z")
         assert r.top_4gram_x1e6 == 0
         assert r.dup_5gram_x1e6 == 0
+
+
+class TestQualityEnsemble:
+    """The d100 gate must actually discriminate: each signal can
+    dissent and the majority vote decides."""
+
+    def test_votes_and_majority(self, spark):
+        from etl_example_spark.operators.text import quality_ensemble
+
+        docs = spark.createDataFrame(
+            [
+                # healthy prose: all three signals pass
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                # pure repetition: heuristic passes (long, alphabetic)
+                # but entropy is ~0 -> needs the classifier to decide
+                (2, "spam " * 40),
+                # empty: every signal fails
+                (3, ""),
+                # too short for the heuristic (n_tokens < 5)
+                (4, "tiny doc"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in quality_ensemble(docs).collect()}
+        assert out[1].s_heuristic and out[1].s_entropy
+        assert out[1].keep
+        assert not out[2].s_entropy  # zero-entropy repetition flagged
+        assert not out[3].s_heuristic
+        assert not out[3].s_entropy and not out[3].keep
+        assert not out[4].s_heuristic
+        # majority rule: keep iff >= 2 of 3
+        for r in out.values():
+            votes = sum(
+                [r.s_heuristic, r.s_classifier, r.s_entropy]
+            )
+            assert r.keep == (votes >= 2)
