@@ -773,8 +773,16 @@ def test_jpeg_optimal_and_fixed_tables_decode_identically(shape, seed):
     """Huffman tables change the bitstream, never the pixels: the
     frequency-optimal length-limited canonical tables (variable code
     lengths — the real-encoder shape) and the fixed-length tables must
-    decode to identical arrays, and the optimal payload is never
-    larger. Exercises the decoder's Annex-C walk across code lengths."""
+    decode to identical arrays. Exercises the decoder's Annex-C walk
+    across code lengths.
+
+    Size: the optimal table minimizes the SCAN's coded bits, not the
+    file — its DHT segment can be longer than the fixed table's, and on
+    a one-block image that overhead can exceed the entropy win by a few
+    bytes (hypothesis found a 13x1 image where the 'optimized' file is
+    1 byte larger). The honest invariant is therefore bounded by the
+    table-declaration overhead (16 length counts + at most the extra
+    declared values), not a strict <=."""
     import numpy as np
 
     from etl_example_spark.operators.multimodal import (
@@ -787,6 +795,22 @@ def test_jpeg_optimal_and_fixed_tables_decode_identically(shape, seed):
     p_opt = encode_jpeg(img, optimize_huffman=True)
     p_fix = encode_jpeg(img, optimize_huffman=False)
     assert (decode_jpeg(p_opt) == decode_jpeg(p_fix)).all()
+    assert len(p_opt) <= len(p_fix) + 64  # DHT-overhead slack
+
+
+def test_jpeg_optimal_tables_win_when_data_dominates():
+    """Where the entropy-coded scan dwarfs the table declarations (a
+    64x64 random image, ~64 blocks), the frequency-optimal tables must
+    produce a strictly-no-larger file — the size claim the
+    property test above can only make with overhead slack."""
+    import numpy as np
+
+    from etl_example_spark.operators.multimodal import encode_jpeg
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    p_opt = encode_jpeg(img, optimize_huffman=True)
+    p_fix = encode_jpeg(img, optimize_huffman=False)
     assert len(p_opt) <= len(p_fix)
 
 
