@@ -46,13 +46,20 @@ _HTML_REGEX_STAGES: list[tuple[str, str]] = [
 ]
 
 #: literal entity decodes, in order; ``&amp;`` last (see above).
+#: ``&nbsp;`` decodes to U+00A0 (the HTML5-correct decode), NOT to an
+#: ASCII space: NBSP is content to this pipeline (the same stance as
+#: ``text.normalize_text``'s Zs handling), and — load-bearing for
+#: :func:`clean_text` — an entity-encoded mojibake sequence like
+#: ``Ã&nbsp;`` (the cp1252 mis-decode of 'à', whose second byte IS
+#: U+00A0) must re-form the exact character pair ``fix_mojibake``
+#: repairs. Decoding to ' ' silently destroyed that repair.
 _HTML_ENTITIES: list[tuple[str, str]] = [
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
     ("&apos;", "'"),
-    ("&nbsp;", " "),
+    ("&nbsp;", "\u00a0"),
     ("&amp;", "&"),
 ]
 
@@ -151,3 +158,39 @@ def fix_mojibake_df(
 ) -> DataFrame:
     """DataFrame form of :func:`fix_mojibake`."""
     return df.select(id_col, fix_mojibake(text_col).alias("text"))
+
+
+def clean_text(col: Column | str) -> Column:
+    """The composed web-text cleaning stage, in the ONE order that is
+    correct: ``strip_html`` → :func:`fix_mojibake` →
+    ``text.normalize_text``.
+
+    The order is load-bearing, which is why this composition exists as
+    an operator instead of a docstring convention:
+
+    - extraction BEFORE repair: markup routinely interrupts a mojibake
+      byte pair (``voilÃ<!-- ad -->\\u00a0``), and the entity decode
+      must re-form literal characters (``Ã&nbsp;`` → Ã+U+00A0, a
+      repairable pair) before the repair table can see them. Repairing
+      raw markup misses both.
+    - repair BEFORE normalization: the repair table's irrecoverable
+      gaps (cp1252-undefined bytes that surface as C1 controls, e.g.
+      the 0x9D byte of a mis-decoded '”') are cleaned up by
+      normalize's control strip — normalize is the residue sweeper,
+      so it runs last. Running it first would also commit to NFC forms
+      before the repair re-writes characters.
+
+    ``tests/test_extraction.py`` pins both orderings with fixtures that
+    FAIL if a stage is moved; the d101 registration hash-verifies the
+    whole composition against a DuckDB replay.
+    """
+    from etl_example_spark.operators.text import normalize_text
+
+    return normalize_text(fix_mojibake(strip_html(col)))
+
+
+def clean_text_df(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """DataFrame form of :func:`clean_text`: (id_col, text)."""
+    return df.select(id_col, clean_text(html_col).alias("text"))

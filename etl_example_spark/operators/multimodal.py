@@ -1401,21 +1401,36 @@ def encode_jpeg(
 
 
 def average_hash(arr) -> int:
-    """Perceptual average-hash (aHash) of a decoded RGB raster, in pure
-    integer arithmetic: per-pixel gray = r + g + b (an integer luma
-    surrogate — no float weights, so the hash is exactly reproducible
-    in SQL), bit p set iff gray_p · n_pixels > Σ gray (the mean
-    threshold as an integer cross-multiplication, never a float mean),
-    bits packed row-major LSB-first.
+    """Perceptual average-hash (aHash) of a decoded raster, in pure
+    integer arithmetic: per-pixel gray = r + g + b for an RGB input
+    (an integer luma surrogate — no float weights, so the hash is
+    exactly reproducible in SQL) or the pixel value itself for a 2-D
+    grayscale input; bit p set iff gray_p · n_pixels > Σ gray (the
+    mean threshold as an integer cross-multiplication, never a float
+    mean), bits packed row-major LSB-first.
 
     The image-dedup primitive: visually identical images hash equal,
     small brightness/crop perturbations land within small Hamming
     distance — what photo-dedup pipelines bucket on before expensive
-    verification."""
+    verification. For RESOLUTION-invariant bucketing, canonicalize
+    through ``nn_resize`` to a fixed grid first (the m45 composition:
+    decode → resize 8×8 → hash); hashing the raw raster (m44) only
+    collides byte-identical rasters.
+
+    The returned int is arbitrary-precision (64 canonical-grid bits
+    exceed a signed BIGINT) — callers emitting it into a Spark column
+    split it (:func:`ahash_words`) or hex it."""
     import numpy as np
 
-    gray = arr.astype(np.int64).sum(axis=2).reshape(-1)
+    a = arr.astype(np.int64)
+    gray = (a.sum(axis=2) if a.ndim == 3 else a).reshape(-1)
     total = int(gray.sum())
     n = gray.shape[0]
     bits = (gray * n) > total
     return int(sum(1 << p for p, b in enumerate(bits) if b))
+
+
+def ahash_words(h: int) -> tuple[int, int]:
+    """Split a 64-bit aHash into (lo, hi) signed-safe 32-bit words —
+    bit 63 of a packed hash overflows a signed BIGINT column."""
+    return h & 0xFFFFFFFF, (h >> 32) & 0xFFFFFFFF

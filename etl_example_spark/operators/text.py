@@ -646,7 +646,7 @@ _STAGED_BM25_MAX = 8
 
 def bm25_postings(
     df: DataFrame,
-    terms: tuple[str, ...],
+    terms: tuple[str, ...] | None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -655,12 +655,23 @@ def bm25_postings(
     ever shuffle. Postings are PER-DOCUMENT-LOCAL (tf and dl depend on
     one document only), which is what makes the index incrementally
     maintainable: postings(old) ∪ postings(batch) == postings(old ∪
-    batch) exactly (the s52 law)."""
+    batch) exactly (the s52 law).
+
+    ``terms=None`` builds the FULL-VOCABULARY postings table — the
+    index-once/serve-any-query artifact (s53): the explode is
+    unrestricted, so shuffle volume is the corpus token count (the
+    d80/span-index cost class — one such pass, amortized over every
+    future query workload, vs. one term-restricted scan PER workload).
+    An empty tuple still means "no terms" (empty postings)."""
     occ = df.select(
         F.col(id_col).alias("doc_id"),
         token_count(text_col).alias("dl"),
         F.explode(tokens(text_col)).alias("term"),
-    ).filter(F.col("term").isin(*terms) if terms else F.lit(False))
+    )
+    if terms is not None:
+        occ = occ.filter(
+            F.col("term").isin(*terms) if terms else F.lit(False)
+        )
     return occ.groupBy("doc_id", "term").agg(
         F.count("*").alias("tf"),
         # dl is constant per doc — fold it through the one
@@ -795,9 +806,7 @@ def bm25_topk(
     Returns (query_id, doc_id, score_micro, rk), rk 1..k per query,
     ties broken by doc_id — fully deterministic.
     """
-    qterms = F.broadcast(queries.select("query_id", "term").distinct())
     tf = _staged_bm25_tf(df, queries, text_col, id_col)
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     totals = F.broadcast(
         df.select(
             F.count("*").alias("n_docs"),
@@ -810,6 +819,50 @@ def bm25_topk(
             ).alias("t_total"),
         )
     )
+    return _bm25_rank(tf, queries, totals, k)
+
+
+def bm25_topk_from_postings(
+    postings: DataFrame,
+    queries: DataFrame,
+    n_docs: int,
+    t_total: int,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-``k`` served from the STORED full-vocabulary postings
+    artifact alone (:func:`bm25_postings` with ``terms=None``) plus its
+    two stored corpus totals — the corpus text is never touched, so an
+    ARBITRARY query workload costs one postings probe instead of one
+    corpus scan (what an inverted index is for; completes the
+    d86-span-index / s47-IVF stored-artifact discipline for lexical
+    retrieval). Identical decimal(38,0) arithmetic to
+    :func:`bm25_topk`: same queries over the same corpus return
+    bit-identical scores from either path (the s53 law). Unindexed
+    query terms simply match no postings row.
+
+    At 100 TB the postings artifact is a term-bucketed parquet table;
+    the probe's plan is a broadcast of the query terms against it —
+    per-term partition pruning when bucketed BY term — followed by the
+    same matched-rows-only score/top-k shuffles as the direct path.
+    """
+    spark = postings.sparkSession
+    totals = F.broadcast(
+        spark.createDataFrame(
+            [(int(n_docs), int(t_total))], "n_docs bigint, t_total bigint"
+        )
+    )
+    return _bm25_rank(postings, queries, totals, k)
+
+
+def _bm25_rank(
+    tf: DataFrame, queries: DataFrame, totals: DataFrame, k: int
+) -> DataFrame:
+    """Shared BM25 ranker: (doc, term, tf, dl) postings × (query_id,
+    term) queries × one-row (n_docs, t_total) totals → per-query
+    top-k, all-integer (see :func:`bm25_topk` for the arithmetic
+    derivation)."""
+    qterms = F.broadcast(queries.select("query_id", "term").distinct())
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf_micro = (
         F.round(
             F.log(

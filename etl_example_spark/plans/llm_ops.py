@@ -1773,6 +1773,115 @@ def s52_bm25_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The s53 serving workload — terms the index build NEVER saw (the
+#: point of a full-vocabulary artifact), including one absent from the
+#: corpus vocabulary entirely (matches nothing, breaks nothing).
+BM25_SERVE_QUERIES: list[tuple[int, str]] = [
+    (4, "data"), (4, "code"), (4, "zzznotaterm"),
+    (5, "table"), (5, "row"), (5, "group"),
+]
+
+
+@register(
+    "s53_bm25_index_serve",
+    "FULL-VOCABULARY BM25 postings artifact: index ONCE, serve ANY "
+    "query — the piece s51/s52's query-term-restricted postings "
+    "deliberately lacked (there, every new query workload re-scans "
+    "the corpus; an inverted index exists precisely so it does not). "
+    "The unrestricted (doc, term, tf, dl) table plus two stored "
+    "totals (N docs, T tokens) IS the index "
+    "(operators/text.bm25_postings terms=None); an arbitrary query "
+    "set — terms the build never saw, including one absent from the "
+    "vocabulary — then ranks from the artifact alone via the SAME "
+    "integer decimal(38,0) arithmetic as s51 "
+    "(operators/text.bm25_topk_from_postings), the corpus text "
+    "untouched. Build shuffle = corpus tokens (the d80/span-index "
+    "cost class, ~25 B/posting-row measured, SCALING.md), amortized "
+    "over every future workload; probe shuffle = matched rows only. "
+    "The oracle recomputes BM25 for the serving queries from the raw "
+    "corpus from scratch, so a hash match proves "
+    "index-then-serve == direct-scan.",
+    oracle=f"""
+        WITH q(query_id, term) AS (
+            VALUES (4, 'data'), (4, 'code'), (4, 'zzznotaterm'),
+                   (5, 'table'), (5, 'row'), (5, 'group')
+        ),
+        tok AS (
+            SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS HUGEINT) AS tf
+            FROM tok WHERE term <> '' GROUP BY doc_id, term
+        ),
+        dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf
+            WHERE term IN (SELECT term FROM q) GROUP BY term
+        ),
+        dl AS (
+            SELECT doc_id, CAST(SUM(tf) AS HUGEINT) AS dl
+            FROM tf GROUP BY doc_id
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n_docs,
+                   CAST(COALESCE(SUM({SQL_NTOKS}), 0) AS HUGEINT)
+                       AS t_total
+            FROM documents
+        ),
+        contrib AS (
+            SELECT q.query_id, tf.doc_id,
+                   CAST(CAST(ROUND(ln((n_docs + 1) / (df + 0.5)), 6)
+                             AS DECIMAL(18,6)) * 1000000 AS HUGEINT)
+                   * 22 * t_total * tf
+                   // (10 * t_total * tf + 3 * t_total + 9 * dl * n_docs)
+                       AS c
+            FROM q
+            JOIN tf USING (term)
+            JOIN dfreq USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN tot
+        ),
+        scored AS (
+            SELECT query_id, doc_id,
+                   CAST(SUM(c) AS BIGINT) AS score_micro
+            FROM contrib GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, score_micro, CAST(rk AS INT) AS rk
+        FROM (
+            SELECT query_id, doc_id, score_micro,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_micro DESC, doc_id
+                   ) AS rk
+            FROM scored
+        ) t WHERE rk <= 10
+        ORDER BY query_id, rk
+    """,
+    category="similarity",
+    bench=True,  # the index-build pass — the cost a 100 TB launch plans
+)
+def s53_bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # the index build: ONE unrestricted corpus pass + one totals row.
+    # (In production both are written once — a term-bucketed parquet
+    # postings table + a stats sidecar — and only read here.)
+    index = text.bm25_postings(docs, None)
+    totals = docs.select(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(
+                text.token_count(F.coalesce(F.col("text"), F.lit("")))
+            ),
+            F.lit(0),
+        ).alias("t"),
+    ).collect()[0]
+    queries = spark.createDataFrame(
+        BM25_SERVE_QUERIES, "query_id int, term string"
+    )
+    return text.bm25_topk_from_postings(
+        index, queries, int(totals["n"]), int(totals["t"]), k=10
+    ).orderBy("query_id", "rk")
+
+
 @register(
     "d83_bigram_logprob_quality",
     "Self-trained bigram LM quality scoring — the CCNet/FineWeb-style "
@@ -4083,6 +4192,94 @@ def m44_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m45_scale_invariant_phash",
+    "RESOLUTION-invariant perceptual hash — the property photo-dedup "
+    "actually needs (m44 hashes the raw raster, so a rescaled copy of "
+    "the same image never collides): canonicalize through decode -> "
+    "nn_resize to the 8x8 aHash grid -> hash. Each document's "
+    "md5-derived 16x64 flat-block grayscale image (the m43 raster) "
+    "round-trips the REAL baseline-JPEG codec at TWO resolutions "
+    "(native and a 2x nearest-neighbor upscale, each re-encoded and "
+    "re-decoded), and both canonicalize to the identical 64-bit hash "
+    "— scale invariance verified through the full codec path, not "
+    "asserted. The 64 hash bits ship as two 32-bit words (bit 63 "
+    "overflows a signed BIGINT). The oracle re-derives every resized "
+    "pixel from hex arithmetic (the floor mapping composes to "
+    "pixel(y,x) = byte[(y div 4)*8 + x] at BOTH resolutions — the "
+    "invariance the query certifies), so decode, resize, and hash are "
+    "all externally verified "
+    "(operators/multimodal.average_hash / nn_resize).",
+    oracle=f"""
+        WITH h AS (SELECT doc_id, md5(COALESCE(text, '')) AS hx
+                   FROM documents),
+        b AS (
+            SELECT doc_id,
+                   list_transform(range(16), o -> {_hex_byte("o")})
+                       AS v
+            FROM h
+        ),
+        s AS (SELECT doc_id, v, list_sum(v) AS sv FROM b)
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(32), p ->
+                   CASE WHEN v[((p // 8) // 4) * 8 + (p % 8) + 1] * 16
+                             > sv
+                        THEN CAST(1 AS BIGINT) << p ELSE 0 END))
+                    AS BIGINT) AS phash_lo,
+               CAST(list_sum(list_transform(range(32), p ->
+                   CASE WHEN v[(((p + 32) // 8) // 4) * 8 + (p % 8)
+                               + 1] * 16 > sv
+                        THEN CAST(1 AS BIGINT) << p ELSE 0 END))
+                    AS BIGINT) AS phash_hi,
+               TRUE AS scale_invariant
+        FROM s
+        ORDER BY doc_id
+    """,
+    category="multimodal",
+)
+def m45_scale_invariant_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def hashes(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.md5((t or "").encode()).digest()
+                vals = np.frombuffer(d, dtype=np.uint8).reshape(2, 8)
+                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                up = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+                hs = []
+                for im in (img, up):
+                    dec = multimodal.decode_media(
+                        multimodal.encode_jpeg(im), "jpeg"
+                    )
+                    hs.append(
+                        multimodal.average_hash(
+                            multimodal.nn_resize(dec, 8, 8)
+                        )
+                    )
+                lo, hi = multimodal.ahash_words(hs[0])
+                rows.append((doc_id, lo, hi, hs[0] == hs[1]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "phash_lo", "phash_hi", "scale_invariant"
+                ],
+            )
+
+    return docs.mapInPandas(
+        hashes,
+        "doc_id long, phash_lo long, phash_hi long,"
+        " scale_invariant boolean",
+    ).orderBy("doc_id")
+
+
+@register(
     "d70_incremental_line_dedup",
     "INCREMENTAL boilerplate pass: the stored line index (one row per "
     "distinct line hash, built from the already-ingested corpus — "
@@ -5647,6 +5844,18 @@ def _fix_mojibake_sql(expr: str) -> str:
     return expr
 
 
+def _normalize_sql(expr: str) -> str:
+    """DuckDB replay of text.normalize_text (the d74 oracle form):
+    control/Cf strip (keeping tab+newline) -> NFC -> ASCII-whitespace
+    collapse -> space trim."""
+    return (
+        r"trim(regexp_replace(nfc_normalize(regexp_replace("
+        + expr
+        + r", '[\x00-\x08\x0B-\x1F\x7F-\x9F\p{Cf}]', '', 'g')),"
+        r" '[ \t\n]+', ' ', 'g'), ' ')"
+    )
+
+
 #: the deterministic HTML wrapper both engines build around each
 #: document before extracting: comment + style + script payloads that
 #: must vanish, headings/paragraph breaks that must become newlines
@@ -5810,3 +6019,151 @@ def d94_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return dedup.intradoc_line_dedup(docs)
+
+
+@register(
+    "d101_clean_text",
+    "The COMPOSED web-text cleaning stage in its one correct order — "
+    "strip_html -> fix_mojibake -> normalize_text "
+    "(operators/extraction.clean_text) — the ordering contract the "
+    "d92/d93/d74 stages individually leave to a docstring: extraction "
+    "first so markup interrupting a mojibake pair is removed and "
+    "entity-encoded NBSP re-forms the literal 'Ã'+U+00A0 pair the "
+    "repair table matches (the &nbsp; entity decodes to U+00A0, the "
+    "HTML5 decode, exactly for this reason); normalization LAST as "
+    "the residue sweeper for the repair table's irrecoverable "
+    "C1-control gaps. Both sides corrupt the corpus identically "
+    "(HTML wrapper + entity-encoded 'Ã&nbsp;' mojibake + the d93 "
+    "pair table), then the oracle replays the full three-stage chain "
+    "in SQL, so the composition ORDER itself is hash-verified.",
+    oracle=f"""
+        WITH c AS (
+            SELECT doc_id,
+                   '{_sql_q(_HTML_PREFIX)}'
+                   || replace(replace(replace(COALESCE(text, ''),
+                       'line', '</p><p>'),
+                       'o', 'Ã¶'),
+                       ' ', 'Ã&nbsp; ') AS html
+            FROM documents
+        )
+        SELECT doc_id,
+               {_normalize_sql(_fix_mojibake_sql(_strip_html_sql(
+                   "(html || '" + _sql_q(_HTML_SUFFIX) + "')")))}
+                   AS text
+        FROM c
+    """,
+    category="text",
+)
+def d101_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corrupted = F.concat(
+        F.lit(_HTML_PREFIX),
+        F.replace(
+            F.replace(
+                F.replace(
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.lit("line"),
+                    F.lit("</p><p>"),
+                ),
+                F.lit("o"),
+                F.lit("Ã¶"),
+            ),
+            F.lit(" "),
+            F.lit("Ã&nbsp; "),
+        ),
+        F.lit(_HTML_SUFFIX),
+    )
+    return extraction.clean_text_df(
+        docs.select("doc_id", corrupted.alias("html"))
+    )
+
+
+#: d102 crawl size — fixed like q70's synthetic source (the source IS
+#: the dataset; sf_dir scales the parquet corpus, not the crawl stub).
+_WARC_ROWS = 400
+
+
+@register(
+    "d102_warc_extract",
+    "WARC record source -> HTML extraction — the actual HEAD of a "
+    "web-curation pipeline (crawl corpora arrive as concatenated "
+    "WARC/1.0 records, not pre-extracted HTML columns): a "
+    "partition-planned Python Data Source (the q70 pattern) "
+    "synthesizes its id-slice of the crawl deterministically and a "
+    "REAL incremental WARC parser walks the concatenated bytes — "
+    "record heads, CRLF headers, byte-exact Content-Length slicing "
+    "(the body embeds a multibyte 'é' so byte-vs-char arithmetic is "
+    "load-bearing), warcinfo/request records skipped, HTTP envelope "
+    "stripped (sources/warc.parse_warc_records). The oracle replays "
+    "the RECORD SPLIT itself in SQL: it rebuilds the concatenated "
+    "stream from range(), splits on the WARC/1.0 magic, filters "
+    "response records, peels the envelope by the same blank-line "
+    "discipline, and applies the identical strip_html chain.",
+    oracle=f"""
+        WITH ids AS (SELECT unnest(range({_WARC_ROWS})) AS i),
+        h AS (SELECT i, md5(CAST(i AS VARCHAR)) AS hx FROM ids),
+        crlf AS (SELECT chr(13) || chr(10) AS c),
+        recs AS (
+            SELECT i,
+                CASE WHEN i % 5 = 0 THEN
+                    'WARC-Type: request' || c ||
+                    'WARC-Target-URI: https://example.org/doc/' || i
+                    || c || 'Content-Length: 44' || c || c ||
+                    'GET /doc HTTP/1.1' || c || 'Host: example.org'
+                    || c || c || c || c || 'WARC/1.0' || c
+                ELSE '' END ||
+                'WARC-Type: response' || c ||
+                'WARC-Record-ID: <urn:uuid:' || lpad(CAST(i AS VARCHAR),
+                    32, '0') || '>' || c ||
+                'WARC-Target-URI: https://example.org/doc/' || i || c ||
+                'Content-Length: 0' || c || c ||
+                'HTTP/1.1 200 OK' || c || 'Content-Type: text/html'
+                || c || c ||
+                '<html><head><title>Doc ' || i || '</title>' ||
+                '<script>if (1<2) {{ spam(); }}</script></head>' ||
+                '<body><!-- crawl ' || i || ' --><p>alpha ' ||
+                substr(hx, 1, 8) || ' &amp; café</p><p>beta ' ||
+                substr(hx, 9, 8) || '</p></body></html>' || c || c
+            AS rec
+            FROM h CROSS JOIN crlf
+        ),
+        stream AS (
+            SELECT string_agg('WARC/1.0' || c || rec, '' ORDER BY i)
+                AS s
+            FROM recs CROSS JOIN crlf GROUP BY c
+        ),
+        frags AS (
+            SELECT unnest(string_split(s, 'WARC/1.0' || c)) AS frag
+            FROM stream CROSS JOIN crlf
+        ),
+        resp AS (
+            SELECT frag,
+                   string_split(frag, c || c) AS parts,
+                   regexp_extract(frag,
+                       'WARC-Target-URI: (\\S+)', 1) AS url
+            FROM frags CROSS JOIN crlf
+            WHERE frag LIKE '%WARC-Type: response%'
+        )
+        SELECT url,
+               CAST(regexp_extract(parts[2],
+                   'HTTP/1.1 (\\d+)', 1) AS INT) AS http_status,
+               {_strip_html_sql("parts[3]")} AS text
+        FROM resp
+    """,
+    category="source",
+)
+def d102_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.sources.warc import register_warc_datasource
+
+    register_warc_datasource(spark)
+    crawl = (
+        spark.read.format("synthetic_warc")
+        .option("rows", _WARC_ROWS)
+        .option("partitions", 8)
+        .load()
+    )
+    return crawl.select(
+        "url",
+        "http_status",
+        extraction.strip_html("html").alias("text"),
+    )

@@ -51,7 +51,7 @@ QUERIES: dict[str, Query] = {}
 #: rotation of the already-verified backlog through the driver window so
 #: regressions in verified queries are eventually re-caught (a different
 #: ~39-query sample each round instead of only the 6 sentinels).
-ROUND = 9
+ROUND = 10
 
 #: Queries the external driver has already verified in earlier rounds
 #: (union of non-errored rows across CORRECTNESS_r01–r04). The driver's
@@ -142,6 +142,19 @@ PRIOR_VERIFIED: frozenset[str] = frozenset(
         "d82_duplicated_spans_df_floor", "d85_remove_spans_df_floor",
         "d86_incremental_span_dedup", "st49_stream_ivf_maintenance",
         "st50_stream_pq_maintenance", "st51_stream_span_maintenance",
+        # round 9 (CORRECTNESS_r09: 50/50 green, zero err rows)
+        "d87_newline_line_dedup", "d88_top_duplicated_spans",
+        "d89_top_boilerplate_lines", "d90_benchmark_span_overlap",
+        "d91_remove_benchmark_spans", "d92_html_extract",
+        "d93_fix_mojibake", "d94_intradoc_line_dedup",
+        "d95_token_budget_plan", "d96_paragraph_dedup",
+        "d97_web_curation_v2", "d98_token_entropy",
+        "d99_gopher_repetition", "d100_quality_ensemble",
+        "m43_jpeg_block_stats", "m44_image_phash_dedup",
+        "s49_sq8_topk", "s49a_sq8_recall_bound", "s50_sq8_append",
+        "s51_bm25_topk", "s52_bm25_append",
+        "st52_stream_line_maintenance", "st53_stream_decontaminate",
+        "st54_stream_sq8_maintenance", "st55_stream_bm25_route",
     }
 )
 
@@ -152,25 +165,28 @@ SENTINELS: tuple[str, ...] = (
     "q4_seasonality", "q5_curation_filter", "q6_date_repair",
 )
 
-#: Head of this round's rotation. Round 9: the content-hash pair that
-#: keys EVERY line/span first-occurrence aggregate and the durable
-#: line/span index artifacts changed (salt-first xxhash64 — the
-#: trailing-salt form had only 64-bit collision resistance, ADVICE r8
-#: #1), so the whole family re-enters the external window even though
-#: its query OUTPUTS are hash-free; d83's smoothing vocabulary was
-#: realigned engine↔oracle (ADVICE r8 #2) so it re-verifies too. The
-#: round's brand-new queries (d87 newline line dedup, m43 JPEG codec)
-#: follow via never-verified rank-2.
+#: Head of this round's rotation. Round 10: queries whose
+#: IMPLEMENTATION (or, for d92, whose OUTPUT — &nbsp; now decodes to
+#: U+00A0, the HTML5 decode, with the oracle replaying the same table)
+#: changed this round re-enter the external window first — d99's
+#: zero-shuffle rewrite, d92's entity change, the graph family's
+#: secondary-sort nulls-last fix, the BM25 family's ranker refactor +
+#: staged-cache rekeying, and d26 (the r9 bench-drift query: code
+#: untouched, but pin its hash alongside the BASELINE.md re-measure).
+#: The round's brand-new queries (d101 clean_text, d102 WARC source,
+#: s53 postings artifact, m45 scale-invariant phash) follow via
+#: never-verified rank-2.
 ROTATION_PRIORITY: tuple[str, ...] = (
-    "d83_bigram_logprob_quality",
-    "d86_incremental_span_dedup",
-    "d80_duplicated_spans",
-    "d81_remove_duplicated_spans",
-    "d62_line_dedup",
-    "d70_incremental_line_dedup",
-    "d71_line_dedup_apply",
-    "d82_duplicated_spans_df_floor",
-    "d85_remove_spans_df_floor",
+    "d99_gopher_repetition",
+    "d92_html_extract",
+    "g01_pagerank_transitions",
+    "g02_triangle_count",
+    "g03_bfs_levels",
+    "s51_bm25_topk",
+    "s52_bm25_append",
+    "st55_stream_bm25_route",
+    "d26_minhash_lsh_pairs",
+    "d25_jaccard_pairs",
 )
 
 

@@ -1,0 +1,215 @@
+"""WARC (Web ARChive) record source — the actual head of a web-curation
+pipeline: crawl corpora (Common Crawl, internal crawlers) arrive as
+concatenated WARC records, not as pre-extracted HTML columns. This module
+gives the engine that entry point via the Python Data Source API (the
+q70/st44 ``SyntheticDocsDataSource`` pattern: partition planning on the
+driver, record materialization + parse on executors).
+
+Two layers, deliberately separate:
+
+- :func:`parse_warc_records` — a REAL incremental WARC/1.0 parser over a
+  byte buffer: walks ``WARC/1.0`` record heads, reads CRLF-delimited
+  WARC headers, honors ``Content-Length`` (BYTES, not characters — the
+  classic WARC parsing bug with multibyte payloads), strips the embedded
+  HTTP/1.1 response envelope of ``response`` records, skips
+  ``warcinfo``/``request``/``metadata`` records, and resynchronizes on
+  the next record head after a malformed block instead of aborting the
+  split (a crawl file with one damaged record loses one record, not the
+  shard).
+- ``WarcDataSource`` — partition-planned Spark source. Each partition
+  synthesizes its id-slice of the crawl deterministically (every byte of
+  the WARC stream is a pure function of the record id — the q70
+  discipline, which is what lets a SQL oracle regenerate the expected
+  rows) and runs the real parser over the concatenated bytes. A
+  production deployment swaps the synthesizer for ranged reads of real
+  .warc files (one partition per file or per
+  ``spark.sql.files.maxPartitionBytes`` slice); the parser and the
+  Spark plumbing (schema, partition planning, per-executor iteration)
+  are exactly what ships here.
+
+Reference scope note: the reference system (`src/job.py`) has no web
+ingestion surface; this extends the engine toward the LLM-pipeline
+north star (the brief's WARC/WET head), composed with
+operators/extraction.strip_html downstream (the d102 registration).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+CRLF = b"\r\n"
+_HEAD = b"WARC/1.0\r\n"
+
+
+def parse_warc_records(buf: bytes):
+    """Yield ``(url, rec_type, http_status, body_bytes)`` for every
+    well-formed record in a WARC/1.0 byte buffer.
+
+    Content-Length is byte-exact: bodies slice by length, never by
+    delimiter scan, so a body containing ``\\r\\n\\r\\n`` or another
+    record's magic survives intact. ``response`` records carry an
+    embedded HTTP/1.1 envelope; the returned body starts after its
+    blank line. Records with missing/invalid Content-Length or a
+    truncated body resynchronize at the next ``WARC/1.0`` head.
+    """
+    pos = 0
+    n = len(buf)
+    while True:
+        head = buf.find(_HEAD, pos)
+        if head < 0:
+            return
+        hdr_end = buf.find(CRLF + CRLF, head)
+        if hdr_end < 0:
+            return
+        headers: dict[str, str] = {}
+        for line in buf[head + len(_HEAD) : hdr_end].split(CRLF):
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[k.strip().decode("ascii", "replace").lower()] = (
+                    v.strip().decode("utf-8", "replace")
+                )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = head + len(_HEAD)  # malformed: resync at next head
+            continue
+        body_start = hdr_end + len(CRLF + CRLF)
+        body_end = body_start + length
+        if length < 0 or body_end > n:
+            pos = head + len(_HEAD)  # truncated: resync
+            continue
+        pos = body_end
+        rec_type = headers.get("warc-type", "")
+        url = headers.get("warc-target-uri", "")
+        body = buf[body_start:body_end]
+        status = 0
+        if rec_type == "response":
+            # strip the embedded HTTP response envelope (bytes domain)
+            http_end = body.find(CRLF + CRLF)
+            if http_end >= 0:
+                status_line = body.split(CRLF, 1)[0]
+                parts = status_line.split()
+                if len(parts) >= 2 and parts[1].isdigit():
+                    status = int(parts[1])
+                body = body[http_end + len(CRLF + CRLF) :]
+        yield url, rec_type, status, body
+
+
+def synthetic_html(i: int) -> str:
+    """The deterministic page body for crawl record ``i`` — markup that
+    exercises every strip_html stage (comment, script with a literal
+    '<', entities, block boundaries) plus a multibyte char ('é') so
+    Content-Length byte arithmetic is load-bearing. Mirrored by the SQL
+    oracle from md5(i)."""
+    d = hashlib.md5(str(i).encode()).hexdigest()
+    return (
+        f"<html><head><title>Doc {i}</title>"
+        "<script>if (1<2) { spam(); }</script></head>"
+        f"<body><!-- crawl {i} --><p>alpha {d[:8]} &amp; café</p>"
+        f"<p>beta {d[8:16]}</p></body></html>"
+    )
+
+
+def synthetic_warc_record(i: int) -> bytes:
+    """One WARC/1.0 response record for id ``i`` (plus a request record
+    every 5th id, which the reader must skip — real crawls interleave
+    them)."""
+    html = synthetic_html(i).encode("utf-8")
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    )
+    rec = (
+        _HEAD
+        + b"WARC-Type: response\r\n"
+        + f"WARC-Record-ID: <urn:uuid:{i:032d}>\r\n".encode()
+        + f"WARC-Target-URI: https://example.org/doc/{i}\r\n".encode()
+        + f"Content-Length: {len(http)}\r\n".encode()
+        + CRLF
+        + http
+        + CRLF
+        + CRLF
+    )
+    if i % 5 == 0:
+        req = b"GET /doc HTTP/1.1\r\nHost: example.org\r\n\r\n"
+        rec = (
+            _HEAD
+            + b"WARC-Type: request\r\n"
+            + f"WARC-Target-URI: https://example.org/doc/{i}\r\n".encode()
+            + f"Content-Length: {len(req)}\r\n".encode()
+            + CRLF
+            + req
+            + CRLF
+            + CRLF
+        ) + rec
+    return rec
+
+
+@dataclass
+class _WarcSlice(InputPartition):
+    start: int
+    end: int
+
+
+class _WarcReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.n_parts = max(1, int(options.get("partitions", 8)))
+
+    def partitions(self):
+        if self.rows <= 0:
+            return [_WarcSlice(0, 0)]
+        step = -(-self.rows // self.n_parts)
+        return [
+            _WarcSlice(lo, min(lo + step, self.rows))
+            for lo in range(0, self.rows, step)
+        ]
+
+    def read(self, partition: _WarcSlice):
+        # one concatenated WARC stream per partition, with a warcinfo
+        # head record (real files start with one; the parser skips it)
+        info = b"software: synthetic-crawler/1.0\r\n"
+        buf = (
+            _HEAD
+            + b"WARC-Type: warcinfo\r\n"
+            + f"Content-Length: {len(info)}\r\n".encode()
+            + CRLF
+            + info
+            + CRLF
+            + CRLF
+        )
+        buf += b"".join(
+            synthetic_warc_record(i)
+            for i in range(partition.start, partition.end)
+        )
+        for url, rec_type, status, body in parse_warc_records(buf):
+            if rec_type != "response":
+                continue
+            yield url, status, body.decode("utf-8", "replace")
+
+
+class WarcDataSource(DataSource):
+    """``spark.read.format("synthetic_warc").option("rows", N)`` →
+    (url string, http_status int, html string) — response records only,
+    parsed from a synthesized concatenated WARC stream by a real
+    incremental parser."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_warc"
+
+    def schema(self) -> str:
+        return "url string, http_status int, html string"
+
+    def reader(self, schema):
+        return _WarcReader(self.options)
+
+
+def register_warc_datasource(spark) -> None:
+    spark.dataSource.register(WarcDataSource)

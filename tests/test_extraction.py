@@ -35,8 +35,11 @@ def test_strip_html_full_document(spark):
         "<div>footer &amp; &lt;raw&gt; &#39;q&#39;</div></body></html>"
     )
     out = _one(spark, html, strip_html)
+    # &nbsp; decodes to U+00A0 (HTML5), not ASCII space — NBSP is
+    # content here (and load-bearing for clean_text's mojibake repair)
     assert out == (
-        "My Title\nHeading\nfirst para\nsecond para\nfooter & <raw> 'q'"
+        "My Title\nHeading\nfirst para\nsecond\u00a0para"
+        "\nfooter & <raw> 'q'"
     )
 
 
@@ -116,3 +119,57 @@ def test_fix_mojibake_idempotent_on_repaired_text(spark):
 def test_fix_mojibake_leaves_clean_ascii_alone(spark):
     s = "plain ascii text with & < > symbols"
     assert _one(spark, s, fix_mojibake) == s
+
+
+# --- clean_text: the composition ORDER is the contract --------------------
+
+
+def test_clean_text_repairs_entity_encoded_nbsp_mojibake(spark):
+    # 'à' mis-decoded as cp1252 is 'Ã' + U+00A0; an HTML tool then
+    # entity-encodes the NBSP. Only extract-BEFORE-repair re-forms the
+    # literal pair the repair table matches.
+    from etl_example_spark.operators.extraction import clean_text
+
+    html = "<p>voilÃ&nbsp; fin</p>"
+    assert _one(spark, html, clean_text) == "voilà fin"
+
+
+def test_clean_text_repairs_markup_interrupted_mojibake(spark):
+    from etl_example_spark.operators.extraction import clean_text
+
+    html = "<p>voilÃ<!-- ad -->\u00a0 fin</p>"
+    assert _one(spark, html, clean_text) == "voilà fin"
+
+
+def test_clean_text_order_flip_fails(spark):
+    """Running fix_mojibake BEFORE strip_html (the flipped order)
+    leaves both fixture classes unrepaired — the regression this test
+    exists to catch if anyone recomposes the stages."""
+    from etl_example_spark.operators.extraction import clean_text
+    from etl_example_spark.operators.text import normalize_text
+
+    def flipped(c):
+        return normalize_text(strip_html(fix_mojibake(c)))
+
+    for html in (
+        "<p>voilÃ&nbsp; fin</p>",
+        "<p>voilÃ<!-- ad -->\u00a0 fin</p>",
+    ):
+        good = _one(spark, html, clean_text)
+        bad = _one(spark, html, flipped)
+        assert good == "voilà fin"
+        assert bad != good and "Ã" in bad
+
+
+def test_clean_text_normalize_sweeps_irreparable_residue(spark):
+    # '”' (U+201D) mis-decodes through cp1252's 0x9D gap into a C1
+    # control; the repair table can't fix it, normalize (LAST) strips
+    # the control residue.
+    from etl_example_spark.operators.extraction import clean_text
+
+    # cp1252 has no 0x9D (strict decode raises); the mis-decode
+    # surfaces it as the C1 control U+009D, which only normalize can
+    # sweep — and only if it runs AFTER the repair table had its shot
+    corrupted = "â€\x9d"
+    out = _one(spark, f"<p>x {corrupted} y</p>", clean_text)
+    assert "\x9d" not in out

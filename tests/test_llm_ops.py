@@ -1020,6 +1020,106 @@ def test_bm25_append_equals_full_rebuild(spark, sf_dir):
     assert a == b and a, f"{len(a)} vs {len(b)}"
 
 
+def test_bm25_index_serve_equals_direct_scan(spark, sf_dir):
+    """The s53 law in-Spark: ranking an arbitrary query set from the
+    stored full-vocabulary postings artifact + the two stored totals
+    must be BIT-IDENTICAL to the direct corpus-scanning ranker on the
+    same queries (same decimal(38,0) arithmetic, different data
+    path)."""
+    from etl_example_spark.operators.text import (
+        bm25_postings,
+        bm25_topk,
+        bm25_topk_from_postings,
+        token_count,
+    )
+    from etl_example_spark.plans.llm_ops import BM25_QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id int, term string"
+    )
+    direct = bm25_topk(docs, queries, k=10)
+    index = bm25_postings(docs, None)
+    totals = docs.select(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(token_count(F.coalesce(F.col("text"), F.lit("")))),
+            F.lit(0),
+        ).alias("t"),
+    ).collect()[0]
+    served = bm25_topk_from_postings(
+        index, queries, int(totals["n"]), int(totals["t"]), k=10
+    )
+    a = sorted(map(tuple, direct.collect()))
+    b = sorted(map(tuple, served.collect()))
+    assert a == b and a
+
+
+def test_bm25_full_postings_vocabulary_is_unrestricted(spark, sf_dir):
+    """terms=None must index EVERY corpus term (that is the artifact's
+    contract); a term-restricted build is a strict subset."""
+    from etl_example_spark.operators.text import bm25_postings, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    full_terms = {
+        r.term
+        for r in bm25_postings(docs, None)
+        .select("term")
+        .distinct()
+        .collect()
+    }
+    corpus_terms = {
+        r.t
+        for r in docs.select(
+            F.explode(tokens("text")).alias("t")
+        )
+        .distinct()
+        .collect()
+    }
+    assert full_terms == corpus_terms and full_terms
+
+
+def test_scale_invariant_phash_collides_rescaled_copies():
+    """The m45 property, off-Spark: the same image decoded at 1x and
+    2x resolution canonicalizes (nn_resize 8x8 -> aHash) to the same
+    hash, while m44's raw-raster hash cannot even be computed on a
+    common grid. Runs the REAL JPEG codec at both scales."""
+    import numpy as np
+
+    from etl_example_spark.operators import multimodal
+
+    rng_bytes = bytes(range(16))
+    vals = np.frombuffer(rng_bytes, dtype=np.uint8).reshape(2, 8)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    up = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+    hs = []
+    for im in (img, up):
+        dec = multimodal.decode_media(multimodal.encode_jpeg(im), "jpeg")
+        hs.append(
+            multimodal.average_hash(multimodal.nn_resize(dec, 8, 8))
+        )
+    assert hs[0] == hs[1]
+    # 64-bit packing: the split words reassemble exactly
+    lo, hi = multimodal.ahash_words(hs[0])
+    assert (hi << 32) | lo == hs[0]
+    # and a genuinely different image hashes differently
+    other = np.repeat(
+        np.repeat(
+            np.frombuffer(bytes(reversed(range(16))), np.uint8).reshape(
+                2, 8
+            ),
+            8,
+            axis=0,
+        ),
+        8,
+        axis=1,
+    )
+    dec = multimodal.decode_media(multimodal.encode_jpeg(other), "jpeg")
+    assert (
+        multimodal.average_hash(multimodal.nn_resize(dec, 8, 8)) != hs[0]
+    )
+
+
 class TestGopherRepetition:
     """Closed-form checks for d99 (operators/text.
     gopher_repetition_fractions) on hand-computable documents."""

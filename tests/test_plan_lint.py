@@ -50,6 +50,7 @@ _CROSS_JOIN_BY_DESIGN = {
     "d68_vocab_coverage",  # broadcast one-row corpus-token-total aggregate
     "d83_bigram_logprob_quality",  # broadcast one-row vocab-size aggregate
     "s51_bm25_topk",  # broadcast one-row (N, T) corpus-totals aggregate
+    "s53_bm25_index_serve",  # broadcast one-row (N, T) stored totals
     "d95_token_budget_plan",  # broadcast one-row budget-totals aggregate
     "m38_encode_then_search",  # broadcast query-vector block (brute force)
 }

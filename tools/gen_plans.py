@@ -200,10 +200,24 @@ SHOW = {
         "content key, no window, exact integer micro-nats."
     ),
     "d99_gopher_repetition": (
-        "The literal Gopher repetition rules: ONE explode tags all nine "
-        "n-gram streams; count key contains doc_id (corpus boilerplate "
-        "cannot skew); top-1 via two-phase max + min(gram) join — the "
-        "only SortAggregate is the doc-bounded tie-break."
+        "The literal Gopher repetition rules, ZERO-shuffle (round-10 "
+        "rewrite): per document and per n, grams build in-row, "
+        "array_sort groups equal grams, one sequential aggregate() "
+        "walk reads off top-run and dup-chars — a single narrow scan "
+        "stage, no exchange anywhere in the plan."
+    ),
+    "s53_bm25_index_serve": (
+        "Index-once/serve-any BM25: the unrestricted postings build is "
+        "the plan's one corpus-token-scaled exchange (7.1 B/token "
+        "measured — it partial-aggregates map-side); the ranker joins "
+        "broadcast query terms against the artifact, matched rows "
+        "only."
+    ),
+    "d102_warc_extract": (
+        "WARC crawl head: partition-planned Python data source (each "
+        "slice parses its own concatenated records executor-side), "
+        "strip_html fused into the same scan projection — no shuffle "
+        "until a downstream aggregate wants one."
     ),
     "m44_image_phash_dedup": (
         "Image phash dedup: real-codec round trip + integer aHash "
