@@ -85,3 +85,44 @@ def corpus_stats(
         )
         .orderBy(stratum_col)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus VERSION diff — the data-versioning primitive every
+    periodically-recrawled corpus needs before retraining: classify
+    each document id across two snapshots as ``added`` (new only),
+    ``removed`` (old only), ``changed`` (both, content fingerprint
+    differs) or ``unchanged``.
+
+    Content comparison is by md5 fingerprint computed INSIDE each
+    side's scan, so the full-outer join ships (id, 32-hex) pairs, never
+    document text — at 100 TB the diff costs two narrow scans plus an
+    id-keyed join (and if both snapshots are bucketed by id, no shuffle
+    at all). NULL text fingerprints as the empty string on both engines
+    (the tokenizer's NULL ≡ empty contract).
+
+    Returns (id_col, status) — one row per id present in either
+    snapshot; downstream rollups (counts per status, retrain triggers)
+    are one tiny aggregate away.
+    """
+    def fp(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_fp"),
+        )
+
+    o = fp(old).withColumnRenamed("_fp", "_fp_old")
+    n = fp(new).withColumnRenamed("_fp", "_fp_new")
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") == F.col("_fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(id_col, status.alias("status"))

@@ -6167,3 +6167,130 @@ def d102_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "http_status",
         extraction.strip_html("html").alias("text"),
     )
+
+
+def _warc_html_sql(i: str) -> str:
+    """DuckDB replay of sources/warc.synthetic_html for id expression
+    ``i`` (plain string — literal braces stay single)."""
+    md = f"md5(CAST({i} AS VARCHAR))"
+    return (
+        "('<html><head><title>Doc ' || " + i + " || '</title>"
+        "<script>if (1<2) { spam(); }</script></head>"
+        "<body><!-- crawl ' || " + i + " || ' --><p>alpha ' || "
+        "substr(" + md + ", 1, 8) || ' &amp; café</p><p>beta ' || "
+        "substr(" + md + ", 9, 8) || '</p></body></html>')"
+    )
+
+
+@register(
+    "d103_crawl_to_corpus",
+    "The crawl-HEAD-to-corpus chain end to end: WARC record source "
+    "(with the duplicate structure real crawls have — every 7th page "
+    "byte-mirrors its predecessor under a different URL, the "
+    "source's dupEvery option) -> real-parser record split -> "
+    "strip_html extraction -> token-count gate -> EXACT dedup on the "
+    "extracted text (md5 fingerprint key, min-URL representative, "
+    "copy counts) — i.e. the d53/d97 curation discipline starting "
+    "from raw crawl bytes instead of a pre-extracted column. The "
+    "oracle regenerates every page (including the mirror rule) from "
+    "range(), replays the identical extraction chain, and re-derives "
+    "the whole dedup decision table in SQL.",
+    oracle=f"""
+        WITH ids AS (SELECT unnest(range({_WARC_ROWS})) AS i),
+        pages AS (
+            SELECT 'https://example.org/doc/' || i AS url,
+                   CASE WHEN i % 7 = 6 AND i > 0
+                        THEN {_warc_html_sql("(i - 1)")}
+                        ELSE {_warc_html_sql("i")} END AS html
+            FROM ids
+        ),
+        txt AS (
+            SELECT url, {_strip_html_sql("html")} AS text FROM pages
+        ),
+        gated AS (SELECT * FROM txt WHERE {SQL_NTOKS} >= 5)
+        SELECT MIN(url) AS keep_url,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(MAX(length(text)) AS BIGINT) AS text_len
+        FROM gated
+        GROUP BY md5(text)
+        ORDER BY keep_url
+    """,
+    category="dedup",
+)
+def d103_crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.sources.warc import register_warc_datasource
+
+    register_warc_datasource(spark)
+    crawl = (
+        spark.read.format("synthetic_warc")
+        .option("rows", _WARC_ROWS)
+        .option("partitions", 8)
+        .option("dupEvery", 7)
+        .load()
+    )
+    txt = crawl.select(
+        "url", extraction.strip_html("html").alias("text")
+    )
+    gated = txt.filter(text.token_count("text") >= 5)
+    # dedup keyed on the md5 fingerprint, not the text itself — the
+    # shuffle ships 32 hex chars + url, never page bodies
+    return (
+        gated.groupBy(F.md5("text").alias("_fp"))
+        .agg(
+            F.min("url").alias("keep_url"),
+            F.count("*").alias("n_copies"),
+            F.max(F.length("text")).alias("text_len"),
+        )
+        .select("keep_url", "n_copies", "text_len")
+    )
+
+
+@register(
+    "d104_corpus_snapshot_diff",
+    "Corpus VERSION diff — the data-versioning primitive a "
+    "periodically-recrawled corpus needs before retraining: classify "
+    "every doc id across two snapshots as added / removed / changed / "
+    "unchanged. Both sides fingerprint (md5) INSIDE their scans, so "
+    "the full-outer join ships (id, 32-hex) pairs, never text; "
+    "id-bucketed snapshots diff with no shuffle at all. Snapshots are "
+    "derived deterministically (v1 drops id%%11==0, v2 drops "
+    "id%%17==0 and rewrites id%%13==0 content), so the oracle "
+    "re-derives the whole per-document decision table "
+    "(operators/corpus.snapshot_diff).",
+    oracle="""
+        WITH v1 AS (
+            SELECT doc_id, md5(COALESCE(text, '')) AS fp
+            FROM documents WHERE doc_id % 11 != 0
+        ),
+        v2 AS (
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % 13 = 0
+                            THEN COALESCE(text, '') || ' v2'
+                            ELSE COALESCE(text, '') END) AS fp
+            FROM documents WHERE doc_id % 17 != 0
+        )
+        SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN v1.fp = v2.fp THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        ORDER BY doc_id
+    """,
+    category="dedup",
+)
+def d104_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.operators.corpus import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 11 != 0)
+    v2 = docs.filter(F.col("doc_id") % 17 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(v1, v2)

@@ -43,8 +43,11 @@ from etl_example_spark.plans.llm_ops import (  # noqa: E402
     JACCARD_COND,
     PQ_FULL_ENCODE_ORACLE,
     SQ8_CODES_CTE,
+    SQL_NTOKS,
     SQL_SHINGLES3,
     SQL_TOKS,
+    _strip_html_sql,
+    _warc_html_sql,
 )
 
 
@@ -1473,3 +1476,62 @@ def st55_stream_bm25_route(
         F.sum("score_micro").alias("score_mass_micro"),
     )
     return run_to_memory(agg, output_mode="complete").orderBy("query_id")
+
+
+@register(
+    "st56_stream_warc_ingest",
+    "STREAMING crawl ingestion — the web-curation head as a live "
+    "feed: the WARC source's offset-managed stream half "
+    "(sources/warc._WarcStreamReader; offset = next record id, the "
+    "SAME synthesize+real-parse kernel as the batch partitions, "
+    "readBetweenOffsets replays committed ranges deterministically) "
+    "drains through the strip_html extraction and a token-count/char "
+    "rollup per page bucket in complete mode. The oracle regenerates "
+    "the whole crawl from range() and replays the extraction chain — "
+    "offsets, micro-batching, and restart bookkeeping must not "
+    "change WHAT was read or extracted.",
+    oracle=f"""
+        WITH ids AS (SELECT unnest(range(400)) AS i),
+        pages AS (
+            SELECT i, {_warc_html_sql("i")} AS html FROM ids
+        ),
+        txt AS (
+            SELECT i, {_strip_html_sql("html")} AS text FROM pages
+        )
+        SELECT CAST(i % 10 AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(SUM(length(text)) AS BIGINT) AS chars,
+               CAST(SUM({SQL_NTOKS}) AS BIGINT) AS toks
+        FROM txt
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+    category="streaming",
+)
+def st56_stream_warc_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators import text
+    from etl_example_spark.operators.extraction import strip_html
+    from etl_example_spark.sources.warc import register_warc_datasource
+
+    register_warc_datasource(spark)
+    stream = (
+        spark.readStream.format("synthetic_warc")
+        .option("rows", 400)
+        .option("batchRows", 120)
+        .load()
+    )
+    ext = stream.select(
+        F.regexp_extract("url", r"(\d+)$", 1).cast("int").alias("page"),
+        strip_html("html").alias("text"),
+    )
+    agg = ext.groupBy((F.col("page") % 10).alias("bucket")).agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.length("text")).alias("chars"),
+        F.sum(text.token_count("text")).alias("toks"),
+    )
+    result = run_to_memory(agg, output_mode="complete", available_now=False)
+    return result.orderBy("bucket")

@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 CRLF = b"\r\n"
@@ -102,12 +103,19 @@ def parse_warc_records(buf: bytes):
         yield url, rec_type, status, body
 
 
-def synthetic_html(i: int) -> str:
+def synthetic_html(i: int, dup_every: int = 0) -> str:
     """The deterministic page body for crawl record ``i`` — markup that
     exercises every strip_html stage (comment, script with a literal
     '<', entities, block boundaries) plus a multibyte char ('é') so
     Content-Length byte arithmetic is load-bearing. Mirrored by the SQL
-    oracle from md5(i)."""
+    oracle from md5(i).
+
+    ``dup_every=k`` makes every k-th page (i % k == k-1) a BYTE-EXACT
+    mirror of the previous page under a different URL — the duplicate
+    structure real crawls have (mirrors, trackers re-serving content)
+    and the d103 dedup chain needs to demonstrate anything."""
+    if dup_every and i % dup_every == dup_every - 1 and i > 0:
+        return synthetic_html(i - 1)
     d = hashlib.md5(str(i).encode()).hexdigest()
     return (
         f"<html><head><title>Doc {i}</title>"
@@ -117,11 +125,11 @@ def synthetic_html(i: int) -> str:
     )
 
 
-def synthetic_warc_record(i: int) -> bytes:
+def synthetic_warc_record(i: int, dup_every: int = 0) -> bytes:
     """One WARC/1.0 response record for id ``i`` (plus a request record
     every 5th id, which the reader must skip — real crawls interleave
     them)."""
-    html = synthetic_html(i).encode("utf-8")
+    html = synthetic_html(i, dup_every).encode("utf-8")
     http = (
         b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
     )
@@ -157,10 +165,37 @@ class _WarcSlice(InputPartition):
     end: int
 
 
+def _warcinfo() -> bytes:
+    info = b"software: synthetic-crawler/1.0\r\n"
+    return (
+        _HEAD
+        + b"WARC-Type: warcinfo\r\n"
+        + f"Content-Length: {len(info)}\r\n".encode()
+        + CRLF
+        + info
+        + CRLF
+        + CRLF
+    )
+
+
+def _parse_slice(start: int, end: int, dup_every: int):
+    """Synthesize + REAL-parse crawl records [start, end): the shared
+    kernel of the batch partitions and the streaming micro-batches, so
+    stream-read == batch-read is true by construction."""
+    buf = _warcinfo() + b"".join(
+        synthetic_warc_record(i, dup_every) for i in range(start, end)
+    )
+    for url, rec_type, status, body in parse_warc_records(buf):
+        if rec_type != "response":
+            continue
+        yield url, status, body.decode("utf-8", "replace")
+
+
 class _WarcReader(DataSourceReader):
     def __init__(self, options):
         self.rows = int(options.get("rows", 1000))
         self.n_parts = max(1, int(options.get("partitions", 8)))
+        self.dup_every = int(options.get("dupEvery", 0))
 
     def partitions(self):
         if self.rows <= 0:
@@ -174,31 +209,56 @@ class _WarcReader(DataSourceReader):
     def read(self, partition: _WarcSlice):
         # one concatenated WARC stream per partition, with a warcinfo
         # head record (real files start with one; the parser skips it)
-        info = b"software: synthetic-crawler/1.0\r\n"
-        buf = (
-            _HEAD
-            + b"WARC-Type: warcinfo\r\n"
-            + f"Content-Length: {len(info)}\r\n".encode()
-            + CRLF
-            + info
-            + CRLF
-            + CRLF
+        yield from _parse_slice(
+            partition.start, partition.end, self.dup_every
         )
-        buf += b"".join(
-            synthetic_warc_record(i)
-            for i in range(partition.start, partition.end)
+
+
+class _WarcStreamReader(SimpleDataSourceStreamReader):
+    """Offset-managed STREAMING half of the crawl source — ingest-time
+    web curation starts here: the offset is the next unread record id,
+    each micro-batch synthesizes and REAL-parses its slice (the same
+    kernel as the batch partitions), and ``readBetweenOffsets`` replays
+    any committed range deterministically, so restart/recovery yields
+    identical batches (exactly-once downstream with idempotent
+    sinks)."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.batch = int(options.get("batchRows", 100))
+        self.dup_every = int(options.get("dupEvery", 0))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def read(self, start):
+        lo = int(start["offset"])
+        hi = min(lo + self.batch, self.rows)
+        return (
+            iter(list(_parse_slice(lo, hi, self.dup_every))),
+            {"offset": hi},
         )
-        for url, rec_type, status, body in parse_warc_records(buf):
-            if rec_type != "response":
-                continue
-            yield url, status, body.decode("utf-8", "replace")
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            list(
+                _parse_slice(
+                    int(start["offset"]),
+                    int(end["offset"]),
+                    self.dup_every,
+                )
+            )
+        )
 
 
 class WarcDataSource(DataSource):
     """``spark.read.format("synthetic_warc").option("rows", N)`` →
     (url string, http_status int, html string) — response records only,
     parsed from a synthesized concatenated WARC stream by a real
-    incremental parser."""
+    incremental parser. ``spark.readStream`` gives the offset-managed
+    streaming form (micro-batched by ``batchRows``); ``dupEvery=k``
+    mirrors every k-th page under a new URL (duplicate structure for
+    the dedup chain)."""
 
     @classmethod
     def name(cls) -> str:
@@ -209,6 +269,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema):
         return _WarcReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _WarcStreamReader(self.options)
 
 
 def register_warc_datasource(spark) -> None:

@@ -254,3 +254,61 @@ class TestWarcSource:
         assert urls == {
             f"https://example.org/doc/{i}" for i in range(40)
         }
+
+    def test_dup_every_mirrors_previous_page(self):
+        from etl_example_spark.sources.warc import synthetic_html
+
+        assert synthetic_html(6, dup_every=7) == synthetic_html(5)
+        assert synthetic_html(6, dup_every=0) != synthetic_html(5)
+        # page 0 never mirrors (no predecessor)
+        assert synthetic_html(0, dup_every=1) != synthetic_html(-1)
+
+    def test_stream_reader_replay_is_deterministic(self):
+        """readBetweenOffsets must regenerate EXACTLY what read()
+        produced for the same range — the recovery/exactly-once
+        contract of the offset-managed source."""
+        from etl_example_spark.sources.warc import _WarcStreamReader
+
+        r = _WarcStreamReader({"rows": "50", "batchRows": "20"})
+        assert r.initialOffset() == {"offset": 0}
+        batch, off = r.read({"offset": 0})
+        rows = list(batch)
+        assert off == {"offset": 20} and len(rows) == 20
+        replay = list(r.readBetweenOffsets({"offset": 0}, {"offset": 20}))
+        assert replay == rows
+        # final partial batch + caught-up behavior
+        batch, off = r.read({"offset": 40})
+        assert off == {"offset": 50} and len(list(batch)) == 10
+
+    def test_streaming_source_totals_match_batch(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_example_spark.sources.warc import register_warc_datasource
+        from etl_example_spark.streaming.sinks import run_to_memory
+
+        register_warc_datasource(spark)
+        stream = (
+            spark.readStream.format("synthetic_warc")
+            .option("rows", 60)
+            .option("batchRows", 25)
+            .load()
+        )
+        agg = stream.groupBy("http_status").agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("html")).alias("html_chars"),
+        )
+        got = run_to_memory(
+            agg, output_mode="complete", available_now=False
+        ).collect()
+        batch = (
+            spark.read.format("synthetic_warc")
+            .option("rows", 60)
+            .load()
+            .groupBy("http_status")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.length("html")).alias("html_chars"),
+            )
+            .collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
