@@ -331,6 +331,64 @@ def canonicalize_url(col: Column | str) -> Column:
     return F.regexp_replace(c, r"^([a-z][a-z0-9+.-]*://[^/?]*)/$", "$1")
 
 
+#: Mini public-suffix list — the HEAD of the real PSL (ICANN TLDs that
+#: matter for test hosts plus the multi-label suffixes that make naive
+#: last-two-labels grouping WRONG: co.uk sites would all collapse into
+#: one "domain", github.io user sites are distinct registrants). A
+#: production deployment broadcasts the full periodically-refreshed
+#: publicsuffix.org list through the same column expression.
+PUBLIC_SUFFIXES: tuple[str, ...] = (
+    "com", "org", "net", "io", "edu", "gov", "info", "biz",
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "co.in", "co.kr", "com.cn",
+    "github.io", "blogspot.com", "wordpress.com",
+)
+
+
+def registrable_domain(col: Column | str) -> Column:
+    """The REGISTRABLE domain (PSL's "eTLD+1") of a hostname — the key
+    every per-domain curation policy actually wants: host-level caps
+    (d64) under-group (``cdn1.example.com`` vs ``www.example.com``) and
+    naive last-two-labels grouping over-merges every ``co.uk`` site
+    into one pseudo-domain and hides that each ``*.github.io`` label is
+    a DIFFERENT registrant.
+
+    PSL longest-match algorithm as pure in-row column algebra — zero
+    shuffle, no UDF: generate the host's label-suffixes shortest→
+    longest (one ``transform`` over positions), keep those present in
+    the suffix table (an ``array_contains`` filter against a broadcast
+    literal array; the full publicsuffix.org list is ~9k entries — the
+    same literal-array-vs-broadcast-join tradeoff as the stop-word
+    tables), take the LAST kept (= longest, since generation order is
+    by length), default to the bare TLD when nothing matches (PSL's
+    prevailing-rule fallback ``*``), and prepend one label. A host that
+    IS a public suffix (``github.io`` itself) has no registrable
+    domain → NULL, exactly the PSL contract.
+    """
+    host = F.lower(F.col(col) if isinstance(col, str) else col)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    psl = F.array(*[F.lit(s) for s in PUBLIC_SUFFIXES])
+    # k runs to n INCLUSIVE: the whole host must be a candidate, else a
+    # host that IS a public suffix (github.io) silently grows a bogus
+    # registrable domain instead of resolving to NULL
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda k: F.array_join(F.slice(labels, n - k + 1, k), "."),
+    )
+    matched = F.filter(suffixes, lambda s: F.array_contains(psl, s))
+    suffix = F.coalesce(
+        F.try_element_at(matched, F.lit(-1)),
+        F.element_at(labels, -1),
+    )
+    suffix_n = F.size(F.split(suffix, r"\."))
+    return F.when(n > suffix_n, F.concat(
+        F.element_at(labels, n - suffix_n), F.lit("."), suffix
+    )).otherwise(F.lit(None).cast("string"))
+
+
 def unigram_rarity(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -677,6 +735,60 @@ def bm25_postings(
         # dl is constant per doc — fold it through the one
         # aggregate instead of a second corpus-derived join
         F.max("dl").alias("dl"),
+    )
+
+
+def bm25_index_build(
+    df: DataFrame,
+    stage_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, int, int]:
+    """The DURABLE form of the s53 full-vocabulary index — a
+    WRITE-ONCE artifact on any Hadoop-visible URI (the d86
+    ``stage_path`` discipline applied to lexical retrieval):
+
+    - ``{stage_path}/postings`` — the (doc_id, term, tf, dl) parquet
+      table, term-bucketable downstream;
+    - ``{stage_path}/stats`` — the one-row (n_docs, t_total) totals
+      the ranker needs alongside.
+
+    First call scans the corpus once and writes both; every later call
+    — new query workloads, a different session, a driver restart —
+    reads the parquet back WITHOUT touching the corpus text (presence
+    of the artifact IS the cache; delete the path to force a rebuild;
+    the caller owns the path lifecycle, as with the span/line index
+    artifacts). Returns (postings, n_docs, t_total) ready for
+    :func:`bm25_topk_from_postings`.
+    """
+    spark = df.sparkSession
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(stage_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    post_dir = f"{stage_path}/postings"
+    stats_dir = f"{stage_path}/stats"
+    if not (
+        fs.exists(jvm_path(post_dir, "_SUCCESS"))
+        and fs.exists(jvm_path(stats_dir, "_SUCCESS"))
+    ):
+        bm25_postings(df, None, text_col, id_col).write.mode(
+            "overwrite"
+        ).parquet(post_dir)
+        df.select(
+            F.count("*").alias("n_docs"),
+            F.coalesce(
+                F.sum(
+                    token_count(F.coalesce(F.col(text_col), F.lit("")))
+                ),
+                F.lit(0),
+            ).alias("t_total"),
+        ).write.mode("overwrite").parquet(stats_dir)
+    stats = spark.read.parquet(stats_dir).collect()[0]
+    return (
+        spark.read.parquet(post_dir),
+        int(stats["n_docs"]),
+        int(stats["t_total"]),
     )
 
 

@@ -6294,3 +6294,125 @@ def d104_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return snapshot_diff(v1, v2)
+
+
+@register(
+    "d105_registrable_domain_rollup",
+    "Registrable-domain ('eTLD+1') extraction + rollup — the grouping "
+    "key per-domain curation policy actually wants: host caps (d64) "
+    "under-group subdomains of one registrant, and naive last-two-"
+    "labels grouping merges every co.uk site into one pseudo-domain "
+    "while hiding that each *.github.io label is a DIFFERENT "
+    "registrant. PSL longest-match as pure in-row column algebra "
+    "(operators/text.registrable_domain): label-suffixes shortest-to-"
+    "longest via one transform, array_contains filter against the "
+    "broadcast suffix table, last match wins, bare-TLD fallback, "
+    "host-is-a-suffix -> NULL (the PSL contract). Hosts are derived "
+    "deterministically to cover all four cases (multi-label suffix, "
+    "platform suffix, unknown TLD fallback, suffix-only host); the "
+    "oracle replays the identical list algebra in DuckDB.",
+    oracle=f"""
+        WITH hosts AS (
+            SELECT doc_id,
+                   CASE doc_id % 4
+                        WHEN 0 THEN 'news' || CAST(doc_id % 6 AS VARCHAR)
+                                    || '.sites.co.uk'
+                        WHEN 1 THEN 'u' || CAST(doc_id % 9 AS VARCHAR)
+                                    || '.github.io'
+                        WHEN 2 THEN 'cdn.shop' || CAST(doc_id % 5 AS VARCHAR)
+                                    || '.example.com'
+                        ELSE CASE WHEN doc_id % 8 = 3
+                                  THEN 'github.io'
+                                  ELSE 'x.y.internal' || CAST(doc_id % 3 AS VARCHAR)
+                             END
+                   END AS host
+            FROM documents
+        ),
+        parts AS (
+            SELECT doc_id, host,
+                   string_split(lower(host), '.') AS labels
+            FROM hosts
+        ),
+        m AS (
+            SELECT doc_id, host, labels, len(labels) AS n,
+                   list_filter(
+                       list_transform(range(1, len(labels) + 1),
+                           k -> array_to_string(
+                               labels[(len(labels)-k+1):(len(labels))],
+                               '.')),
+                       s -> list_contains(
+                           {list(text.PUBLIC_SUFFIXES)!r}, s)
+                   ) AS matched
+            FROM parts
+        ),
+        reg AS (
+            SELECT doc_id, host, labels, n,
+                   COALESCE(matched[-1], labels[n]) AS suffix
+            FROM m
+        ),
+        dom AS (
+            SELECT doc_id, host,
+                   CASE WHEN n > len(string_split(suffix, '.'))
+                        THEN labels[n - len(string_split(suffix, '.'))]
+                             || '.' || suffix
+                        ELSE NULL END AS domain
+            FROM reg
+        )
+        SELECT domain,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+        FROM dom
+        GROUP BY domain
+        ORDER BY domain NULLS LAST
+    """,
+    category="text",
+)
+def d105_registrable_domain_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    host = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("news"),
+                (F.col("doc_id") % 6).cast("string"),
+                F.lit(".sites.co.uk"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("u"),
+                (F.col("doc_id") % 9).cast("string"),
+                F.lit(".github.io"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("cdn.shop"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".example.com"),
+            ),
+        )
+        .otherwise(
+            F.when(F.col("doc_id") % 8 == 3, F.lit("github.io")).otherwise(
+                F.concat(
+                    F.lit("x.y.internal"),
+                    (F.col("doc_id") % 3).cast("string"),
+                )
+            )
+        )
+    )
+    return (
+        docs.select("doc_id", host.alias("host"))
+        .select(
+            "host", text.registrable_domain("host").alias("domain")
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+    )

@@ -1195,3 +1195,98 @@ class TestQualityEnsemble:
                 [r.s_heuristic, r.s_classifier, r.s_entropy]
             )
             assert r.keep == (votes >= 2)
+
+
+def test_registrable_domain_psl_cases(spark):
+    """operators/text.registrable_domain — the PSL decision table:
+    multi-label suffix, platform suffix, bare-TLD fallback for unknown
+    suffixes, host-IS-a-suffix -> NULL, single label -> NULL, case
+    folding."""
+    from etl_example_spark.operators.text import registrable_domain
+
+    cases = [
+        ("www.example.com", "example.com"),
+        ("cdn1.media.example.com", "example.com"),
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("alice.github.io", "alice.github.io"),
+        ("github.io", None),          # host IS a public suffix
+        ("blogspot.com", None),       # ditto (platform suffix)
+        ("com", None),                # bare TLD
+        ("localhost", None),          # single unknown label
+        ("a.b.weird", "b.weird"),     # unknown TLD: last-label fallback
+        ("WWW.Example.COM", "example.com"),  # case folds
+    ]
+    df = spark.createDataFrame(cases, "host string, want string")
+    got = {
+        r.host: r.domain
+        for r in df.select(
+            "host", registrable_domain("host").alias("domain")
+        ).collect()
+    }
+    for host, want in cases:
+        assert got[host] == want, (host, got[host], want)
+
+
+def test_snapshot_diff_statuses(spark):
+    """operators/corpus.snapshot_diff — all four statuses plus the
+    NULL-text ≡ empty-text fingerprint contract."""
+    from etl_example_spark.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, None), (4, "gone")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (3, ""), (5, "fresh")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "unchanged",  # NULL fingerprints as '' — equal to ''
+        4: "removed",
+        5: "added",
+    }
+
+
+def test_bm25_index_build_durable_artifact(spark, sf_dir, tmp_path):
+    """bm25_index_build: first call writes the postings + stats
+    artifact; later calls serve from the files WITHOUT re-scanning the
+    corpus (the artifact, not the source, is the cache) — and ranking
+    from the artifact equals the direct scan."""
+    import glob
+    import os
+
+    from etl_example_spark.operators.text import (
+        bm25_index_build,
+        bm25_topk,
+        bm25_topk_from_postings,
+    )
+    from etl_example_spark.plans.llm_ops import BM25_QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = str(tmp_path / "bm25_index")
+    postings, n, t = bm25_index_build(docs, stage)
+    files = sorted(glob.glob(os.path.join(stage, "postings", "*.parquet")))
+    assert files and n > 0 and t > 0
+    mtimes = [os.path.getmtime(f) for f in files]
+
+    # second build must be a pure read: artifact files untouched
+    postings2, n2, t2 = bm25_index_build(docs, stage)
+    assert (n2, t2) == (n, t)
+    assert [os.path.getmtime(f) for f in files] == mtimes
+
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id int, term string"
+    )
+    served = sorted(
+        map(
+            tuple,
+            bm25_topk_from_postings(
+                postings2, queries, n, t, k=10
+            ).collect(),
+        )
+    )
+    direct = sorted(map(tuple, bm25_topk(docs, queries, k=10).collect()))
+    assert served == direct and served
