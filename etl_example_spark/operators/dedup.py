@@ -33,6 +33,7 @@ and oracle-comparable; the intersection join uses xxhash64'd shingles
 from __future__ import annotations
 
 import os
+import weakref
 from collections import OrderedDict
 from urllib.parse import unquote, urlparse
 
@@ -40,6 +41,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_example_spark.operators.text import normalized_fingerprint, tokens
+
+
+#: memoized per live session (weak keys — the cache must never keep a
+#: session alive): _session_key sits on hot paths (every load_table
+#: call) and the JVM handles cost py4j round trips
+_SESSION_KEYS: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def _session_key(spark) -> str:
@@ -50,30 +57,35 @@ def _session_key(spark) -> str:
     silently serving staged artifacts across session boundaries. The
     applicationId + sessionUUID pair is unique for the lifetime of the
     process (sessionUUID is per-Dataset-session even when sessions
-    share one SparkContext); environments without a JVM session handle
-    (Spark Connect) fall back to applicationId alone."""
+    share one SparkContext). Spark Connect has neither handle; its
+    client carries its own server-issued session id — use that, and
+    only as a dead-last resort fall back to ``id`` (a constant string
+    here would deterministically COLLIDE every Connect session, worse
+    than the rare GC-aliasing the helper exists to fix)."""
     try:
-        app = spark.sparkContext.applicationId
-    except Exception:  # noqa: BLE001 — no context handle (Connect)
-        app = "connect"
-    try:
-        return f"{app}:{spark._jsparkSession.sessionUUID()}"
-    except Exception:  # noqa: BLE001 — no JVM handle: app-level key
-        return app
-
-
-def _unpersist_checkpoint(df: DataFrame) -> None:
-    """Best-effort: free the executor storage blocks behind a
-    ``localCheckpoint``-pinned DataFrame evicted from a staged cache.
-    The checkpointed RDD lives inside the plan's ``LogicalRDD`` leaf —
-    ``df.rdd`` would wrap it in a fresh conversion RDD whose unpersist
-    is a no-op (verified on Spark 4.1.2). Failure is harmless: the
-    ContextCleaner reclaims the blocks once the Python reference
-    drops."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:  # noqa: BLE001 — cleaner handles it eventually
+        return _SESSION_KEYS[spark]
+    except (KeyError, TypeError):
         pass
+
+    def compute() -> str:
+        try:
+            app = spark.sparkContext.applicationId
+        except Exception:  # noqa: BLE001 — no context handle (Connect)
+            try:
+                return f"connect:{spark._client._session_id}"
+            except Exception:  # noqa: BLE001 — unknown runtime
+                return f"unknown:{id(spark)}"
+        try:
+            return f"{app}:{spark._jsparkSession.sessionUUID()}"
+        except Exception:  # noqa: BLE001 — no JVM handle: app key
+            return app
+
+    key = compute()
+    try:
+        _SESSION_KEYS[spark] = key
+    except TypeError:  # not weakref-able: recompute per call
+        pass
+    return key
 
 
 def _input_file_snapshot(df: DataFrame) -> tuple:

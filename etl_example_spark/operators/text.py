@@ -830,7 +830,6 @@ def _staged_bm25_tf(
     from etl_example_spark.operators.dedup import (
         _input_file_snapshot,
         _session_key,
-        _unpersist_checkpoint,
     )
 
     terms = tuple(
@@ -857,8 +856,14 @@ def _staged_bm25_tf(
     if key not in _STAGED_BM25:
         _STAGED_BM25[key] = build()
         while len(_STAGED_BM25) > _STAGED_BM25_MAX:
-            _, evicted = _STAGED_BM25.popitem(last=False)
-            _unpersist_checkpoint(evicted)
+            # eviction drops OUR reference only; the ContextCleaner
+            # frees the checkpoint blocks once the last reference is
+            # gone. A forcible unpersist here would be use-after-free:
+            # localCheckpoint TRUNCATES lineage, so any still-held
+            # DataFrame built over the evicted postings (a bench loop
+            # re-executing an earlier bm25_topk result) would fail with
+            # 'checkpoint block not found' instead of recomputing.
+            _STAGED_BM25.popitem(last=False)
     else:
         _STAGED_BM25.move_to_end(key)
     return _STAGED_BM25[key]
@@ -963,7 +968,21 @@ def bm25_topk_from_postings(
             [(int(n_docs), int(t_total))], "n_docs bigint, t_total bigint"
         )
     )
-    return _bm25_rank(postings, queries, totals, k)
+    # semi-join the FULL-VOCABULARY artifact down to the query terms
+    # BEFORE the ranker's df fold — without this, dfreq would aggregate
+    # the entire postings table per probe (Catalyst cannot push a join
+    # through the aggregate), a build-class shuffle for a 3-term query;
+    # with it, probe shuffle = matched rows only, as documented. df
+    # values are unchanged (df is per-term-local). The direct path's tf
+    # is already term-restricted, so the filter lives HERE, not in
+    # _bm25_rank (measured: an unconditional semi-join cost s51 ~0.5 s
+    # of pure plan overhead on its already-restricted postings).
+    matched = postings.join(
+        F.broadcast(queries.select("term").distinct()),
+        "term",
+        "left_semi",
+    )
+    return _bm25_rank(matched, queries, totals, k)
 
 
 def _bm25_rank(
@@ -972,7 +991,11 @@ def _bm25_rank(
     """Shared BM25 ranker: (doc, term, tf, dl) postings × (query_id,
     term) queries × one-row (n_docs, t_total) totals → per-query
     top-k, all-integer (see :func:`bm25_topk` for the arithmetic
-    derivation)."""
+    derivation). CONTRACT: ``tf`` must already be restricted to the
+    query terms — the direct path stages it that way, and the serve
+    path semi-joins the full-vocabulary artifact down first (see
+    :func:`bm25_topk_from_postings`); feeding unrestricted postings in
+    here would make the df fold aggregate the whole table."""
     qterms = F.broadcast(queries.select("query_id", "term").distinct())
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf_micro = (
@@ -1286,10 +1309,22 @@ def gopher_repetition_fractions(
     norm_chars = F.length(
         F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     )
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    # Scan-parallelism guard — ANALYSIS-ONLY, unlike the staged-cache
+    # builders' df.rdd.getNumPartitions() (which is fine there because
+    # an eager localCheckpoint materializes immediately after, but here
+    # would execute all upstream AQE stages at PLAN-BUILD time and run
+    # a composed pipeline twice). inputFiles() needs only the analyzed
+    # plan: a handful of leaf files cannot scan wider than their count
+    # (single-row-group testdata = ONE task on a 32-core box, measured
+    # 7.6 s vs 4.7 s); at 100 TB the file count exceeds parallelism and
+    # this is a no-op. Non-file inputs (in-memory, streams) skip.
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        files = df.inputFiles()
+        if files and len(files) < par:
+            df = df.repartition(par)
+    except Exception:  # noqa: BLE001 — Connect/unanalyzable: no guard
+        pass
     base = df.select(
         F.col(id_col).alias("doc_id"),
         toks.alias("_toks"),

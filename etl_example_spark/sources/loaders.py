@@ -50,8 +50,14 @@ def warm_tables(
     d83 1.36→0.83 s, d86 1.39→0.86 s, s49 0.98→0.39 s, d97 1.91→1.25 s
     at sf0.1). Dimensions stay unrepartitioned — they broadcast.
     """
+    from etl_example_spark.operators.dedup import _session_key
+
     for name in names or TESTDATA_TABLES:
-        key = (id(spark), sf_dir, name)
+        # _session_key, not id(spark): a GC'd session's address can be
+        # reused, which would silently skip warming the NEW session
+        # (cold single-partition scans) while pinning the dead one's
+        # DataFrames forever
+        key = (_session_key(spark), sf_dir, name)
         if key in _WARM:
             continue
         df = load_table(spark, sf_dir, name)
@@ -101,7 +107,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     :func:`repair_event_ts`), the same derive-don't-mutate pattern as
     operators/curation.py.
     """
-    warm = _WARM.get((id(spark), sf_dir, name))
+    from etl_example_spark.operators.dedup import _session_key
+
+    warm = _WARM.get((_session_key(spark), sf_dir, name))
     if warm is not None:
         return warm
     path = os.path.join(sf_dir, f"{name}.parquet")
