@@ -523,6 +523,257 @@ def hashed_linear_quality(
     )
 
 
+def hashed_label_features(
+    df: DataFrame,
+    label: Column,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed bag-of-words TRAINING matrix: one (doc_id, y, bucket, c)
+    row per document × feature bucket, plus a constant bias feature at
+    bucket ``dim`` so every document — including token-less ones —
+    participates in training. ``label`` is a boolean Column; y is +1
+    where it holds and −1 otherwise (a NULL label falls to −1, the same
+    CASE semantics the SQL oracles apply). Buckets come from
+    :func:`hashed_feature_bucket`, so the matrix is the train-time twin
+    of the :func:`hashed_linear_quality` inference features — a model
+    trained here applies there with no re-hashing.
+
+    Documents sharing a doc_id AND label collapse to one training
+    example (the groupBy key) — relevant only for NULL-id degenerate
+    rows, where both engines group NULLs together."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(label, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+        tokens(text_col).alias("toks"),
+    )
+    counts = (
+        base.select("doc_id", "y", F.explode("toks").alias("tok"))
+        .withColumn("bucket", hashed_feature_bucket("tok", dim))
+        .groupBy("doc_id", "y", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    bias = base.select(
+        "doc_id",
+        "y",
+        F.lit(dim).cast("long").alias("bucket"),
+        F.lit(1).cast("long").alias("c"),
+    )
+    return counts.unionByName(bias)
+
+
+def _weight_array(weights: dict[int, int], dim: int) -> Column:
+    """The model as an in-row literal: element_at(arr, bucket+1).
+    dim+1 entries (features + bias) — broadcast-by-literal, no join."""
+    return F.array(
+        *[F.lit(int(weights.get(b, 0))) for b in range(dim + 1)]
+    )
+
+
+def perceptron_train(
+    df: DataFrame,
+    label: Column,
+    dim: int = 64,
+    epochs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[int, int]:
+    """Batch-perceptron TRAINING of a hashed bag-of-words linear
+    classifier — the trainer for the fastText-style quality/language
+    gates this module serves at inference time
+    (:func:`hashed_linear_quality` consumes the returned weights as its
+    ``weights`` table). Integer-exact and order-independent by
+    construction, so the whole training run is externally
+    hash-verifiable: per epoch every document is scored under the
+    CURRENT weights and the update is the SUM of y·count over all
+    misclassified documents (y·score ≤ 0) — a deterministic aggregate,
+    unlike sequential SGD whose result depends on row order.
+
+    Plan per epoch, at 100 TB: the grouped feature matrix (one row per
+    document, features as an array) is materialized ONCE
+    (localCheckpoint) and re-scanned; the model rides INTO the scan as
+    a literal dim+1 integer array (no join — scoring is an in-row
+    ``aggregate`` over the feature array inside whole-stage codegen);
+    the only shuffle carries (bucket, partial-sum) pairs, ≤ dim+1 of
+    them after map-side partial aggregation; the only driver traffic is
+    the dim+1-row update collect — the parameter-server pattern with
+    the driver as the (tiny, bounded) server. Nothing corpus-sized ever
+    reaches the driver and no stage reshuffles document text.
+
+    Returns the trained model as a {bucket: weight} dict (≤ dim+1
+    entries, zero-weight buckets omitted) — driver-side model state,
+    like every ML framework's fit() result.
+    """
+    feats = (
+        hashed_label_features(df, label, dim, text_col, id_col)
+        .groupBy("doc_id", "y")
+        .agg(
+            F.collect_list(F.struct("bucket", "c")).alias("fs")
+        )
+        .localCheckpoint(eager=True)
+    )
+    w: dict[int, int] = {}
+    for _ in range(epochs):
+        arr = _weight_array(w, dim)
+        score = F.aggregate(
+            "fs",
+            F.lit(0).cast("long"),
+            lambda acc, f: acc
+            + f["c"] * F.element_at(arr, (f["bucket"] + 1).cast("int")),
+        )
+        upd = (
+            feats.withColumn("s", score)
+            .filter(F.col("y") * F.col("s") <= 0)
+            .select("y", F.explode("fs").alias("f"))
+            .groupBy(F.col("f.bucket").alias("bucket"))
+            .agg(F.sum(F.col("y") * F.col("f.c")).alias("u"))
+            .collect()
+        )
+        for row in upd:
+            nw = w.get(row["bucket"], 0) + row["u"]
+            if nw:
+                w[row["bucket"]] = nw
+            else:
+                w.pop(row["bucket"], None)
+    return w
+
+
+def perceptron_scores(
+    df: DataFrame,
+    weights: dict[int, int],
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents under a trained perceptron model — ZERO-shuffle
+    inference: the model is a literal dim+1 integer array evaluated
+    in-row over the hashed token stream (one scan, whole-stage
+    codegen; the doc-keyed aggregate is the only exchange and carries
+    (doc_id, long) pairs). Returns (doc_id, y-is-not-emitted, score,
+    pred) — callers join truth labels themselves if they want a
+    decision table."""
+    arr = _weight_array(weights, dim)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            # bias bucket appended in-row: token buckets + [dim]
+            F.concat(
+                F.transform(
+                    tokens(text_col),
+                    lambda t: hashed_feature_bucket(t, dim),
+                ),
+                F.array(F.lit(dim).cast("long")),
+            )
+        ).alias("bucket"),
+    )
+    return (
+        toks.withColumn(
+            "wv", F.element_at(arr, (F.col("bucket") + 1).cast("int"))
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("wv").cast("long").alias("score"))
+        .withColumn("pred", F.col("score") > 0)
+    )
+
+
+def positional_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: list[str] | None = None,
+) -> DataFrame:
+    """POSITIONAL postings: (term, doc_id, positions) with 0-based
+    token offsets sorted ascending — the index layout phrase queries
+    and proximity scoring need, which the frequency-only postings
+    (:func:`bm25_postings` family) cannot answer. ``vocab`` restricts
+    the explode to the given terms BEFORE any shuffle (the probe path:
+    an ``isin`` literal filter inside the scan stage); omit it to build
+    the full-vocabulary artifact (the s53 build-cost class — shuffle is
+    corpus tokens wide, but each row is (term, doc_id, int) not text).
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    )
+    if vocab is not None:
+        tok = tok.filter(F.col("term").isin(list(vocab)))
+    return tok.groupBy("term", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+
+
+def phrase_hits_from_postings(
+    postings: DataFrame, phrase: list[str]
+) -> DataFrame:
+    """Exact phrase search over a positional-postings table: a document
+    matches at start position p iff term i of the phrase occurs at
+    p + i for every i — evaluated as the intersection of the per-term
+    position lists shifted left by their phrase offset (the classic
+    positional-index phrase algorithm, Manning et al. IR ch. 2, as
+    array algebra). Returns (doc_id, n_hits) for documents with ≥ 1
+    occurrence; overlapping occurrences all count.
+
+    Plan: the postings filter to the phrase's terms (literal ``isin``
+    — for a stored artifact this prunes before the group), one
+    doc-keyed aggregate builds the term→positions map for candidate
+    docs only (docs holding at least one phrase term), and the
+    intersection folds in-row. Nothing corpus-sized shuffles for a
+    query: work is proportional to the phrase terms' posting lists —
+    the point of an index."""
+    terms = [t.lower() for t in phrase]
+    if not terms:
+        raise ValueError("phrase must contain at least one term")
+    distinct = set(terms)
+    per_doc = (
+        postings.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pm")
+        )
+        .filter(F.size("pm") == len(distinct))
+    )
+    def _shift(col: Column, off: int) -> Column:
+        # NOTE: a `lambda p, _i=off:` default-arg closure would break
+        # here — PySpark HOFs dispatch on lambda ARITY, so a 2-parameter
+        # lambda becomes transform's (element, index) form and the
+        # default is silently overwritten by the array index.
+        return F.transform(col, lambda p: p - F.lit(off))
+
+    acc = F.element_at(F.col("pm"), F.lit(terms[0]))
+    for i, t in enumerate(terms[1:], start=1):
+        acc = F.array_intersect(
+            acc, _shift(F.element_at(F.col("pm"), F.lit(t)), i)
+        )
+    return (
+        per_doc.select(
+            "doc_id", F.size(acc).cast("long").alias("n_hits")
+        )
+        .filter(F.col("n_hits") >= 1)
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-shot phrase search: positional postings restricted to the
+    phrase's terms in-scan, then the shifted-intersection match —
+    (doc_id, n_hits), occurrences ≥ 1."""
+    terms = [t.lower() for t in phrase]
+    postings = positional_postings(
+        df, text_col, id_col, vocab=sorted(set(terms))
+    )
+    return phrase_hits_from_postings(postings, terms)
+
+
 def normalize_text_udf():
     """Arrow-batched Unicode NFC normalizer — the one curation step with
     no JVM builtin (Spark has no Unicode-normalization function), so this

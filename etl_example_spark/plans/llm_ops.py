@@ -6416,3 +6416,181 @@ def d105_registrable_domain_rollup(
             F.countDistinct("host").alias("n_hosts"),
         )
     )
+
+
+# --- d106/d107: hashed-linear classifier TRAINING (batch perceptron) -----
+
+_PTRON_DIM = 64
+_PTRON_EPOCHS = 3
+
+
+def _perceptron_label() -> "F.Column":
+    """The demo training target: lang = 'en' (binary one-vs-rest, the
+    fastText language/quality-gate shape). NULL lang falls to −1 on
+    both engines (CASE semantics)."""
+    return F.col("lang") == "en"
+
+
+def _perceptron_ctes(dim: int, epochs: int) -> str:
+    """The WHOLE training run unrolled as chained CTEs (the d76
+    bpe_train / g01 pagerank discipline): w0 is all-zero; epoch e
+    scores every document under w{e-1}, sums y·count over the
+    misclassified (y·score ≤ 0), and folds the update in. Integer
+    arithmetic throughout — the unroll is hash-exact, not approximate.
+    Joins on doc_id use IS NOT DISTINCT FROM so NULL-id degenerate
+    rows group-and-join identically to Spark's groupBy semantics."""
+    ctes = f"""
+        lab AS (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+                   {SQL_TOKS} AS toks
+            FROM documents
+        ),
+        cnt AS (
+            SELECT doc_id, y,
+                   CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                       % {dim} AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, y, unnest(toks) AS tok FROM lab)
+            GROUP BY 1, 2, 3
+        ),
+        feat AS (
+            SELECT * FROM cnt
+            UNION ALL
+            SELECT doc_id, y, CAST({dim} AS BIGINT) AS bucket,
+                   CAST(1 AS BIGINT) AS c
+            FROM lab
+        ),
+        w0 AS (
+            SELECT CAST(unnest(range({dim + 1})) AS BIGINT) AS bucket,
+                   CAST(0 AS BIGINT) AS w
+        )"""
+    for e in range(1, epochs + 1):
+        ctes += f""",
+        s{e} AS (
+            SELECT f.doc_id, f.y, SUM(w.w * f.c) AS s
+            FROM feat f JOIN w{e - 1} w USING (bucket)
+            GROUP BY 1, 2
+        ),
+        u{e} AS (
+            SELECT f.bucket, SUM(f.y * f.c) AS u
+            FROM feat f
+            JOIN s{e} s ON f.doc_id IS NOT DISTINCT FROM s.doc_id
+                       AND f.y = s.y
+            WHERE s.y * s.s <= 0
+            GROUP BY 1
+        ),
+        w{e} AS (
+            SELECT w.bucket, w.w + COALESCE(u.u, 0) AS w
+            FROM w{e - 1} w LEFT JOIN u{e} u USING (bucket)
+        )"""
+    return ctes
+
+
+@register(
+    "d106_perceptron_train",
+    "Hashed-linear classifier TRAINING as a batch perceptron — the "
+    "trainer behind the d73-style quality/language gates, integer-exact "
+    "end to end so the WHOLE training run is externally hash-verified "
+    "(the oracle unrolls every epoch as chained CTEs, the d76/g01 "
+    "discipline). Per epoch: the grouped feature matrix (materialized "
+    "once) is re-scanned with the model riding in as a literal 65-int "
+    "array (no join — in-row aggregate under whole-stage codegen); the "
+    "batch update sums y*count over misclassified docs, shuffling only "
+    "(bucket, partial) pairs; the driver holds the dim+1-entry model — "
+    "the parameter-server pattern with a bounded server "
+    "(operators/text.perceptron_train).",
+    oracle=f"""
+        WITH {_perceptron_ctes(_PTRON_DIM, _PTRON_EPOCHS)}
+        SELECT bucket, CAST(w AS BIGINT) AS w FROM w{_PTRON_EPOCHS}
+        WHERE w <> 0 ORDER BY bucket
+    """,
+    category="text",
+)
+def d106_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = text.perceptron_train(
+        docs, _perceptron_label(), dim=_PTRON_DIM, epochs=_PTRON_EPOCHS
+    )
+    rows = [(b, wv) for b, wv in sorted(w.items())]
+    return spark.createDataFrame(rows, "bucket long, w long").orderBy(
+        "bucket"
+    )
+
+
+@register(
+    "d107_perceptron_gate",
+    "Fit-then-apply classifier gate: train the d106 batch perceptron, "
+    "then score EVERY document under the trained model as zero-join "
+    "inference (literal weight array evaluated in-row; the doc-keyed "
+    "aggregate ships (doc_id, long) pairs only) — the end-to-end "
+    "train->deploy chain of a fastText-style curation gate, with the "
+    "whole decision table (score, prediction, agreement with the "
+    "training label) externally hash-verified "
+    "(operators/text.perceptron_train + hashed_label_features).",
+    oracle=f"""
+        WITH {_perceptron_ctes(_PTRON_DIM, _PTRON_EPOCHS)}
+        SELECT f.doc_id,
+               f.y,
+               CAST(SUM(w.w * f.c) AS BIGINT) AS score,
+               SUM(w.w * f.c) > 0 AS pred,
+               (SUM(w.w * f.c) > 0) = (f.y = 1) AS correct
+        FROM feat f JOIN w{_PTRON_EPOCHS} w USING (bucket)
+        GROUP BY f.doc_id, f.y
+        ORDER BY f.doc_id, f.y
+    """,
+    category="text",
+)
+def d107_perceptron_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = text.perceptron_train(
+        docs, _perceptron_label(), dim=_PTRON_DIM, epochs=_PTRON_EPOCHS
+    )
+    arr = text._weight_array(w, _PTRON_DIM)
+    feat = text.hashed_label_features(
+        docs, _perceptron_label(), dim=_PTRON_DIM
+    )
+    return (
+        feat.withColumn(
+            "wv",
+            F.element_at(arr, (F.col("bucket") + 1).cast("int"))
+            * F.col("c"),
+        )
+        .groupBy("doc_id", "y")
+        .agg(F.sum("wv").cast("long").alias("score"))
+        .withColumn("pred", F.col("score") > 0)
+        .withColumn("correct", F.col("pred") == (F.col("y") == 1))
+        .orderBy("doc_id", "y")
+    )
+
+
+@register(
+    "s54_phrase_search",
+    "Exact phrase search over a POSITIONAL postings index — the query "
+    "class frequency-only postings (s51/s53) cannot answer: a document "
+    "matches at p iff phrase term i occurs at p+i for all i, evaluated "
+    "as the shifted intersection of per-term position lists (the "
+    "classic positional-index algorithm as array algebra). The "
+    "postings explode restricts to the phrase's terms INSIDE the scan "
+    "(literal isin — nothing corpus-sized shuffles for a query); the "
+    "oracle counts the same phrase starts by direct subscript scan, an "
+    "independent formulation (operators/text.phrase_search).",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+        g AS (
+            SELECT doc_id
+            FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+            WHERE toks[i] = 'slow'
+              AND toks[i + 1] = 'hash'
+              AND toks[i + 2] = 'batch'
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM g GROUP BY doc_id ORDER BY doc_id
+    """,
+    category="similarity",
+)
+def s54_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.phrase_search(docs, ["slow", "hash", "batch"]).orderBy(
+        "doc_id"
+    )

@@ -69,12 +69,18 @@ def q7_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Monthly revenue + running cumulative total — analytic window with a "
     "running frame over a pre-aggregated (tiny) monthly series. The "
     "unpartitioned ORDER BY window is safe *because* it runs after "
-    "aggregation: a few hundred rows, not the fact table.",
+    "aggregation: a few hundred rows, not the fact table. NULL order "
+    "dates are dropped at the series boundary (the event-time "
+    "contract): a dateless order has no month, and DuckDB v1.0.0's "
+    "NULL-date placement under ORDER BY is PLAN-dependent (full sort "
+    "-> nulls first, Top-N -> nulls last, measured), so a NULL month "
+    "in the running frame makes the oracle itself unstable.",
     oracle="""
         WITH monthly AS (
             SELECT date_trunc('month', o_orderdate) AS mes,
                    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
             FROM orders
+            WHERE o_orderdate IS NOT NULL
             GROUP BY mes
         )
         SELECT mes,
@@ -87,7 +93,9 @@ def q7_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q8_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     monthly = orders.groupBy(
         F.date_trunc("month", "o_orderdate").alias("mes")
     ).agg(F.sum(as_scaled_long("o_totalprice")).alias("cents"))

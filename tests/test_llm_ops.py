@@ -1290,3 +1290,181 @@ def test_bm25_index_build_durable_artifact(spark, sf_dir, tmp_path):
     )
     direct = sorted(map(tuple, bm25_topk(docs, queries, k=10).collect()))
     assert served == direct and served
+
+
+class TestPerceptron:
+    """Batch-perceptron trainer (operators/text.perceptron_train):
+    integer-exactness laws and the train->deploy consistency the
+    d106/d107 registrations rely on."""
+
+    LABEL_DIM = 64
+
+    def _label(self):
+        return F.col("lang") == "en"
+
+    def test_converges_on_separable_corpus(self, spark):
+        """On a linearly separable corpus (positives carry a marker
+        token negatives never do), the batch perceptron must reach ZERO
+        training errors — the perceptron convergence theorem is the
+        one accuracy guarantee the algorithm actually makes. (On the
+        fixture corpus lang is independent of text, so no accuracy bar
+        applies there; d106/d107 verify the COMPUTATION by hash.)"""
+        from etl_example_spark.operators import text
+
+        rows = []
+        for i in range(40):
+            filler = ["alpha", "beta", "gamma", "delta"][i % 4]
+            if i % 2 == 0:
+                rows.append((i, f"quality {filler} {filler}", "en"))
+            else:
+                rows.append((i, f"{filler} junk {filler}", "de"))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+        w = text.perceptron_train(
+            docs, self._label(), dim=self.LABEL_DIM, epochs=8
+        )
+        scored = text.perceptron_scores(docs, w, dim=self.LABEL_DIM)
+        truth = docs.select(
+            "doc_id", (F.col("lang") == "en").alias("is_pos")
+        )
+        errors = (
+            scored.join(truth, "doc_id")
+            .filter(F.col("pred") != F.col("is_pos"))
+            .count()
+        )
+        assert errors == 0
+
+    def test_inference_path_matches_training_matrix(self, spark, sf_dir):
+        """perceptron_scores (the zero-join production inference path)
+        must produce the SAME integer score as re-scoring through the
+        labeled training matrix — the two feature constructions can
+        never drift apart."""
+        from etl_example_spark.operators import text
+
+        docs = load_table(spark, sf_dir, "documents")
+        w = text.perceptron_train(
+            docs, self._label(), dim=self.LABEL_DIM, epochs=2
+        )
+        arr = text._weight_array(w, self.LABEL_DIM)
+        via_matrix = (
+            text.hashed_label_features(docs, self._label(), self.LABEL_DIM)
+            .withColumn(
+                "wv",
+                F.element_at(arr, (F.col("bucket") + 1).cast("int"))
+                * F.col("c"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("wv").cast("long").alias("score"))
+        )
+        direct = text.perceptron_scores(docs, w, dim=self.LABEL_DIM)
+        diff = (
+            direct.select("doc_id", "score")
+            .exceptAll(via_matrix.select("doc_id", "score"))
+            .count()
+        )
+        assert diff == 0
+
+    def test_bias_feature_scores_tokenless_docs(self, spark):
+        """A token-less document is still a training example (bias
+        feature only) and still gets a score at inference: score ==
+        w[bias] exactly."""
+        from etl_example_spark.operators import text
+
+        docs = spark.createDataFrame(
+            [(1, None, "en"), (2, "   ", "de"), (3, "alpha beta", "en")],
+            "doc_id long, text string, lang string",
+        )
+        w = text.perceptron_train(docs, self._label(), dim=8, epochs=2)
+        got = {
+            r["doc_id"]: r["score"]
+            for r in text.perceptron_scores(docs, w, dim=8).collect()
+        }
+        assert set(got) == {1, 2, 3}
+        assert got[1] == w.get(8, 0)
+        assert got[2] == w.get(8, 0)
+
+    def test_empty_corpus_trains_the_zero_model(self, spark):
+        from etl_example_spark.operators import text
+
+        docs = spark.createDataFrame(
+            [], "doc_id long, text string, lang string"
+        )
+        assert (
+            text.perceptron_train(docs, self._label(), dim=8, epochs=2)
+            == {}
+        )
+
+
+class TestPhraseSearch:
+    """Positional-index phrase search (operators/text.phrase_search):
+    the shifted-intersection algorithm's boundary semantics."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_overlapping_occurrences_all_count(self, spark):
+        from etl_example_spark.operators import text
+
+        docs = self._docs(spark, [(1, "a a a a"), (2, "a b a")])
+        got = {
+            r["doc_id"]: r["n_hits"]
+            for r in text.phrase_search(docs, ["a", "a"]).collect()
+        }
+        assert got == {1: 3}
+
+    def test_repeated_term_phrase(self, spark):
+        from etl_example_spark.operators import text
+
+        docs = self._docs(
+            spark, [(1, "x hash hash batch y"), (2, "hash batch hash")]
+        )
+        got = {
+            r["doc_id"]: r["n_hits"]
+            for r in text.phrase_search(
+                docs, ["hash", "hash", "batch"]
+            ).collect()
+        }
+        assert got == {1: 1}
+
+    def test_all_terms_required_and_adjacent(self, spark):
+        from etl_example_spark.operators import text
+
+        docs = self._docs(
+            spark,
+            [
+                (1, "slow hash batch"),
+                (2, "slow fast hash batch"),  # not adjacent
+                (3, "slow hash"),  # term missing
+            ],
+        )
+        got = {
+            r["doc_id"]: r["n_hits"]
+            for r in text.phrase_search(
+                docs, ["slow", "hash", "batch"]
+            ).collect()
+        }
+        assert got == {1: 1}
+
+    def test_artifact_serve_equals_direct(self, spark, sf_dir):
+        """Serving a phrase from the FULL positional-postings artifact
+        must equal the one-shot restricted scan — index-and-serve is
+        semantics-preserving (the s53 law, positional edition)."""
+        from etl_example_spark.operators import text
+
+        docs = load_table(spark, sf_dir, "documents")
+        full = text.positional_postings(docs)
+        phrase = ["slow", "hash", "batch"]
+        served = text.phrase_hits_from_postings(full, phrase)
+        direct = text.phrase_search(docs, phrase)
+        assert served.exceptAll(direct).count() == 0
+        assert direct.exceptAll(served).count() == 0
+
+    def test_empty_phrase_rejected(self, spark):
+        from etl_example_spark.operators import text
+
+        docs = self._docs(spark, [(1, "a")])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            text.phrase_search(docs, [])
