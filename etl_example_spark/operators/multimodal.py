@@ -1434,3 +1434,60 @@ def ahash_words(h: int) -> tuple[int, int]:
     """Split a 64-bit aHash into (lo, hi) signed-safe 32-bit words —
     bit 63 of a packed hash overflows a signed BIGINT column."""
     return h & 0xFFFFFFFF, (h >> 32) & 0xFFFFFFFF
+
+
+#: fixed-point scale for the integer DCT basis (values in [-2^14, 2^14])
+DCT_BASIS_SCALE = 14
+
+
+def dct_basis_int(n: int = 8, scale: int = DCT_BASIS_SCALE):
+    """Orthonormal DCT-II basis quantized to integers:
+    ``B[u][y] = round(c(u) · cos((2y+1)uπ/2n) · 2^scale)`` with
+    c(0)=√(1/n), c(u)=√(2/n) — the standard JPEG/pHash transform made
+    BIT-deterministic: every engine that shares these integer literals
+    computes the identical coefficients, so a DCT hash becomes
+    externally hash-verifiable (float libm cosines differ across
+    platforms at the ulp; a quantized basis cannot). Quantization only
+    perturbs coefficient VALUES (≈2^-14 relative), never determinism —
+    for a perceptual hash thresholded at the median, indistinguishable
+    from the float transform."""
+    import math
+
+    import numpy as np
+
+    b = np.zeros((n, n), dtype=np.int64)
+    for u in range(n):
+        c = math.sqrt((1.0 if u == 0 else 2.0) / n)
+        for y in range(n):
+            b[u, y] = round(
+                c * math.cos((2 * y + 1) * u * math.pi / (2 * n))
+                * (1 << scale)
+            )
+    return b
+
+
+def dct_phash(gray8) -> int:
+    """DCT-based perceptual hash (the pHash construction) of an 8×8
+    grayscale grid, in pure integer arithmetic: 2-D DCT-II via the
+    fixed-point basis (C = B·P·Bᵀ, int64 throughout), then bit q−1 is
+    set iff AC coefficient q exceeds the MEDIAN of the 63 AC
+    coefficients (the canonical pHash threshold — median, not mean,
+    so a single dominant frequency cannot saturate the hash; the DC
+    term is excluded as pure brightness). 63 bits, BIGINT-safe.
+
+    vs :func:`average_hash`: aHash thresholds raw pixels (sensitive
+    to smooth gradients — half the bits flip on a brightness ramp);
+    pHash thresholds frequency magnitudes, the standard robustness
+    step up in photo-dedup pipelines."""
+    import numpy as np
+
+    p = np.asarray(gray8, dtype=np.int64)
+    if p.shape != (8, 8):
+        raise ValueError(f"dct_phash expects an 8x8 grid, got {p.shape}")
+    b = dct_basis_int()
+    coef = (b @ p @ b.T).reshape(-1)
+    ac = coef[1:]
+    med = int(np.sort(ac)[31])  # 32nd order statistic of 63 = median
+    return int(
+        sum(1 << q for q, v in enumerate(ac) if int(v) > med)
+    )

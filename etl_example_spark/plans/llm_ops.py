@@ -6296,6 +6296,48 @@ def d104_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(v1, v2)
 
 
+def _demo_host_col() -> "F.Column":
+    """The deterministic doc_id->host derivation shared by the
+    domain-keyed registrations (d105 rollup, d108 scorecard): covers
+    multi-label public suffix (*.sites.co.uk -> co.uk), platform
+    suffix (github.io), unknown-TLD fallback, and suffix-only host."""
+    return (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("news"),
+                (F.col("doc_id") % 6).cast("string"),
+                F.lit(".sites.co.uk"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("u"),
+                (F.col("doc_id") % 9).cast("string"),
+                F.lit(".github.io"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("cdn.shop"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".example.com"),
+            ),
+        )
+        .otherwise(
+            F.when(F.col("doc_id") % 8 == 3, F.lit("github.io")).otherwise(
+                F.concat(
+                    F.lit("x.y.internal"),
+                    (F.col("doc_id") % 3).cast("string"),
+                )
+            )
+        )
+    )
+
+
+
 @register(
     "d105_registrable_domain_rollup",
     "Registrable-domain ('eTLD+1') extraction + rollup — the grouping "
@@ -6371,42 +6413,8 @@ def d105_registrable_domain_rollup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    host = (
-        F.when(
-            F.col("doc_id") % 4 == 0,
-            F.concat(
-                F.lit("news"),
-                (F.col("doc_id") % 6).cast("string"),
-                F.lit(".sites.co.uk"),
-            ),
-        )
-        .when(
-            F.col("doc_id") % 4 == 1,
-            F.concat(
-                F.lit("u"),
-                (F.col("doc_id") % 9).cast("string"),
-                F.lit(".github.io"),
-            ),
-        )
-        .when(
-            F.col("doc_id") % 4 == 2,
-            F.concat(
-                F.lit("cdn.shop"),
-                (F.col("doc_id") % 5).cast("string"),
-                F.lit(".example.com"),
-            ),
-        )
-        .otherwise(
-            F.when(F.col("doc_id") % 8 == 3, F.lit("github.io")).otherwise(
-                F.concat(
-                    F.lit("x.y.internal"),
-                    (F.col("doc_id") % 3).cast("string"),
-                )
-            )
-        )
-    )
     return (
-        docs.select("doc_id", host.alias("host"))
+        docs.select("doc_id", _demo_host_col().alias("host"))
         .select(
             "host", text.registrable_domain("host").alias("domain")
         )
@@ -6506,6 +6514,7 @@ def _perceptron_ctes(dim: int, epochs: int) -> str:
         WHERE w <> 0 ORDER BY bucket
     """,
     category="text",
+    bench=True,  # the training cost class: epochs x corpus scan
 )
 def d106_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -6588,9 +6597,226 @@ def d107_perceptron_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM g GROUP BY doc_id ORDER BY doc_id
     """,
     category="similarity",
+    bench=True,  # the positional-index serve path
 )
 def s54_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.phrase_search(docs, ["slow", "hash", "batch"]).orderBy(
         "doc_id"
+    )
+
+
+def _dct_oracle() -> str:
+    """m46 oracle: the ENTIRE pHash — 64 pixel bytes from hex
+    arithmetic, fixed-point 2-D DCT, median threshold — replayed in
+    SQL. The integer basis is generated once in Python and inlined as
+    the SAME literals the engine multiplies by (multimodal.
+    dct_basis_int), so there is no cross-engine cosine to disagree
+    on; the double sum is the direct O(64²) DCT definition, an
+    independent formulation of the engine's matrix product (equal by
+    integer associativity)."""
+    basis = multimodal.dct_basis_int().tolist()
+    b_lit = (
+        "[" + ", ".join("[" + ", ".join(map(str, row)) + "]" for row in basis) + "]"
+    )
+    return f"""
+        WITH h AS (
+            SELECT doc_id,
+                   md5(COALESCE(text, ''))
+                   || md5(COALESCE(text, '') || '1')
+                   || md5(COALESCE(text, '') || '2')
+                   || md5(COALESCE(text, '') || '3') AS hx
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id,
+                   list_transform(range(64), k -> {_hex_byte("k")}) AS v
+            FROM h
+        ),
+        bm AS (SELECT {b_lit} AS b),
+        cf AS (
+            SELECT doc_id,
+                   list_transform(range(64), q ->
+                       list_sum(list_transform(range(64), p ->
+                           b[q // 8 + 1][p // 8 + 1]
+                           * b[q % 8 + 1][p % 8 + 1]
+                           * v[p + 1]))) AS coef
+            FROM px CROSS JOIN bm
+        ),
+        md AS (
+            SELECT doc_id, coef,
+                   list_sort(coef[2:64])[32] AS med
+            FROM cf
+        )
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(1, 64), q ->
+                   CASE WHEN coef[q + 1] > med
+                        THEN CAST(1 AS BIGINT) << (q - 1)
+                        ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+                   AS dct_hash
+        FROM md
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "m46_dct_phash",
+    "DCT perceptual hash (the pHash construction) through the REAL "
+    "JPEG codec: each document's md5-derived 8x8 grayscale grid "
+    "upscales to a 64x64 flat-block image, round-trips encode_jpeg -> "
+    "decode (DC-exact for flat blocks) -> nn_resize back to 8x8, then "
+    "hashes by FREQUENCY: fixed-point integer 2-D DCT-II, bit q set "
+    "iff AC coefficient q exceeds the median of the 63 AC terms — the "
+    "robustness step up from m44/m45's pixel-mean aHash (a brightness "
+    "ramp flips half an aHash but barely moves the spectrum). The "
+    "quantized basis makes the whole transform integer-exact, so the "
+    "oracle replays pixels, DCT, median, and packing from hex "
+    "arithmetic and shared basis literals "
+    "(operators/multimodal.dct_phash / dct_basis_int).",
+    oracle=_dct_oracle(),
+    category="multimodal",
+)
+def m46_dct_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def hashes(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                base = (t or "").encode()
+                d = b"".join(
+                    hashlib.md5(base + s).digest()
+                    for s in (b"", b"1", b"2", b"3")
+                )
+                vals = np.frombuffer(d, dtype=np.uint8).reshape(8, 8)
+                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                dec = multimodal.decode_media(
+                    multimodal.encode_jpeg(img), "jpeg"
+                )
+                grid = multimodal.nn_resize(dec, 8, 8)
+                rows.append((doc_id, multimodal.dct_phash(grid)))
+            yield pd.DataFrame(rows, columns=["doc_id", "dct_hash"])
+
+    return docs.mapInPandas(hashes, "doc_id long, dct_hash long").orderBy(
+        "doc_id"
+    )
+
+
+def _psl_domain_ctes() -> str:
+    """hosts -> registrable domain as DuckDB CTEs (the d105 list
+    algebra, shared verbatim by d108): yields a relation ``dom`` with
+    (doc_id, host, domain)."""
+    return f"""
+        hosts AS (
+            SELECT doc_id,
+                   CASE doc_id % 4
+                        WHEN 0 THEN 'news' || CAST(doc_id % 6 AS VARCHAR)
+                                    || '.sites.co.uk'
+                        WHEN 1 THEN 'u' || CAST(doc_id % 9 AS VARCHAR)
+                                    || '.github.io'
+                        WHEN 2 THEN 'cdn.shop' || CAST(doc_id % 5 AS VARCHAR)
+                                    || '.example.com'
+                        ELSE CASE WHEN doc_id % 8 = 3
+                                  THEN 'github.io'
+                                  ELSE 'x.y.internal' || CAST(doc_id % 3 AS VARCHAR)
+                             END
+                   END AS host
+            FROM documents
+        ),
+        parts AS (
+            SELECT doc_id, host,
+                   string_split(lower(host), '.') AS labels
+            FROM hosts
+        ),
+        psl_m AS (
+            SELECT doc_id, host, labels, len(labels) AS n,
+                   list_filter(
+                       list_transform(range(1, len(labels) + 1),
+                           k -> array_to_string(
+                               labels[(len(labels)-k+1):(len(labels))],
+                               '.')),
+                       s -> list_contains(
+                           {list(text.PUBLIC_SUFFIXES)!r}, s)
+                   ) AS matched
+            FROM parts
+        ),
+        reg AS (
+            SELECT doc_id, host, labels, n,
+                   COALESCE(matched[-1], labels[n]) AS suffix
+            FROM psl_m
+        ),
+        dom AS (
+            SELECT doc_id, host,
+                   CASE WHEN n > len(string_split(suffix, '.'))
+                        THEN labels[n - len(string_split(suffix, '.'))]
+                             || '.' || suffix
+                        ELSE NULL END AS domain
+            FROM reg
+        )"""
+
+
+@register(
+    "d108_domain_scorecard",
+    "Per-registrable-domain curation SCORECARD — the decision table a "
+    "domain blocklist/cap policy reads (the RefinedWeb-style move: "
+    "curation decisions at domain granularity, not per document): for "
+    "each eTLD+1, document and host counts, exact total tokens, how "
+    "many docs pass a length+diversity gate (n_toks >= 5 AND distinct "
+    "tokens >= half), and how many DISTINCT normalized texts the "
+    "domain contributes (mirror/boilerplate domains score low). One "
+    "scan, per-doc signals in-row, one domain-keyed aggregate; "
+    "NULL domain (host IS a public suffix) groups explicitly and "
+    "orders NULLS LAST on both engines "
+    "(operators/text.registrable_domain + tokens).",
+    oracle=f"""
+        WITH {_psl_domain_ctes()},
+        sig AS (
+            SELECT d.doc_id, d.host, d.domain,
+                   len({SQL_TOKS}) AS n_toks,
+                   len(list_distinct({SQL_TOKS})) AS n_distinct,
+                   md5({SQL_NORM}) AS fp
+            FROM dom d JOIN documents USING (doc_id)
+        )
+        SELECT domain,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+               CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+               CAST(count_if(n_toks >= 5 AND 2 * n_distinct >= n_toks)
+                    AS BIGINT) AS n_pass,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_texts
+        FROM sig
+        GROUP BY domain
+        ORDER BY domain NULLS LAST
+    """,
+    category="text",
+)
+def d108_domain_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    sig = docs.select(
+        _demo_host_col().alias("host"),
+        text.registrable_domain(_demo_host_col()).alias("domain"),
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        text.normalized_fingerprint("text").alias("fp"),
+    )
+    return (
+        sig.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.sum("n_toks").cast("long").alias("total_toks"),
+            F.count_if(
+                (F.col("n_toks") >= 5)
+                & (2 * F.col("n_distinct") >= F.col("n_toks"))
+            ).alias("n_pass"),
+            F.countDistinct("fp").alias("n_distinct_texts"),
+        )
+        .orderBy(F.col("domain").asc_nulls_last())
     )

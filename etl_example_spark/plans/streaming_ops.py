@@ -1535,3 +1535,45 @@ def st56_stream_warc_ingest(
     )
     result = run_to_memory(agg, output_mode="complete", available_now=False)
     return result.orderBy("bucket")
+
+
+@register(
+    "st57_stream_quota_admission",
+    "Streaming per-source ADMISSION QUOTA (applyInPandasWithState): "
+    "admit at most 10 documents per source across the whole stream — "
+    "the ingest-time form of the d64/d105 per-host/per-domain caps, "
+    "enforced as documents arrive instead of by a full-corpus pass. "
+    "Per-key GroupState is ONE counter (bytes, not documents); within "
+    "a batch candidates admit in doc_id order, so the admitted set is "
+    "exactly the SQL rank filter the oracle states. Only the "
+    "(source, doc_id, admit_seq) admission log passes through the "
+    "Python kernel — document text never does "
+    "(streaming/stateful.quota_admission).",
+    oracle="""
+        WITH ranked AS (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY doc_id
+                   ) AS admit_seq
+            FROM documents
+            -- the ingestion contract quota_admission enforces
+            WHERE source IS NOT NULL AND doc_id IS NOT NULL
+        )
+        SELECT source, doc_id, CAST(admit_seq AS BIGINT) AS admit_seq
+        FROM ranked
+        WHERE admit_seq <= 10
+        ORDER BY source, doc_id
+    """,
+    category="streaming",
+)
+def st57_stream_quota_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_example_spark.streaming.sources import read_documents_stream
+    from etl_example_spark.streaming.stateful import quota_admission
+
+    stream = read_documents_stream(spark, sf_dir)
+    result = run_to_memory(
+        quota_admission(stream, quota=10), output_mode="append"
+    )
+    return result.orderBy("source", "doc_id")

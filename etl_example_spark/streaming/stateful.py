@@ -87,3 +87,80 @@ def first_seen_dedup(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+QUOTA_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("admit_seq", T.LongType()),
+    ]
+)
+
+#: per-key state: documents admitted so far
+_QUOTA_STATE_SCHEMA = T.StructType(
+    [T.StructField("n_admitted", T.LongType())]
+)
+
+
+def _quota_fn_factory(quota: int):
+    def _quota_fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (n_admitted,) = state.get if state.exists else (0,)
+        n_admitted = int(n_admitted)
+        if n_admitted >= quota:
+            return  # key exhausted in earlier micro-batches
+        rows = pd.concat(list(batches), ignore_index=True)
+        take = rows.sort_values("doc_id").head(quota - n_admitted)
+        if take.empty:
+            return
+        state.update((n_admitted + len(take),))
+        yield pd.DataFrame(
+            {
+                "source": [str(key[0])] * len(take),
+                "doc_id": take["doc_id"].astype("int64").to_numpy(),
+                "admit_seq": n_admitted
+                + pd.RangeIndex(1, len(take) + 1).to_numpy(),
+            }
+        )
+
+    return _quota_fn
+
+
+def quota_admission(
+    docs: DataFrame, quota: int = 10, key_col: str = "source"
+) -> DataFrame:
+    """Streaming per-key ADMISSION QUOTA: admit at most ``quota``
+    documents per ``key_col`` across the whole stream — the ingest-time
+    form of the per-host/per-domain frequency cap (operators'
+    d64/d105 batch caps), enforced while the corpus arrives instead of
+    by a later full-corpus pass. Per-key GroupState carries the
+    admitted count across micro-batches; within a batch, candidates
+    admit in doc_id order, so with an id-ordered landing zone the
+    admitted set is exactly ROW_NUMBER() OVER (PARTITION BY key ORDER
+    BY doc_id) <= quota — externally oracle-checkable.
+
+    Ingestion contract (enforced, not assumed): rows missing the key
+    or the id are dropped before grouping — a NULL key would reach the
+    kernel as a None group and crash its str() emit path, and a
+    NULL id cannot take a deterministic admission slot.
+
+    At scale: state is ONE counter per key (bytes, not documents);
+    partitioning is by the quota key, so hot domains shard the same
+    way their documents already shuffle. Emitted rows carry
+    (key, doc_id, admit_seq) — the admission LOG; joining it back to
+    the payload is the consumer's (cheap, semi-join) choice, so
+    document text never passes through the Python state kernel."""
+    valid = docs.filter(
+        F.col(key_col).isNotNull() & F.col("doc_id").isNotNull()
+    )
+    return valid.groupBy(F.col(key_col)).applyInPandasWithState(
+        _quota_fn_factory(quota),
+        outputStructType=QUOTA_SCHEMA,
+        stateStructType=_QUOTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1468,3 +1468,82 @@ class TestPhraseSearch:
 
         with _pytest.raises(ValueError):
             text.phrase_search(docs, [])
+
+
+class TestDctPhash:
+    """Fixed-point DCT pHash (operators/multimodal.dct_phash)."""
+
+    def test_ac_basis_rows_cancel_exactly(self):
+        """Every AC basis row of the QUANTIZED DCT sums to exactly 0
+        (the cosine samples cancel pairwise before rounding), which is
+        what makes brightness-shift invariance exact rather than
+        approximate."""
+        import numpy as np
+
+        b = multimodal.dct_basis_int()
+        assert (b[1:].sum(axis=1) == 0).all()
+        # and the DC row is the constant vector
+        assert len(set(b[0].tolist())) == 1
+
+    def test_brightness_shift_invariance_is_exact(self):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        p = rng.randint(0, 200, (8, 8))
+        for shift in (1, 50, 55):
+            assert multimodal.dct_phash(p) == multimodal.dct_phash(
+                p + shift
+            )
+
+    def test_constant_image_hashes_to_zero(self):
+        import numpy as np
+
+        assert multimodal.dct_phash(np.full((8, 8), 77)) == 0
+        assert multimodal.dct_phash(np.zeros((8, 8))) == 0
+
+    def test_rescaled_copy_collides_through_codec(self):
+        """The m45 law for the DCT hash: a 2x nearest-neighbor upscale
+        of the same image canonicalizes (decode -> nn_resize 8x8) to
+        the identical 63-bit hash through the real JPEG codec."""
+        import hashlib
+
+        import numpy as np
+
+        d = b"".join(
+            hashlib.md5(b"phash-demo" + s).digest()
+            for s in (b"", b"1", b"2", b"3")
+        )
+        vals = np.frombuffer(d, dtype=np.uint8).reshape(8, 8)
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        up = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+        hs = []
+        for im in (img, up):
+            dec = multimodal.decode_media(multimodal.encode_jpeg(im), "jpeg")
+            hs.append(multimodal.dct_phash(multimodal.nn_resize(dec, 8, 8)))
+        assert hs[0] == hs[1]
+        assert 0 <= hs[0] < 1 << 63
+
+    def test_wrong_shape_rejected(self):
+        import numpy as np
+
+        with pytest.raises(ValueError):
+            multimodal.dct_phash(np.zeros((16, 16)))
+
+    def test_gradient_separates_ahash_not_phash(self):
+        """The robustness claim m46 makes over aHash, demonstrated: a
+        uniform brightness RAMP added to an image flips many aHash
+        bits (pixels cross the mean) but leaves the low-frequency
+        spectrum's ordering — and with it the pHash — much closer."""
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        p = rng.randint(60, 140, (8, 8))
+        ramp = (np.arange(8)[None, :] * 12) * np.ones((8, 1), dtype=int)
+        pa, pb = p, p + ramp
+        d_ahash = bin(
+            multimodal.average_hash(pa) ^ multimodal.average_hash(pb)
+        ).count("1")
+        d_phash = bin(
+            multimodal.dct_phash(pa) ^ multimodal.dct_phash(pb)
+        ).count("1")
+        assert d_phash < d_ahash

@@ -556,3 +556,55 @@ def test_benchmark_hash_index_probe_matches_direct_overlap(spark, tmp_path):
     assert sorted(map(key, sliced)) == sorted(map(key, direct))
     hit_docs = {r["doc_id"] for r in direct}
     assert hit_docs == {1, 3}
+
+
+def test_quota_admission_state_across_micro_batches(spark, tmp_path):
+    """Two landing-zone files processed as TWO micro-batches
+    (maxFilesPerTrigger=1): the per-key admitted count must persist —
+    batch 1 fills 8 of 10 slots, batch 2 admits exactly the remaining
+    2 (lowest doc_id first) and the sequence numbers continue."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_example_spark.streaming.sinks import run_to_memory
+    from etl_example_spark.streaming.stateful import quota_admission
+
+    land = tmp_path / "land"
+    land.mkdir()
+
+    def write(name, ids):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": ["t"] * len(ids),
+                "lang": ["en"] * len(ids),
+                "source": ["s1"] * len(ids),
+                "n_chars": pa.array([1] * len(ids), pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(land / name))
+
+    write("b1.parquet", list(range(8)))
+    write("b2.parquet", list(range(100, 108)))
+    now = time.time()
+    os.utime(land / "b1.parquet", (now - 100, now - 100))
+    os.utime(land / "b2.parquet", (now, now))
+
+    from etl_example_spark.streaming.sources import DOCUMENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(land))
+    )
+    out = run_to_memory(
+        quota_admission(stream, quota=10), output_mode="append"
+    ).orderBy("admit_seq")
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == list(range(8)) + [100, 101]
+    assert [r["admit_seq"] for r in rows] == list(range(1, 11))
+    assert {r["source"] for r in rows} == {"s1"}
