@@ -1221,3 +1221,135 @@ def sq8_topk(
         .filter(F.col("rk") <= k)
         .orderBy("query_id", "rk")
     )
+
+
+def sq8_kmeans(
+    codes: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means over SQ8-QUANTIZED vectors, integer-exact end to
+    end — the FAISS-style coarse-quantizer training step (train the
+    cluster structure on compressed codes, not raw floats) made
+    externally hash-verifiable: distances are 64-bit integer squared
+    L2 between code arrays, ties break to the lower centroid id, and
+    the centroid update is the per-dimension FLOOR mean (integer
+    division) — no float ever enters, so an oracle can replay every
+    iteration (the ivf_train float path can only be rows-only/recall
+    checked; this is the quantized twin that hashes).
+
+    Seeding is the ``k`` lowest-id vectors' codes (the ivf_assign
+    discipline: deterministic, engine-portable). Empty cells keep
+    their previous centroid.
+
+    Plan per iteration: centroids (k rows) broadcast into the code
+    scan; the assign argmin folds in-row over a k-term array (min_by
+    on a packed (dist, cid) struct — the repo's argmin discipline);
+    the update shuffles (cid, dim, partial-sum) triples — ≤ k·dims
+    groups after map-side partials; ``localCheckpoint`` per round
+    truncates lineage (the iterative-algorithm discipline shared with
+    ivf_train/pagerank/bpe_train). Codes are 4× smaller than float32,
+    so even the one corpus-wide scan per iteration reads a quarter of
+    the raw-vector bytes.
+
+    Returns ``(centroids, assignment)``: (centroid_id, cent) with
+    cent an int array, and (vec_id, centroid_id, d2) under the FINAL
+    centroids."""
+    dims = F.size(codes_col)
+
+    def assign_to(cents: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col(codes_col),
+                F.col("cent"),
+                lambda a, b: (a - b).cast("long") * (a - b).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return (
+            codes.crossJoin(F.broadcast(cents))
+            .select(
+                F.col(id_col),
+                F.col(codes_col),
+                F.col("centroid_id"),
+                d2.alias("d2"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.any_value(codes_col).alias(codes_col),
+                F.min_by(
+                    F.struct("centroid_id", "d2"),
+                    F.struct("d2", "centroid_id"),
+                ).alias("best"),
+            )
+            .select(
+                id_col,
+                codes_col,
+                F.col("best.centroid_id").alias("centroid_id"),
+                F.col("best.d2").alias("d2"),
+            )
+        )
+
+    cents = (
+        codes.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).cast("long").alias("centroid_id"),
+            F.col(codes_col).alias("cent"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # re-key seeds to 0..k-1 so centroid ids are rank-stable
+    cents = (
+        cents.withColumn(
+            "centroid_id",
+            F.row_number().over(
+                Window.orderBy("centroid_id")
+            ).cast("long")
+            - 1,
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assign = assign_to(cents)
+        means = (
+            assign.select(
+                "centroid_id",
+                F.posexplode(codes_col).alias("dim", "x"),
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(
+                F.sum(F.col("x").cast("long")).alias("sx"),
+                F.count("*").alias("n"),
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "dim",
+                            F.expr("sx DIV n").cast("int").alias("m"),
+                        )
+                    )
+                ).alias("dm")
+            )
+            .select(
+                "centroid_id",
+                F.expr("transform(dm, s -> s.m)").alias("cent"),
+            )
+        )
+        cents = (
+            cents.alias("old")
+            .join(means.alias("new"), "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(
+                    F.col("new.cent"), F.col("old.cent")
+                ).alias("cent"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents, assign_to(cents)

@@ -6820,3 +6820,205 @@ def d108_domain_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("domain").asc_nulls_last())
     )
+
+
+def _sq8_kmeans_oracle(k: int = 8, iters: int = 2) -> str:
+    """s55 oracle: SQ8 encode + EVERY Lloyd iteration unrolled
+    (assign by integer squared L2 with ties to the lower centroid id,
+    update by per-dimension integer floor mean, empty cells keep the
+    previous centroid) — the d76/g01/d106 unroll discipline applied
+    to clustering."""
+    ctes = SQ8_CODES_CTE.format(bounds_filter="") + f""",
+    cent0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                   AS centroid_id,
+               codes AS cent
+        FROM (SELECT vec_id, codes FROM c ORDER BY vec_id LIMIT {k})
+    )"""
+    # assignments run to iters+1: a{iters+1} is the re-assignment
+    # under the FINAL centroids — the cell sizes the artifact reports
+    # (the engine's contract: assignment state matches the shipped
+    # centroids, not the pre-update ones)
+    for e in range(1, iters + 2):
+        ctes += f""",
+    d{e} AS (
+        SELECT c.vec_id, c.codes, s.centroid_id,
+               list_sum(list_transform(range(len(c.codes)), i ->
+                   CAST(c.codes[i+1] - s.cent[i+1] AS BIGINT)
+                   * CAST(c.codes[i+1] - s.cent[i+1] AS BIGINT)))
+                   AS d2
+        FROM c CROSS JOIN cent{e - 1} s
+    ),
+    a{e} AS (
+        SELECT vec_id, codes, centroid_id, d2 FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+            FROM d{e})
+        WHERE rn = 1
+    )"""
+        if e == iters + 1:
+            break
+        ctes += f""",
+    m{e} AS (
+        SELECT centroid_id,
+               list(CAST(sx // n AS INT) ORDER BY dim) AS cent
+        FROM (
+            SELECT centroid_id, r.i AS dim,
+                   SUM(CAST(codes[r.i + 1] AS BIGINT)) AS sx,
+                   COUNT(*) AS n
+            FROM a{e}, unnest(range(len(codes))) AS r(i)
+            GROUP BY 1, 2)
+        GROUP BY centroid_id
+    ),
+    cent{e} AS (
+        SELECT o.centroid_id, COALESCE(m.cent, o.cent) AS cent
+        FROM cent{e - 1} o LEFT JOIN m{e} m USING (centroid_id)
+    )"""
+    return ctes + f""",
+    members AS (
+        SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM a{iters + 1} GROUP BY 1
+    )
+    SELECT f.centroid_id,
+           CAST(r.i AS INT) AS dim,
+           f.cent[r.i + 1] AS val,
+           COALESCE(m.n_members, 0) AS n_members
+    FROM cent{iters} f
+    CROSS JOIN unnest(range(len(f.cent))) AS r(i)
+    LEFT JOIN members m USING (centroid_id)
+    ORDER BY f.centroid_id, dim
+    """
+
+
+@register(
+    "s55_sq8_kmeans",
+    "Lloyd's k-means TRAINING over SQ8-quantized vectors, integer-"
+    "exact end to end — the FAISS-style coarse-quantizer fit (cluster "
+    "structure learned on compressed codes) as the one clustering "
+    "path that externally HASH-verifies: integer squared-L2 assign "
+    "(ties to the lower centroid), per-dimension floor-mean update, "
+    "every iteration oracle-unrolled. Per iteration the k centroids "
+    "broadcast into the code scan (argmin folds in-row via the packed "
+    "min_by struct) and the update shuffles (cid, dim, partial) "
+    "triples only; codes are 4x smaller than the float vectors "
+    "(operators/similarity.sq8_kmeans). Output: final centroids "
+    "exploded per dimension + final-assignment cell sizes.",
+    oracle="WITH " + _sq8_kmeans_oracle(),
+    category="similarity",
+)
+def s55_sq8_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bounds = similarity.sq8_train(emb)
+    codes = similarity.sq8_encode(emb, bounds)
+    cents, assign = similarity.sq8_kmeans(codes, k=8, iters=2)
+    counts = assign.groupBy("centroid_id").agg(
+        F.count("*").alias("n_members")
+    )
+    return (
+        cents.select(
+            "centroid_id", F.posexplode("cent").alias("dim", "val")
+        )
+        .join(counts, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            "dim",
+            "val",
+            F.coalesce("n_members", F.lit(0)).alias("n_members"),
+        )
+        .orderBy("centroid_id", "dim")
+    )
+
+
+@register(
+    "d109_quality_bucket_budget",
+    "QUALITY-bucketed token budgeting (the DCLM-style mix move: spend "
+    "the training budget by quality tier, not uniformly): every "
+    "document scores corpus-free token entropy (d98, exact integer "
+    "micro-nats), NTILE(4) over the (entropy, doc_id) total order "
+    "assigns quality quartiles, and a 50% token budget allocates "
+    "across quartiles by integer weights 1..4 (floor arithmetic, the "
+    "d95 discipline) with a per-quartile sampling rate in permille. "
+    "Plan: the entropy aggregates partial-map; the NTILE sorts "
+    "(doc_id, int) pairs only — text never reaches the window; the "
+    "budget math runs over 4 rows. Production at 100 TB swaps exact "
+    "NTILE for approx-quantile boundaries (q61's sketch) — the exact "
+    "form here is what makes the whole plan hash-verifiable "
+    "(operators/text.token_entropy + the d95 budget arithmetic).",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        tf AS (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM tok WHERE tok <> '' GROUP BY doc_id, tok
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(SUM(c * CAST(CAST(ROUND(ln(CAST(c AS DOUBLE)),
+                            6) AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                       AS BIGINT) AS s
+            FROM tf GROUP BY doc_id
+        ),
+        ent AS (
+            SELECT doc_id, n_tokens,
+                   CAST(CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                   - s // n_tokens AS entropy_micro
+            FROM agg
+        ),
+        b AS (
+            SELECT doc_id, n_tokens,
+                   NTILE(4) OVER (ORDER BY entropy_micro, doc_id) AS qb
+            FROM ent
+        ),
+        per AS (
+            SELECT qb,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS tokens
+            FROM b GROUP BY qb
+        ),
+        tot AS (
+            SELECT qb, n_docs, tokens,
+                   CAST(SUM(tokens) OVER () AS BIGINT) AS t_total
+            FROM per
+        )
+        SELECT CAST(qb AS BIGINT) AS qb, n_docs, tokens,
+               CAST((qb * (t_total // 2)) // 10 AS BIGINT)
+                   AS target_tokens,
+               CAST(least(1000,
+                    (1000 * ((qb * (t_total // 2)) // 10)) // tokens)
+                    AS BIGINT) AS rate_permille
+        FROM tot ORDER BY qb
+    """,
+    category="text",
+)
+def d109_quality_bucket_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ent = text.token_entropy(docs)
+    w = Window.orderBy("entropy_micro", "doc_id")
+    b = ent.select(
+        "doc_id",
+        "n_tokens",
+        F.ntile(4).over(w).cast("long").alias("qb"),
+    )
+    per = b.groupBy("qb").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+    )
+    tot = per.withColumn(
+        "t_total", F.sum("tokens").over(Window.partitionBy())
+    )
+    return tot.select(
+        "qb",
+        "n_docs",
+        "tokens",
+        F.expr("(qb * (t_total DIV 2)) DIV 10").alias("target_tokens"),
+        F.least(
+            F.lit(1000).cast("long"),
+            F.expr("(1000 * ((qb * (t_total DIV 2)) DIV 10)) DIV tokens"),
+        ).alias("rate_permille"),
+    ).orderBy("qb")

@@ -1547,3 +1547,57 @@ class TestDctPhash:
             multimodal.dct_phash(pa) ^ multimodal.dct_phash(pb)
         ).count("1")
         assert d_phash < d_ahash
+
+
+class TestSq8Kmeans:
+    """Integer Lloyd over code arrays (operators/similarity.sq8_kmeans):
+    hand-checkable convergence and the empty-cell/tie contracts."""
+
+    def _codes(self, spark, rows):
+        return spark.createDataFrame(rows, "vec_id long, codes array<int>")
+
+    def test_two_cluster_convergence_hand_checked(self, spark):
+        """Seeds [0,0] and [10,10]; eight far points at [200,200].
+        Iter 1 pulls c1 to floor(1610/9)=[178,178]; iter 2 reassigns
+        [10,10] back to c0, so the final centroids are the exact floor
+        means [5,5] and [200,200] with cells of 2 and 8 — every number
+        derivable by hand."""
+        rows = [(0, [0, 0]), (1, [10, 10])] + [
+            (i, [200, 200]) for i in range(2, 10)
+        ]
+        cents, assign = similarity.sq8_kmeans(
+            self._codes(spark, rows), k=2, iters=2
+        )
+        got = {r["centroid_id"]: r["cent"] for r in cents.collect()}
+        assert got == {0: [5, 5], 1: [200, 200]}
+        sizes = {
+            r["centroid_id"]: r["n"]
+            for r in assign.groupBy("centroid_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert sizes == {0: 2, 1: 8}
+
+    def test_empty_cell_keeps_previous_centroid(self, spark):
+        """An all-identical corpus seeds two identical centroids;
+        every point ties and the tie-break sends ALL of them to the
+        lower centroid id, every iteration — so the duplicate seed's
+        cell is empty forever and must retain its seed codes (never
+        NULL, never dropped)."""
+        rows = [(i, [7, 7]) for i in range(4)]
+        cents, assign = similarity.sq8_kmeans(
+            self._codes(spark, rows), k=2, iters=2
+        )
+        got = {r["centroid_id"]: r["cent"] for r in cents.collect()}
+        assert got == {0: [7, 7], 1: [7, 7]}
+        assert assign.filter("centroid_id = 1").count() == 0
+        assert assign.count() == 4
+
+    def test_every_vector_assigned_exactly_once(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        codes = similarity.sq8_encode(emb, similarity.sq8_train(emb))
+        n = codes.count()
+        cents, assign = similarity.sq8_kmeans(codes, k=8, iters=2)
+        assert assign.count() == n
+        assert assign.select("vec_id").distinct().count() == n
+        assert cents.count() == 8

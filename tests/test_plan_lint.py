@@ -41,6 +41,7 @@ _CROSS_JOIN_BY_DESIGN = {
     "s49_sq8_topk",  # broadcast 1-row bounds + broadcast query-code block
     "s49a_sq8_recall_bound",  # 1-row certificate crossJoin + SQ8 inner ops
     "s50_sq8_append",  # broadcast 1-row bounds artifact for the encode map
+    "s55_sq8_kmeans",  # broadcast 1-row bounds + broadcast k-centroid block
 
     "s45_hybrid_search_rrf",  # broadcast one-row query-vector block
     "q15_cte_subquery",  # broadcast one-row scalar aggregate
