@@ -1467,13 +1467,21 @@ def dct_basis_int(n: int = 8, scale: int = DCT_BASIS_SCALE):
 
 
 def dct_phash(gray8) -> int:
-    """DCT-based perceptual hash (the pHash construction) of an 8×8
-    grayscale grid, in pure integer arithmetic: 2-D DCT-II via the
-    fixed-point basis (C = B·P·Bᵀ, int64 throughout), then bit q−1 is
-    set iff AC coefficient q exceeds the MEDIAN of the 63 AC
-    coefficients (the canonical pHash threshold — median, not mean,
-    so a single dominant frequency cannot saturate the hash; the DC
-    term is excluded as pure brightness). 63 bits, BIGINT-safe.
+    """DCT-based perceptual hash of an 8×8 grayscale grid, in pure
+    integer arithmetic: 2-D DCT-II via the fixed-point basis
+    (C = B·P·Bᵀ, int64 throughout), then bit q−1 is set iff AC
+    coefficient q exceeds the MEDIAN of the 63 AC coefficients
+    (median, not mean, so a single dominant frequency cannot saturate
+    the hash; the DC term is excluded as pure brightness).
+    63 bits, BIGINT-safe.
+
+    Provenance note: canonical pHash oversamples — resize to 32×32,
+    DCT, keep the LOW-frequency 8×8 block, threshold at that block's
+    median. This variant applies the same transform+threshold directly
+    at the 8×8 canonical grid (callers canonicalize via ``nn_resize``
+    first, the m45 path), trading the low-pass oversampling stage for
+    integer-exactness end to end; the thresholding rule matches pHash,
+    the pre-filter does not.
 
     vs :func:`average_hash`: aHash thresholds raw pixels (sensitive
     to smooth gradients — half the bits flip on a brightness ramp);

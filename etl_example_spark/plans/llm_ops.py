@@ -7022,3 +7022,96 @@ def d109_quality_bucket_budget(
             F.expr("(1000 * ((qb * (t_total DIV 2)) DIV 10)) DIV tokens"),
         ).alias("rate_permille"),
     ).orderBy("qb")
+
+
+_RAG_QUERY = "slow hash batch window scan"
+_RAG_DIMS = 16
+
+
+@register(
+    "s56_rag_retrieval",
+    "END-TO-END RAG retrieval chain as one verified composition: "
+    "overlapping token-window chunking (d56's op, 32-token chunks / "
+    "8 overlap) -> per-CHUNK batch encoding (the m38 deterministic "
+    "digest stub standing in for the model forward pass) -> exact "
+    "cosine top-10 against an encoded query string, returning CHUNK "
+    "provenance (doc_id, chunk_id, start_token) — what a retrieval "
+    "consumer actually needs to fetch the passage. The query vector "
+    "is a constant-folded literal (no join); chunking and encoding "
+    "are in-row HOF arithmetic inside one scan; top-10 is "
+    "TakeOrdered with a pinned (sim, doc, chunk) tie-break. The "
+    "oracle replays chunk split, encoder, and cosine in SQL "
+    "(operators/text.chunk_text + multimodal.encode_text_stub "
+    "semantics + similarity.cosine).",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents WHERE trim(lower(text)) <> ''
+        ),
+        s AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0,
+                       greatest(0, CAST(ceil((len(toks) - 32) / 24.0)
+                                   AS INT)) * 24, 24)) AS start_token
+            FROM t
+        ),
+        ch AS (
+            SELECT doc_id,
+                   CAST(start_token // 24 AS INT) AS chunk_id,
+                   CAST(start_token AS INT) AS start_token,
+                   array_to_string(list_slice(toks, start_token + 1,
+                        start_token + 32), ' ') AS chunk_text
+            FROM s
+        ),
+        enc AS (
+            SELECT doc_id, chunk_id, start_token,
+                   list_transform(range(1, {_RAG_DIMS + 1}),
+                       j -> CAST(ascii(substring(md5(chunk_text), j, 1))
+                            AS DOUBLE)) AS v
+            FROM ch
+        ),
+        q AS (
+            SELECT list_transform(range(1, {_RAG_DIMS + 1}),
+                       j -> CAST(ascii(substring(md5('{_RAG_QUERY}'), j,
+                            1)) AS DOUBLE)) AS qv
+        )
+        SELECT doc_id, chunk_id, start_token,
+               ROUND(list_cosine_similarity(v, qv), 6) AS cosine_sim
+        FROM enc CROSS JOIN q
+        ORDER BY cosine_sim DESC, doc_id, chunk_id
+        LIMIT 10
+    """,
+    category="similarity",
+)
+def s56_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = text.chunk_text(docs, chunk_tokens=32, overlap_tokens=8)
+    enc_expr = (
+        f"transform(sequence(1, {_RAG_DIMS}), "
+        "j -> CAST(ascii(substring(md5(chunk_text), j, 1)) AS DOUBLE))"
+    )
+    qv_expr = (
+        f"transform(sequence(1, {_RAG_DIMS}), "
+        f"j -> CAST(ascii(substring(md5('{_RAG_QUERY}'), j, 1)) "
+        "AS DOUBLE))"
+    )
+    enc = chunks.select(
+        "doc_id",
+        "chunk_id",
+        "start_token",
+        F.expr(enc_expr).alias("v"),
+        F.expr(qv_expr).alias("qv"),
+    )
+    return (
+        enc.select(
+            "doc_id",
+            "chunk_id",
+            "start_token",
+            F.round(similarity.cosine("v", "qv"), 6).alias("cosine_sim"),
+        )
+        .orderBy(
+            F.desc("cosine_sim"), F.asc("doc_id"), F.asc("chunk_id")
+        )
+        .limit(10)
+    )
