@@ -1257,7 +1257,6 @@ def sq8_kmeans(
     Returns ``(centroids, assignment)``: (centroid_id, cent) with
     cent an int array, and (vec_id, centroid_id, d2) under the FINAL
     centroids."""
-    dims = F.size(codes_col)
 
     def assign_to(cents: DataFrame) -> DataFrame:
         d2 = F.aggregate(

@@ -536,9 +536,11 @@ def hashed_label_features(
     participates in training. ``label`` is a boolean Column; y is +1
     where it holds and −1 otherwise (a NULL label falls to −1, the same
     CASE semantics the SQL oracles apply). Buckets come from
-    :func:`hashed_feature_bucket`, so the matrix is the train-time twin
-    of the :func:`hashed_linear_quality` inference features — a model
-    trained here applies there with no re-hashing.
+    :func:`hashed_feature_bucket`, so token features occupy the SAME
+    bucket space as :func:`hashed_linear_quality`'s — plus one extra
+    row per document at bucket ``dim``, the bias term, which that
+    inference path has no feature for (its consumer is
+    :func:`perceptron_scores`, which appends the bias bucket in-row).
 
     Documents sharing a doc_id AND label collapse to one training
     example (the groupBy key) — relevant only for NULL-id degenerate
@@ -584,9 +586,13 @@ def perceptron_train(
 ) -> dict[int, int]:
     """Batch-perceptron TRAINING of a hashed bag-of-words linear
     classifier — the trainer for the fastText-style quality/language
-    gates this module serves at inference time
-    (:func:`hashed_linear_quality` consumes the returned weights as its
-    ``weights`` table). Integer-exact and order-independent by
+    gates this module serves at inference time. The deployment path
+    for the returned model is :func:`perceptron_scores` (same feature
+    construction INCLUDING the bias bucket at ``dim``); feeding the
+    dict into :func:`hashed_linear_quality`'s ``weights`` table would
+    silently drop the bias term and misread the weight scale (that
+    path expects milli-weights) — same hash function, different
+    contract. Integer-exact and order-independent by
     construction, so the whole training run is externally
     hash-verifiable: per epoch every document is scored under the
     CURRENT weights and the update is the SUM of y·count over all

@@ -1987,14 +1987,14 @@ def d84_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so the plan is bit-identical across engines at any scale. One "
     "partial-aggregable token-count pass + a broadcast one-row totals "
     "block (operators/sampling.token_budget_plan).",
-    oracle=r"""
+    oracle=f"""
         WITH tc AS (
+            -- SQL_TOKS, not a guarded raw split: DuckDB trim strips
+            -- spaces only, so tab/newline padding grew phantom empty
+            -- tokens (+1 per padded side) and a whitespace-only cell
+            -- counted as tokens; the macro filter is the contract
             SELECT lang,
-                   CAST(SUM(CASE WHEN text IS NULL
-                                  OR trim(lower(text)) = '' THEN 0
-                            ELSE len(string_split_regex(
-                                trim(lower(text)), '\s+'))
-                       END) AS HUGEINT) AS toks
+                   CAST(SUM(len({SQL_TOKS})) AS HUGEINT) AS toks
             FROM documents GROUP BY lang
         ),
         w(lang, wt) AS (VALUES ('de', 1), ('en', 2), ('es', 1),
@@ -2418,10 +2418,16 @@ def d48_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the modern form of the row-at-a-time UDF escape hatch, for logic "
     "built-ins can't express). Word-order reversal per document, "
     "verified against DuckDB's list_reverse pipeline.",
-    oracle="""
+    oracle=f"""
         SELECT doc_id,
-               array_to_string(list_reverse(
-                   string_split_regex(trim(lower(text)), '\\s+')), ' ')
+               -- NULL in -> NULL out (the UDF contract); otherwise
+               -- SQL_TOKS (the raw split grew phantom '' tokens on
+               -- tab/newline-padded text, re-joined as stray spaces),
+               -- with COALESCE for DuckDB's array_to_string([]) = NULL
+               -- where Python ' '.join([]) is ''
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE COALESCE(array_to_string(
+                        list_reverse({SQL_TOKS}), ' '), '') END
                    AS reversed_text
         FROM documents
         ORDER BY doc_id
@@ -2858,18 +2864,20 @@ def d55_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "step by 48 tokens, the tail chunk keeps the remainder, every "
     "token lands in >= 1 chunk. Pure HOF arithmetic over one bound "
     "token array per row (operators/text.chunk_text).",
-    oracle="""
+    oracle=f"""
         WITH t AS (
-            SELECT doc_id,
-                   string_split_regex(trim(lower(text)), '\\s+') AS toks
-            FROM documents WHERE trim(lower(text)) <> ''
+            -- SQL_TOKS (see s56): raw split on tab/newline-padded text
+            -- grows a phantom '' token; len(toks) > 0 == the engine's
+            -- size(_toks) > 0 precondition
+            SELECT doc_id, {SQL_TOKS} AS toks FROM documents
         ),
+        tne AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
         s AS (
             SELECT doc_id, toks,
                    unnest(generate_series(0,
                        greatest(0, CAST(ceil((len(toks) - 64) / 48.0)
                                    AS INT)) * 48, 48)) AS start_token
-            FROM t
+            FROM tne
         )
         SELECT doc_id,
                CAST(start_token // 48 AS INT) AS chunk_id,
@@ -6338,23 +6346,12 @@ def _demo_host_col() -> "F.Column":
 
 
 
-@register(
-    "d105_registrable_domain_rollup",
-    "Registrable-domain ('eTLD+1') extraction + rollup — the grouping "
-    "key per-domain curation policy actually wants: host caps (d64) "
-    "under-group subdomains of one registrant, and naive last-two-"
-    "labels grouping merges every co.uk site into one pseudo-domain "
-    "while hiding that each *.github.io label is a DIFFERENT "
-    "registrant. PSL longest-match as pure in-row column algebra "
-    "(operators/text.registrable_domain): label-suffixes shortest-to-"
-    "longest via one transform, array_contains filter against the "
-    "broadcast suffix table, last match wins, bare-TLD fallback, "
-    "host-is-a-suffix -> NULL (the PSL contract). Hosts are derived "
-    "deterministically to cover all four cases (multi-label suffix, "
-    "platform suffix, unknown TLD fallback, suffix-only host); the "
-    "oracle replays the identical list algebra in DuckDB.",
-    oracle=f"""
-        WITH hosts AS (
+def _psl_domain_ctes() -> str:
+    """hosts -> registrable domain as DuckDB CTEs (the d105 list
+    algebra, shared verbatim by d108): yields a relation ``dom`` with
+    (doc_id, host, domain)."""
+    return f"""
+        hosts AS (
             SELECT doc_id,
                    CASE doc_id % 4
                         WHEN 0 THEN 'news' || CAST(doc_id % 6 AS VARCHAR)
@@ -6375,7 +6372,7 @@ def _demo_host_col() -> "F.Column":
                    string_split(lower(host), '.') AS labels
             FROM hosts
         ),
-        m AS (
+        psl_m AS (
             SELECT doc_id, host, labels, len(labels) AS n,
                    list_filter(
                        list_transform(range(1, len(labels) + 1),
@@ -6390,7 +6387,7 @@ def _demo_host_col() -> "F.Column":
         reg AS (
             SELECT doc_id, host, labels, n,
                    COALESCE(matched[-1], labels[n]) AS suffix
-            FROM m
+            FROM psl_m
         ),
         dom AS (
             SELECT doc_id, host,
@@ -6399,7 +6396,27 @@ def _demo_host_col() -> "F.Column":
                              || '.' || suffix
                         ELSE NULL END AS domain
             FROM reg
-        )
+        )"""
+
+
+
+@register(
+    "d105_registrable_domain_rollup",
+    "Registrable-domain ('eTLD+1') extraction + rollup — the grouping "
+    "key per-domain curation policy actually wants: host caps (d64) "
+    "under-group subdomains of one registrant, and naive last-two-"
+    "labels grouping merges every co.uk site into one pseudo-domain "
+    "while hiding that each *.github.io label is a DIFFERENT "
+    "registrant. PSL longest-match as pure in-row column algebra "
+    "(operators/text.registrable_domain): label-suffixes shortest-to-"
+    "longest via one transform, array_contains filter against the "
+    "broadcast suffix table, last match wins, bare-TLD fallback, "
+    "host-is-a-suffix -> NULL (the PSL contract). Hosts are derived "
+    "deterministically to cover all four cases (multi-label suffix, "
+    "platform suffix, unknown TLD fallback, suffix-only host); the "
+    "oracle replays the identical list algebra in DuckDB.",
+    oracle=f"""
+        WITH {_psl_domain_ctes()}
         SELECT domain,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
@@ -6659,29 +6676,15 @@ def _dct_oracle() -> str:
     """
 
 
-@register(
-    "m46_dct_phash",
-    "DCT perceptual hash (the pHash construction) through the REAL "
-    "JPEG codec: each document's md5-derived 8x8 grayscale grid "
-    "upscales to a 64x64 flat-block image, round-trips encode_jpeg -> "
-    "decode (DC-exact for flat blocks) -> nn_resize back to 8x8, then "
-    "hashes by FREQUENCY: fixed-point integer 2-D DCT-II, bit q set "
-    "iff AC coefficient q exceeds the median of the 63 AC terms — the "
-    "robustness step up from m44/m45's pixel-mean aHash (a brightness "
-    "ramp flips half an aHash but barely moves the spectrum). The "
-    "quantized basis makes the whole transform integer-exact, so the "
-    "oracle replays pixels, DCT, median, and packing from hex "
-    "arithmetic and shared basis literals "
-    "(operators/multimodal.dct_phash / dct_basis_int).",
-    oracle=_dct_oracle(),
-    category="multimodal",
-)
-def m46_dct_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def m46_hash_frame(docs: DataFrame) -> DataFrame:
+    """The m46 kernel as a reusable frame transform (shared by the
+    registration and tools/scale_round10b_ops.py so the benchmark can
+    never drift from the op it measures): (doc_id, text) -> (doc_id,
+    dct_hash) through md5-raster synthesis, the real JPEG round trip,
+    8x8 canonicalization, and the fixed-point DCT hash."""
     import hashlib
 
     import pandas as pd
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def hashes(batches):
         import numpy as np
@@ -6703,62 +6706,32 @@ def m46_dct_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((doc_id, multimodal.dct_phash(grid)))
             yield pd.DataFrame(rows, columns=["doc_id", "dct_hash"])
 
-    return docs.mapInPandas(hashes, "doc_id long, dct_hash long").orderBy(
-        "doc_id"
+    return docs.select("doc_id", "text").mapInPandas(
+        hashes, "doc_id long, dct_hash long"
     )
 
 
-def _psl_domain_ctes() -> str:
-    """hosts -> registrable domain as DuckDB CTEs (the d105 list
-    algebra, shared verbatim by d108): yields a relation ``dom`` with
-    (doc_id, host, domain)."""
-    return f"""
-        hosts AS (
-            SELECT doc_id,
-                   CASE doc_id % 4
-                        WHEN 0 THEN 'news' || CAST(doc_id % 6 AS VARCHAR)
-                                    || '.sites.co.uk'
-                        WHEN 1 THEN 'u' || CAST(doc_id % 9 AS VARCHAR)
-                                    || '.github.io'
-                        WHEN 2 THEN 'cdn.shop' || CAST(doc_id % 5 AS VARCHAR)
-                                    || '.example.com'
-                        ELSE CASE WHEN doc_id % 8 = 3
-                                  THEN 'github.io'
-                                  ELSE 'x.y.internal' || CAST(doc_id % 3 AS VARCHAR)
-                             END
-                   END AS host
-            FROM documents
-        ),
-        parts AS (
-            SELECT doc_id, host,
-                   string_split(lower(host), '.') AS labels
-            FROM hosts
-        ),
-        psl_m AS (
-            SELECT doc_id, host, labels, len(labels) AS n,
-                   list_filter(
-                       list_transform(range(1, len(labels) + 1),
-                           k -> array_to_string(
-                               labels[(len(labels)-k+1):(len(labels))],
-                               '.')),
-                       s -> list_contains(
-                           {list(text.PUBLIC_SUFFIXES)!r}, s)
-                   ) AS matched
-            FROM parts
-        ),
-        reg AS (
-            SELECT doc_id, host, labels, n,
-                   COALESCE(matched[-1], labels[n]) AS suffix
-            FROM psl_m
-        ),
-        dom AS (
-            SELECT doc_id, host,
-                   CASE WHEN n > len(string_split(suffix, '.'))
-                        THEN labels[n - len(string_split(suffix, '.'))]
-                             || '.' || suffix
-                        ELSE NULL END AS domain
-            FROM reg
-        )"""
+
+@register(
+    "m46_dct_phash",
+    "DCT perceptual hash (the pHash construction) through the REAL "
+    "JPEG codec: each document's md5-derived 8x8 grayscale grid "
+    "upscales to a 64x64 flat-block image, round-trips encode_jpeg -> "
+    "decode (DC-exact for flat blocks) -> nn_resize back to 8x8, then "
+    "hashes by FREQUENCY: fixed-point integer 2-D DCT-II, bit q set "
+    "iff AC coefficient q exceeds the median of the 63 AC terms — the "
+    "robustness step up from m44/m45's pixel-mean aHash (a brightness "
+    "ramp flips half an aHash but barely moves the spectrum). The "
+    "quantized basis makes the whole transform integer-exact, so the "
+    "oracle replays pixels, DCT, median, and packing from hex "
+    "arithmetic and shared basis literals "
+    "(operators/multimodal.dct_phash / dct_basis_int).",
+    oracle=_dct_oracle(),
+    category="multimodal",
+)
+def m46_dct_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return m46_hash_frame(docs).orderBy("doc_id")
 
 
 @register(
@@ -7045,16 +7018,20 @@ _RAG_DIMS = 16
     "semantics + similarity.cosine).",
     oracle=f"""
         WITH t AS (
-            SELECT doc_id,
-                   string_split_regex(trim(lower(text)), '\\s+') AS toks
-            FROM documents WHERE trim(lower(text)) <> ''
+            -- SQL_TOKS, not raw string_split_regex: DuckDB trim strips
+            -- only spaces, so tab/newline-padded text would grow a
+            -- phantom '' token and shift every chunk (the macro's
+            -- documented trap); the len(toks) > 0 filter mirrors the
+            -- engine's size(_toks) > 0 chunk precondition exactly
+            SELECT doc_id, {SQL_TOKS} AS toks FROM documents
         ),
+        tne AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
         s AS (
             SELECT doc_id, toks,
                    unnest(generate_series(0,
                        greatest(0, CAST(ceil((len(toks) - 32) / 24.0)
                                    AS INT)) * 24, 24)) AS start_token
-            FROM t
+            FROM tne
         ),
         ch AS (
             SELECT doc_id,

@@ -89,13 +89,19 @@ def first_seen_dedup(events: DataFrame) -> DataFrame:
     )
 
 
-QUOTA_SCHEMA = T.StructType(
-    [
-        T.StructField("source", T.StringType()),
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("admit_seq", T.LongType()),
-    ]
-)
+def _quota_schema(key_field: T.StructField) -> T.StructType:
+    """Output schema of :func:`quota_admission`: the quota key keeps
+    its INPUT name and type (a caller capping by a long host_id must
+    get a long back, not a stringified copy), then (doc_id,
+    admit_seq)."""
+    return T.StructType(
+        [
+            T.StructField(key_field.name, key_field.dataType),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("admit_seq", T.LongType()),
+        ]
+    )
+
 
 #: per-key state: documents admitted so far
 _QUOTA_STATE_SCHEMA = T.StructType(
@@ -103,7 +109,7 @@ _QUOTA_STATE_SCHEMA = T.StructType(
 )
 
 
-def _quota_fn_factory(quota: int):
+def _quota_fn_factory(quota: int, key_col: str):
     def _quota_fn(
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
@@ -120,7 +126,9 @@ def _quota_fn_factory(quota: int):
         state.update((n_admitted + len(take),))
         yield pd.DataFrame(
             {
-                "source": [str(key[0])] * len(take),
+                # key value passes through UNCOERCED — name and type
+                # are the caller's (see _quota_schema)
+                key_col: [key[0]] * len(take),
                 "doc_id": take["doc_id"].astype("int64").to_numpy(),
                 "admit_seq": n_admitted
                 + pd.RangeIndex(1, len(take) + 1).to_numpy(),
@@ -144,9 +152,12 @@ def quota_admission(
     BY doc_id) <= quota — externally oracle-checkable.
 
     Ingestion contract (enforced, not assumed): rows missing the key
-    or the id are dropped before grouping — a NULL key would reach the
-    kernel as a None group and crash its str() emit path, and a
-    NULL id cannot take a deterministic admission slot.
+    or the id are dropped before grouping — a NULL key has no quota
+    bucket (and would otherwise occupy a None group in the state
+    store), and a NULL id cannot take a deterministic admission slot.
+    The key column keeps its input NAME and TYPE in the output (see
+    :func:`_quota_schema`) so the admission log joins back to the
+    payload on the original key.
 
     At scale: state is ONE counter per key (bytes, not documents);
     partitioning is by the quota key, so hot domains shard the same
@@ -158,8 +169,8 @@ def quota_admission(
         F.col(key_col).isNotNull() & F.col("doc_id").isNotNull()
     )
     return valid.groupBy(F.col(key_col)).applyInPandasWithState(
-        _quota_fn_factory(quota),
-        outputStructType=QUOTA_SCHEMA,
+        _quota_fn_factory(quota, key_col),
+        outputStructType=_quota_schema(docs.schema[key_col]),
         stateStructType=_QUOTA_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -30,6 +30,25 @@ DEGENERATE_DOCS = [
     Row(doc_id=9_000_002, text="", lang="de", source="src1", n_chars=0),
     Row(doc_id=9_000_003, text="   ", lang="es", source="src2", n_chars=3),
     Row(doc_id=9_000_004, text="solo", lang="fr", source="src3", n_chars=4),
+    # tab/newline classes: DuckDB/Spark trim() strips SPACES only, so
+    # any oracle tokenizing with a raw (unfiltered) string_split_regex
+    # grows a phantom '' token on these — the exact trap the SQL_TOKS
+    # macro exists for (caught live in the s56/d56 chunking oracles)
+    Row(
+        doc_id=9_000_005,
+        text="\thello\tworld\n",
+        lang="en",
+        source="src4",
+        n_chars=14,
+    ),
+    Row(doc_id=9_000_006, text="\n\t ", lang="de", source="src5", n_chars=3),
+    Row(
+        doc_id=9_000_007,
+        text="first line\nsecond line",
+        lang="es",
+        source="src6",
+        n_chars=22,
+    ),
 ]
 
 # Nothing is exempted: the once-suspect NULL-text ops (d30/d74/d54 —

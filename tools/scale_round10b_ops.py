@@ -87,39 +87,11 @@ def main() -> None:
             text.phrase_search(docs, ["slow", "hash", "batch"]),
         )
 
-        # m46 over the replicated corpus (builder reads sf_dir; apply
-        # the same mapInPandas chain to the replicated frame instead)
-        import hashlib
+        # m46 via the SHARED kernel (llm_ops.m46_hash_frame) over the
+        # replicated frame — the benchmark cannot drift from the op
+        from etl_example_spark.plans.llm_ops import m46_hash_frame
 
-        from etl_example_spark.operators import multimodal
-
-        def hashes(batches):
-            import numpy as np
-            import pandas as _pd
-
-            for pdf in batches:
-                rows = []
-                for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
-                    base = (t or "").encode()
-                    d = b"".join(
-                        hashlib.md5(base + s).digest()
-                        for s in (b"", b"1", b"2", b"3")
-                    )
-                    vals = np.frombuffer(d, dtype=np.uint8).reshape(8, 8)
-                    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
-                    dec = multimodal.decode_media(
-                        multimodal.encode_jpeg(img), "jpeg"
-                    )
-                    grid = multimodal.nn_resize(dec, 8, 8)
-                    rows.append((doc_id, multimodal.dct_phash(grid)))
-                yield _pd.DataFrame(rows, columns=["doc_id", "dct_hash"])
-
-        timed(
-            "m46_dct_phash",
-            docs.select("doc_id", "text").mapInPandas(
-                hashes, "doc_id long, dct_hash long"
-            ),
-        )
+        timed("m46_dct_phash", m46_hash_frame(docs))
 
         # st57: n-file landing zone -> n micro-batches through the
         # state store (maxFilesPerTrigger=1)
