@@ -7092,3 +7092,180 @@ def s56_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(10)
     )
+
+
+def _contam_cell_sql(bench_src: str, n: int) -> str:
+    """One (benchmark, span_tokens) cell of the d110 matrix: the d90
+    island-merge logic parameterized over benchmark source and window
+    size, reduced to its audit aggregates."""
+    return f"""
+        SELECT '{bench_src}' AS benchmark,
+               CAST({n} AS BIGINT) AS span_tokens,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(COALESCE(SUM(span_len), 0) AS BIGINT)
+                   AS contaminated_tokens
+        FROM (
+            WITH t AS (
+                SELECT doc_id, source, {{SQL_TOKS}} AS toks
+                FROM documents
+            ),
+            bs AS (
+                SELECT DISTINCT
+                       array_to_string(toks[(i+1):(i+{n})], ' ') AS s
+                FROM t, LATERAL (
+                    SELECT unnest(range(len(toks) - {n} + 1)) AS i
+                ) g
+                WHERE source = '{bench_src}' AND len(toks) >= {n}
+            ),
+            occ AS (
+                SELECT doc_id, i AS pos,
+                       array_to_string(toks[(i+1):(i+{n})], ' ') AS s
+                FROM t, LATERAL (
+                    SELECT unnest(range(len(toks) - {n} + 1)) AS i
+                ) g
+                WHERE source NOT IN ('src0', 'src1')
+                  AND len(toks) >= {n}
+            ),
+            hit AS (
+                SELECT doc_id, pos FROM occ
+                WHERE s IN (SELECT s FROM bs)
+            ),
+            isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos > COALESCE(MAX(pos + {n}) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), -1)
+                            THEN 1 ELSE 0 END AS new_island
+                FROM hit
+            ),
+            grp AS (
+                SELECT doc_id, pos,
+                       SUM(new_island) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                       ) AS island
+                FROM isl
+            )
+            SELECT doc_id,
+                   MAX(pos) + {n} - MIN(pos) AS span_len
+            FROM grp GROUP BY doc_id, island
+        )
+    """
+
+
+@register(
+    "d110_contamination_matrix",
+    "Multi-benchmark contamination MATRIX — the audit a training run "
+    "signs off on before launch (the GPT-3 appendix-C table shape): "
+    "for each (benchmark suite, n-gram window) cell, how many corpus "
+    "documents overlap, how many maximal overlap intervals exist, and "
+    "how many corpus tokens they cover. Two benchmark sources (src0, "
+    "src1) x two window sizes (8 — aggressive, 13 — the GPT-3 rule); "
+    "corpus = every other source. Each cell is one broadcast-probe "
+    "corpus scan (the d90 plan: benchmark span hashes broadcast, the "
+    "corpus never shuffles for the probe) + an interval merge; cells "
+    "are independent, so at scale they run as one multi-probe pass "
+    "over a shared scan (operators/dedup.benchmark_span_overlap).",
+    oracle=" UNION ALL ".join(
+        _contam_cell_sql(b, n).format(SQL_TOKS=SQL_TOKS)
+        for b in ("src0", "src1")
+        for n in (8, 13)
+    )
+    + " ORDER BY benchmark, span_tokens",
+    category="dedup",
+)
+def d110_contamination_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", text.tokens("text").alias("toks")
+    )
+
+    def windows(n: int) -> DataFrame:
+        # every n-token window as (doc, source, pos, n, md5) — both
+        # sizes union into ONE window stream so the whole matrix is a
+        # single probe pass, not one scan per cell (the plan-lint
+        # exchange budget caught the per-cell version at 4x the
+        # shuffles; this is the multi-probe shape the at-scale doc
+        # already promised)
+        wins = F.expr(
+            f"transform(sequence(0, size(toks) - {n}), "
+            f"i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+        )
+        return (
+            t.filter(F.size("toks") >= n)
+            .select(
+                "doc_id",
+                "source",
+                F.posexplode(wins).alias("pos", "s"),
+            )
+            .select(
+                "doc_id",
+                "source",
+                "pos",
+                F.lit(n).cast("long").alias("span_tokens"),
+                F.md5("s").alias("h"),
+            )
+        )
+
+    w = windows(8).unionByName(windows(13))
+    bench = (
+        w.filter(F.col("source").isin("src0", "src1"))
+        .select(
+            F.col("source").alias("benchmark"), "span_tokens", "h"
+        )
+        .distinct()
+    )
+    hits = (
+        w.filter(~F.col("source").isin("src0", "src1"))
+        .join(F.broadcast(bench), ["span_tokens", "h"])
+        .select("benchmark", "span_tokens", "doc_id", "pos")
+    )
+    win = Window.partitionBy("benchmark", "span_tokens", "doc_id").orderBy(
+        "pos"
+    )
+    prev_end = F.max(F.col("pos") + F.col("span_tokens")).over(
+        win.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = (
+        hits.withColumn(
+            "new_island",
+            (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int"),
+        )
+        .withColumn("island", F.sum("new_island").over(win))
+    )
+    spans = grp.groupBy(
+        "benchmark", "span_tokens", "doc_id", "island"
+    ).agg(
+        (F.max("pos") + F.first("span_tokens") - F.min("pos")).alias(
+            "span_len"
+        )
+    )
+    agg = spans.groupBy("benchmark", "span_tokens").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_spans"),
+        F.sum("span_len").cast("long").alias("contaminated_tokens"),
+    )
+    # a cell with zero hits must still report zeros (the oracle's
+    # per-branch COUNT over an empty subquery does)
+    cells = spark.createDataFrame(
+        [(b, n) for b in ("src0", "src1") for n in (8, 13)],
+        "benchmark string, span_tokens long",
+    )
+    return (
+        cells.join(agg, ["benchmark", "span_tokens"], "left")
+        .select(
+            "benchmark",
+            "span_tokens",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("contaminated_tokens", F.lit(0)).alias(
+                "contaminated_tokens"
+            ),
+        )
+        .orderBy("benchmark", "span_tokens")
+    )

@@ -1577,3 +1577,72 @@ def st57_stream_quota_admission(
         quota_admission(stream, quota=10), output_mode="append"
     )
     return result.orderBy("source", "doc_id")
+
+
+@register(
+    "st58_stream_phrase_route",
+    "Streaming phrase-hit routing — the positional-index query class "
+    "(s54) served AT INGEST: each arriving micro-batch of documents "
+    "is phrase-searched (shifted position-list intersection, postings "
+    "restricted to the phrase's terms inside the batch scan) and its "
+    "hits append to an epoch slice (overwrite per epoch — idempotent "
+    "under micro-batch retry). Batch-locality is exact: a phrase "
+    "match lives entirely inside one document, so stream-accumulated "
+    "hits == the batch query over the union, which is what the "
+    "oracle states (operators/text.phrase_search).",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+        g AS (
+            SELECT doc_id
+            FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+            WHERE toks[i] = 'slow'
+              AND toks[i + 1] = 'hash'
+              AND toks[i + 2] = 'batch'
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM g GROUP BY doc_id ORDER BY doc_id
+    """,
+    category="streaming",
+)
+def st58_stream_phrase_route(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile as _tempfile
+
+    from etl_example_spark.operators import text
+    from etl_example_spark.streaming.sources import read_documents_stream
+
+    out_dir = _tempfile.mkdtemp(prefix="phrase_route_")
+    stream = read_documents_stream(spark, sf_dir)
+
+    def route(batch_df: DataFrame, epoch_id: int) -> None:
+        text.phrase_search(
+            batch_df, ["slow", "hash", "batch"]
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option(
+            "checkpointLocation",
+            _tempfile.mkdtemp(prefix="ckpt_phrase_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    found = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(out_dir)
+        for f in files
+    )
+    if not found:
+        return spark.createDataFrame([], "doc_id long, n_hits long")
+    return (
+        spark.read.parquet(out_dir)
+        .select("doc_id", "n_hits")
+        .orderBy("doc_id")
+    )
