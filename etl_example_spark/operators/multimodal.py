@@ -1499,3 +1499,55 @@ def dct_phash(gray8) -> int:
     return int(
         sum(1 << q for q, v in enumerate(ac) if int(v) > med)
     )
+
+
+#: fixed-point scale for the integer DFT-bin trig tables (m47)
+DFT_TABLE_SCALE = 14
+
+
+def dft_bin_tables(k: int, n: int = 32, scale: int = DFT_TABLE_SCALE):
+    """Quantized single-bin DFT tables: ``C[i] = round(cos(2πki/n)·2^s)``
+    and ``S[i] = round(-sin(2πki/n)·2^s)`` — the per-bin correlation
+    kernels of the Goertzel/DFT energy detector, made bit-deterministic
+    the same way :func:`dct_basis_int` makes the image transform
+    deterministic: both engines multiply by the SAME integer literals,
+    so no libm sine can disagree. Returns (C, S) as int64 arrays."""
+    import math
+
+    import numpy as np
+
+    c = np.array(
+        [
+            round(math.cos(2 * math.pi * k * i / n) * (1 << scale))
+            for i in range(n)
+        ],
+        dtype=np.int64,
+    )
+    s = np.array(
+        [
+            round(-math.sin(2 * math.pi * k * i / n) * (1 << scale))
+            for i in range(n)
+        ],
+        dtype=np.int64,
+    )
+    return c, s
+
+
+def dft_bin_energy(samples, k: int, scale: int = DFT_TABLE_SCALE) -> int:
+    """Integer spectral energy of ``samples`` (int16 PCM) at DFT bin
+    ``k``: real/imag correlations against the quantized tables, each
+    FLOOR-divided once by 2^scale, then the squared magnitude. FLOOR
+    is the contract: Python's // floors but DuckDB v1.0.0's integer
+    // TRUNCATES toward zero (measured: -7 // 2 = -3), so the m47
+    oracle spells the floor out as floor(x / 16384.0) — exact, the
+    divisor being a power of two — rather than trusting //; a mixed
+    floor/truncate pair diverges on every negative correlation.
+    All int64: |Σ x·C| ≤ n·32768·2^14 ≈ 1.7e10 for n = 32, so the
+    squares stay far inside the 2^63 ceiling."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    c, s = dft_bin_tables(k, len(x))
+    dr = int(x @ c) // (1 << scale)
+    di = int(x @ s) // (1 << scale)
+    return dr * dr + di * di

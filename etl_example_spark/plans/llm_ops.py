@@ -7269,3 +7269,127 @@ def d110_contamination_matrix(
         )
         .orderBy("benchmark", "span_tokens")
     )
+
+
+_M47_BINS = (1, 4, 8)
+_M47_N = 32
+
+
+def _m47_bin_sql(k: int) -> str:
+    """One DFT bin of the m47 audio-spectral oracle: 32 int16 samples
+    re-derived from 4 md5 digests by hex arithmetic (the m41/m46
+    discipline), correlated against the SAME quantized trig literals
+    the engine multiplies by, FLOOR-divided once by 2^14, squared.
+    The floor is explicit (floor(x / 16384.0) — exact: |x| < 2^53 and
+    the divisor is a power of two) because DuckDB's integer // 
+    TRUNCATES toward zero where Python's // floors (measured on
+    v1.0.0: -7 // 2 = -3), a one-off divergence on every negative
+    correlation."""
+    c, s = multimodal.dft_bin_tables(k, _M47_N)
+    c_lit = "[" + ", ".join(map(str, c.tolist())) + "]"
+    s_lit = "[" + ", ".join(map(str, s.tolist())) + "]"
+    return f"""
+        SELECT doc_id, CAST({k} AS BIGINT) AS bin,
+               CAST(dr * dr + di * di AS BIGINT) AS energy
+        FROM (
+            SELECT doc_id,
+                   CAST(floor(list_sum(list_transform(range({_M47_N}),
+                       i -> samples[i + 1] * ({c_lit})[i + 1]))
+                       / 16384.0) AS BIGINT) AS dr,
+                   CAST(floor(list_sum(list_transform(range({_M47_N}),
+                       i -> samples[i + 1] * ({s_lit})[i + 1]))
+                       / 16384.0) AS BIGINT) AS di
+            FROM smp
+        )
+    """
+
+
+@register(
+    "m47_audio_spectral_energy",
+    "Audio SPECTRAL energy through the real WAV codec — the frequency-"
+    "domain signal the audio side lacked (m37/m41 are time-domain): "
+    "each document's 32-sample PCM16 clip (md5-derived) round-trips "
+    "the real RIFF encoder/decoder, then per-bin DFT energy at bins "
+    "{1,4,8} of 32 computes as integer correlations against QUANTIZED "
+    "trig tables (round(cos/-sin * 2^14) — the m46 fixed-point "
+    "discipline applied to audio: both engines share the literals, so "
+    "no libm sine can disagree), one floor division per correlation, "
+    "squared magnitude. The oracle re-derives every sample from hex "
+    "arithmetic and replays the same integer algebra — codec AND "
+    "transform externally verified. The tone-concentration law "
+    "(a pure bin-4 tone puts ~all energy at bin 4) is pinned in tests "
+    "(operators/multimodal.dft_bin_tables / dft_bin_energy).",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   md5(COALESCE(text, ''))
+                   || md5(COALESCE(text, '') || '1')
+                   || md5(COALESCE(text, '') || '2')
+                   || md5(COALESCE(text, '') || '3') AS hx
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id,
+                   list_transform(range(0, {_M47_N * 2}), j ->
+                       16 * (strpos('0123456789abcdef',
+                                    substr(hx, 2 * j + 1, 1)) - 1)
+                       + (strpos('0123456789abcdef',
+                                 substr(hx, 2 * j + 2, 1)) - 1)
+                   ) AS bytes
+            FROM h
+        ),
+        smp AS (
+            SELECT doc_id,
+                   list_transform(range(0, {_M47_N}), i ->
+                       CASE WHEN bytes[2 * i + 1]
+                                 + 256 * bytes[2 * i + 2] >= 32768
+                            THEN bytes[2 * i + 1]
+                                 + 256 * bytes[2 * i + 2] - 65536
+                            ELSE bytes[2 * i + 1]
+                                 + 256 * bytes[2 * i + 2] END
+                   ) AS samples
+            FROM b
+        )
+        {" UNION ALL ".join(_m47_bin_sql(k) for k in _M47_BINS)}
+        ORDER BY doc_id, bin
+    """,
+    category="multimodal",
+)
+def m47_audio_spectral_energy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def energies(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                base = (t or "").encode()
+                d = b"".join(
+                    hashlib.md5(base + s).digest()
+                    for s in (b"", b"1", b"2", b"3")
+                )
+                samples = np.frombuffer(d, dtype="<i2")
+                wav = multimodal.encode_wav(samples, rate=16_000)
+                _r, _ch, decoded = multimodal.decode_wav(wav)
+                for k in _M47_BINS:
+                    rows.append(
+                        (
+                            doc_id,
+                            k,
+                            multimodal.dft_bin_energy(decoded, k),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "bin", "energy"]
+            )
+
+    return docs.mapInPandas(
+        energies, "doc_id long, bin long, energy long"
+    ).orderBy("doc_id", "bin")

@@ -1601,3 +1601,43 @@ class TestSq8Kmeans:
         assert assign.count() == n
         assert assign.select("vec_id").distinct().count() == n
         assert cents.count() == 8
+
+
+class TestDftBinEnergy:
+    """Fixed-point DFT-bin energy (operators/multimodal.dft_bin_energy)."""
+
+    def test_pure_tone_concentrates_at_its_bin(self):
+        """A pure bin-4 cosine puts (essentially) all its energy at
+        bin 4 and EXACTLY zero at orthogonal bins — the orthogonality
+        of the quantized tables survives rounding for these bins."""
+        import math
+
+        import numpy as np
+
+        n = 32
+        tone = np.round(
+            10_000 * np.cos(2 * math.pi * 4 * np.arange(n) / n)
+        ).astype(np.int64)
+        e1 = multimodal.dft_bin_energy(tone, 1)
+        e4 = multimodal.dft_bin_energy(tone, 4)
+        e8 = multimodal.dft_bin_energy(tone, 8)
+        assert e4 > 10**10
+        assert e1 < e4 // 10**6 and e8 < e4 // 10**6
+
+    def test_silence_has_zero_energy(self):
+        import numpy as np
+
+        assert multimodal.dft_bin_energy(np.zeros(32, np.int64), 4) == 0
+
+    def test_negative_correlation_floors_like_the_oracle(self):
+        """A constant negative signal at bin 0 exercises the negative-
+        correlation branch: dr = floor(sum/2^14) must floor (Python
+        //), matching the oracle's explicit floor(x / 16384.0) — a
+        truncating division would be off by one here."""
+        import numpy as np
+
+        x = np.full(32, -3, np.int64)
+        # bin-0 tables are all +2^14 (cos 0), so raw dr = -3*32*2^14
+        # and dr = -96 exactly; any truncate/floor mismatch shows as
+        # (|dr|-1)^2 vs dr^2
+        assert multimodal.dft_bin_energy(x, 0) == 96 * 96
