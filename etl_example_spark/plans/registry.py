@@ -177,8 +177,14 @@ SENTINELS: tuple[str, ...] = (
 #: s53 postings artifact, m45 scale-invariant phash) follow via
 #: never-verified rank-2.
 ROTATION_PRIORITY: tuple[str, ...] = (
-    "d99_gopher_repetition",
+    # engine or oracle CHANGED in round 10 — re-expose before backlog:
+    "q8_window_running_total",  # NULL-date series-boundary fix
+    "d49_arrow_udf",  # oracle re-tokenized via SQL_TOKS
+    "d95_token_budget_plan",  # oracle re-tokenized via SQL_TOKS
+    "d56_text_chunking",  # oracle re-tokenized via SQL_TOKS
+    "d99_gopher_repetition",  # the zero-shuffle rewrite
     "d92_html_extract",
+    # round-9/10 bm25 + graph touch-points (session-key/NULL fixes):
     "g01_pagerank_transitions",
     "g02_triangle_count",
     "g03_bfs_levels",
