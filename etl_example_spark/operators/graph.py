@@ -303,3 +303,121 @@ def bfs_oracle_sql(max_depth: int = 4) -> str:
                       CAST(dist AS BIGINT) AS dist
         FROM ({finals}) ORDER BY dist, node"""
     )
+
+
+def label_propagation(
+    edges: DataFrame, nodes: DataFrame, iters: int = 2
+) -> DataFrame:
+    """Synchronous weighted LABEL PROPAGATION over the undirected
+    transition graph — the community-detection sibling of
+    :func:`pagerank` (and of dedup_clusters' connected components,
+    which propagate MIN labels; this propagates MAJORITY labels, so
+    densely linked node groups converge to one label while CC would
+    merge anything merely connected). Deterministic by construction:
+    labels start as node ids, each round every node adopts the label
+    with the largest incident edge WEIGHT among its neighbors (ties →
+    smallest label), isolated nodes keep theirs — synchronous rounds,
+    integer weights, so a fixed iteration count is externally
+    hash-verifiable (the oracle unrolls the same rounds; asynchronous
+    LPA's update order dependence is exactly what this variant
+    removes).
+
+    Plan per round: one label join on the adjacency (edge-table-sized),
+    one (node, label) weight aggregate, one argmax via the packed
+    max_by struct, one left join back to the vertex set;
+    ``localCheckpoint`` truncates lineage per round (the iterative
+    discipline shared with pagerank/bpe_train/sq8_kmeans). Nothing
+    reaches the driver.
+    """
+    fwd = edges.filter(F.col("src") != F.col("dst"))
+    adj = (
+        fwd.select(
+            F.col("src").alias("u"), F.col("dst").alias("v"), "c"
+        )
+        .unionByName(
+            fwd.select(
+                F.col("dst").alias("u"), F.col("src").alias("v"), "c"
+            )
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("c").cast("long").alias("w"))
+    )
+    labels = nodes.select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        best = (
+            adj.join(labels, adj.v == labels.node)
+            .groupBy("u", "label")
+            .agg(F.sum("w").alias("wsum"))
+            .groupBy("u")
+            .agg(
+                F.max_by(
+                    "label",
+                    F.struct(
+                        F.col("wsum"), (-F.col("label")).alias("nl")
+                    ),
+                ).alias("new_label")
+            )
+        )
+        labels = (
+            labels.join(best, labels.node == best.u, "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def label_prop_oracle_sql(iters: int = 2) -> str:
+    """The g04 oracle: weighted undirected adjacency from the shared
+    transition CTEs, then every synchronous round unrolled — per round
+    a (node, label) weight rollup, ROW_NUMBER argmax (weight DESC,
+    label ASC — the engine's packed max_by tie-break), left-join
+    fallback for isolated nodes."""
+    sql = (
+        "WITH "
+        + EVENT_GRAPH_SQL
+        + """,
+        ed AS (
+            SELECT src, dst, COUNT(*) AS c
+            FROM tr WHERE dst IS NOT NULL AND src != dst
+            GROUP BY src, dst
+        ),
+        adj AS (
+            SELECT u, v, CAST(SUM(c) AS BIGINT) AS w FROM (
+                SELECT src AS u, dst AS v, c FROM ed
+                UNION ALL
+                SELECT dst AS u, src AS v, c FROM ed
+            ) GROUP BY u, v
+        ),
+        nodes AS (
+            SELECT DISTINCT page AS node FROM ev
+            WHERE page IS NOT NULL
+        ),
+        l0 AS (SELECT node, node AS label FROM nodes)"""
+    )
+    for i in range(1, iters + 1):
+        sql += f""",
+        n{i} AS (
+            SELECT a.u, l.label, SUM(a.w) AS wsum
+            FROM adj a JOIN l{i - 1} l ON l.node = a.v
+            GROUP BY a.u, l.label
+        ),
+        b{i} AS (
+            SELECT u, label FROM (
+                SELECT u, label, ROW_NUMBER() OVER (
+                    PARTITION BY u ORDER BY wsum DESC, label) AS rn
+                FROM n{i})
+            WHERE rn = 1
+        ),
+        l{i} AS (
+            SELECT l.node, COALESCE(b.label, l.label) AS label
+            FROM l{i - 1} l LEFT JOIN b{i} b ON b.u = l.node
+        )"""
+    return sql + f"""
+        SELECT node, CAST(label AS BIGINT) AS label
+        FROM l{iters} ORDER BY node
+    """

@@ -7393,3 +7393,30 @@ def m47_audio_spectral_energy(
     return docs.mapInPandas(
         energies, "doc_id long, bin long, energy long"
     ).orderBy("doc_id", "bin")
+
+
+@register(
+    "g04_label_propagation",
+    "Weighted synchronous label-propagation communities over the event "
+    "click-transition graph — the community-detection sibling of g01's "
+    "PageRank and d31's connected components (CC merges anything "
+    "connected; majority-label propagation keeps densely linked "
+    "groups distinct): labels start as node ids, each round every "
+    "node adopts its neighbors' weight-heaviest label (ties to the "
+    "smallest), two synchronous rounds. Per round: one label join on "
+    "the edge-sized adjacency, one (node, label) aggregate, the "
+    "packed-struct argmax, one vertex-set left join; the oracle "
+    "unrolls the same rounds (operators/graph.label_propagation).",
+    oracle=graph.label_prop_oracle_sql(iters=2),
+    category="graph",
+)
+def g04_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    node = F.get_json_object("props", "$.k").cast("long")
+    edges = graph.transition_edges(events, node)
+    nodes = (
+        events.select(node.alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+    )
+    return graph.label_propagation(edges, nodes, iters=2).orderBy("node")

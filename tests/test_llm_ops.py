@@ -1641,3 +1641,30 @@ class TestDftBinEnergy:
         # and dr = -96 exactly; any truncate/floor mismatch shows as
         # (|dr|-1)^2 vs dr^2
         assert multimodal.dft_bin_energy(x, 0) == 96 * 96
+
+
+def test_label_propagation_separates_dense_communities(spark):
+    """Two weight-5 triangles joined by a weight-1 bridge: after two
+    synchronous rounds each triangle converges to one label and the
+    bridge does NOT merge them (the property separating majority-label
+    propagation from connected components, which would return a single
+    cluster here). Every step hand-derivable from the tie rule
+    (max weight, then smallest label)."""
+    from etl_example_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 5), (2, 3, 5), (1, 3, 5),
+            (10, 11, 5), (11, 12, 5), (10, 12, 5),
+            (3, 10, 1),
+        ],
+        "src long, dst long, c long",
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 10, 11, 12)], "node long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(edges, nodes, iters=2).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
