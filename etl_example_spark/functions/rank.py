@@ -8,39 +8,59 @@ a 100 M-term vocabulary, a 100 TB corpus scan — sorts on ONE task
 Yet exact global ``row_number``/``NTILE``/running totals are legitimate
 asks (decile budgeting, coverage curves, hybrid-retrieval rank fusion).
 
-This module computes them the way a distributed engine should — the
-classic two-pass range-partitioned rank:
+This module computes them as the classic two-pass rank — local rank
+within a range partition + the earlier partitions' row counts — with
+one deliberate twist: the range partition id is a **pure function of
+the row's own key**, never of execution state.
 
-1. ``repartitionByRange(order)`` — Spark's range partitioner (the same
-   machinery behind ``orderBy``) splits the input into partitions that
-   are globally ordered BETWEEN partitions; rows sort locally WITHIN
-   each via an ordinary partitioned window keyed on
-   ``spark_partition_id()``.
-2. Per-partition row counts (a ``numPartitions``-row aggregate — bounded
-   by cluster topology, not data) turn into exclusive prefix offsets
-   with one window over those few rows; a broadcast join adds each
-   partition's offset to its local ranks.
+Why not ``repartitionByRange`` + ``spark_partition_id()``: Spark's
+range partitioner samples its boundaries with a seed derived from the
+materialized RDD's id, so two materializations of the same logical
+subtree pick DIFFERENT boundaries. Any DAG that forks above the
+exchange (the count pass and the local-rank pass both consume it)
+is only consistent if Catalyst's ReuseExchange deduplicates the two
+subtrees — and per-branch column pruning silently defeats that (the
+count branch prunes payload columns, the rank branch keeps them, the
+canonical forms diverge, each branch samples its own boundaries, and
+the offsets mis-align: an observed, reproducible wrong answer, 11
+"deciles" from NTILE(10)). Cache is no stronger: a recomputed cached
+partition (executor loss — routine on a 1000-node cluster) replays the
+nondeterministic sample per-branch. Correctness may not depend on an
+optimizer rule firing.
 
-``global rank = local rank + (rows in all earlier range partitions)`` —
-exact, deterministic, and every corpus-sized structure stays
-distributed. The only single-partition window left is over the
-``numPartitions``-row count table, which is bounded input by
-construction (plan-lint recognizes the ``__gr_pid`` key).
+So the boundaries are computed once, deterministically, from the data:
 
-Both consumers of the range exchange (the local-rank window and the
-count aggregate) share one canonicalized subtree, so Catalyst's
-ReuseExchange (and AQE stage reuse) materializes the range shuffle
-ONCE — the per-partition counts and the local ranks are guaranteed to
-see the same partition boundaries. ``tests/test_rank.py`` pins
-the reuse in the physical plan, because the offsets would silently
-mis-align if the two branches ever recomputed the exchange with
-different sampled boundaries.
+1. One bounded sampling pass: the ``S`` rows with the smallest
+   ``xxhash64`` of the key (``orderBy(hash).limit(S)`` — a
+   TakeOrderedAndProject per-partition heap, one scan, ≤ S rows to the
+   driver). A hash-bottom-S sample is a uniform random sample that any
+   re-execution reproduces bit-for-bit.
+2. The driver sorts the ≤ S sampled keys under the requested order
+   spec and keeps ``numPartitions − 1`` evenly spaced, deduplicated
+   boundary keys — a bounded literal array shipped into the plan.
+3. In-row, ``__gr_pid = |{b : b <ₛₚₑ𝚌 key(row)}|`` (an ``F.filter``
+   fold over the literal boundaries with an explicit lexicographic
+   comparator honoring per-column direction and null placement). The
+   count of a fixed set under a monotone predicate is monotone in the
+   key, so ``global order ≡ (pid, local order)`` holds for ANY fixed
+   boundary set — sampling quality affects balance only, never
+   correctness — and every fork/recompute assigns identical pids.
+4. Local rank: ordinary window partitioned by ``__gr_pid``; offsets:
+   per-pid counts (a ``≤ numPartitions``-row aggregate) turned into
+   exclusive prefix sums by the one remaining single-partition window —
+   over bounded input by construction (plan-lint recognizes the
+   ``__gr_pid`` key) — then broadcast-joined back.
+
+Cost: the sampling pass re-evaluates the key expressions once. That is
+not an overhead vs ``orderBy``: Spark's own range sort runs the same
+hidden sampling job over its child; this one is merely deterministic.
+The per-row pid fold is O(numPartitions) comparisons — fine through a
+few hundred partitions; past that, unroll a log₂(P) binary search over
+the same literal array (documented lever, not needed at current P).
 
 Correctness requires the order to be a TOTAL order (callers pass a
 unique tie-break column, the same discipline every registered top-k
-query already follows): range boundaries may split ties across
-partitions, which is harmless for row_number only when no two rows
-compare equal.
+query already follows).
 
 Replaces the reference pattern of ``NTILE(n) OVER (ORDER BY ...)`` /
 ``ROW_NUMBER() OVER (ORDER BY ...)`` (PostgreSQL window SQL, cf.
@@ -50,7 +70,9 @@ not an option.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Sequence
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -64,10 +86,164 @@ _CNT = "__gr_cnt"
 _SUM_LOCAL = "__gr_sum_local"
 _SUM_OFF = "__gr_sum_off"
 
+#: sample size per requested partition — enough for a few-percent
+#: balance error; the driver never sees more than _SAMPLES_PER_PART * P
+#: narrow key tuples.
+_SAMPLES_PER_PART = 40
+
+
+@dataclass(frozen=True)
+class Ord:
+    """One column of an order spec: expression, direction, null placement.
+
+    ``nulls_last=None`` takes Spark's defaults (ASC → nulls first,
+    DESC → nulls last), matching ``F.asc``/``F.desc``.
+    """
+
+    expr: str
+    asc: bool = True
+    nulls_last: bool | None = None
+
+    @property
+    def effective_nulls_last(self) -> bool:
+        return (not self.asc) if self.nulls_last is None else self.nulls_last
+
+    def spark_col(self) -> Column:
+        c = F.col(self.expr)
+        if self.asc:
+            return (
+                c.asc_nulls_last()
+                if self.effective_nulls_last
+                else c.asc_nulls_first()
+            )
+        return (
+            c.desc_nulls_last()
+            if self.effective_nulls_last
+            else c.desc_nulls_first()
+        )
+
+    def py_cmp(self, x, y) -> int:
+        """Driver-side comparator for sampled key values — only picks
+        WHICH sampled keys become boundaries (balance), never their
+        correctness, so Python/JVM collation drift is harmless."""
+        if x is None and y is None:
+            return 0
+        if x is None:
+            return 1 if self.effective_nulls_last else -1
+        if y is None:
+            return -1 if self.effective_nulls_last else 1
+        if x == y:
+            return 0
+        lt = x < y
+        return (-1 if lt else 1) if self.asc else (1 if lt else -1)
+
+    def field_before(self, x: Column, y: Column) -> Column:
+        """Strict 'x sorts before y' on this field, in-engine."""
+        nulls_first = not self.effective_nulls_last
+        base = (x < y) if self.asc else (x > y)
+        return (
+            F.when(x.isNull() & y.isNull(), F.lit(False))
+            .when(x.isNull(), F.lit(nulls_first))
+            .when(y.isNull(), F.lit(not nulls_first))
+            .otherwise(base)
+        )
+
+
+def _key_before(order: Sequence[Ord], xs: list[Column], ys: list[Column]) -> Column:
+    """Lexicographic strict 'xs before ys' under the order spec."""
+    out = F.lit(False)
+    for i in range(len(order) - 1, -1, -1):
+        o = order[i]
+        out = F.when(
+            o.field_before(xs[i], ys[i]), F.lit(True)
+        ).when(xs[i].eqNullSafe(ys[i]), out).otherwise(F.lit(False))
+    return out
+
+
+def _deterministic_boundaries(
+    df: DataFrame, order: Sequence[Ord], n_parts: int
+) -> list[tuple]:
+    """One bounded pass: hash-bottom-S sample of the key tuples, driver
+    sort under the spec, ≤ n_parts − 1 deduplicated split keys."""
+    cols = [o.expr for o in order]
+    s = _SAMPLES_PER_PART * n_parts
+    h = F.xxhash64(*[F.col(c) for c in cols])
+    sample = (
+        df.select(*cols)
+        .orderBy(h.asc(), *[o.spark_col() for o in order])
+        .limit(s)
+        .collect()
+    )
+    if len(sample) < 2:
+        return []
+
+    def tup_cmp(a, b):
+        for i, o in enumerate(order):
+            c = o.py_cmp(a[i], b[i])
+            if c:
+                return c
+        return 0
+
+    keys = sorted((tuple(r) for r in sample), key=functools.cmp_to_key(tup_cmp))
+    bounds: list[tuple] = []
+    for i in range(1, n_parts):
+        k = keys[min(i * len(keys) // n_parts, len(keys) - 1)]
+        if not bounds or tup_cmp(bounds[-1], k) < 0:
+            bounds.append(k)
+    return bounds
+
+
+def _pid_column(
+    df: DataFrame, order: Sequence[Ord], bounds: list[tuple]
+) -> Column:
+    """``|{b : b <spec key}|`` over the literal boundary array — the
+    deterministic, fork-safe range partition id."""
+    if not bounds:
+        return F.lit(0)
+    types = {
+        f.name: f.dataType
+        for f in df.select(*[o.expr for o in order]).schema.fields
+    }
+    fields = [o.expr for o in order]
+    lit_bounds = F.array(
+        *[
+            F.struct(
+                *[
+                    F.lit(b[i]).cast(types[fields[i]]).alias(f"_b{i}")
+                    for i in range(len(fields))
+                ]
+            )
+            for b in bounds
+        ]
+    )
+    key = [F.col(c) for c in fields]
+    return F.size(
+        F.filter(
+            lit_bounds,
+            lambda b: _key_before(
+                order, [b[f"_b{i}"] for i in range(len(fields))], key
+            ),
+        )
+    )
+
+
+def _as_ord(order: Sequence[Ord]) -> list[Ord]:
+    out = []
+    for o in order:
+        if not isinstance(o, Ord):
+            raise TypeError(
+                "order must be a sequence of rank.Ord specs (the "
+                "primitive needs direction/null placement introspectable "
+                "to build its deterministic partitioner); got "
+                f"{type(o).__name__}"
+            )
+        out.append(o)
+    return out
+
 
 def global_row_number(
     df: DataFrame,
-    order: Sequence[Column],
+    order: Sequence[Ord],
     out: str = "rank",
     running_sum_col: str | Column | None = None,
     running_sum_out: str = "running_sum",
@@ -75,7 +251,8 @@ def global_row_number(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact ``ROW_NUMBER() OVER (ORDER BY order)`` as a new long column
-    ``out`` — two-pass range-partitioned, no single-task sort.
+    ``out`` — two-pass rank over deterministic data-derived range
+    partitions, no single-task sort.
 
     ``order`` must be a total order over ``df`` (include a unique
     tie-break column). When ``running_sum_col`` is given, the running
@@ -84,20 +261,24 @@ def global_row_number(
     earlier partitions' total rides the same offsets join) into
     ``running_sum_out``. When ``total_out`` is given, the TOTAL row
     count rides along as a constant column of that name — folded from
-    the numPartitions-row count table (one more reuse of the range
-    exchange), never a second scan of ``df``.
+    the bounded count table, never a second scan of ``df``.
+
+    Builds eagerly run the bounded sampling pass (≤ 40·P key tuples to
+    the driver) — the deterministic stand-in for the sampling job
+    Spark's own range sort would run anyway.
     """
+    order = _as_ord(order)
     spark = df.sparkSession
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    order = list(order)
 
-    ranged = df.repartitionByRange(n, *order).withColumn(
-        _PID, F.spark_partition_id()
+    bounds = _deterministic_boundaries(df, order, n)
+    ranged = df.withColumn(_PID, _pid_column(df, order, bounds))
+
+    w_local = Window.partitionBy(_PID).orderBy(
+        *[o.spark_col() for o in order]
     )
-
-    w_local = Window.partitionBy(_PID).orderBy(*order)
     local_cols = [F.row_number().over(w_local).alias(_LOCAL)]
     sum_expr = (
         F.col(running_sum_col)
@@ -113,8 +294,10 @@ def global_row_number(
     local = ranged.select("*", *local_cols)
 
     # Pass 2: per-partition totals -> exclusive prefix offsets. The
-    # aggregate is numPartitions rows; the prefix window over it is the
-    # ONLY single-partition window, over bounded input by construction.
+    # aggregate is <= numPartitions rows; the prefix window over it is
+    # the ONLY single-partition window, over bounded input by
+    # construction. This branch re-evaluates the (deterministic) pid —
+    # fork-safe by design, no exchange reuse required.
     aggs = [F.count("*").alias(_CNT)]
     if sum_expr is not None:
         aggs.append(F.sum(sum_expr).alias(_SUM_OFF + "_part"))
@@ -153,7 +336,7 @@ def global_row_number(
 
 def global_ntile(
     df: DataFrame,
-    order: Sequence[Column],
+    order: Sequence[Ord],
     n_buckets: int,
     out: str = "bucket",
     num_partitions: int | None = None,

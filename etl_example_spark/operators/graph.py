@@ -80,6 +80,28 @@ def transition_edges(
     return steps.groupBy("src", "dst").agg(F.count("*").alias("c"))
 
 
+def event_graph_nodes(
+    events: DataFrame,
+    node_col,
+    user_col: str = "user_id",
+    order_col: str = "ts",
+) -> DataFrame:
+    """The event graph's vertex set — distinct non-null node values from
+    exactly the rows :func:`transition_edges` sequences (user and
+    primary order column non-null, mirroring EVENT_GRAPH_SQL's ``ev``
+    filter). A page appearing ONLY in NULL-user/NULL-ts events
+    contributes no step, so it must not appear as an isolated vertex
+    either — the engine and the SQL oracles must agree on that row."""
+    return (
+        events.filter(
+            F.col(user_col).isNotNull() & F.col(order_col).isNotNull()
+        )
+        .select(node_col.alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+    )
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame,

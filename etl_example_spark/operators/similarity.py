@@ -875,15 +875,21 @@ def hybrid_search_rrf(
     arithmetic, so the fused ordering is engine-portable.
 
     The RAG retrieval shape: both rankings come from single corpus
-    scans (the query vector broadcasts; the term list is a literal),
-    ranks are corpus-wide windows over the scored rows, and only the
-    fused top-k survives. At 100 TB each arm is served by its index
-    (inverted text index / ANN) producing per-arm top-N shortlists;
-    the fusion step is unchanged — it only ever sees shortlist rows.
+    scans (the query vector broadcasts; the term list is a literal).
+    Because the OUTPUT exposes each arm's exact global rank, the arms
+    rank via :func:`functions.rank.global_row_number` — the two-pass
+    range-partitioned rank over the narrow (doc_id, score) projection —
+    never an unpartitioned window (which would funnel the corpus
+    through one task). Only the fused top-k survives
+    (TakeOrderedAndProject). At 100 TB a shortlist-serving deployment
+    drops the exact-global-rank contract and serves each arm from its
+    index (BM25 postings: text.bm25_topk_from_postings; ANN:
+    ivf_topk) — the fusion arithmetic is unchanged either way.
 
     Returns (doc_id, kw_score, kw_rank, cosine_sim, sem_rank,
     rrf_score) for the fused top-k, ties broken by doc_id.
     """
+    from etl_example_spark.functions.rank import Ord, global_row_number
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     kw_score = None
     for t in query_terms:
@@ -904,16 +910,18 @@ def hybrid_search_rrf(
             F.round(cosine(vec_col, "query_vec"), 6).alias("cosine_sim"),
         )
     )
-    w_kw = Window.orderBy(F.desc("kw_score"), F.asc("doc_id"))
-    w_sem = Window.orderBy(F.desc("cosine_sim"), F.asc("doc_id"))
+    ranked_kw = global_row_number(
+        scored_kw,
+        [Ord("kw_score", asc=False), Ord("doc_id")],
+        out="kw_rank",
+    )
+    ranked_sem = global_row_number(
+        scored_sem,
+        [Ord("cosine_sim", asc=False), Ord("doc_id")],
+        out="sem_rank",
+    )
     ranked = (
-        scored_kw.withColumn("kw_rank", F.row_number().over(w_kw))
-        .join(
-            scored_sem.withColumn(
-                "sem_rank", F.row_number().over(w_sem)
-            ),
-            "doc_id",
-        )
+        ranked_kw.join(ranked_sem, "doc_id")
         .withColumn(
             "rrf_score",
             F.expr(f"1000000 div ({rrf_k} + kw_rank)")

@@ -3668,9 +3668,13 @@ def s43_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Vocabulary coverage curve (tokenizer sizing): corpus token counts "
     "ranked by frequency, with cumulative counts and integer-permille "
     "coverage at each rank — how much of the corpus the top-k vocabulary "
-    "explains. The ranking window runs over the AGGREGATED vocab table "
-    "(vocab-sized, not corpus-sized); the corpus itself sees one "
-    "partial-aggregated count pass.",
+    "explains. The corpus sees one partial-aggregated count pass; the "
+    "top 20 terms are taken FIRST (TakeOrderedAndProject — a per-"
+    "partition heap, never a global sort), and rank/cum_count are "
+    "windowed over those 20 rows only. A running sum over ranks 1..k "
+    "touches only rows of rank < k, so restricting the window to the "
+    "top-k rows is exact — the 100M-term vocabulary never crosses one "
+    "task.",
     oracle=f"""
         WITH t AS (
             SELECT unnest({SQL_TOKS}) AS tok FROM documents
@@ -3706,8 +3710,12 @@ def d68_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = toks.groupBy("tok").agg(F.count("*").alias("tok_count"))
     # fold the total from the vocab-sized aggregate, not a second scan
     total = cnt.agg(F.sum("tok_count").alias("corpus_toks"))
+    # top-20 FIRST: orderBy().limit() plans TakeOrderedAndProject (a
+    # per-partition heap + 20-row merge). Ranking the 20 survivors is
+    # exact because a rank-k running sum only reads rows ranked < k.
+    top = cnt.orderBy(F.desc("tok_count"), F.asc("tok")).limit(20)
     w = Window.orderBy(F.desc("tok_count"), F.asc("tok"))
-    ranked = cnt.select(
+    ranked = top.select(
         "tok",
         "tok_count",
         F.row_number().over(w).alias("rank"),
@@ -3716,8 +3724,7 @@ def d68_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cum_count"),
     )
     return (
-        ranked.filter(F.col("rank") <= 20)
-        .crossJoin(F.broadcast(total))
+        ranked.crossJoin(F.broadcast(total))
         .select(
             F.col("rank").cast("bigint").alias("rank"),
             "tok",
@@ -3774,23 +3781,18 @@ def d69_domain_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", F.explode(text.tokens("text")).alias("tok")
     )
-    from pyspark.sql import Window
-
     st = toks.groupBy("source", "tok").agg(F.count("*").alias("n"))
     src_tot = st.groupBy("source").agg(F.sum("n").alias("t_src"))
-    # the corpus total rides along as a whole-table window over the
-    # VOCAB-SIZED aggregate (one Exchange Single of vocab rows) — not a
-    # second corpus scan, and no separate one-row branch to re-join
-    tok_tot = (
-        st.groupBy("tok")
-        .agg(F.sum("n").alias("t_tok"))
-        .withColumn(
-            "t_all", F.sum("t_tok").over(Window.partitionBy(F.lit(1)))
-        )
-    )
+    tok_tot = st.groupBy("tok").agg(F.sum("n").alias("t_tok"))
+    # the corpus total folds from the SOURCE-cardinality aggregate (a
+    # #sources-row reduce), broadcast as a one-row constant — never a
+    # whole-table window over the vocab-sized tok_tot (a 100M-row
+    # single-task pass at corpus scale)
+    t_all = src_tot.agg(F.sum("t_src").alias("t_all"))
     return (
         st.join(src_tot, "source")
         .join(tok_tot, "tok")
+        .crossJoin(F.broadcast(t_all))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_shared_tokens"),
@@ -4735,13 +4737,9 @@ def g01_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     node = F.get_json_object("props", "$.k").cast("long")
     edges = graph.transition_edges(events, node)
-    # events missing the 'k' prop are not vertices (mirrors the oracle's
-    # page IS NOT NULL — NULL ordering differs between engines)
-    nodes = (
-        events.select(node.alias("node"))
-        .filter(F.col("node").isNotNull())
-        .distinct()
-    )
+    # vertex set from the same ev filter as the oracle (user/ts/node
+    # non-null — graph.event_graph_nodes documents why)
+    nodes = graph.event_graph_nodes(events, node)
     return graph.pagerank(edges, nodes, iters=4).orderBy("node")
 
 
@@ -4810,7 +4808,12 @@ def g03_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     node = F.get_json_object("props", "$.k").cast("long")
     edges = graph.transition_edges(events, node)
-    source = events.agg(F.min(node).alias("s")).collect()[0]["s"]
+    # source from the oracle's ev set (user/ts non-null), not raw events
+    source = (
+        graph.event_graph_nodes(events, node)
+        .agg(F.min("node").alias("s"))
+        .collect()[0]["s"]
+    )
     if source is None:  # empty corpus: no source, no levels
         return spark.createDataFrame([], "node long, dist long")
     return graph.bfs_levels(edges, int(source), max_depth=4).orderBy(
@@ -6750,11 +6753,16 @@ def m46_dct_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH {_psl_domain_ctes()},
         sig AS (
+            -- NULL-safe join (d106's NULL-id discipline): the engine
+            -- computes host/domain/signals in-row with no join, so a
+            -- NULL-id degenerate doc must land in the NULL-domain
+            -- group on both engines, not silently drop from the oracle
             SELECT d.doc_id, d.host, d.domain,
                    len({SQL_TOKS}) AS n_toks,
                    len(list_distinct({SQL_TOKS})) AS n_distinct,
                    md5({SQL_NORM}) AS fp
-            FROM dom d JOIN documents USING (doc_id)
+            FROM dom d JOIN documents
+              ON d.doc_id IS NOT DISTINCT FROM documents.doc_id
         )
         SELECT domain,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -6911,11 +6919,13 @@ def s55_sq8_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assigns quality quartiles, and a 50% token budget allocates "
     "across quartiles by integer weights 1..4 (floor arithmetic, the "
     "d95 discipline) with a per-quartile sampling rate in permille. "
-    "Plan: the entropy aggregates partial-map; the NTILE sorts "
-    "(doc_id, int) pairs only — text never reaches the window; the "
-    "budget math runs over 4 rows. Production at 100 TB swaps exact "
-    "NTILE for approx-quantile boundaries (q61's sketch) — the exact "
-    "form here is what makes the whole plan hash-verifiable "
+    "Plan: the entropy aggregates partial-map; the NTILE runs on "
+    "functions/rank.global_ntile (two-pass range-partitioned — no "
+    "single-task sort) over (doc_id, int) pairs only — text never "
+    "reaches the rank; the budget math runs over 4 rows. Production "
+    "at 100 TB can still swap exact NTILE for approx-quantile "
+    "boundaries (q61's sketch) to skip the rank shuffle entirely — "
+    "the exact form here is what makes the whole plan hash-verifiable "
     "(operators/text.token_entropy + the d95 budget arithmetic).",
     oracle=f"""
         WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
@@ -6968,22 +6978,24 @@ def s55_sq8_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d109_quality_bucket_budget(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import Window
+    from etl_example_spark.functions.rank import Ord, global_ntile
 
     docs = load_table(spark, sf_dir, "documents")
     ent = text.token_entropy(docs)
-    w = Window.orderBy("entropy_micro", "doc_id")
-    b = ent.select(
-        "doc_id",
-        "n_tokens",
-        F.ntile(4).over(w).cast("long").alias("qb"),
+    b = global_ntile(
+        ent.select("doc_id", "n_tokens", "entropy_micro"),
+        [Ord("entropy_micro"), Ord("doc_id")],
+        4,
+        out="qb",
     )
     per = b.groupBy("qb").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("tokens"),
     )
-    tot = per.withColumn(
-        "t_total", F.sum("tokens").over(Window.partitionBy())
+    # corpus token total folded from the 4-row quartile aggregate — a
+    # broadcast scalar, not an empty-partition window over `per`
+    tot = per.crossJoin(
+        F.broadcast(per.agg(F.sum("tokens").cast("long").alias("t_total")))
     )
     return tot.select(
         "qb",
@@ -7085,6 +7097,14 @@ def s56_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "chunk_id",
             "start_token",
+            # ROUND-6 of a double computed by two engines (this fold vs
+            # DuckDB list_cosine_similarity) — the s31 pattern. Safe
+            # here by a shared-formula argument: components are exact
+            # small integers (ascii codes 48..102, dim 16), so dot and
+            # norms are exact in double and both engines evaluate the
+            # same dot/sqrt(n1*n2) expression; a 1-ulp divergence at a
+            # rounding boundary would need the engines to disagree on
+            # one fused divide+sqrt over exact inputs.
             F.round(similarity.cosine("v", "qv"), 6).alias("cosine_sim"),
         )
         .orderBy(
@@ -7414,9 +7434,6 @@ def g04_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     node = F.get_json_object("props", "$.k").cast("long")
     edges = graph.transition_edges(events, node)
-    nodes = (
-        events.select(node.alias("node"))
-        .filter(F.col("node").isNotNull())
-        .distinct()
-    )
+    # same vertex-set filter as the oracle's ev CTE (user/ts non-null)
+    nodes = graph.event_graph_nodes(events, node)
     return graph.label_propagation(edges, nodes, iters=2).orderBy("node")

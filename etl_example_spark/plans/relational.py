@@ -2769,10 +2769,11 @@ def q89_regexp_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "NTILE decile assignment with a deterministic tie-break (orderkey, "
     "linenumber) — the quantile-bucketing window the rank family (q59) "
     "lacks; per-decile exact cents sums and bounds prove the bucket "
-    "edges agree across engines. Scale note: an unpartitioned NTILE is "
-    "a global sort onto one task by definition — at 100 TB assign "
-    "buckets by joining against percentile_approx cutpoints instead "
-    "(q61's sketch); this query is the exact-semantics reference.",
+    "edges agree across engines. The decile assignment runs on "
+    "functions/rank.global_ntile — the two-pass range-partitioned "
+    "exact NTILE — so even the exact-semantics reference never "
+    "funnels the fact table through one task; at 100 TB the cheaper "
+    "alternative remains percentile_approx cutpoints (q61's sketch).",
     oracle="""
         WITH ranked AS (
             SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
@@ -2791,18 +2792,28 @@ def q89_regexp_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q90_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from etl_example_spark.functions.rank import Ord, global_ntile
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     # NULLS LAST: a NULL price sorting first (Spark's ASC default)
     # shifts every decile boundary vs DuckDB's nulls-last
-    w = Window.orderBy(
-        F.asc_nulls_last("l_extendedprice"), "l_orderkey", "l_linenumber"
-    )
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    narrow = lineitem.select(
+        cents.alias("cents"),
+        F.col("l_extendedprice"),
+        "l_orderkey",
+        "l_linenumber",
+    )
     return (
-        lineitem.select(
-            cents.alias("cents"), F.ntile(10).over(w).alias("decile")
+        global_ntile(
+            narrow,
+            [
+                Ord("l_extendedprice", nulls_last=True),
+                Ord("l_orderkey"),
+                Ord("l_linenumber"),
+            ],
+            10,
+            out="decile",
         )
         .groupBy("decile")
         .agg(

@@ -44,6 +44,16 @@ def degen_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
                         event_type="click", value=1.0, props='{"k": 1}'),
                     Row(event_id=9_000_002, ts=max_ts, user_id=None,
                         event_type=None, value=None, props=None),
+                    # pages that exist ONLY in NULL-ts / NULL-user rows:
+                    # the graph queries must not emit them as isolated
+                    # vertices (engine vertex set == the oracles' ev
+                    # filter — graph.event_graph_nodes)
+                    Row(event_id=9_000_003, ts=None, user_id=77,
+                        event_type="click", value=1.0,
+                        props='{"k": 9999999}'),
+                    Row(event_id=9_000_004, ts=max_ts, user_id=None,
+                        event_type="click", value=1.0,
+                        props='{"k": 9999998}'),
                 ],
                 df.schema,
             )

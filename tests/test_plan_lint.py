@@ -49,10 +49,12 @@ _CROSS_JOIN_BY_DESIGN = {
     "d52_tfidf_top_terms",  # broadcast one-row corpus-size aggregate
     "d65_unigram_rarity",  # broadcast one-row corpus-token-total aggregate
     "d68_vocab_coverage",  # broadcast one-row corpus-token-total aggregate
+    "d69_domain_shift",  # broadcast one-row corpus-token-total aggregate
     "d83_bigram_logprob_quality",  # broadcast one-row vocab-size aggregate
     "s51_bm25_topk",  # broadcast one-row (N, T) corpus-totals aggregate
     "s53_bm25_index_serve",  # broadcast one-row (N, T) stored totals
     "d95_token_budget_plan",  # broadcast one-row budget-totals aggregate
+    "d109_quality_bucket_budget",  # broadcast one-row token-total aggregate
     "m38_encode_then_search",  # broadcast query-vector block (brute force)
 }
 
@@ -86,6 +88,65 @@ def test_bounded_exchange_count(plans, name):
     a re-computed subtree."""
     n_exchanges = len(re.findall(r"\bExchange (?:hash|range|Single)", plans[name]))
     assert n_exchanges < 10, f"{name}: {n_exchanges} exchanges"
+
+
+#: single-partition windows whose input is bounded by a KEY DOMAIN the
+#: plan string cannot reveal — justified per entry, reviewed per round.
+_SINGLE_PARTITION_WINDOW_BY_DESIGN = {
+    # running total over a per-month aggregate: the window input is one
+    # row per calendar month (~1.2k rows/century at ANY corpus size)
+    "q8_window_running_total",
+}
+
+
+def _depth(line: str) -> int:
+    m = re.search(r"[+:]-", line)
+    return m.start() if m else -1
+
+
+def _unbounded_single_partition_windows(plan: str) -> list[str]:
+    """Window operators fed by Exchange SinglePartition with no bounded-
+    input marker (TakeOrdered/GlobalLimit/CollectLimit below, or the
+    rank primitive's __gr_pid count table) anywhere in their subtree."""
+    lines = plan.splitlines()
+    bad = []
+    for i, ln in enumerate(lines):
+        if "Window " not in ln:
+            continue
+        d = _depth(ln)
+        sub = []
+        for j in range(i + 1, len(lines)):
+            dj = _depth(lines[j])
+            if 0 <= dj <= d:
+                break
+            sub.append(lines[j])
+        # the window chain is unary until its input exchange, so the
+        # first Exchange in the subtree is the window's own
+        first_ex = next((s for s in sub if "Exchange" in s), None)
+        if not first_ex or "Exchange SinglePartition" not in first_ex:
+            continue
+        rest = " ".join(sub)
+        if not re.search(
+            r"TakeOrderedAndProject|GlobalLimit|CollectLimit|keys=\[__gr_pid",
+            rest,
+        ):
+            bad.append(ln.strip()[:120])
+    return bad
+
+
+@pytest.mark.parametrize("name", _BATCH)
+def test_no_unbounded_single_partition_window(plans, name):
+    """An unpartitioned Window over unbounded input moves ALL data to a
+    single task (Spark logs exactly that) — the one plan shape that is
+    always wrong at 100 TB. Exact global order statistics must go
+    through functions/rank.global_row_number / global_ntile (two-pass,
+    deterministic range partitions; its only single-partition window
+    reads the bounded __gr_pid count table) or take a top-k limit
+    first (TakeOrderedAndProject bounds the window input)."""
+    if name in _SINGLE_PARTITION_WINDOW_BY_DESIGN:
+        return
+    bad = _unbounded_single_partition_windows(plans[name])
+    assert not bad, f"{name}: unpartitioned Window over unbounded input: {bad}"
 
 
 def test_filters_push_into_parquet_scans(spark, sf_dir):

@@ -5,21 +5,23 @@ The primitive exists so that exact global order statistics (rank,
 running totals, NTILE) never funnel corpus-sized input through the one
 task that `Window.orderBy` without a partition spec requires. These
 tests pin (a) bit-exact agreement with the window semantics, including
-NULL ordering and fewer-rows-than-buckets NTILE edges, and (b) the plan
-property the design depends on: the range exchange is materialized ONCE
-and reused (AQE ReusedExchange), so the count pass and the local-rank
-pass are guaranteed to see identical partition boundaries.
+NULL ordering and fewer-rows-than-buckets NTILE edges, and (b) the
+property the design depends on: the partition id is a pure function of
+the row's key, so the count pass and the local-rank pass agree even
+when Catalyst materializes their subtrees independently — exchange
+reuse OFF is the adversarial configuration that broke the previous
+spark_partition_id()-based design (column pruning de-duplicated the
+range exchanges, each resampled boundaries, NTILE(10) returned 11
+buckets).
 """
 
 from __future__ import annotations
-
-import re
 
 import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from etl_example_spark.functions.rank import global_ntile, global_row_number
+from etl_example_spark.functions.rank import Ord, global_ntile, global_row_number
 
 
 @pytest.fixture(scope="module")
@@ -32,18 +34,20 @@ def skewed(spark):
     )
 
 
-def ORDER():
-    # built lazily: Column constructors need an active SparkContext
+ORDER = [Ord("v", asc=False, nulls_last=True), Ord("id")]
+
+
+def _window_order():
     return [F.desc_nulls_last("v"), F.asc("id")]
 
 
 def test_global_row_number_matches_window(skewed):
     got = global_row_number(
-        skewed, ORDER(), out="r",
+        skewed, ORDER, out="r",
         running_sum_col=F.coalesce("v", F.lit(0)),
         running_sum_out="rs", total_out="tot",
     )
-    w = Window.orderBy(*ORDER())
+    w = Window.orderBy(*_window_order())
     exp = skewed.select(
         "*",
         F.row_number().over(w).alias("r"),
@@ -59,9 +63,9 @@ def test_global_row_number_matches_window(skewed):
 
 @pytest.mark.parametrize("nb", [4, 7, 10])
 def test_global_ntile_matches_window(skewed, nb):
-    got = global_ntile(skewed, ORDER(), nb, out="b")
+    got = global_ntile(skewed, ORDER, nb, out="b")
     exp = skewed.select(
-        "*", F.ntile(nb).over(Window.orderBy(*ORDER())).alias("b")
+        "*", F.ntile(nb).over(Window.orderBy(*_window_order())).alias("b")
     )
     assert {tuple(x) for x in got.select("v", "id", "b").collect()} == {
         tuple(x) for x in exp.collect()
@@ -70,32 +74,66 @@ def test_global_ntile_matches_window(skewed, nb):
 
 def test_global_ntile_fewer_rows_than_buckets(spark):
     tiny = spark.range(0, 3)
-    got = global_ntile(tiny, [F.asc("id")], 10, out="b")
+    got = global_ntile(tiny, [Ord("id")], 10, out="b")
     assert sorted(tuple(x) for x in got.collect()) == [(0, 1), (1, 2), (2, 3)]
 
 
-def test_range_exchange_is_reused_not_resampled(skewed):
-    """Offsets are only correct if the count pass and the local-rank pass
-    see the SAME range boundaries. Spark samples boundaries per exchange
-    materialization, so the two branches MUST resolve to one reused
-    exchange — assert AQE's final plan says so."""
-    got = global_row_number(skewed, ORDER(), out="r", total_out="tot")
-    got.collect()
-    plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "isFinalPlan=true" in plan
-    assert re.search(
-        r"ReusedExchange \[[^\]]*\], Exchange rangepartitioning", plan
-    ), plan[:3000]
+def test_exact_with_exchange_reuse_disabled(spark, skewed):
+    """The adversarial configuration: every fork of the lineage
+    materializes its own subtree (no ReuseExchange, no AQE stage reuse).
+    A partition id derived from execution state (repartitionByRange +
+    spark_partition_id) gives WRONG offsets here, because each branch's
+    range exchange samples boundaries with a different rdd.id seed. The
+    deterministic in-row pid must stay exact."""
+    prev_reuse = spark.conf.get("spark.sql.exchange.reuse", "true")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        got = global_row_number(skewed, ORDER, out="r", total_out="tot")
+        rows = got.select("r").collect()
+        ranks = sorted(x[0] for x in rows)
+        assert ranks == list(range(1, 20001))
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", prev_reuse)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_pid_spreads_rows_across_partitions(skewed):
+    """The point of the primitive: no corpus-sized single task. With
+    default partitioning the deterministic boundaries must spread the
+    20k rows over many pids, the largest holding a small fraction."""
+    from etl_example_spark.functions.rank import (
+        _PID,
+        _deterministic_boundaries,
+        _pid_column,
+    )
+
+    bounds = _deterministic_boundaries(skewed, ORDER, 8)
+    assert len(bounds) >= 4
+    dist = (
+        skewed.withColumn(_PID, _pid_column(skewed, ORDER, bounds))
+        .groupBy(_PID)
+        .count()
+        .collect()
+    )
+    assert len(dist) >= 4
+    assert max(r["count"] for r in dist) < 20000 * 0.6
 
 
 def test_no_unbounded_single_partition_window(skewed):
     """The only SinglePartition exchange in the primitive's plan feeds
-    the numPartitions-row offsets window (HashAggregate keyed on
-    __gr_pid) — bounded input by construction."""
-    got = global_row_number(skewed, ORDER(), out="r")
+    the bounded offsets window (HashAggregate keyed on __gr_pid) or the
+    one-row total aggregate — bounded input by construction."""
+    got = global_row_number(skewed, ORDER, out="r")
     plan = got._jdf.queryExecution().executedPlan().toString()
     lines = plan.splitlines()
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" in ln:
             below = " ".join(lines[i + 1 : i + 4])
             assert "__gr_pid" in below, below
+
+
+def test_requires_ord_specs(skewed):
+    with pytest.raises(TypeError):
+        global_row_number(skewed, [F.desc("v")], out="r")

@@ -608,3 +608,75 @@ def test_quota_admission_state_across_micro_batches(spark, tmp_path):
     assert [r["doc_id"] for r in rows] == list(range(8)) + [100, 101]
     assert [r["admit_seq"] for r in rows] == list(range(1, 11))
     assert {r["source"] for r in rows} == {"s1"}
+
+
+def test_quota_admission_out_of_order_landing_zone(spark, tmp_path):
+    """An out-of-order landing zone (later files carry LOWER doc_ids)
+    admits a DIFFERENT — still valid — set than the id-ordered
+    ROW_NUMBER oracle st57 states (its docstring documents the
+    id-ordered assumption). This pins the weaker invariant that must
+    hold regardless of arrival order, so a future source change
+    surfaces here as a clear contract break, not a confusing oracle
+    hash mismatch: (a) at most `quota` admissions per key, (b)
+    admit_seq per key is contiguous 1..n, (c) every admitted doc_id
+    came from that key's input, (d) a key with >= quota candidates
+    fills its quota exactly."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_example_spark.streaming.sinks import run_to_memory
+    from etl_example_spark.streaming.sources import DOCUMENTS_SCHEMA
+    from etl_example_spark.streaming.stateful import quota_admission
+
+    land = tmp_path / "land"
+    land.mkdir()
+
+    def write(name, ids, source):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": ["t"] * len(ids),
+                "lang": ["en"] * len(ids),
+                "source": [source] * len(ids),
+                "n_chars": pa.array([1] * len(ids), pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(land / name))
+
+    # arrival order inverts id order: the 100s land BEFORE the 0s
+    write("b1.parquet", list(range(100, 104)), "s1")
+    write("b2.parquet", list(range(0, 4)), "s1")
+    write("b3.parquet", list(range(200, 202)), "s2")
+    now = time.time()
+    os.utime(land / "b1.parquet", (now - 200, now - 200))
+    os.utime(land / "b2.parquet", (now - 100, now - 100))
+    os.utime(land / "b3.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(land))
+    )
+    rows = run_to_memory(
+        quota_admission(stream, quota=6), output_mode="append"
+    ).collect()
+    by_key: dict[str, list] = {}
+    for r in rows:
+        by_key.setdefault(r["source"], []).append(r)
+    inputs = {"s1": set(range(100, 104)) | set(range(0, 4)),
+              "s2": set(range(200, 202))}
+    for key, admitted in by_key.items():
+        assert len(admitted) <= 6, key
+        seqs = sorted(r["admit_seq"] for r in admitted)
+        assert seqs == list(range(1, len(admitted) + 1)), key
+        assert {r["doc_id"] for r in admitted} <= inputs[key], key
+    # s1 saw 8 candidates for 6 slots -> quota filled exactly; the
+    # admitted set is arrival-dependent (first batch's 100s occupy
+    # slots the oracle would give to the 0s) — the documented delta
+    assert len(by_key["s1"]) == 6
+    assert set(range(100, 104)) <= {r["doc_id"] for r in by_key["s1"]}
+    assert len(by_key["s2"]) == 2
