@@ -1551,3 +1551,201 @@ def dft_bin_energy(samples, k: int, scale: int = DFT_TABLE_SCALE) -> int:
     dr = int(x @ c) // (1 << scale)
     di = int(x @ s) // (1 << scale)
     return dr * dr + di * di
+
+
+# --------------------------------------------------------------------------
+# VIDEO: real MJPEG-in-AVI container codec (stdlib struct + the JPEG codec)
+#
+# The last modality to get a real codec (image: PPM/PNG/JPEG, audio: WAV).
+# Motion-JPEG in an AVI RIFF container is the one video format a
+# no-dependency path fully covers: every frame is an independent baseline
+# JPEG (encode_jpeg/decode_jpeg above), and the container is plain RIFF
+# chunk algebra — headers, a 'movi' payload list, and the 'idx1' frame
+# index that makes SEEKING to a sampled frame an O(1) ranged read instead
+# of a sequential scan (the property frame-sampling at 100 TB needs:
+# sample k frames from an hour of video without decoding the hour).
+# Replaces the reference's opaque-blob treatment of media columns
+# (cf. /root/reference/src/job.py handling only scalar columns).
+
+_AVIF_HASINDEX = 0x10
+_AVIIF_KEYFRAME = 0x10
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Mux pre-encoded JPEG frames into a spec-shaped AVI: RIFF('AVI ')
+    with LIST hdrl (avih + LIST strl(strh 'vids'/'MJPG' + strf
+    BITMAPINFOHEADER)), LIST movi of even-padded '00dc' chunks, and the
+    idx1 keyframe index (every MJPEG frame is a keyframe)."""
+    import struct
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(fourcc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + data)
+
+    n = len(frames)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(fps, 1),  # dwMicroSecPerFrame
+        0,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        _AVIF_HASINDEX,
+        n,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        0,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<10I",
+            0,  # dwFlags
+            0,  # wPriority | wLanguage
+            0,  # dwInitialFrames
+            1,  # dwScale
+            max(fps, 1),  # dwRate (fps = rate/scale)
+            0,  # dwStart
+            n,  # dwLength in frames
+            0,  # dwSuggestedBufferSize
+            0xFFFFFFFF,  # dwQuality (driver default)
+            0,  # dwSampleSize (0: variable-size samples)
+        )
+        + struct.pack("<4h", 0, 0, width, height)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,  # biSize
+        width,
+        height,
+        1,  # biPlanes
+        24,  # biBitCount
+        b"MJPG",  # biCompression
+        width * height * 3,  # biSizeImage
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+
+    movi_body = b""
+    index = b""
+    for fb in frames:
+        # idx1 offsets are relative to the position of the 'movi'
+        # fourcc; the first chunk id sits 4 bytes past it
+        off = 4 + len(movi_body)
+        movi_body += chunk(b"00dc", fb)
+        index += b"00dc" + struct.pack(
+            "<III", _AVIIF_KEYFRAME, off, len(fb)
+        )
+    movi = lst(b"movi", movi_body)
+    idx1 = chunk(b"idx1", index)
+
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def parse_avi_mjpeg(payload: bytes):
+    """REAL AVI demux: RIFF walk with structure verification, header
+    decode, and the idx1-driven frame table. Returns
+    ``(meta, frame_table)`` where meta is ``{n_frames, width, height,
+    fps_rate, fps_scale, handler}`` and ``frame_table[i]`` is the
+    ``(absolute_offset, length)`` of frame i's JPEG bytes inside
+    ``payload`` — the seek table, so sampling frame i reads exactly
+    ``length`` bytes at ``offset`` (a ranged read at scale, never a
+    scan). Each entry is cross-checked against the movi chunk header it
+    points at — a corrupt index fails loudly, not with garbage JPEGs."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    riff_len = struct.unpack("<I", payload[4:8])[0]
+    if 8 + riff_len > len(payload):
+        raise ValueError("truncated RIFF payload")
+
+    meta = {}
+    movi_pos = None  # offset of the 'movi' fourcc
+    idx_entries = []
+
+    pos = 12
+    end = 8 + riff_len
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if fourcc == b"LIST":
+            kind = body[:4]
+            if kind == b"hdrl":
+                _parse_avi_hdrl(body[4:], meta)
+            elif kind == b"movi":
+                movi_pos = pos + 8
+        elif fourcc == b"idx1":
+            for e in range(len(body) // 16):
+                ckid = body[e * 16 : e * 16 + 4]
+                flags, off, ln = struct.unpack(
+                    "<III", body[e * 16 + 4 : e * 16 + 16]
+                )
+                if ckid == b"00dc":
+                    idx_entries.append((off, ln))
+        pos += 8 + size + (size % 2)
+
+    if movi_pos is None:
+        raise ValueError("AVI without a movi list")
+    if "n_frames" not in meta:
+        raise ValueError("AVI without an avih header")
+    if len(idx_entries) != meta["n_frames"]:
+        raise ValueError(
+            f"idx1 has {len(idx_entries)} frames, avih says "
+            f"{meta['n_frames']}"
+        )
+
+    frame_table = []
+    for off, ln in idx_entries:
+        at = movi_pos + off
+        if payload[at : at + 4] != b"00dc":
+            raise ValueError(f"idx1 offset {off} does not hit a 00dc chunk")
+        ck_len = struct.unpack("<I", payload[at + 4 : at + 8])[0]
+        if ck_len != ln:
+            raise ValueError("idx1 length disagrees with chunk header")
+        frame_table.append((at + 8, ln))
+    return meta, frame_table
+
+
+def _parse_avi_hdrl(body: bytes, meta: dict) -> None:
+    import struct
+
+    pos = 0
+    while pos + 8 <= len(body):
+        fourcc = body[pos : pos + 4]
+        size = struct.unpack("<I", body[pos + 4 : pos + 8])[0]
+        data = body[pos + 8 : pos + 8 + size]
+        if fourcc == b"avih":
+            vals = struct.unpack("<14I", data[:56])
+            meta["n_frames"] = vals[4]
+            meta["width"] = vals[8]
+            meta["height"] = vals[9]
+        elif fourcc == b"LIST" and data[:4] == b"strl":
+            _parse_avi_hdrl(data[4:], meta)
+        elif fourcc == b"strh" and data[:4] == b"vids":
+            meta["handler"] = data[4:8].decode("ascii")
+            vals = struct.unpack("<10I", data[8:48])
+            meta["fps_scale"] = vals[3]
+            meta["fps_rate"] = vals[4]
+        pos += 8 + size + (size % 2)
+
+
+def decode_avi_frame(payload: bytes, frame_table, idx: int):
+    """Decode frame ``idx`` via its seek-table entry: slice exactly the
+    frame's JPEG bytes out of the container, decode through the real
+    baseline-JPEG parser. Raises IndexError past the last frame."""
+    off, ln = frame_table[idx]
+    return decode_jpeg(payload[off : off + ln])

@@ -6257,6 +6257,72 @@ def d103_crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d111_wet_to_corpus",
+    "WET (extracted-text) crawl head — the entry point text-first "
+    "Common Crawl consumers actually read: '.wet' files carry "
+    "WARC/1.0 CONVERSION records (plain-text bodies, Content-Type: "
+    "text/plain, NO embedded HTTP envelope — the parser must not peel "
+    "bytes it peels from response records), so the pipeline starts at "
+    "the token gate and exact dedup directly, skipping extraction. "
+    "Same partition-planned synthesize+REAL-parse source shape as "
+    "d102 (sources/warc.WetDataSource / synthetic_wet_record), with "
+    "the every-7th-mirror duplicate structure; the oracle regenerates "
+    "every conversion body from range() (newline-joined title+"
+    "paragraph lines with the multibyte 'é' keeping Content-Length "
+    "byte arithmetic load-bearing) and re-derives the gate+dedup "
+    "decision table in SQL.",
+    oracle=f"""
+        WITH ids AS (SELECT unnest(range({_WARC_ROWS})) AS i),
+        base AS (
+            SELECT i, CASE WHEN i % 7 = 6 AND i > 0 THEN i - 1
+                           ELSE i END AS src_i
+            FROM ids
+        ),
+        pages AS (
+            SELECT 'https://example.org/doc/' || i AS url,
+                   'Doc ' || src_i || chr(10) ||
+                   'alpha ' || substr(md5(CAST(src_i AS VARCHAR)), 1, 8)
+                   || ' & café' || chr(10) ||
+                   'beta ' || substr(md5(CAST(src_i AS VARCHAR)), 9, 8)
+                       AS text
+            FROM base
+        ),
+        gated AS (SELECT * FROM pages WHERE {SQL_NTOKS} >= 5)
+        SELECT MIN(url) AS keep_url,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(MAX(length(text)) AS BIGINT) AS text_len
+        FROM gated
+        GROUP BY md5(text)
+        ORDER BY keep_url
+    """,
+    category="dedup",
+)
+def d111_wet_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.sources.warc import register_wet_datasource
+
+    register_wet_datasource(spark)
+    wet = (
+        spark.read.format("synthetic_wet")
+        .option("rows", _WARC_ROWS)
+        .option("partitions", 8)
+        .option("dupEvery", 7)
+        .load()
+    )
+    gated = wet.filter(text.token_count("text") >= 5)
+    # the d103 dedup discipline, minus the extraction stage WET
+    # already paid: fingerprint in-scan, shuffle (32-hex, url) pairs
+    return (
+        gated.groupBy(F.md5("text").alias("_fp"))
+        .agg(
+            F.min("url").alias("keep_url"),
+            F.count("*").alias("n_copies"),
+            F.max(F.length("text")).alias("text_len"),
+        )
+        .select("keep_url", "n_copies", "text_len")
+    )
+
+
+@register(
     "d104_corpus_snapshot_diff",
     "Corpus VERSION diff — the data-versioning primitive a "
     "periodically-recrawled corpus needs before retraining: classify "
@@ -7413,6 +7479,129 @@ def m47_audio_spectral_energy(
     return docs.mapInPandas(
         energies, "doc_id long, bin long, energy long"
     ).orderBy("doc_id", "bin")
+
+
+@register(
+    "m48_video_frame_stats",
+    "VIDEO frame sampling through a REAL container codec — the last "
+    "modality to drop its stub (m36 samples frame indices from "
+    "metadata; this decodes actual frame bytes): each document "
+    "becomes a 2-4 frame MJPEG-in-AVI video (every frame an "
+    "independent baseline JPEG of the m43 16-flat-block raster, frame "
+    "i's blocks = md5(text||'|'||i)), muxed into a spec-shaped RIFF "
+    "container (hdrl/avih/strh/strf + movi + idx1), then DEMUXED by "
+    "the real parser: structure-verified RIFF walk, idx1 seek table "
+    "cross-checked against chunk headers, and only the SAMPLED frames "
+    "(even indices) sliced out and JPEG-decoded — at scale a ranged "
+    "read per sampled frame, never a scan of the hour. Flat blocks "
+    "make the DC path exact, so DuckDB re-derives every sampled "
+    "frame's 16 block values from pure hex arithmetic: container, "
+    "index, seek, and JPEG decode all externally hash-verified "
+    "(operators/multimodal.encode_avi_mjpeg / parse_avi_mjpeg / "
+    "decode_avi_frame).",
+    oracle="""
+        WITH fr AS (
+            SELECT d.doc_id,
+                   md5(COALESCE(d.text, '') || '|'
+                       || CAST(g.frame_idx AS VARCHAR)) AS hx,
+                   g.frame_idx
+            FROM documents d, LATERAL (
+                SELECT unnest(range(0,
+                    2 + ((d.doc_id % 3) + 3) % 3)) AS frame_idx
+            ) g
+            WHERE g.frame_idx % 2 = 0
+        ),
+        b AS (
+            SELECT doc_id, frame_idx,
+                   list_transform(
+                       range(16),
+                       o -> 16 * (strpos('0123456789abcdef',
+                                         substr(hx, 2 * o + 1, 1)) - 1)
+                            + (strpos('0123456789abcdef',
+                                      substr(hx, 2 * o + 2, 1)) - 1)
+                   ) AS vals
+            FROM fr
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(list_sum(vals) AS BIGINT) AS v_sum,
+               CAST(list_sum(list_transform(
+                   range(16), i -> (i + 1) * vals[i + 1]
+               )) AS BIGINT) AS v_wsum,
+               CAST(list_min(vals) AS BIGINT) AS v_min,
+               CAST(list_max(vals) AS BIGINT) AS v_max
+        FROM b
+        ORDER BY doc_id, frame_idx
+    """,
+    category="multimodal",
+)
+def m48_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def frame_stats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                if pd.isna(doc_id):
+                    # no id -> no deterministic frame count (the
+                    # oracle's range(NULL) yields no rows either)
+                    continue
+                n = 2 + int(doc_id) % 3
+                imgs = []
+                for i in range(n):
+                    d = hashlib.md5(
+                        (t or "").encode() + b"|" + str(i).encode()
+                    ).digest()
+                    vals = np.frombuffer(d, dtype=np.uint8).reshape(2, 8)
+                    imgs.append(
+                        np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                    )
+                avi = multimodal.encode_avi_mjpeg(
+                    [
+                        multimodal.encode_jpeg(im, restart_interval=3)
+                        for im in imgs
+                    ],
+                    width=64,
+                    height=16,
+                    fps=10,
+                )
+                meta, tbl = multimodal.parse_avi_mjpeg(avi)
+                if meta["n_frames"] != n or meta["handler"] != "MJPG":
+                    raise AssertionError(
+                        f"container meta mismatch for doc {doc_id}: {meta}"
+                    )
+                for i in range(0, n, 2):  # sampled frames only
+                    dec = multimodal.decode_avi_frame(avi, tbl, i)
+                    got = dec[::8, ::8].astype(np.int64).ravel()
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            int(got.sum()),
+                            int(((np.arange(16) + 1) * got).sum()),
+                            int(got.min()),
+                            int(got.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "v_sum", "v_wsum",
+                    "v_min", "v_max",
+                ],
+            )
+
+    return docs.mapInPandas(
+        frame_stats,
+        "doc_id long, frame_idx long, v_sum long, v_wsum long, "
+        "v_min long, v_max long",
+    ).orderBy("doc_id", "frame_idx")
 
 
 @register(

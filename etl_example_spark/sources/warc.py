@@ -159,6 +159,39 @@ def synthetic_warc_record(i: int, dup_every: int = 0) -> bytes:
     return rec
 
 
+def synthetic_wet_text(i: int, dup_every: int = 0) -> str:
+    """The extracted-text body of WET conversion record ``i`` — what a
+    Common Crawl ``.wet`` file carries for the page
+    :func:`synthetic_html` renders: title line + paragraph lines,
+    newline-joined, with the multibyte 'é' so Content-Length byte
+    arithmetic stays load-bearing. ``dup_every`` mirrors every k-th
+    text like the WARC side (crawl mirrors survive extraction)."""
+    if dup_every and i % dup_every == dup_every - 1 and i > 0:
+        return synthetic_wet_text(i - 1)
+    d = hashlib.md5(str(i).encode()).hexdigest()
+    return f"Doc {i}\nalpha {d[:8]} & café\nbeta {d[8:16]}"
+
+
+def synthetic_wet_record(i: int, dup_every: int = 0) -> bytes:
+    """One WARC/1.0 ``conversion`` record for id ``i`` — the WET shape:
+    plain-text body, ``Content-Type: text/plain``, NO embedded HTTP
+    envelope (the structural difference from ``response`` records; the
+    parser must not peel bytes it would peel from a response)."""
+    body = synthetic_wet_text(i, dup_every).encode("utf-8")
+    return (
+        _HEAD
+        + b"WARC-Type: conversion\r\n"
+        + f"WARC-Target-URI: https://example.org/doc/{i}\r\n".encode()
+        + f"WARC-Refers-To: <urn:uuid:{i:032d}>\r\n".encode()
+        + b"Content-Type: text/plain\r\n"
+        + f"Content-Length: {len(body)}\r\n".encode()
+        + CRLF
+        + body
+        + CRLF
+        + CRLF
+    )
+
+
 @dataclass
 class _WarcSlice(InputPartition):
     start: int
@@ -212,6 +245,59 @@ class _WarcReader(DataSourceReader):
         yield from _parse_slice(
             partition.start, partition.end, self.dup_every
         )
+
+
+def _parse_wet_slice(start: int, end: int, dup_every: int):
+    """Synthesize + REAL-parse WET records [start, end): same kernel
+    discipline as :func:`_parse_slice`, filtered to ``conversion``
+    records (a real .wet file is warcinfo + conversions only)."""
+    buf = _warcinfo() + b"".join(
+        synthetic_wet_record(i, dup_every) for i in range(start, end)
+    )
+    for url, rec_type, _status, body in parse_warc_records(buf):
+        if rec_type != "conversion":
+            continue
+        yield url, body.decode("utf-8", "replace")
+
+
+class _WetReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.n_parts = max(1, int(options.get("partitions", 8)))
+        self.dup_every = int(options.get("dupEvery", 0))
+
+    def partitions(self):
+        if self.rows <= 0:
+            return [_WarcSlice(0, 0)]
+        step = -(-self.rows // self.n_parts)
+        return [
+            _WarcSlice(lo, min(lo + step, self.rows))
+            for lo in range(0, self.rows, step)
+        ]
+
+    def read(self, partition: _WarcSlice):
+        yield from _parse_wet_slice(
+            partition.start, partition.end, self.dup_every
+        )
+
+
+class WetDataSource(DataSource):
+    """``spark.read.format("synthetic_wet").option("rows", N)`` →
+    (url string, text string) — WET conversion records (extracted
+    plain text, no HTTP envelope), the entry point text-first crawl
+    consumers actually read. Same partition-planned synthesize+parse
+    shape as :class:`WarcDataSource`; a production deployment swaps
+    the synthesizer for ranged reads of real ``.wet`` files."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_wet"
+
+    def schema(self) -> str:
+        return "url string, text string"
+
+    def reader(self, schema):
+        return _WetReader(self.options)
 
 
 class _WarcStreamReader(SimpleDataSourceStreamReader):
@@ -276,3 +362,7 @@ class WarcDataSource(DataSource):
 
 def register_warc_datasource(spark) -> None:
     spark.dataSource.register(WarcDataSource)
+
+
+def register_wet_datasource(spark) -> None:
+    spark.dataSource.register(WetDataSource)

@@ -856,3 +856,94 @@ def test_optimal_huff_tables_always_valid(n, seed, skew):
                 (l1, c1, l2, c2) if l1 <= l2 else (l2, c2, l1, c1)
             )
             assert (cb >> (lb - la)) != ca, "prefix violation"
+
+
+@given(
+    n_frames=st.integers(min_value=1, max_value=6),
+    rows=st.integers(min_value=1, max_value=3),
+    blocks=st.integers(min_value=1, max_value=8),
+    fps=st.integers(min_value=1, max_value=60),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+@SETTINGS
+def test_avi_mjpeg_container_roundtrip_exact(n_frames, rows, blocks, fps, seed):
+    """The AVI container is lossless plumbing: ANY frame list survives
+    mux -> demux bit-for-bit (flat-block JPEGs so the frame payloads
+    themselves are exact), the header metadata round-trips, and the
+    idx1 seek table points at exactly the frame bytes (odd-length
+    frames exercise the RIFF even-padding rule — the pad byte must
+    never leak into a frame slice)."""
+    import numpy as np
+
+    from etl_example_spark.operators.multimodal import (
+        decode_avi_frame,
+        encode_avi_mjpeg,
+        encode_jpeg,
+        parse_avi_mjpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    imgs = [
+        np.repeat(
+            np.repeat(
+                rng.integers(0, 256, size=(rows, blocks), dtype=np.uint8),
+                8, axis=0,
+            ),
+            8, axis=1,
+        )
+        for _ in range(n_frames)
+    ]
+    frames = [encode_jpeg(im, restart_interval=2) for im in imgs]
+    avi = encode_avi_mjpeg(
+        frames, width=blocks * 8, height=rows * 8, fps=fps
+    )
+    meta, tbl = parse_avi_mjpeg(avi)
+    assert meta["n_frames"] == n_frames
+    assert (meta["width"], meta["height"]) == (blocks * 8, rows * 8)
+    assert meta["handler"] == "MJPG"
+    assert meta["fps_rate"] == fps and meta["fps_scale"] == 1
+    assert len(tbl) == n_frames
+    for i, fb in enumerate(frames):
+        off, ln = tbl[i]
+        assert avi[off : off + ln] == fb  # seek slice IS the frame
+        assert (decode_avi_frame(avi, tbl, i) == imgs[i]).all()
+
+
+def test_avi_mjpeg_rejects_damage():
+    """Corrupt containers fail loudly, never decode garbage: non-RIFF
+    payloads, truncated RIFF, an idx1 pointing between chunks, and an
+    avih/idx1 frame-count disagreement are each detected."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from etl_example_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+        parse_avi_mjpeg,
+    )
+
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    avi = encode_avi_mjpeg(
+        [encode_jpeg(img)] * 2, width=8, height=8, fps=10
+    )
+    with pytest.raises(ValueError):
+        parse_avi_mjpeg(b"JUNK" + avi[4:])
+    with pytest.raises(ValueError):
+        # claim a longer RIFF body than the payload carries
+        parse_avi_mjpeg(
+            avi[:4] + struct.pack("<I", len(avi) + 100) + avi[8:]
+        )
+    # shift the second idx1 frame offset off its chunk header
+    idx_at = avi.rindex(b"00dc")  # last idx1 entry
+    bad = bytearray(avi)
+    bad[idx_at + 8] ^= 0x01
+    with pytest.raises(ValueError):
+        parse_avi_mjpeg(bytes(bad))
+    # tamper the avih total-frame count
+    avih_at = avi.index(b"avih") + 8
+    bad2 = bytearray(avi)
+    bad2[avih_at + 16] = 9  # dwTotalFrames
+    with pytest.raises(ValueError):
+        parse_avi_mjpeg(bytes(bad2))

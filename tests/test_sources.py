@@ -263,6 +263,74 @@ class TestWarcSource:
         # page 0 never mirrors (no predecessor)
         assert synthetic_html(0, dup_every=1) != synthetic_html(-1)
 
+
+class TestWetSource:
+    """The WET (extracted-text) variant: conversion records carry plain
+    text with NO HTTP envelope — the parser must return their bodies
+    verbatim, including bodies that LOOK like an HTTP response."""
+
+    def test_conversion_records_parse_without_envelope_peel(self):
+        from etl_example_spark.sources.warc import (
+            parse_warc_records,
+            synthetic_wet_record,
+            synthetic_wet_text,
+        )
+
+        buf = b"".join(synthetic_wet_record(i) for i in range(8))
+        recs = list(parse_warc_records(buf))
+        assert [r[1] for r in recs] == ["conversion"] * 8
+        assert recs[3][0] == "https://example.org/doc/3"
+        assert recs[3][2] == 0  # no HTTP status on conversion records
+        assert recs[3][3].decode("utf-8") == synthetic_wet_text(3)
+
+    def test_text_resembling_http_is_not_peeled(self):
+        # a conversion body starting with an HTTP-looking status line
+        # must come back verbatim — only `response` records peel
+        from etl_example_spark.sources.warc import (
+            CRLF,
+            _HEAD,
+            parse_warc_records,
+        )
+
+        body = b"HTTP/1.1 200 OK\r\n\r\nthe page QUOTED a response"
+        rec = (
+            _HEAD
+            + b"WARC-Type: conversion\r\nWARC-Target-URI: u\r\n"
+            + f"Content-Length: {len(body)}\r\n".encode()
+            + CRLF
+            + body
+            + CRLF
+            + CRLF
+        )
+        (got,) = list(parse_warc_records(rec))
+        assert got[3] == body
+
+    def test_wet_content_length_is_bytes_not_chars(self):
+        from etl_example_spark.sources.warc import synthetic_wet_text
+
+        t = synthetic_wet_text(1)
+        assert len(t.encode("utf-8")) != len(t)  # 'é' makes it binary
+
+    def test_spark_source_roundtrip(self, spark):
+        from etl_example_spark.sources.warc import (
+            register_wet_datasource,
+            synthetic_wet_text,
+        )
+
+        register_wet_datasource(spark)
+        df = (
+            spark.read.format("synthetic_wet")
+            .option("rows", 30)
+            .option("partitions", 4)
+            .option("dupEvery", 7)
+            .load()
+        )
+        rows = {r.url: r.text for r in df.collect()}
+        assert len(rows) == 30
+        assert rows["https://example.org/doc/4"] == synthetic_wet_text(4)
+        # the mirror rule: doc 6 carries doc 5's text under its own URL
+        assert rows["https://example.org/doc/6"] == synthetic_wet_text(5)
+
     def test_stream_reader_replay_is_deterministic(self):
         """readBetweenOffsets must regenerate EXACTLY what read()
         produced for the same range — the recovery/exactly-once
