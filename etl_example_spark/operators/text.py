@@ -1242,6 +1242,43 @@ def bm25_topk_from_postings(
     return _bm25_rank(matched, queries, totals, k)
 
 
+def bm25_topk_from_bucketed(
+    spark,
+    table: str,
+    queries: DataFrame,
+    n_docs: int,
+    t_total: int,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-``k`` served from a TERM-BUCKETED catalog postings
+    table with bucket PRUNING — the production artifact layout
+    SCALING.md's serve analysis names, now the executed plan: the
+    query-term restriction is a literal ``isin`` (terms collected
+    driver-side — a bounded query workload, the ``_staged_bm25_tf``
+    sanction), which the bucketed FileSourceScan turns into
+    ``SelectedBucketsCount`` pruning. The scan READS only the
+    ≤ |terms| buckets that can contain matches — at 100 TB a 3-term
+    probe touches 3/1024ths of the artifact's files instead of
+    semi-joining the whole table (the :func:`bm25_topk_from_postings`
+    path, which must still scan every file to find matches).
+    Ranking is the shared decimal(38,0) arithmetic, so
+    bucketed-serve == flat-serve == direct-scan (the s53 law extended;
+    pruning is asserted in tests/test_llm_ops.py)."""
+    terms = tuple(
+        sorted({r[0] for r in queries.select("term").distinct().collect()})
+    )
+    postings = spark.table(table)
+    matched = postings.filter(
+        F.col("term").isin(*terms) if terms else F.lit(False)
+    )
+    totals = F.broadcast(
+        spark.createDataFrame(
+            [(int(n_docs), int(t_total))], "n_docs bigint, t_total bigint"
+        )
+    )
+    return _bm25_rank(matched, queries, totals, k)
+
+
 def _bm25_rank(
     tf: DataFrame, queries: DataFrame, totals: DataFrame, k: int
 ) -> DataFrame:

@@ -1782,26 +1782,10 @@ BM25_SERVE_QUERIES: list[tuple[int, str]] = [
 ]
 
 
-@register(
-    "s53_bm25_index_serve",
-    "FULL-VOCABULARY BM25 postings artifact: index ONCE, serve ANY "
-    "query — the piece s51/s52's query-term-restricted postings "
-    "deliberately lacked (there, every new query workload re-scans "
-    "the corpus; an inverted index exists precisely so it does not). "
-    "The unrestricted (doc, term, tf, dl) table plus two stored "
-    "totals (N docs, T tokens) IS the index "
-    "(operators/text.bm25_postings terms=None); an arbitrary query "
-    "set — terms the build never saw, including one absent from the "
-    "vocabulary — then ranks from the artifact alone via the SAME "
-    "integer decimal(38,0) arithmetic as s51 "
-    "(operators/text.bm25_topk_from_postings), the corpus text "
-    "untouched. Build shuffle = corpus tokens (the d80/span-index "
-    "cost class, ~25 B/posting-row measured, SCALING.md), amortized "
-    "over every future workload; probe shuffle = matched rows only. "
-    "The oracle recomputes BM25 for the serving queries from the raw "
-    "corpus from scratch, so a hash match proves "
-    "index-then-serve == direct-scan.",
-    oracle=f"""
+#: the serving-workload oracle shared by s53 (flat artifact) and s57
+#: (term-bucketed artifact): BM25 recomputed from the raw corpus from
+#: scratch, so a hash match proves artifact-serve == direct-scan.
+_BM25_SERVE_ORACLE = f"""
         WITH q(query_id, term) AS (
             VALUES (4, 'data'), (4, 'code'), (4, 'zzznotaterm'),
                    (5, 'table'), (5, 'row'), (5, 'group')
@@ -1855,7 +1839,29 @@ BM25_SERVE_QUERIES: list[tuple[int, str]] = [
             FROM scored
         ) t WHERE rk <= 10
         ORDER BY query_id, rk
-    """,
+    """
+
+
+@register(
+    "s53_bm25_index_serve",
+    "FULL-VOCABULARY BM25 postings artifact: index ONCE, serve ANY "
+    "query — the piece s51/s52's query-term-restricted postings "
+    "deliberately lacked (there, every new query workload re-scans "
+    "the corpus; an inverted index exists precisely so it does not). "
+    "The unrestricted (doc, term, tf, dl) table plus two stored "
+    "totals (N docs, T tokens) IS the index "
+    "(operators/text.bm25_postings terms=None); an arbitrary query "
+    "set — terms the build never saw, including one absent from the "
+    "vocabulary — then ranks from the artifact alone via the SAME "
+    "integer decimal(38,0) arithmetic as s51 "
+    "(operators/text.bm25_topk_from_postings), the corpus text "
+    "untouched. Build shuffle = corpus tokens (the d80/span-index "
+    "cost class, ~25 B/posting-row measured, SCALING.md), amortized "
+    "over every future workload; probe shuffle = matched rows only. "
+    "The oracle recomputes BM25 for the serving queries from the raw "
+    "corpus from scratch, so a hash match proves "
+    "index-then-serve == direct-scan.",
+    oracle=_BM25_SERVE_ORACLE,
     category="similarity",
     bench=True,  # the index-build pass — the cost a 100 TB launch plans
 )
@@ -1879,6 +1885,87 @@ def s53_bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return text.bm25_topk_from_postings(
         index, queries, int(totals["n"]), int(totals["t"]), k=10
+    ).orderBy("query_id", "rk")
+
+
+#: (session id, sf_dir) pairs whose bucketed BM25 artifact is live
+_BM25_BUCKETED_STAGED: set[tuple[int, str]] = set()
+
+
+def _stage_bm25_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, int, int]:
+    """Get-or-create the TERM-BUCKETED durable BM25 index: the
+    full-vocabulary postings written ``bucketBy(32, term)`` (sorted by
+    term within buckets) plus a one-row stats sidecar table — the q77
+    warehouse-layout discipline applied to the retrieval artifact.
+    Build cost is one unrestricted corpus pass (the s53 class), paid
+    once per (session, corpus); every serve afterwards reads only the
+    buckets its query terms hash into."""
+    import hashlib
+
+    from etl_example_spark.sources.writers import write_bucketed_table
+
+    slug = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"bm25_postings_bkt_{slug}"
+    stats_name = f"bm25_stats_{slug}"
+    key = (id(spark), sf_dir)
+    if key not in _BM25_BUCKETED_STAGED:
+        from etl_example_spark.sources.writers import (
+            drop_table_and_location,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        write_bucketed_table(
+            text.bm25_postings(docs, None),
+            name,
+            ["term"],
+            32,
+            sort_by=["term"],
+        )
+        drop_table_and_location(spark, stats_name)
+        docs.select(
+            F.count("*").alias("n_docs"),
+            F.coalesce(
+                F.sum(
+                    text.token_count(F.coalesce(F.col("text"), F.lit("")))
+                ),
+                F.lit(0),
+            ).alias("t_total"),
+        ).write.mode("overwrite").saveAsTable(stats_name)
+        _BM25_BUCKETED_STAGED.add(key)
+    stats = spark.table(stats_name).collect()[0]
+    return name, int(stats["n_docs"]), int(stats["t_total"])
+
+
+@register(
+    "s57_bm25_bucketed_serve",
+    "TERM-BUCKETED durable BM25 index with PRUNED serving — the "
+    "production artifact layout s53's docstring promises, composed "
+    "from the proven pieces (q77 bucketed tables + the s53 "
+    "full-vocabulary postings): the index is written ONCE as a "
+    "bucketBy(32, term) catalog table plus a stats sidecar, and the "
+    "serve path restricts by a LITERAL term isin, which the bucketed "
+    "scan turns into SelectedBucketsCount bucket pruning — a 3-term "
+    "probe READS ~3/32 of the artifact's files (3/1024ths at a "
+    "production bucket count) where the flat artifact must scan every "
+    "file to find matches (operators/text.bm25_topk_from_bucketed; "
+    "pruning asserted in tests/test_llm_ops.py). Same serving "
+    "workload and decimal(38,0) arithmetic as s53, and the oracle "
+    "recomputes from the raw corpus — a hash match proves "
+    "bucketed-artifact == direct-scan end to end.",
+    oracle=_BM25_SERVE_ORACLE,
+    category="similarity",
+)
+def s57_bm25_bucketed_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    table, n_docs, t_total = _stage_bm25_bucketed(spark, sf_dir)
+    queries = spark.createDataFrame(
+        BM25_SERVE_QUERIES, "query_id int, term string"
+    )
+    return text.bm25_topk_from_bucketed(
+        spark, table, queries, n_docs, t_total, k=10
     ).orderBy("query_id", "rk")
 
 

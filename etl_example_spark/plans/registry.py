@@ -51,7 +51,7 @@ QUERIES: dict[str, Query] = {}
 #: rotation of the already-verified backlog through the driver window so
 #: regressions in verified queries are eventually re-caught (a different
 #: ~39-query sample each round instead of only the 6 sentinels).
-ROUND = 10
+ROUND = 11
 
 #: Queries the external driver has already verified in earlier rounds
 #: (union of non-errored rows across CORRECTNESS_r01–r04). The driver's
@@ -155,6 +155,17 @@ PRIOR_VERIFIED: frozenset[str] = frozenset(
         "s51_bm25_topk", "s52_bm25_append",
         "st52_stream_line_maintenance", "st53_stream_decontaminate",
         "st54_stream_sq8_maintenance", "st55_stream_bm25_route",
+        # round 10 (CORRECTNESS_r10: 51/51 green, zero err rows)
+        "d101_clean_text", "d102_warc_extract", "d103_crawl_to_corpus",
+        "d104_corpus_snapshot_diff", "d105_registrable_domain_rollup",
+        "d106_perceptron_train", "d107_perceptron_gate",
+        "d108_domain_scorecard", "d109_quality_bucket_budget",
+        "d110_contamination_matrix", "s53_bm25_index_serve",
+        "s54_phrase_search", "s55_sq8_kmeans", "s56_rag_retrieval",
+        "m45_scale_invariant_phash", "m46_dct_phash",
+        "m47_audio_spectral_energy", "g04_label_propagation",
+        "st56_stream_warc_ingest", "st57_stream_quota_admission",
+        "st58_stream_phrase_route",
     }
 )
 
@@ -165,34 +176,33 @@ SENTINELS: tuple[str, ...] = (
     "q4_seasonality", "q5_curation_filter", "q6_date_repair",
 )
 
-#: Head of this round's rotation. Round 10: queries whose
-#: IMPLEMENTATION (or, for d92, whose OUTPUT — &nbsp; now decodes to
-#: U+00A0, the HTML5 decode, with the oracle replaying the same table)
-#: changed this round re-enter the external window first — d99's
-#: zero-shuffle rewrite, d92's entity change, the graph family's
-#: secondary-sort nulls-last fix, the BM25 family's ranker refactor +
-#: staged-cache rekeying, and d26 (the r9 bench-drift query: code
-#: untouched, but pin its hash alongside the BASELINE.md re-measure).
-#: The round's brand-new queries (d101 clean_text, d102 WARC source,
-#: s53 postings artifact, m45 scale-invariant phash) follow via
+#: Head of this round's rotation. Round 11: queries whose EXECUTED
+#: PLAN changed (the deterministic two-pass global-rank rewrite and
+#: the single-partition-window kill — outputs must hash unchanged),
+#: whose VERTEX SET changed (graph family: ev-filter alignment), or
+#: whose ORACLE changed (d108 NULL-safe join) re-enter the external
+#: window first; then four q-series breadth ops not externally
+#: re-exposed since r6-r7. The round's brand-new queries (m48 video
+#: codec, d111 WET source, s57 bucketed BM25) follow via
 #: never-verified rank-2.
 ROTATION_PRIORITY: tuple[str, ...] = (
-    # engine or oracle CHANGED in round 10 — re-expose before backlog:
-    "q8_window_running_total",  # NULL-date series-boundary fix
-    "d49_arrow_udf",  # oracle re-tokenized via SQL_TOKS
-    "d95_token_budget_plan",  # oracle re-tokenized via SQL_TOKS
-    "d56_text_chunking",  # oracle re-tokenized via SQL_TOKS
-    "d99_gopher_repetition",  # the zero-shuffle rewrite
-    "d92_html_extract",
-    # round-9/10 bm25 + graph touch-points (session-key/NULL fixes):
+    # executed plan CHANGED in round 11 — re-expose before backlog:
+    "q90_ntile_buckets",  # global_ntile two-pass rewrite
+    "d109_quality_bucket_budget",  # global_ntile + broadcast total
+    "d68_vocab_coverage",  # top-20 limit before ranking
+    "s45_hybrid_search_rrf",  # two-pass global ranks per arm
+    "d69_domain_shift",  # vocab-window -> broadcast total
+    # vertex set / source alignment (user+ts non-null, like oracles):
     "g01_pagerank_transitions",
-    "g02_triangle_count",
     "g03_bfs_levels",
-    "s51_bm25_topk",
-    "s52_bm25_append",
-    "st55_stream_bm25_route",
-    "d26_minhash_lsh_pairs",
-    "d25_jaccard_pairs",
+    "g04_label_propagation",
+    "d108_domain_scorecard",  # oracle join made NULL-safe
+    "s53_bm25_index_serve",  # oracle factored into shared constant
+    # stale backlog (not externally re-exposed since r6-r7):
+    "q44_exact_percentiles",
+    "q57_zorder_key",
+    "q58_merge_upsert",
+    "q63_disjunctive_predicates",
 )
 
 

@@ -96,6 +96,20 @@ def write_partitioned(
     )
 
 
+def drop_table_and_location(spark, name: str) -> None:
+    """Drop a managed table AND its warehouse directory: the default
+    in-memory catalog forgets tables between sessions but their
+    warehouse directories persist — clear both, or saveAsTable fails
+    with LOCATION_ALREADY_EXISTS."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    location = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+        name.lower(),
+    )
+    if os.path.isdir(location):
+        shutil.rmtree(location)
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,
@@ -109,16 +123,7 @@ def write_bucketed_table(
     ``sort_by`` the sort-merge join skips its sorts too."""
     spark = df.sparkSession
     if mode == "overwrite":
-        # the default in-memory catalog forgets tables between sessions but
-        # their warehouse directories persist — clear both, or saveAsTable
-        # fails with LOCATION_ALREADY_EXISTS
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        location = os.path.join(
-            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
-            name.lower(),
-        )
-        if os.path.isdir(location):
-            shutil.rmtree(location)
+        drop_table_and_location(spark, name)
     writer = (
         df.write.mode(mode)
         .bucketBy(num_buckets, *bucket_by)

@@ -1055,6 +1055,48 @@ def test_bm25_index_serve_equals_direct_scan(spark, sf_dir):
     assert a == b and a
 
 
+def test_bm25_bucketed_serve_prunes_buckets_and_matches(spark, sf_dir):
+    """The s57 laws: (a) the term-bucketed artifact's serve plan PRUNES
+    — its FileSourceScan selects at most |query terms| of the 32
+    buckets (SelectedBucketsCount), the property that makes a probe
+    read 3/1024ths of a production artifact instead of every file;
+    (b) bucketed-serve results are bit-identical to the flat-artifact
+    serve path (same decimal arithmetic, different layout)."""
+    import re
+
+    from etl_example_spark.operators.text import (
+        bm25_postings,
+        bm25_topk_from_bucketed,
+        bm25_topk_from_postings,
+    )
+    from etl_example_spark.plans.llm_ops import (
+        BM25_SERVE_QUERIES,
+        _stage_bm25_bucketed,
+    )
+
+    table, n_docs, t_total = _stage_bm25_bucketed(spark, sf_dir)
+    queries = spark.createDataFrame(
+        BM25_SERVE_QUERIES, "query_id int, term string"
+    )
+    served = bm25_topk_from_bucketed(
+        spark, table, queries, n_docs, t_total, k=10
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, f"no bucket pruning in serve plan:\n{plan[:2000]}"
+    n_terms = len({t for _, t in BM25_SERVE_QUERIES})
+    assert int(m.group(2)) == 32
+    assert int(m.group(1)) <= n_terms, m.group(0)
+
+    docs = load_table(spark, sf_dir, "documents")
+    flat = bm25_topk_from_postings(
+        bm25_postings(docs, None), queries, n_docs, t_total, k=10
+    )
+    a = sorted(map(tuple, served.collect()))
+    b = sorted(map(tuple, flat.collect()))
+    assert a == b and a
+
+
 def test_bm25_full_postings_vocabulary_is_unrestricted(spark, sf_dir):
     """terms=None must index EVERY corpus term (that is the artifact's
     contract); a term-restricted build is a strict subset."""

@@ -55,6 +55,7 @@ _CROSS_JOIN_BY_DESIGN = {
     "s53_bm25_index_serve",  # broadcast one-row (N, T) stored totals
     "d95_token_budget_plan",  # broadcast one-row budget-totals aggregate
     "d109_quality_bucket_budget",  # broadcast one-row token-total aggregate
+    "q90_ntile_buckets",  # broadcast one-row rank-total aggregate (global_ntile)
     "m38_encode_then_search",  # broadcast query-vector block (brute force)
 }
 
