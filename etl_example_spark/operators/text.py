@@ -648,6 +648,121 @@ def perceptron_train(
     return w
 
 
+def _ln_micro(x: float) -> int:
+    """``round(ln(x), 6) * 1e6`` as an exact integer, matching BOTH
+    Spark's ``F.round`` (BigDecimal HALF_UP over the double's shortest
+    repr) and DuckDB's ``ROUND(ln(x), 6)::DECIMAL(18,6) * 1e6`` — the
+    d83/d98 micro-nat discipline applied driver-side."""
+    import decimal
+    import math
+
+    return int(
+        decimal.Decimal(repr(math.log(x))).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+        * 1_000_000
+    )
+
+
+def nb_langid_train(
+    df: DataFrame,
+    classes: tuple[str, ...],
+    label_col: str = "lang",
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[dict[str, list[int]], dict[str, int]]:
+    """Multinomial NAIVE BAYES over hashed token buckets — the trained
+    replacement for the d29 n-gram language-ID heuristic, and the
+    model class langid actually uses (TextCat/langid.py lineage):
+    fit IS counting, so training is ONE partial-aggregating corpus
+    pass with a bounded collect, deterministic and order-independent
+    by construction (no epochs, no oscillation — the batch perceptron
+    was measured stuck at majority-class on this task).
+
+    Per class c and bucket b: ``w[c][b] = micro(ln((count(c,b)+1) /
+    (T_c + dim)))`` (add-one smoothing over the dim-bucket vocabulary)
+    and ``prior[c] = micro(ln(n_c / n))`` — exact integer micro-nats
+    via :func:`_ln_micro`, so the model and every downstream score are
+    externally hash-verifiable.
+
+    At 100 TB: the (class, bucket) aggregate partial-combines map-side
+    to ≤ |classes|·dim rows; the label histogram is ≤ |labels| rows;
+    both collects are MODEL-sized, never corpus-sized. Inference
+    (d113) is pure in-row arithmetic — zero shuffle.
+
+    A class with ZERO labeled documents is untrainable and gets no
+    model (its prior would be ln 0); on an empty corpus the model is
+    empty — consumers emit NULL scores for untrained classes, the
+    semantics the SQL oracles replay via scalar subqueries.
+
+    Returns ``(weights, priors)`` over the TRAINED classes only:
+    ``weights[c]`` is the dense dim-entry micro log-prob list,
+    ``priors[c]`` the micro log-prior.
+    """
+    toks = df.select(
+        F.col(label_col).alias("_lbl"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    cb_rows = (
+        toks.filter(F.col("_lbl").isin(*classes))
+        .withColumn("bucket", hashed_feature_bucket("tok", dim))
+        .groupBy("_lbl", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+        .collect()
+    )
+    nd_rows = df.groupBy(F.col(label_col).alias("_lbl")).count().collect()
+    n_total = sum(r["count"] for r in nd_rows)
+    n_by = {r["_lbl"]: r["count"] for r in nd_rows}
+    counts: dict[str, dict[int, int]] = {c: {} for c in classes}
+    for r in cb_rows:
+        counts[r["_lbl"]][int(r["bucket"])] = int(r["c"])
+    weights: dict[str, list[int]] = {}
+    priors: dict[str, int] = {}
+    for cls in classes:
+        if n_by.get(cls, 0) == 0:
+            continue  # untrainable: no documents carry this label
+        t = sum(counts[cls].values())
+        weights[cls] = [
+            _ln_micro((counts[cls].get(b, 0) + 1) / (t + dim))
+            for b in range(dim)
+        ]
+        priors[cls] = _ln_micro(n_by[cls] / n_total)
+    return weights, priors
+
+
+def nb_langid_scores(
+    classes: tuple[str, ...],
+    weights: dict[str, list[int]],
+    priors: dict[str, int],
+    dim: int = 64,
+    text_col: str = "text",
+) -> list[Column]:
+    """Per-class NB log-posterior columns (integer micro-nats):
+    ``prior_c + Σ_tokens w_c[bucket(token)]`` — evaluated ENTIRELY
+    in-row (literal dense weight arrays + an ``aggregate`` fold over
+    the hashed token stream, whole-stage codegen), so multi-class
+    inference over 100 TB is a pure map stage: zero joins, zero
+    shuffles, token-less documents score exactly their prior. An
+    UNTRAINED class (absent from ``weights``) scores NULL."""
+    out = []
+    for cls in classes:
+        if cls not in weights:
+            out.append(F.lit(None).cast("long").alias(f"s_{cls}"))
+            continue
+        arr = F.array(*[F.lit(int(v)) for v in weights[cls]])
+        score = F.lit(int(priors[cls])).cast("long") + F.aggregate(
+            F.transform(
+                tokens(text_col),
+                lambda t: hashed_feature_bucket(t, dim),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + F.element_at(arr, (b + 1).cast("int")),
+        )
+        out.append(score.cast("long").alias(f"s_{cls}"))
+    return out
+
+
 def perceptron_scores(
     df: DataFrame,
     weights: dict[int, int],

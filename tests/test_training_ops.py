@@ -178,3 +178,71 @@ class TestChunking:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             chunk_text(df, chunk_tokens=8, overlap_tokens=8)
+
+
+class TestNaiveBayesLangid:
+    """d112/d113: the trained language-ID gate must actually LEARN —
+    the point of replacing the d29 heuristic with a fit model — plus
+    the untrained-class and empty-corpus contracts."""
+
+    def test_gate_recovers_function_word_signal(self, spark, sf_dir):
+        from etl_example_spark.plans.registry import load_all
+
+        df = load_all()["d113_langid_gate"].spark_builder(spark, sf_dir)
+        agg = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("correct").cast("int")).alias("ok"),
+        ).collect()[0]
+        assert agg["n"] > 0
+        assert agg["ok"] / agg["n"] >= 0.95, (
+            f"langid gate accuracy {agg['ok']}/{agg['n']} — the NB fit "
+            "failed to recover the injected function-word signal"
+        )
+
+    def test_untrained_class_scores_null(self, spark):
+        from etl_example_spark.operators.text import (
+            nb_langid_scores,
+            nb_langid_train,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "en", "the of and"), (2, "en", "to is the")],
+            "doc_id long, lang string, text string",
+        )
+        weights, priors = nb_langid_train(df, ("en", "zz"), dim=16)
+        assert set(weights) == {"en"}  # 'zz' has no documents
+        out = df.select(
+            "doc_id",
+            *nb_langid_scores(("en", "zz"), weights, priors, dim=16),
+        ).collect()
+        assert all(r["s_zz"] is None for r in out)
+        assert all(r["s_en"] is not None for r in out)
+
+    def test_empty_corpus_trains_empty_model(self, spark):
+        from etl_example_spark.operators.text import nb_langid_train
+
+        df = spark.createDataFrame(
+            [], "doc_id long, lang string, text string"
+        )
+        weights, priors = nb_langid_train(df, ("en", "de"), dim=16)
+        assert weights == {} and priors == {}
+
+    def test_tokenless_doc_scores_its_prior(self, spark):
+        from etl_example_spark.operators.text import (
+            _ln_micro,
+            nb_langid_scores,
+            nb_langid_train,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "en", "the of"), (2, "en", ""), (3, "de", "der und")],
+            "doc_id long, lang string, text string",
+        )
+        weights, priors = nb_langid_train(df, ("en", "de"), dim=16)
+        row = (
+            df.filter(F.col("doc_id") == 2)
+            .select(*nb_langid_scores(("en", "de"), weights, priors, 16))
+            .collect()[0]
+        )
+        assert row["s_en"] == priors["en"] == _ln_micro(2 / 3)
+        assert row["s_de"] == priors["de"] == _ln_micro(1 / 3)
