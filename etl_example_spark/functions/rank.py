@@ -274,7 +274,17 @@ def global_row_number(
     )
 
     bounds = _deterministic_boundaries(df, order, n)
-    ranged = df.withColumn(_PID, _pid_column(df, order, bounds))
+    # localCheckpoint: the count pass and the local-rank pass both
+    # consume `ranged`; correctness never depends on shared state (the
+    # pid is deterministic), but WITHOUT materialization each branch
+    # re-derives the whole upstream pipeline whenever per-branch column
+    # pruning defeats ReuseExchange — for a rank over an aggregate
+    # (d109's entropy) that is a second full corpus pass. Callers pass
+    # narrow key+payload projections, so the materialized run is the
+    # classic two-pass sort's intermediate, not a corpus copy.
+    ranged = df.withColumn(
+        _PID, _pid_column(df, order, bounds)
+    ).localCheckpoint(eager=True)
 
     w_local = Window.partitionBy(_PID).orderBy(
         *[o.spark_col() for o in order]
@@ -315,12 +325,23 @@ def global_row_number(
                 F.sum(_SUM_OFF + "_part").over(w_off), F.lit(0)
             ).alias(_SUM_OFF)
         )
+    if total_out is not None:
+        # the grand total rides the SAME bounded window + broadcast
+        # hash join as the offsets — no separate one-row crossJoin
+        # branch (and no BroadcastNestedLoopJoin in the plan)
+        off_cols.append(
+            F.sum(_CNT)
+            .over(
+                w_off.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .cast("long")
+            .alias(total_out)
+        )
     offsets = counts.select(*off_cols)
 
     joined = local.join(F.broadcast(offsets), _PID)
-    if total_out is not None:
-        total = counts.agg(F.sum(_CNT).cast("long").alias(total_out))
-        joined = joined.crossJoin(F.broadcast(total))
     result_cols = [
         (F.col(_LOCAL) + F.col(_OFF)).cast("long").alias(out)
     ]

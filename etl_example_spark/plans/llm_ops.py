@@ -3864,22 +3864,29 @@ def d68_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="text",
 )
 def d69_domain_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "source", F.explode(text.tokens("text")).alias("tok")
     )
     st = toks.groupBy("source", "tok").agg(F.count("*").alias("n"))
-    src_tot = st.groupBy("source").agg(F.sum("n").alias("t_src"))
+    # the corpus total rides a whole-table window over the SOURCE-
+    # cardinality aggregate (#sources rows — a mixture has dozens of
+    # sources at ANY corpus size; plan-lint allowlists the window on
+    # that key-domain argument) — never over the vocab-sized tok_tot
+    # (100M+ rows through one task at corpus scale), and never via a
+    # forked .agg() branch (a fork of src_tot re-derives the corpus
+    # token-count pass when column pruning defeats exchange reuse)
+    src_tot = (
+        st.groupBy("source")
+        .agg(F.sum("n").alias("t_src"))
+        .withColumn("t_all", F.sum("t_src").over(Window.partitionBy()))
+    )
     tok_tot = st.groupBy("tok").agg(F.sum("n").alias("t_tok"))
-    # the corpus total folds from the SOURCE-cardinality aggregate (a
-    # #sources-row reduce), broadcast as a one-row constant — never a
-    # whole-table window over the vocab-sized tok_tot (a 100M-row
-    # single-task pass at corpus scale)
-    t_all = src_tot.agg(F.sum("t_src").alias("t_all"))
     return (
         st.join(src_tot, "source")
         .join(tok_tot, "tok")
-        .crossJoin(F.broadcast(t_all))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_shared_tokens"),
@@ -7405,10 +7412,16 @@ def d109_quality_bucket_budget(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("tokens"),
     )
-    # corpus token total folded from the 4-row quartile aggregate — a
-    # broadcast scalar, not an empty-partition window over `per`
-    tot = per.crossJoin(
-        F.broadcast(per.agg(F.sum("tokens").cast("long").alias("t_total")))
+    # grand total via a window over `per` — bounded input by the NTILE
+    # constant (qb ∈ 1..4, so per is ≤ 4 rows at ANY corpus size;
+    # plan-lint allowlists this window on that key-domain argument).
+    # NOT a crossJoin of a per.agg() branch: a fork of `per` re-derives
+    # the whole entropy pipeline when column pruning defeats exchange
+    # reuse — a measured second corpus pass.
+    from pyspark.sql import Window
+
+    tot = per.withColumn(
+        "t_total", F.sum("tokens").over(Window.partitionBy())
     )
     return tot.select(
         "qb",

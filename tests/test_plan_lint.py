@@ -49,13 +49,11 @@ _CROSS_JOIN_BY_DESIGN = {
     "d52_tfidf_top_terms",  # broadcast one-row corpus-size aggregate
     "d65_unigram_rarity",  # broadcast one-row corpus-token-total aggregate
     "d68_vocab_coverage",  # broadcast one-row corpus-token-total aggregate
-    "d69_domain_shift",  # broadcast one-row corpus-token-total aggregate
     "d83_bigram_logprob_quality",  # broadcast one-row vocab-size aggregate
     "s51_bm25_topk",  # broadcast one-row (N, T) corpus-totals aggregate
     "s53_bm25_index_serve",  # broadcast one-row (N, T) stored totals
     "d95_token_budget_plan",  # broadcast one-row budget-totals aggregate
-    "d109_quality_bucket_budget",  # broadcast one-row token-total aggregate
-    "q90_ntile_buckets",  # broadcast one-row rank-total aggregate (global_ntile)
+    "s57_bm25_bucketed_serve",  # broadcast one-row (N, T) stored totals
     "m38_encode_then_search",  # broadcast query-vector block (brute force)
 }
 
@@ -97,6 +95,12 @@ _SINGLE_PARTITION_WINDOW_BY_DESIGN = {
     # running total over a per-month aggregate: the window input is one
     # row per calendar month (~1.2k rows/century at ANY corpus size)
     "q8_window_running_total",
+    # grand total over the per-quartile aggregate: qb ∈ 1..4 by the
+    # NTILE constant, so the window input is ≤ 4 rows at any scale
+    "d109_quality_bucket_budget",
+    # grand total over the per-source aggregate: a mixture has a few
+    # dozen sources at any corpus size (key-domain-bounded)
+    "d69_domain_shift",
 }
 
 

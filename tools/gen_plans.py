@@ -285,6 +285,19 @@ SHOW = {
         "vocabulary (RDD scans in-plan, vocab-sized); the corpus is "
         "touched once by the final word join + rollup."
     ),
+    "q90_ntile_buckets": (
+        "Exact NTILE on the two-pass deterministic rank: NO "
+        "single-partition window over the fact table — the literal "
+        "boundary array assigns pids in-row, the local-rank window "
+        "partitions by pid, and the only Exchange SinglePartition "
+        "feeds the bounded __gr_pid count table."
+    ),
+    "s57_bm25_bucketed_serve": (
+        "Bucket-pruned artifact serving: the bucketed postings scan "
+        "shows SelectedBucketsCount <= |query terms| out of 32 — the "
+        "probe reads only the buckets its terms hash into; no "
+        "exchange on the postings side before the score fold."
+    ),
 }
 
 
