@@ -1538,6 +1538,83 @@ def st56_stream_warc_ingest(
 
 
 @register(
+    "st59_stream_wet_ingest",
+    "STREAMING WET ingestion — the text-first crawl feed live: the "
+    "WET source's offset-managed stream half (sources/warc."
+    "_WetStreamReader, conversion records with plain-text bodies and "
+    "no HTTP envelope, every-7th-page mirror structure) drains "
+    "STRAIGHT into the token gate and a per-bucket rollup that "
+    "carries a distinct-content count (size(collect_set(md5)) — the "
+    "streaming-legal distinct), so the crawl's duplicate structure is "
+    "visible through the live path with NO extraction stage. The "
+    "oracle regenerates every conversion body (including the mirror "
+    "rule) from range() and replays gate + rollup — micro-batching "
+    "and offset bookkeeping must not change WHAT was read.",
+    oracle=f"""
+        WITH ids AS (SELECT unnest(range(400)) AS i),
+        base AS (
+            SELECT i, CASE WHEN i % 7 = 6 AND i > 0 THEN i - 1
+                           ELSE i END AS src_i
+            FROM ids
+        ),
+        pages AS (
+            SELECT i,
+                   'Doc ' || src_i || chr(10) ||
+                   'alpha ' || substr(md5(CAST(src_i AS VARCHAR)), 1, 8)
+                   || ' & café' || chr(10) ||
+                   'beta ' || substr(md5(CAST(src_i AS VARCHAR)), 9, 8)
+                       AS text
+            FROM base
+        ),
+        gated AS (SELECT i, text FROM pages WHERE {SQL_NTOKS} >= 5)
+        SELECT CAST(i % 10 AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(SUM(length(text)) AS BIGINT) AS chars,
+               CAST(SUM({SQL_NTOKS}) AS BIGINT) AS toks,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT)
+                   AS n_distinct_texts
+        FROM gated
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+    category="streaming",
+)
+def st59_stream_wet_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators import text
+    from etl_example_spark.sources.warc import register_wet_datasource
+
+    register_wet_datasource(spark)
+    stream = (
+        spark.readStream.format("synthetic_wet")
+        .option("rows", 400)
+        .option("batchRows", 120)
+        .option("dupEvery", 7)
+        .load()
+    )
+    gated = stream.select(
+        F.regexp_extract("url", r"(\d+)$", 1).cast("int").alias("page"),
+        "text",
+    ).filter(text.token_count("text") >= 5)
+    agg = gated.groupBy((F.col("page") % 10).alias("bucket")).agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.length("text")).alias("chars"),
+        F.sum(text.token_count("text")).alias("toks"),
+        # distinct content through the live path: collect_set is the
+        # streaming-legal distinct (COUNT(DISTINCT) is disallowed in
+        # complete-mode streaming aggregations)
+        F.size(F.collect_set(F.md5("text"))).cast("long").alias(
+            "n_distinct_texts"
+        ),
+    )
+    result = run_to_memory(agg, output_mode="complete", available_now=False)
+    return result.orderBy("bucket")
+
+
+@register(
     "st57_stream_quota_admission",
     "Streaming per-source ADMISSION QUOTA (applyInPandasWithState): "
     "admit at most 10 documents per source across the whole stream — "

@@ -281,13 +281,48 @@ class _WetReader(DataSourceReader):
         )
 
 
+class _WetStreamReader(SimpleDataSourceStreamReader):
+    """Offset-managed STREAMING half of the WET source — same contract
+    as ``_WarcStreamReader`` (offset = next record id, deterministic
+    ``readBetweenOffsets`` replay) over the conversion-record kernel,
+    so stream-read == batch-read by construction."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.batch = int(options.get("batchRows", 100))
+        self.dup_every = int(options.get("dupEvery", 0))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def read(self, start):
+        lo = int(start["offset"])
+        hi = min(lo + self.batch, self.rows)
+        return (
+            iter(list(_parse_wet_slice(lo, hi, self.dup_every))),
+            {"offset": hi},
+        )
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            list(
+                _parse_wet_slice(
+                    int(start["offset"]),
+                    int(end["offset"]),
+                    self.dup_every,
+                )
+            )
+        )
+
+
 class WetDataSource(DataSource):
     """``spark.read.format("synthetic_wet").option("rows", N)`` →
     (url string, text string) — WET conversion records (extracted
     plain text, no HTTP envelope), the entry point text-first crawl
     consumers actually read. Same partition-planned synthesize+parse
     shape as :class:`WarcDataSource`; a production deployment swaps
-    the synthesizer for ranged reads of real ``.wet`` files."""
+    the synthesizer for ranged reads of real ``.wet`` files.
+    ``spark.readStream`` gives the offset-managed streaming form."""
 
     @classmethod
     def name(cls) -> str:
@@ -298,6 +333,9 @@ class WetDataSource(DataSource):
 
     def reader(self, schema):
         return _WetReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _WetStreamReader(self.options)
 
 
 class _WarcStreamReader(SimpleDataSourceStreamReader):

@@ -53,6 +53,17 @@ def timed(label, df):
     print(f"  {label}: {time.monotonic() - t0:.1f} s", flush=True)
 
 
+def timed_e2e(label, build_fn):
+    """Build-INCLUSIVE timing for plans whose construction runs eager
+    jobs (the rank primitive's sampling pass + localCheckpoint): a
+    noop-only timing of the returned frame would hide the corpus-sized
+    work in the build. Warm once, then time build+execute together."""
+    build_fn().write.format("noop").mode("overwrite").save()
+    t0 = time.monotonic()
+    build_fn().write.format("noop").mode("overwrite").save()
+    print(f"  {label}: {time.monotonic() - t0:.1f} s", flush=True)
+
+
 def ntile_decile_agg(b):
     return (
         b.groupBy("decile")
@@ -90,10 +101,11 @@ def main() -> None:
                 )
             ),
         )
-        # NEW: deterministic two-pass rank
-        timed(
-            "q90 ntile NEW two-pass global_ntile",
-            ntile_decile_agg(
+        # NEW: deterministic two-pass rank (build-inclusive: the
+        # sampling pass + checkpoint materialization are the plan)
+        timed_e2e(
+            "q90 ntile NEW two-pass global_ntile (incl build)",
+            lambda: ntile_decile_agg(
                 global_ntile(
                     narrow,
                     [
@@ -110,18 +122,24 @@ def main() -> None:
 
         docs = replicated(spark, n, "documents", "doc_id")
         docs.count()
-        ent = text.token_entropy(docs)
-        b = global_ntile(
-            ent.select("doc_id", "n_tokens", "entropy_micro"),
-            [Ord("entropy_micro"), Ord("doc_id")],
-            4,
-            out="qb",
+
+        def build_d109():
+            ent = text.token_entropy(docs)
+            b = global_ntile(
+                ent.select("doc_id", "n_tokens", "entropy_micro"),
+                [Ord("entropy_micro"), Ord("doc_id")],
+                4,
+                out="qb",
+            )
+            return b.groupBy("qb").agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("tokens"),
+            )
+
+        timed_e2e(
+            "d109 quality buckets (two-pass NTILE, incl build)",
+            build_d109,
         )
-        per = b.groupBy("qb").agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("tokens"),
-        )
-        timed("d109 quality buckets (two-pass NTILE)", per)
 
         # NB language ID: fit is a bounded collect, gate is a pure map
         from etl_example_spark.plans.llm_ops import (
