@@ -6417,6 +6417,73 @@ def d111_wet_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d114_reproducible_shuffle",
+    "EPOCH-REPRODUCIBLE training-data shuffle + round-robin shard "
+    "striping — the export-order primitive a training launch needs "
+    "(data order affects the run; reproducing a run requires "
+    "reproducing the order; no engine's built-in shuffle is "
+    "deterministic across cluster shapes): every document's global "
+    "position in an md5-derived pseudo-random total order, computed "
+    "by the deterministic two-pass rank (functions/rank."
+    "global_row_number — no single-task sort; the hash key is "
+    "engine-portable hex arithmetic, the d54/hashed-bucket "
+    "discipline), then shard = (pos-1) mod 8 stripes round-robin so "
+    "shards are balanced to ±1 document and reading shards "
+    "round-robin replays the exact global order. The oracle states "
+    "the same order as ROW_NUMBER over (hash, id).",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                        1, 15)) AS BIGINT) AS hk
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY hk NULLS LAST, doc_id NULLS LAST
+                   ) AS pos
+            FROM h
+        )
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               CAST((pos - 1) % 8 AS BIGINT) AS shard,
+               CAST((pos - 1) // 8 + 1 AS BIGINT) AS pos_in_shard
+        FROM r ORDER BY pos
+    """,
+    category="dedup",
+)
+def d114_reproducible_shuffle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_example_spark.functions.rank import Ord, global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hk"),
+    )
+    ranked = global_row_number(
+        keyed,
+        [Ord("hk", nulls_last=True), Ord("doc_id", nulls_last=True)],
+        out="pos",
+    )
+    return ranked.select(
+        "doc_id",
+        "pos",
+        ((F.col("pos") - 1) % 8).cast("long").alias("shard"),
+        (
+            F.floor((F.col("pos") - 1) / 8) + 1
+        ).cast("long").alias("pos_in_shard"),
+    ).orderBy("pos")
+
+
+@register(
     "d104_corpus_snapshot_diff",
     "Corpus VERSION diff — the data-versioning primitive a "
     "periodically-recrawled corpus needs before retraining: classify "

@@ -947,3 +947,48 @@ def test_avi_mjpeg_rejects_damage():
     bad2[avih_at + 16] = 9  # dwTotalFrames
     with pytest.raises(ValueError):
         parse_avi_mjpeg(bytes(bad2))
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        min_size=1,
+        max_size=60,
+    ),
+    asc=st.booleans(),
+    nulls_last=st.booleans(),
+    nparts=st.integers(min_value=2, max_value=6),
+)
+@SETTINGS
+def test_global_rank_matches_window_for_any_order_spec(
+    spark, vals, asc, nulls_last, nparts
+):
+    """functions/rank law: for ANY value column (duplicates, NULLs),
+    ANY direction/null-placement, and ANY partition count, the
+    deterministic two-pass global_row_number equals the unpartitioned
+    window's ROW_NUMBER under the same total order (unique id
+    tie-break)."""
+    from pyspark.sql import Window
+
+    from etl_example_spark.functions.rank import Ord, global_row_number
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    order = [Ord("v", asc=asc, nulls_last=nulls_last), Ord("id")]
+    got = {
+        (r["id"], r["r"])
+        for r in global_row_number(
+            df, order, out="r", num_partitions=nparts
+        ).collect()
+    }
+    exp = {
+        (r["id"], r["r"])
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(*[o.spark_col() for o in order]))
+            .alias("r"),
+        ).collect()
+    }
+    assert got == exp
