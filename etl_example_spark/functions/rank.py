@@ -274,17 +274,25 @@ def global_row_number(
     )
 
     bounds = _deterministic_boundaries(df, order, n)
-    # localCheckpoint: the count pass and the local-rank pass both
+    # LAZY localCheckpoint: the count pass and the local-rank pass both
     # consume `ranged`; correctness never depends on shared state (the
     # pid is deterministic), but WITHOUT materialization each branch
     # re-derives the whole upstream pipeline whenever per-branch column
     # pruning defeats ReuseExchange — for a rank over an aggregate
-    # (d109's entropy) that is a second full corpus pass. Callers pass
-    # narrow key+payload projections, so the materialized run is the
-    # classic two-pass sort's intermediate, not a corpus copy.
+    # (d109's entropy) that is a second full corpus pass. Lazy (not
+    # eager): building the plan must not run an input-sized job — plan
+    # audits and EXPLAIN build every registered query; the single
+    # materialization happens at the first action, then both branches
+    # read it. Callers pass narrow key+payload projections, so the
+    # materialized run is the classic two-pass sort's intermediate, not
+    # a corpus copy, and the ContextCleaner reclaims it when the frame
+    # is released. Cluster note: localCheckpoint blocks die with their
+    # executor; a long-lived 1000-node deployment would swap this line
+    # for reliable checkpointing (the pid stays a pure key function
+    # either way, so any recompute remains consistent).
     ranged = df.withColumn(
         _PID, _pid_column(df, order, bounds)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     w_local = Window.partitionBy(_PID).orderBy(
         *[o.spark_col() for o in order]

@@ -45,6 +45,21 @@ EVENT_GRAPH_SQL = """
         )"""
 
 
+def _sequenced_events(
+    events: DataFrame,
+    user_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """The rows the event graph is built FROM: user and primary order
+    column non-null (EVENT_GRAPH_SQL's ``ev`` filter) — the single
+    definition :func:`transition_edges` and :func:`event_graph_nodes`
+    both apply, so edges and vertices can never use different row
+    sets."""
+    return events.filter(
+        F.col(user_col).isNotNull() & F.col(order_cols[0]).isNotNull()
+    )
+
+
 def transition_edges(
     events: DataFrame,
     node_col,
@@ -66,10 +81,7 @@ def transition_edges(
     oracles' default instead of Spark's nulls-first ASC."""
     from pyspark.sql import Window
 
-    events = events.filter(
-        F.col(user_col).isNotNull()
-        & F.col(order_cols[0]).isNotNull()
-    )
+    events = _sequenced_events(events, user_col, order_cols)
     w = Window.partitionBy(user_col).orderBy(
         F.col(order_cols[0]).asc(),
         *[F.col(c).asc_nulls_last() for c in order_cols[1:]],
@@ -84,18 +96,18 @@ def event_graph_nodes(
     events: DataFrame,
     node_col,
     user_col: str = "user_id",
-    order_col: str = "ts",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
 ) -> DataFrame:
     """The event graph's vertex set — distinct non-null node values from
     exactly the rows :func:`transition_edges` sequences (user and
-    primary order column non-null, mirroring EVENT_GRAPH_SQL's ``ev``
-    filter). A page appearing ONLY in NULL-user/NULL-ts events
-    contributes no step, so it must not appear as an isolated vertex
-    either — the engine and the SQL oracles must agree on that row."""
+    primary order column non-null, via the SAME ``_sequenced_events``
+    filter, so the two cannot drift: pass identical ``user_col``/
+    ``order_cols`` to both and the vertex set is definitionally the
+    sequenced rows' node set, mirroring EVENT_GRAPH_SQL's ``ev``). A
+    page appearing ONLY in NULL-user/NULL-ts events contributes no
+    step, so it must not appear as an isolated vertex either."""
     return (
-        events.filter(
-            F.col(user_col).isNotNull() & F.col(order_col).isNotNull()
-        )
+        _sequenced_events(events, user_col, order_cols)
         .select(node_col.alias("node"))
         .filter(F.col("node").isNotNull())
         .distinct()

@@ -675,9 +675,10 @@ def nb_langid_train(
     """Multinomial NAIVE BAYES over hashed token buckets — the trained
     replacement for the d29 n-gram language-ID heuristic, and the
     model class langid actually uses (TextCat/langid.py lineage):
-    fit IS counting, so training is ONE partial-aggregating corpus
-    pass with a bounded collect, deterministic and order-independent
-    by construction (no epochs, no oscillation — the batch perceptron
+    fit IS counting — one partial-aggregating token pass plus one
+    label-histogram scan (reads the label column only), each ending in
+    a model-sized collect; deterministic and order-independent by
+    construction (no epochs, no oscillation — the batch perceptron
     was measured stuck at majority-class on this task).
 
     Per class c and bucket b: ``w[c][b] = micro(ln((count(c,b)+1) /

@@ -1888,8 +1888,8 @@ def s53_bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
-#: (session id, sf_dir) pairs whose bucketed BM25 artifact is live
-_BM25_BUCKETED_STAGED: set[tuple[int, str]] = set()
+#: (session key, sf_dir) pairs whose bucketed BM25 artifact is live
+_BM25_BUCKETED_STAGED: set[tuple[str, str]] = set()
 
 
 def _stage_bm25_bucketed(
@@ -1904,12 +1904,16 @@ def _stage_bm25_bucketed(
     buckets its query terms hash into."""
     import hashlib
 
+    from etl_example_spark.operators.dedup import _session_key
     from etl_example_spark.sources.writers import write_bucketed_table
 
     slug = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     name = f"bm25_postings_bkt_{slug}"
     stats_name = f"bm25_stats_{slug}"
-    key = (id(spark), sf_dir)
+    # _session_key, not id(spark): a GC'd session's address can be
+    # reused, and a stale staging hit on a fresh session would raise
+    # TABLE_OR_VIEW_NOT_FOUND from its empty in-memory catalog
+    key = (_session_key(spark), sf_dir)
     if key not in _BM25_BUCKETED_STAGED:
         from etl_example_spark.sources.writers import (
             drop_table_and_location,
@@ -6579,10 +6583,14 @@ def _demo_host_col() -> "F.Column":
 def _psl_domain_ctes() -> str:
     """hosts -> registrable domain as DuckDB CTEs (the d105 list
     algebra, shared verbatim by d108): yields a relation ``dom`` with
-    (doc_id, host, domain)."""
+    (doc_id, text, host, domain). ``text`` rides the whole chain so
+    d108 computes its per-doc signals FROM dom directly — join-free,
+    exactly like the engine's in-row path (a NULL-safe re-join to
+    documents would be many-to-many on duplicate NULL ids and inflate
+    the NULL-domain group k-fold)."""
     return f"""
         hosts AS (
-            SELECT doc_id,
+            SELECT doc_id, text,
                    CASE doc_id % 4
                         WHEN 0 THEN 'news' || CAST(doc_id % 6 AS VARCHAR)
                                     || '.sites.co.uk'
@@ -6598,12 +6606,12 @@ def _psl_domain_ctes() -> str:
             FROM documents
         ),
         parts AS (
-            SELECT doc_id, host,
+            SELECT doc_id, text, host,
                    string_split(lower(host), '.') AS labels
             FROM hosts
         ),
         psl_m AS (
-            SELECT doc_id, host, labels, len(labels) AS n,
+            SELECT doc_id, text, host, labels, len(labels) AS n,
                    list_filter(
                        list_transform(range(1, len(labels) + 1),
                            k -> array_to_string(
@@ -6615,12 +6623,12 @@ def _psl_domain_ctes() -> str:
             FROM parts
         ),
         reg AS (
-            SELECT doc_id, host, labels, n,
+            SELECT doc_id, text, host, labels, n,
                    COALESCE(matched[-1], labels[n]) AS suffix
             FROM psl_m
         ),
         dom AS (
-            SELECT doc_id, host,
+            SELECT doc_id, text, host,
                    CASE WHEN n > len(string_split(suffix, '.'))
                         THEN labels[n - len(string_split(suffix, '.'))]
                              || '.' || suffix
@@ -7240,16 +7248,16 @@ def m46_dct_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH {_psl_domain_ctes()},
         sig AS (
-            -- NULL-safe join (d106's NULL-id discipline): the engine
-            -- computes host/domain/signals in-row with no join, so a
-            -- NULL-id degenerate doc must land in the NULL-domain
-            -- group on both engines, not silently drop from the oracle
-            SELECT d.doc_id, d.host, d.domain,
+            -- join-free: text rides the dom CTE chain, so the oracle
+            -- computes per-doc signals exactly like the engine's
+            -- in-row path — no re-join to documents that a NULL-id
+            -- degenerate doc could drop from (equi-join) or inflate
+            -- k-fold (NULL-safe join over duplicate NULL ids)
+            SELECT doc_id, host, domain,
                    len({SQL_TOKS}) AS n_toks,
                    len(list_distinct({SQL_TOKS})) AS n_distinct,
                    md5({SQL_NORM}) AS fp
-            FROM dom d JOIN documents
-              ON d.doc_id IS NOT DISTINCT FROM documents.doc_id
+            FROM dom
         )
         SELECT domain,
                CAST(COUNT(*) AS BIGINT) AS n_docs,

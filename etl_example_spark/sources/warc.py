@@ -225,6 +225,10 @@ def _parse_slice(start: int, end: int, dup_every: int):
 
 
 class _WarcReader(DataSourceReader):
+    #: the per-slice synthesize+parse kernel — the ONLY thing the WET
+    #: variant overrides, so slice planning lives in one place
+    _kernel = staticmethod(_parse_slice)
+
     def __init__(self, options):
         self.rows = int(options.get("rows", 1000))
         self.n_parts = max(1, int(options.get("partitions", 8)))
@@ -242,7 +246,7 @@ class _WarcReader(DataSourceReader):
     def read(self, partition: _WarcSlice):
         # one concatenated WARC stream per partition, with a warcinfo
         # head record (real files start with one; the parser skips it)
-        yield from _parse_slice(
+        yield from self._kernel(
             partition.start, partition.end, self.dup_every
         )
 
@@ -260,59 +264,12 @@ def _parse_wet_slice(start: int, end: int, dup_every: int):
         yield url, body.decode("utf-8", "replace")
 
 
-class _WetReader(DataSourceReader):
-    def __init__(self, options):
-        self.rows = int(options.get("rows", 1000))
-        self.n_parts = max(1, int(options.get("partitions", 8)))
-        self.dup_every = int(options.get("dupEvery", 0))
+class _WetReader(_WarcReader):
+    """``_WarcReader`` with the conversion-record kernel — slice
+    planning is inherited, only the parse kernel differs (a future
+    partition-planning fix lands in ONE place)."""
 
-    def partitions(self):
-        if self.rows <= 0:
-            return [_WarcSlice(0, 0)]
-        step = -(-self.rows // self.n_parts)
-        return [
-            _WarcSlice(lo, min(lo + step, self.rows))
-            for lo in range(0, self.rows, step)
-        ]
-
-    def read(self, partition: _WarcSlice):
-        yield from _parse_wet_slice(
-            partition.start, partition.end, self.dup_every
-        )
-
-
-class _WetStreamReader(SimpleDataSourceStreamReader):
-    """Offset-managed STREAMING half of the WET source — same contract
-    as ``_WarcStreamReader`` (offset = next record id, deterministic
-    ``readBetweenOffsets`` replay) over the conversion-record kernel,
-    so stream-read == batch-read by construction."""
-
-    def __init__(self, options):
-        self.rows = int(options.get("rows", 1000))
-        self.batch = int(options.get("batchRows", 100))
-        self.dup_every = int(options.get("dupEvery", 0))
-
-    def initialOffset(self):
-        return {"offset": 0}
-
-    def read(self, start):
-        lo = int(start["offset"])
-        hi = min(lo + self.batch, self.rows)
-        return (
-            iter(list(_parse_wet_slice(lo, hi, self.dup_every))),
-            {"offset": hi},
-        )
-
-    def readBetweenOffsets(self, start, end):
-        return iter(
-            list(
-                _parse_wet_slice(
-                    int(start["offset"]),
-                    int(end["offset"]),
-                    self.dup_every,
-                )
-            )
-        )
+    _kernel = staticmethod(_parse_wet_slice)
 
 
 class WetDataSource(DataSource):
@@ -347,6 +304,10 @@ class _WarcStreamReader(SimpleDataSourceStreamReader):
     identical batches (exactly-once downstream with idempotent
     sinks)."""
 
+    #: per-slice kernel hook — the WET stream variant overrides ONLY
+    #: this, so offset bookkeeping lives in one place
+    _kernel = staticmethod(_parse_slice)
+
     def __init__(self, options):
         self.rows = int(options.get("rows", 1000))
         self.batch = int(options.get("batchRows", 100))
@@ -359,20 +320,28 @@ class _WarcStreamReader(SimpleDataSourceStreamReader):
         lo = int(start["offset"])
         hi = min(lo + self.batch, self.rows)
         return (
-            iter(list(_parse_slice(lo, hi, self.dup_every))),
+            iter(list(self._kernel(lo, hi, self.dup_every))),
             {"offset": hi},
         )
 
     def readBetweenOffsets(self, start, end):
         return iter(
             list(
-                _parse_slice(
+                self._kernel(
                     int(start["offset"]),
                     int(end["offset"]),
                     self.dup_every,
                 )
             )
         )
+
+
+class _WetStreamReader(_WarcStreamReader):
+    """``_WarcStreamReader`` over the conversion-record kernel — same
+    offset contract, so stream-read == batch-read by construction and
+    a future offset-semantics fix lands in one place."""
+
+    _kernel = staticmethod(_parse_wet_slice)
 
 
 class WarcDataSource(DataSource):
