@@ -120,11 +120,16 @@ def attach_mixed_media(
 
 
 def decode_stub(payload: bytes, fmt: str) -> object:
-    """Where a real codec belongs (PIL.Image.open / av.open / soundfile).
-    Not available in this container — STUB by contract."""
+    """The pluggable EXTERNAL-codec boundary (PIL.Image.open / av.open /
+    soundfile) for formats outside the engine's own stdlib codecs —
+    which now cover every modality: PPM/PNG/JPEG (:func:`decode_ppm`,
+    :func:`decode_png`, :func:`decode_jpeg`), WAV (:func:`decode_wav`),
+    and MJPEG-in-AVI video (:func:`parse_avi_mjpeg` +
+    :func:`decode_avi_frame`). Formats beyond those (e.g. H.264, FLAC)
+    need a library this container doesn't ship — STUB by contract."""
     raise NotImplementedError(
-        "media codecs are not installed in this environment; "
-        "plug a real decoder here (e.g. PIL.Image.open(io.BytesIO(payload)))"
+        "no built-in codec for this format; plug an external decoder "
+        "here (e.g. PIL.Image.open(io.BytesIO(payload)))"
     )
 
 
@@ -484,11 +489,12 @@ def sample_frames(
 
     ``mapInPandas`` fan-OUT: input rows become multiple output rows inside
     the Arrow batch, so the expansion happens executor-side with no
-    explode-shuffle. A real build calls the codec (``decode_stub``) to
-    seek and decode each frame; here the frame payload is the
-    deterministic stand-in ``md5(hex(payload) | frame_idx)`` so the
-    plumbing (schemas, fan-out, batching) is testable and oracle-checkable
-    via the hex-string hash chain (DuckDB md5 is VARCHAR-only).
+    explode-shuffle. This is the metadata-driven PLUMBING demo (frame
+    payloads are the deterministic stand-in ``md5(hex(payload) |
+    frame_idx)`` so fan-out/schema/batching are oracle-checkable via the
+    hex hash chain); the REAL container path is the m48 registration —
+    :func:`parse_avi_mjpeg`'s idx1 seek table + :func:`decode_avi_frame`
+    decode actual sampled frame bytes through the baseline-JPEG codec.
     """
     import hashlib
 
