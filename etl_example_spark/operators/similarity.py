@@ -809,6 +809,116 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    shortlist: int = 100,
+    query_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """COMPOSED IVF-PQ ANN — the production serving layout (FAISS
+    IVFPQ lineage) assembled from the engine's two proven halves: the
+    inverted-file coarse probe (s40) restricts candidates to
+    ``nprobe/n_centroids`` of the corpus, PQ-ADC (s42) scores ONLY
+    those candidates from ``m`` byte codes per vector, and the exact
+    re-rank touches only the ``shortlist``. Cost per query =
+    (corpus · nprobe/n_centroids) code-table lookups + shortlist
+    exact cosines — BOTH compression axes at once, which is what makes
+    billion-vector serving fit in memory: cells bound the scan,
+    codes bound the bytes.
+
+    Variant note: canonical IVFPQ encodes RESIDUALS (v − centroid) for
+    tighter codes; this composition encodes the raw normalized vectors
+    with corpus-wide codebooks, so ONE PQ artifact serves every cell
+    (and the s48/s50 append paths maintain it unchanged) at some
+    recall cost — the floor is certificate-verified externally (s58a).
+    Unit-normalizing first makes L2 order == cosine order, as in
+    :func:`pq_topk`.
+
+    Output schema matches ``brute_force_topk`` (query_id, neighbor_id,
+    cosine_sim)."""
+    normalized = l2_normalize(embeddings, vec_col).localCheckpoint(
+        eager=True
+    )
+    first = normalized.select(vec_col).limit(1).collect()
+    if not first:  # empty corpus -> empty result with the output schema
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double"
+        )
+    dim = len(first[0][0])
+
+    assign = ivf_assign(normalized, n_centroids, id_col, vec_col)
+    if query_id is None:
+        query = assign.orderBy(id_col).limit(1)
+    else:
+        query = assign.filter(F.col(id_col) == query_id)
+    q = query.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    centroids = (
+        normalized.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "centroid_id",
+            F.round(cosine("centroid_vec", "query_vec"), 6).alias("q_sim"),
+        )
+        .orderBy(F.desc("q_sim"), "centroid_id")
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    cand = assign.join(F.broadcast(probe_cells), "centroid_id").select(
+        id_col, vec_col
+    )
+
+    # PQ codebooks are trained on the FULL corpus (the cell-agnostic
+    # artifact), then only the probed candidates are encoded + scored
+    cb = pq_train(embeddings, m, n_codes, iters, id_col, vec_col)
+    codes = pq_encode(_subvectors(cand, m, dim, id_col, vec_col), cb, id_col)
+    q_sub = _subvectors(
+        query.select(id_col, vec_col), m, dim, id_col, vec_col
+    ).select(
+        F.col(id_col).alias("query_id"), "j", F.col("sv").alias("qv")
+    )
+    adc_table = (
+        cb.join(F.broadcast(q_sub), "j")
+        .withColumn("d2", _sq_l2("qv", "cv"))
+        .select("query_id", "j", "code", "d2")
+    )
+    approx = (
+        codes.select(id_col, F.posexplode("codes").alias("j", "code"))
+        .join(F.broadcast(adc_table), ["j", "code"])
+        .groupBy(id_col, "query_id")
+        .agg(F.sum("d2").alias("approx_d2"))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .orderBy("approx_d2", id_col)
+        .limit(shortlist)
+    )
+    return (
+        approx.join(normalized.select(id_col, vec_col), id_col)
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(vec_col, "query_vec"), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "neighbor_id")
+        .limit(k)
+    )
+
+
 def knn_graph_blocked(
     embeddings: DataFrame,
     block_col: str = "label",

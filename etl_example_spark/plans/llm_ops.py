@@ -599,6 +599,54 @@ def s40_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s58_ivfpq_topk",
+    "COMPOSED IVF-PQ approximate nearest neighbors — the production "
+    "serving layout (FAISS IVFPQ lineage) assembled from the engine's "
+    "two proven halves: the inverted-file coarse probe (s40) bounds "
+    "the SCAN (nprobe/n_centroids of the corpus), PQ-ADC (s42) bounds "
+    "the BYTES (m byte codes per candidate), exact re-rank touches "
+    "only the shortlist. One corpus-wide PQ artifact serves every "
+    "cell (raw-vector codes, not residuals — documented trade; the "
+    "s48/s50 append paths maintain it unchanged). Approximate by "
+    "design -> rows-only here; the externally hash-verified "
+    "certificate is the s58a_ivfpq_recall_bound twin "
+    "(operators/similarity.ivfpq_topk).",
+    oracle=None,
+    category="similarity",
+)
+def s58_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb, k=10, n_centroids=16, nprobe=8, m=16, n_codes=32,
+        iters=4, shortlist=200,
+    )
+
+
+@register(
+    "s58a_ivfpq_recall_bound",
+    "EXTERNAL recall certificate for s58 composed IVF-PQ: recall@10 "
+    "vs exact brute force >= 5/10 — between the coarse-probe-only "
+    "floor (s40a's 3/10: the probe keeps half the corpus) and the "
+    "full-corpus ADC re-rank (s42a's 8/10), because the composition "
+    "pays BOTH approximation losses: a true neighbor outside the "
+    "probed cells is gone before ADC sees it. Same certificate shape "
+    "as s33a/s40a/s42a.",
+    oracle="SELECT CAST(10 AS BIGINT) AS n_exact, TRUE AS recall_ok",
+    category="similarity",
+)
+def s58a_ivfpq_recall_bound(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.brute_force_topk(emb, k=10)
+    approx = similarity.ivfpq_topk(
+        emb, k=10, n_centroids=16, nprobe=8, m=16, n_codes=32,
+        iters=4, shortlist=200,
+    )
+    return _recall_certificate(exact, approx, min_hits=5)
+
+
+@register(
     "m34_multimodal_stats",
     "Multimodal metadata stats: per-modality item counts and byte totals "
     "computed purely from the metadata struct — binary payloads are "

@@ -79,6 +79,67 @@ def test_ivf_recall_and_cell_restriction(spark, sf_dir):
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
 
 
+def test_ivfpq_composition_recall_and_cell_restriction(spark, sf_dir):
+    """Composed IVF-PQ: (a) every returned neighbor must live in one of
+    the query's nprobe probed cells (the coarse probe really restricts
+    — a neighbor from an unprobed cell means the composition leaks);
+    (b) recall@10 vs exact brute force stays >= the certified 5/10
+    floor; (c) results are true cosines, descending; (d) an empty
+    corpus returns an empty frame with the contract schema."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = similarity.ivfpq_topk(
+        emb, k=10, n_centroids=16, nprobe=8, m=16, n_codes=32,
+        iters=4, shortlist=200,
+    ).collect()
+    assert len(rows) == 10
+    sims = [r.cosine_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+    from pyspark.sql import functions as SF
+
+    norm = similarity.l2_normalize(emb, "embedding")
+    assign = similarity.ivf_assign(norm, n_centroids=16)
+    qid = rows[0].query_id
+    q = assign.filter(SF.col("vec_id") == qid).select(
+        SF.col("embedding").alias("query_vec")
+    )
+    probed = {
+        r.centroid_id
+        for r in (
+            norm.orderBy("vec_id").limit(16)
+            .select(
+                SF.col("vec_id").alias("centroid_id"),
+                SF.col("embedding").alias("centroid_vec"),
+            )
+            .crossJoin(SF.broadcast(q))
+            .select(
+                "centroid_id",
+                SF.round(
+                    similarity.cosine("centroid_vec", "query_vec"), 6
+                ).alias("q_sim"),
+            )
+            .orderBy(SF.desc("q_sim"), "centroid_id")
+            .limit(8)
+            .collect()
+        )
+    }
+    cell_of = {
+        r.vec_id: r.centroid_id
+        for r in assign.select("vec_id", "centroid_id").collect()
+    }
+    assert all(cell_of[r.neighbor_id] in probed for r in rows)
+
+    truth = {
+        r.neighbor_id
+        for r in similarity.brute_force_topk(emb, k=10).collect()
+    }
+    assert len({r.neighbor_id for r in rows} & truth) >= 5
+
+    empty = similarity.ivfpq_topk(emb.limit(0), k=10)
+    assert empty.columns == ["query_id", "neighbor_id", "cosine_sim"]
+    assert empty.count() == 0
+
+
 def test_ann_is_subset_ranked_by_true_cosine(spark, sf_dir):
     """ANN results must be true cosines (exact re-rank), descending."""
     emb = load_table(spark, sf_dir, "embeddings")

@@ -44,6 +44,8 @@ _CROSS_JOIN_BY_DESIGN = {
     "s55_sq8_kmeans",  # broadcast 1-row bounds + broadcast k-centroid block
 
     "s45_hybrid_search_rrf",  # broadcast one-row query-vector block
+    "s58_ivfpq_topk",  # broadcast query/centroid blocks (coarse probe + ADC)
+    "s58a_ivfpq_recall_bound",  # 1-row certificate crossJoin + IVFPQ inner ops
     "q15_cte_subquery",  # broadcast one-row scalar aggregate
     "q69_quiet_big_accounts",  # broadcast one-row scalar aggregate
     "d52_tfidf_top_terms",  # broadcast one-row corpus-size aggregate
