@@ -34,6 +34,7 @@ SKIP_DIFFERENTIAL = {
     "s40a_ivf_recall_bound",
     "s42a_pq_recall_bound",
     "s49a_sq8_recall_bound",
+    "s58a_ivfpq_recall_bound",
 }
 
 
