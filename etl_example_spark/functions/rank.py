@@ -28,35 +28,50 @@ partition (executor loss — routine on a 1000-node cluster) replays the
 nondeterministic sample per-branch. Correctness may not depend on an
 optimizer rule firing.
 
-So the boundaries are computed once, deterministically, from the data:
+So the boundaries are computed once, deterministically, from the data —
+**inside the plan**, as a scalar subquery, so that *building* or
+EXPLAINing the plan never launches a Spark job (plan audits and
+registry lints build every registered query; a build-time corpus scan
+would make printing a plan cost a corpus pass):
 
-1. One bounded sampling pass: the ``S`` rows with the smallest
+1. A bounded sampling subquery: the ``S`` rows with the smallest
    ``xxhash64`` of the key (``orderBy(hash).limit(S)`` — a
-   TakeOrderedAndProject per-partition heap, one scan, ≤ S rows to the
-   driver). A hash-bottom-S sample is a uniform random sample that any
+   TakeOrderedAndProject per-partition heap, one scan, ≤ S narrow key
+   tuples). A hash-bottom-S sample is a uniform random sample that any
    re-execution reproduces bit-for-bit.
-2. The driver sorts the ≤ S sampled keys under the requested order
-   spec and keeps ``numPartitions − 1`` evenly spaced, deduplicated
-   boundary keys — a bounded literal array shipped into the plan.
-3. In-row, ``__gr_pid = |{b : b <ₛₚₑ𝚌 key(row)}|`` (an ``F.filter``
-   fold over the literal boundaries with an explicit lexicographic
-   comparator honoring per-column direction and null placement). The
-   count of a fixed set under a monotone predicate is monotone in the
-   key, so ``global order ≡ (pid, local order)`` holds for ANY fixed
-   boundary set — sampling quality affects balance only, never
-   correctness — and every fork/recompute assigns identical pids.
+2. The sample collapses to ONE row holding the key tuples as an array
+   (``collect_list`` — the same ≤ S tuples the driver used to collect,
+   now reduced executor-side); pure array expressions sort it under
+   the requested order spec (``array_sort`` with an explicit
+   lexicographic comparator honoring per-column direction and null
+   placement) and keep ``numPartitions − 1`` evenly spaced,
+   deduplicated boundary keys.
+3. The one-row boundary array enters the main plan as a scalar
+   subquery (``DataFrame.scalar()`` — executed once at the first
+   action, its ≤ P-element result inlined). In-row,
+   ``__gr_pid = |{b : b <ₛₚₑ𝚌 key(row)}|`` (an ``F.filter`` fold over
+   the boundary array with the same comparator). The count of a fixed
+   set under a monotone predicate is monotone in the key, so
+   ``global order ≡ (pid, local order)`` holds for ANY fixed boundary
+   set — sampling quality affects balance only, never correctness —
+   and every fork/recompute assigns identical pids.
 4. Local rank: ordinary window partitioned by ``__gr_pid``; offsets:
    per-pid counts (a ``≤ numPartitions``-row aggregate) turned into
    exclusive prefix sums by the one remaining single-partition window —
    over bounded input by construction (plan-lint recognizes the
    ``__gr_pid`` key) — then broadcast-joined back.
 
-Cost: the sampling pass re-evaluates the key expressions once. That is
-not an overhead vs ``orderBy``: Spark's own range sort runs the same
-hidden sampling job over its child; this one is merely deterministic.
+Cost: the sampling subquery re-evaluates the key expressions once at
+execution time. That is not an overhead vs ``orderBy``: Spark's own
+range sort runs the same hidden sampling job over its child; this one
+is merely deterministic — and lazy, like Spark's own (no job until an
+action). Callers that already hold a boundary artifact (the same
+contract as BM25 serving's stored stats) pass ``boundaries=`` and skip
+the sampling subquery entirely.
+
 The per-row pid fold is O(numPartitions) comparisons — fine through a
 few hundred partitions; past that, unroll a log₂(P) binary search over
-the same literal array (documented lever, not needed at current P).
+the same array (documented lever, not needed at current P).
 
 Correctness requires the order to be a TOTAL order (callers pass a
 unique tie-break column, the same discipline every registered top-k
@@ -78,8 +93,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Internal column names — prefixed so plan-lint can recognize the
-#: bounded offsets window and callers' columns never collide.
+#: bounded offsets window / bounded sampling subquery and callers'
+#: columns never collide.
 _PID = "__gr_pid"
+_BNDS = "__gr_bounds"
+_SAMPLE = "__gr_sample"
 _LOCAL = "__gr_local"
 _OFF = "__gr_off"
 _CNT = "__gr_cnt"
@@ -87,9 +105,14 @@ _SUM_LOCAL = "__gr_sum_local"
 _SUM_OFF = "__gr_sum_off"
 
 #: sample size per requested partition — enough for a few-percent
-#: balance error; the driver never sees more than _SAMPLES_PER_PART * P
-#: narrow key tuples.
+#: balance error; the boundary subquery never reduces more than
+#: _SAMPLES_PER_PART * P narrow key tuples into its one-row array.
 _SAMPLES_PER_PART = 40
+
+#: materialization strategies for the ranged intermediate (the frame
+#: both the count pass and the local-rank pass consume).
+_MATERIALIZE_MODES = ("cache", "local_checkpoint", "checkpoint", "none")
+_MATERIALIZE_CONF = "spark.etl_example_spark.rank.materialize"
 
 
 @dataclass(frozen=True)
@@ -123,8 +146,8 @@ class Ord:
         )
 
     def py_cmp(self, x, y) -> int:
-        """Driver-side comparator for sampled key values — only picks
-        WHICH sampled keys become boundaries (balance), never their
+        """Driver-side comparator for explicit ``boundaries=`` artifacts —
+        only picks WHICH keys become boundaries (balance), never their
         correctness, so Python/JVM collation drift is harmless."""
         if x is None and y is None:
             return 0
@@ -160,11 +183,91 @@ def _key_before(order: Sequence[Ord], xs: list[Column], ys: list[Column]) -> Col
     return out
 
 
+def _struct_fields(order: Sequence[Ord], s: Column) -> list[Column]:
+    return [s[f"_b{i}"] for i in range(len(order))]
+
+
+def _boundaries_column(
+    df: DataFrame, order: Sequence[Ord], n_parts: int
+) -> Column:
+    """The deterministic boundary array as a LAZY scalar subquery.
+
+    One bounded sampling subquery (hash-bottom-S TakeOrdered heap over
+    the key projection) reduces to a single row via ``collect_list``;
+    array expressions then sort the ≤ S key tuples under the order spec
+    and pick ≤ n_parts − 1 evenly spaced, deduplicated split keys —
+    the exact arithmetic (``keys[min(i·c // n, c − 1)]``, strictly
+    increasing dedupe) the driver-side artifact path uses. Nothing
+    executes until the enclosing query's first action, so building or
+    EXPLAINing a plan that embeds this column launches zero jobs.
+    """
+    cols = [o.expr for o in order]
+    s = _SAMPLES_PER_PART * n_parts
+    h = F.xxhash64(*[F.col(c) for c in cols])
+    sample = (
+        df.select(*cols)
+        .orderBy(h.asc(), *[o.spark_col() for o in order])
+        .limit(s)
+    )
+    packed = sample.agg(
+        F.collect_list(
+            F.struct(
+                *[F.col(c).alias(f"_b{i}") for i, c in enumerate(cols)]
+            )
+        ).alias(_SAMPLE)
+    )
+
+    def cmp(x: Column, y: Column) -> Column:
+        xs, ys = _struct_fields(order, x), _struct_fields(order, y)
+        return (
+            F.when(_key_before(order, xs, ys), F.lit(-1))
+            .when(_key_before(order, ys, xs), F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    skeys = F.array_sort(F.col(_SAMPLE), cmp)
+    c = F.size(skeys)
+    # element_at is 1-based; min(i*c // n, c-1) is the 0-based driver pick
+    picks = F.transform(
+        F.sequence(F.lit(1), F.lit(n_parts - 1)),
+        lambda i: F.element_at(
+            skeys,
+            (
+                F.least(
+                    F.floor(i.cast("long") * c / F.lit(n_parts)),
+                    (c - 1).cast("long"),
+                )
+                + 1
+            ).cast("int"),
+        ),
+    )
+    empty = F.slice(skeys, 1, 0)  # typed empty array<struct<...>>
+    bounds = F.when(c >= 2, F.array_distinct(picks)).otherwise(empty)
+    return packed.select(bounds.alias(_BNDS)).scalar()
+
+
+def _pid_from_bounds(order: Sequence[Ord], bounds: Column) -> Column:
+    """``|{b : b <spec key}|`` over the boundary array — the
+    deterministic, fork-safe range partition id. Works identically over
+    the lazy subquery column and a literal artifact array."""
+    key = [F.col(o.expr) for o in order]
+    return F.size(
+        F.filter(
+            bounds,
+            lambda b: _key_before(order, _struct_fields(order, b), key),
+        )
+    )
+
+
 def _deterministic_boundaries(
     df: DataFrame, order: Sequence[Ord], n_parts: int
 ) -> list[tuple]:
-    """One bounded pass: hash-bottom-S sample of the key tuples, driver
-    sort under the spec, ≤ n_parts − 1 deduplicated split keys."""
+    """EAGER driver-side variant of the boundary computation — the
+    ``boundaries=`` artifact producer (compute once, reuse across many
+    rank calls, the stored-stats contract BM25 serving uses). The
+    default in-plan path (:func:`_boundaries_column`) computes the same
+    arithmetic lazily; this one runs a job NOW, so call it only when
+    you want the artifact."""
     cols = [o.expr for o in order]
     s = _SAMPLES_PER_PART * n_parts
     h = F.xxhash64(*[F.col(c) for c in cols])
@@ -193,19 +296,15 @@ def _deterministic_boundaries(
     return bounds
 
 
-def _pid_column(
+def _literal_bounds_column(
     df: DataFrame, order: Sequence[Ord], bounds: list[tuple]
 ) -> Column:
-    """``|{b : b <spec key}|`` over the literal boundary array — the
-    deterministic, fork-safe range partition id."""
-    if not bounds:
-        return F.lit(0)
-    types = {
-        f.name: f.dataType
-        for f in df.select(*[o.expr for o in order]).schema.fields
-    }
+    """A precomputed boundary artifact as a typed literal array."""
     fields = [o.expr for o in order]
-    lit_bounds = F.array(
+    types = {
+        f.name: f.dataType for f in df.select(*fields).schema.fields
+    }
+    return F.array(
         *[
             F.struct(
                 *[
@@ -216,15 +315,15 @@ def _pid_column(
             for b in bounds
         ]
     )
-    key = [F.col(c) for c in fields]
-    return F.size(
-        F.filter(
-            lit_bounds,
-            lambda b: _key_before(
-                order, [b[f"_b{i}"] for i in range(len(fields))], key
-            ),
-        )
-    )
+
+
+def _pid_column(
+    df: DataFrame, order: Sequence[Ord], bounds: list[tuple]
+) -> Column:
+    """pid from an explicit (driver-side) boundary artifact."""
+    if not bounds:
+        return F.lit(0)
+    return _pid_from_bounds(order, _literal_bounds_column(df, order, bounds))
 
 
 def _as_ord(order: Sequence[Ord]) -> list[Ord]:
@@ -249,6 +348,8 @@ def global_row_number(
     running_sum_out: str = "running_sum",
     total_out: str | None = None,
     num_partitions: int | None = None,
+    boundaries: Sequence[tuple] | None = None,
+    materialize: str | None = None,
 ) -> DataFrame:
     """Exact ``ROW_NUMBER() OVER (ORDER BY order)`` as a new long column
     ``out`` — two-pass rank over deterministic data-derived range
@@ -263,36 +364,89 @@ def global_row_number(
     count rides along as a constant column of that name — folded from
     the bounded count table, never a second scan of ``df``.
 
-    Builds eagerly run the bounded sampling pass (≤ 40·P key tuples to
-    the driver) — the deterministic stand-in for the sampling job
-    Spark's own range sort would run anyway.
+    Building the returned frame launches NO Spark job: the boundary
+    sample is a scalar subquery executed at the first action. Pass
+    ``boundaries=`` (a sorted list of key tuples, e.g. from
+    :func:`_deterministic_boundaries` or a stored artifact) to skip the
+    sampling subquery entirely — the stored-stats contract.
+
+    ``materialize`` picks how the ranged intermediate (consumed by both
+    the count pass and the local-rank pass) is pinned:
+
+    - ``"cache"`` (default): lazy ``persist(MEMORY_AND_DISK)`` — one
+      materialization at the first action, shared by both passes via
+      the cache manager's plan match (both consume the SAME logical
+      subtree). Lineage is retained, so an evicted or executor-lost
+      block recomputes — and recomputation is CORRECT here because the
+      pid is a pure key function (the exact property this module
+      exists to provide; a nondeterministic partitioner is what makes
+      cache unsafe elsewhere). The only truly lazy strategy: Dataset
+      ``localCheckpoint``/``checkpoint`` call ``toRdd`` at BUILD time,
+      which under AQE executes the boundary subquery — a measured
+      build-time job, the exact cost placement this design forbids.
+    - ``"local_checkpoint"``: ``localCheckpoint(eager=False)`` —
+      truncates lineage (no recompute storms), but blocks are
+      executor-local and non-replicated (a lost executor fails the
+      query), and the ``toRdd`` at build runs the boundary subquery as
+      one bounded job per call site. Opt-in for iterative callers that
+      re-derive on top of the rank many times.
+    - ``"checkpoint"``: reliable ``checkpoint(eager=False)`` to the
+      configured ``sparkContext.setCheckpointDir`` — survives executor
+      loss; the right choice for long-lived 1000-node deployments.
+      Same bounded build-time subquery job as ``local_checkpoint``.
+    - ``"none"``: no materialization — each pass re-derives the
+      upstream pipeline (still CORRECT: the pid is a pure key function,
+      so forked recomputations agree), paying a second upstream scan
+      whenever per-branch pruning defeats ReuseExchange.
+
+    Unset, the mode comes from the Spark conf
+    ``spark.etl_example_spark.rank.materialize`` (default ``cache``),
+    so cluster deployments choose durability without editing call
+    sites.
     """
     order = _as_ord(order)
     spark = df.sparkSession
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    mode = (
+        materialize
+        if materialize is not None
+        else spark.conf.get(_MATERIALIZE_CONF, "cache")
+    )
+    if mode not in _MATERIALIZE_MODES:
+        raise ValueError(
+            f"materialize must be one of {_MATERIALIZE_MODES}, got {mode!r}"
+        )
 
-    bounds = _deterministic_boundaries(df, order, n)
-    # LAZY localCheckpoint: the count pass and the local-rank pass both
-    # consume `ranged`; correctness never depends on shared state (the
-    # pid is deterministic), but WITHOUT materialization each branch
-    # re-derives the whole upstream pipeline whenever per-branch column
-    # pruning defeats ReuseExchange — for a rank over an aggregate
-    # (d109's entropy) that is a second full corpus pass. Lazy (not
-    # eager): building the plan must not run an input-sized job — plan
-    # audits and EXPLAIN build every registered query; the single
-    # materialization happens at the first action, then both branches
-    # read it. Callers pass narrow key+payload projections, so the
-    # materialized run is the classic two-pass sort's intermediate, not
-    # a corpus copy, and the ContextCleaner reclaims it when the frame
-    # is released. Cluster note: localCheckpoint blocks die with their
-    # executor; a long-lived 1000-node deployment would swap this line
-    # for reliable checkpointing (the pid stays a pure key function
-    # either way, so any recompute remains consistent).
-    ranged = df.withColumn(
-        _PID, _pid_column(df, order, bounds)
-    ).localCheckpoint(eager=False)
+    if boundaries is not None:
+        pid = _pid_column(df, order, list(boundaries))
+        ranged = df.withColumn(_PID, pid)
+    elif n < 2:
+        ranged = df.withColumn(_PID, F.lit(0))
+    else:
+        ranged = (
+            df.withColumn(_BNDS, _boundaries_column(df, order, n))
+            .withColumn(_PID, _pid_from_bounds(order, F.col(_BNDS)))
+            .drop(_BNDS)
+        )
+    # Materialize (lazily) so the count pass and the local-rank pass
+    # read one computed intermediate instead of re-deriving the whole
+    # upstream pipeline when per-branch column pruning defeats
+    # ReuseExchange — for a rank over an aggregate (d109's entropy)
+    # that re-derivation is a second full corpus pass. The default is
+    # the one strategy with NO build-time job: building the plan must
+    # not run an input-sized (or any) job — plan audits and EXPLAIN
+    # build every registered query. Correctness never depends on the
+    # materialization (the pid is deterministic).
+    if mode == "cache":
+        from pyspark.storagelevel import StorageLevel
+
+        ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    elif mode == "local_checkpoint":
+        ranged = ranged.localCheckpoint(eager=False)
+    elif mode == "checkpoint":
+        ranged = ranged.checkpoint(eager=False)
 
     w_local = Window.partitionBy(_PID).orderBy(
         *[o.spark_col() for o in order]
@@ -369,6 +523,8 @@ def global_ntile(
     n_buckets: int,
     out: str = "bucket",
     num_partitions: int | None = None,
+    boundaries: Sequence[tuple] | None = None,
+    materialize: str | None = None,
 ) -> DataFrame:
     """Exact ``NTILE(n_buckets) OVER (ORDER BY order)`` as a new long
     column ``out`` — derived arithmetically from the two-pass global
@@ -394,6 +550,8 @@ def global_ntile(
         out="__gr_rank",
         total_out="__gr_total",
         num_partitions=num_partitions,
+        boundaries=boundaries,
+        materialize=materialize,
     )
     r, c, n = F.col("__gr_rank"), F.col("__gr_total"), F.lit(n_buckets)
     q = (c / n).cast("long")  # floor: both operands non-negative

@@ -51,7 +51,7 @@ QUERIES: dict[str, Query] = {}
 #: rotation of the already-verified backlog through the driver window so
 #: regressions in verified queries are eventually re-caught (a different
 #: ~39-query sample each round instead of only the 6 sentinels).
-ROUND = 11
+ROUND = 12
 
 #: Queries the external driver has already verified in earlier rounds
 #: (union of non-errored rows across CORRECTNESS_r01–r04). The driver's
@@ -166,6 +166,12 @@ PRIOR_VERIFIED: frozenset[str] = frozenset(
         "m47_audio_spectral_energy", "g04_label_propagation",
         "st56_stream_warc_ingest", "st57_stream_quota_admission",
         "st58_stream_phrase_route",
+        # round 11 (CORRECTNESS_r11: 49/50 green; s58_ivfpq_topk is the
+        # designed no_oracle approximate whose s58a certificate is green)
+        "d111_wet_to_corpus", "d112_langid_train", "d113_langid_gate",
+        "d114_reproducible_shuffle", "m48_video_frame_stats",
+        "s57_bm25_bucketed_serve", "s58a_ivfpq_recall_bound",
+        "st59_stream_wet_ingest",
     }
 )
 
@@ -176,33 +182,44 @@ SENTINELS: tuple[str, ...] = (
     "q4_seasonality", "q5_curation_filter", "q6_date_repair",
 )
 
-#: Head of this round's rotation. Round 11: queries whose EXECUTED
-#: PLAN changed (the deterministic two-pass global-rank rewrite and
-#: the single-partition-window kill — outputs must hash unchanged),
-#: whose VERTEX SET changed (graph family: ev-filter alignment), or
-#: whose ORACLE changed (d108 NULL-safe join) re-enter the external
-#: window first; then four q-series breadth ops not externally
-#: re-exposed since r6-r7. The round's brand-new queries (m48 video
-#: codec, d111 WET source, s57 bucketed BM25) follow via
-#: never-verified rank-2.
+#: Head of this round's rotation. Round 12: queries whose EXECUTED
+#: PLAN changed (the rank primitive's boundary sample moved from a
+#: build-time driver collect into a lazy in-plan scalar subquery, and
+#: its intermediate pin changed localCheckpoint→cache — outputs must
+#: hash unchanged; plus s58a, whose pq_train now trains on the
+#: checkpointed normalized frame) re-enter the external window first;
+#: then the m43–m47 codec family (multimodal.py was refactored for
+#: m48 last round) and a q45–q56 relational-breadth backlog slice not
+#: externally re-exposed since r6–r8. This round's brand-new queries
+#: (d115 file-backed WET, s59 index-served hybrid, s60/s60a residual
+#: IVF-PQ, m49 packing) follow via never-verified rank-2.
 ROTATION_PRIORITY: tuple[str, ...] = (
-    # executed plan CHANGED in round 11 — re-expose before backlog:
-    "q90_ntile_buckets",  # global_ntile two-pass rewrite
-    "d109_quality_bucket_budget",  # global_ntile + broadcast total
-    "d68_vocab_coverage",  # top-20 limit before ranking
-    "s45_hybrid_search_rrf",  # two-pass global ranks per arm
-    "d69_domain_shift",  # vocab-window -> broadcast total
-    # vertex set / source alignment (user+ts non-null, like oracles):
-    "g01_pagerank_transitions",
-    "g03_bfs_levels",
-    "g04_label_propagation",
-    "d108_domain_scorecard",  # oracle join made NULL-safe
-    "s53_bm25_index_serve",  # oracle factored into shared constant
-    # stale backlog (not externally re-exposed since r6-r7):
-    "q44_exact_percentiles",
-    "q57_zorder_key",
-    "q58_merge_upsert",
-    "q63_disjunctive_predicates",
+    # executed plan CHANGED in round 12 — re-expose before backlog:
+    "q90_ntile_buckets",  # rank: in-plan lazy boundaries + cache pin
+    "d109_quality_bucket_budget",  # same (global_ntile)
+    "d68_vocab_coverage",  # same
+    "s45_hybrid_search_rrf",  # same, two rank call sites
+    "d114_reproducible_shuffle",  # same (global_row_number)
+    "s58a_ivfpq_recall_bound",  # pq_train input: checkpointed frame
+    # m48's refactor touched the shared codec module — re-expose kin:
+    "m43_jpeg_block_stats",
+    "m44_image_phash_dedup",
+    "m45_scale_invariant_phash",
+    "m46_dct_phash",
+    "m47_audio_spectral_energy",
+    # stale relational breadth (not externally re-exposed since r6-r8):
+    "q45_grouping_sets",
+    "q46_asof_join",
+    "q47_range_bin_join",
+    "q48_cube",
+    "q49_window_breadth",
+    "q50_exists_correlated",
+    "q51_scalar_correlated",
+    "q52_conditional_agg",
+    "q53_lateral_explode",
+    "q54_date_breadth",
+    "q55_range_frame_window",
+    "q56_null_safe_join",
 )
 
 

@@ -102,23 +102,30 @@ def test_exact_with_exchange_reuse_disabled(spark, skewed):
 def test_pid_spreads_rows_across_partitions(skewed):
     """The point of the primitive: no corpus-sized single task. With
     default partitioning the deterministic boundaries must spread the
-    20k rows over many pids, the largest holding a small fraction."""
+    20k rows over many pids, the largest holding a small fraction —
+    checked for BOTH boundary paths (the lazy in-plan subquery and the
+    eager driver-side artifact)."""
     from etl_example_spark.functions.rank import (
         _PID,
+        _boundaries_column,
+        _BNDS,
         _deterministic_boundaries,
         _pid_column,
+        _pid_from_bounds,
     )
 
     bounds = _deterministic_boundaries(skewed, ORDER, 8)
     assert len(bounds) >= 4
-    dist = (
-        skewed.withColumn(_PID, _pid_column(skewed, ORDER, bounds))
-        .groupBy(_PID)
-        .count()
-        .collect()
+    in_plan = (
+        skewed.withColumn(_BNDS, _boundaries_column(skewed, ORDER, 8))
+        .withColumn(_PID, _pid_from_bounds(ORDER, F.col(_BNDS)))
+        .drop(_BNDS)
     )
-    assert len(dist) >= 4
-    assert max(r["count"] for r in dist) < 20000 * 0.6
+    artifact = skewed.withColumn(_PID, _pid_column(skewed, ORDER, bounds))
+    for ranged in (in_plan, artifact):
+        dist = ranged.groupBy(_PID).count().collect()
+        assert len(dist) >= 4
+        assert max(r["count"] for r in dist) < 20000 * 0.6
 
 
 def test_no_unbounded_single_partition_window(skewed):
@@ -137,3 +144,60 @@ def test_no_unbounded_single_partition_window(skewed):
 def test_requires_ord_specs(skewed):
     with pytest.raises(TypeError):
         global_row_number(skewed, [F.desc("v")], out="r")
+
+
+def test_build_and_explain_launch_no_jobs(spark, skewed):
+    """The cost-placement contract: constructing / EXPLAINing a rank
+    plan must launch ZERO Spark jobs — the boundary sample is a scalar
+    subquery executed at the first action, not a driver-side collect at
+    plan build (plan audits and registry lints build every registered
+    query; a build-time job would make printing a plan cost a corpus
+    pass). Job counts come from the status tracker, the same signal the
+    driver's audits see."""
+    tracker = spark.sparkContext.statusTracker()
+
+    def n_jobs() -> int:
+        return len(tracker.getJobIdsForGroup() or [])
+
+    before = n_jobs()
+    g = global_row_number(
+        skewed, ORDER, out="r",
+        running_sum_col=F.coalesce("v", F.lit(0)),
+        running_sum_out="rs", total_out="tot",
+    )
+    nt = global_ntile(skewed, ORDER, 10, out="b")
+    _ = g._jdf.queryExecution().executedPlan().toString()
+    _ = nt._jdf.queryExecution().executedPlan().toString()
+    assert n_jobs() == before, "building/explaining a rank plan ran a job"
+    assert g.count() == 20000  # ...and the plan still executes
+
+
+def test_boundaries_artifact_matches_in_plan(skewed):
+    """The stored-stats contract: a precomputed ``boundaries=`` artifact
+    (the _deterministic_boundaries output) must produce the identical
+    rank column as the default in-plan sampling subquery."""
+    from etl_example_spark.functions.rank import _deterministic_boundaries
+
+    bounds = _deterministic_boundaries(skewed, ORDER, 8)
+    got = global_row_number(skewed, ORDER, out="r", boundaries=bounds)
+    exp = global_row_number(skewed, ORDER, out="r")
+    assert {tuple(x) for x in got.collect()} == {
+        tuple(x) for x in exp.collect()
+    }
+
+
+@pytest.mark.parametrize("mode", ["cache", "none"])
+def test_materialize_modes_agree(skewed, mode):
+    """Every materialization strategy yields the same ranks — the pid
+    is a pure key function, so correctness never depends on whether or
+    how the intermediate is pinned. (local_checkpoint / checkpoint are
+    covered implicitly: same code path, different pin call — and both
+    are exercised by the mode's own opt-in callers.)"""
+    got = global_row_number(skewed, ORDER, out="r", materialize=mode)
+    ranks = sorted(x[0] for x in got.select("r").collect())
+    assert ranks == list(range(1, 20001))
+
+
+def test_materialize_rejects_unknown_mode(skewed):
+    with pytest.raises(ValueError):
+        global_row_number(skewed, ORDER, out="r", materialize="bogus")
