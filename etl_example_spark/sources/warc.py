@@ -16,16 +16,19 @@ Two layers, deliberately separate:
   the next record head after a malformed block instead of aborting the
   split (a crawl file with one damaged record loses one record, not the
   shard).
-- ``WarcDataSource`` — partition-planned Spark source. Each partition
-  synthesizes its id-slice of the crawl deterministically (every byte of
-  the WARC stream is a pure function of the record id — the q70
+- ``WarcDataSource`` — partition-planned Spark source with TWO front
+  doors sharing one parser. Synth mode (default): each partition
+  synthesizes its id-slice of the crawl deterministically (every byte
+  of the WARC stream is a pure function of the record id — the q70
   discipline, which is what lets a SQL oracle regenerate the expected
-  rows) and runs the real parser over the concatenated bytes. A
-  production deployment swaps the synthesizer for ranged reads of real
-  .warc files (one partition per file or per
-  ``spark.sql.files.maxPartitionBytes`` slice); the parser and the
-  Spark plumbing (schema, partition planning, per-executor iteration)
-  are exactly what ships here.
+  rows) and runs the real parser over the concatenated bytes. FILE
+  mode (``option("path", ...)``): partitions are ranged reads of real
+  ``.warc``/``.wet`` files on disk — one partition per file, or per
+  ``maxPartitionBytes`` slice (:func:`parse_warc_file_slice`, chunked
+  incremental reads with head-offset record ownership), the layout a
+  production crawl bucket actually has. The law
+  ``file-mode == synth-mode on the same records`` is pinned in tests
+  via :func:`write_synthetic_crawl_files`.
 
 Reference scope note: the reference system (`src/job.py`) has no web
 ingestion surface; this extends the engine toward the LLM-pipeline
@@ -49,6 +52,53 @@ CRLF = b"\r\n"
 _HEAD = b"WARC/1.0\r\n"
 
 
+#: outcomes of :func:`_parse_record_at` — buffer-end callers treat
+#: INCOMPLETE as truncation (resync/stop); file-slice callers refill
+#: bytes and retry the same head.
+_OK, _MALFORMED, _NO_HDR_END, _TRUNCATED_BODY = range(4)
+
+
+def _parse_record_at(buf: bytes, head: int):
+    """Parse the record whose ``WARC/1.0`` magic starts at ``head``.
+    Returns ``(record_or_None, next_pos, outcome)`` — the shared kernel
+    of the whole-buffer parser and the incremental file-slice reader,
+    so the two paths cannot drift."""
+    hdr_end = buf.find(CRLF + CRLF, head)
+    if hdr_end < 0:
+        return None, head + len(_HEAD), _NO_HDR_END
+    headers: dict[str, str] = {}
+    for line in buf[head + len(_HEAD) : hdr_end].split(CRLF):
+        k, sep, v = line.partition(b":")
+        if sep:
+            headers[k.strip().decode("ascii", "replace").lower()] = (
+                v.strip().decode("utf-8", "replace")
+            )
+    try:
+        length = int(headers.get("content-length", ""))
+    except ValueError:
+        return None, head + len(_HEAD), _MALFORMED
+    body_start = hdr_end + len(CRLF + CRLF)
+    body_end = body_start + length
+    if length < 0:
+        return None, head + len(_HEAD), _MALFORMED
+    if body_end > len(buf):
+        return None, head + len(_HEAD), _TRUNCATED_BODY
+    rec_type = headers.get("warc-type", "")
+    url = headers.get("warc-target-uri", "")
+    body = buf[body_start:body_end]
+    status = 0
+    if rec_type == "response":
+        # strip the embedded HTTP response envelope (bytes domain)
+        http_end = body.find(CRLF + CRLF)
+        if http_end >= 0:
+            status_line = body.split(CRLF, 1)[0]
+            parts = status_line.split()
+            if len(parts) >= 2 and parts[1].isdigit():
+                status = int(parts[1])
+            body = body[http_end + len(CRLF + CRLF) :]
+    return (url, rec_type, status, body), body_end, _OK
+
+
 def parse_warc_records(buf: bytes):
     """Yield ``(url, rec_type, http_status, body_bytes)`` for every
     well-formed record in a WARC/1.0 byte buffer.
@@ -61,46 +111,95 @@ def parse_warc_records(buf: bytes):
     truncated body resynchronize at the next ``WARC/1.0`` head.
     """
     pos = 0
-    n = len(buf)
     while True:
         head = buf.find(_HEAD, pos)
         if head < 0:
             return
-        hdr_end = buf.find(CRLF + CRLF, head)
-        if hdr_end < 0:
-            return
-        headers: dict[str, str] = {}
-        for line in buf[head + len(_HEAD) : hdr_end].split(CRLF):
-            k, sep, v = line.partition(b":")
-            if sep:
-                headers[k.strip().decode("ascii", "replace").lower()] = (
-                    v.strip().decode("utf-8", "replace")
-                )
-        try:
-            length = int(headers.get("content-length", ""))
-        except ValueError:
-            pos = head + len(_HEAD)  # malformed: resync at next head
-            continue
-        body_start = hdr_end + len(CRLF + CRLF)
-        body_end = body_start + length
-        if length < 0 or body_end > n:
-            pos = head + len(_HEAD)  # truncated: resync
-            continue
-        pos = body_end
-        rec_type = headers.get("warc-type", "")
-        url = headers.get("warc-target-uri", "")
-        body = buf[body_start:body_end]
-        status = 0
-        if rec_type == "response":
-            # strip the embedded HTTP response envelope (bytes domain)
-            http_end = body.find(CRLF + CRLF)
-            if http_end >= 0:
-                status_line = body.split(CRLF, 1)[0]
-                parts = status_line.split()
-                if len(parts) >= 2 and parts[1].isdigit():
-                    status = int(parts[1])
-                body = body[http_end + len(CRLF + CRLF) :]
-        yield url, rec_type, status, body
+        rec, pos, outcome = _parse_record_at(buf, head)
+        if outcome == _NO_HDR_END:
+            return  # headers run off the buffer: nothing more to parse
+        if rec is not None:
+            yield rec
+
+
+def parse_warc_file_slice(
+    path: str, start: int, end: int, chunk: int = 1 << 20
+):
+    """Yield records from a REAL ``.warc``/``.wet`` file whose record
+    head (the ``WARC/1.0`` magic) starts in byte range ``[start, end)``
+    — the ranged-read kernel of file-backed partitions.
+
+    Reads incrementally (``chunk`` bytes at a time from ``start``),
+    so a partition's I/O is ~ its slice size plus the overhang of the
+    one record in flight at ``end`` — NOT the file tail; consumed
+    prefix bytes are dropped as the scan advances, so memory is
+    O(largest record + chunk) regardless of slice size. Record
+    ownership by head-start offset makes slices a partition of the
+    file: a record straddling ``end`` belongs to this slice (the scan
+    reads past ``end`` to finish it); the next slice's first ``find``
+    skips it entirely.
+
+    Split caveat (document over cleverness): a slice boundary landing
+    inside a record BODY that itself embeds a well-formed record
+    prefix (payload smuggling a fake ``WARC/1.0`` head with a valid
+    Content-Length) can double-emit the embedded bytes — the same
+    ambiguity every offset-split WARC reader has. Default planning is
+    therefore one partition per file; ``maxPartitionBytes`` splitting
+    is the opt-in for huge files.
+    """
+    with open(path, "rb") as f:
+        f.seek(start)
+        base = start  # absolute offset of buf[0]
+        buf = b""
+        pos = 0  # scan offset within buf
+        eof = False
+
+        def refill() -> bool:
+            nonlocal buf, eof
+            if eof:
+                return False
+            data = f.read(chunk)
+            if not data:
+                eof = True
+                return False
+            buf += data
+            return True
+
+        while True:
+            head = buf.find(_HEAD, pos)
+            while head < 0:
+                # any unseen head must start past len(buf) - magic + 1;
+                # stop once that lower bound reaches `end`
+                scanned_to = base + max(0, len(buf) - len(_HEAD) + 1)
+                if scanned_to >= end:
+                    return
+                before = len(buf)
+                if not refill():
+                    return
+                # re-scan only the split-magic overlap, not the buffer
+                pos = max(pos, before - len(_HEAD) + 1, 0)
+                head = buf.find(_HEAD, pos)
+            if base + head >= end:
+                return  # next record belongs to the next slice
+            while True:
+                rec, nxt, outcome = _parse_record_at(buf, head)
+                if outcome in (_NO_HDR_END, _TRUNCATED_BODY) and refill():
+                    continue  # mid-record at buffer end: more bytes
+                break
+            if outcome in (_NO_HDR_END, _TRUNCATED_BODY):
+                # true EOF mid-record: buffer semantics (truncation)
+                if outcome == _NO_HDR_END:
+                    return
+                pos = nxt
+            else:
+                if rec is not None:
+                    yield rec
+                pos = nxt
+            # drop the consumed prefix so memory stays bounded
+            if pos > chunk:
+                base += pos
+                buf = buf[pos:]
+                pos = 0
 
 
 def synthetic_html(i: int, dup_every: int = 0) -> str:
@@ -198,6 +297,73 @@ class _WarcSlice(InputPartition):
     end: int
 
 
+@dataclass
+class _WarcFileSlice(InputPartition):
+    path: str
+    start: int
+    end: int
+
+
+def _emit_responses(parsed):
+    """(url, http_status, html) rows from parsed records — the WARC
+    projection, shared by the synth and file paths so they cannot
+    drift."""
+    for url, rec_type, status, body in parsed:
+        if rec_type != "response":
+            continue
+        yield url, status, body.decode("utf-8", "replace")
+
+
+def _emit_conversions(parsed):
+    """(url, text) rows from parsed records — the WET projection (a
+    real .wet file is warcinfo + conversion records only)."""
+    for url, rec_type, _status, body in parsed:
+        if rec_type != "conversion":
+            continue
+        yield url, body.decode("utf-8", "replace")
+
+
+def _plan_file_slices(
+    path: str, max_partition_bytes: int | None
+) -> list[_WarcFileSlice]:
+    """Driver-side partition planning over real crawl files: ``path``
+    is a file, a directory (every ``*.warc``/``*.wet`` inside, sorted),
+    or a glob. Default is ONE partition per file (the safe boundary —
+    see :func:`parse_warc_file_slice`'s split caveat);
+    ``max_partition_bytes`` opts into offset slicing of big files, the
+    ``spark.sql.files.maxPartitionBytes`` discipline. Local-FS listing
+    here because that is what this container has; a cluster deployment
+    swaps in its filesystem's list call — the slice objects and the
+    executor-side ranged reads are unchanged."""
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isdir(path):
+        files = sorted(
+            p
+            for pat in ("*.warc", "*.wet")
+            for p in _glob.glob(_os.path.join(path, pat))
+        )
+    elif _os.path.isfile(path):
+        files = [path]
+    else:
+        files = sorted(_glob.glob(path))
+    if not files:
+        raise FileNotFoundError(f"no .warc/.wet files match {path!r}")
+    out: list[_WarcFileSlice] = []
+    for f in files:
+        size = _os.path.getsize(f)
+        if not max_partition_bytes or size <= max_partition_bytes:
+            out.append(_WarcFileSlice(f, 0, size))
+            continue
+        lo = 0
+        while lo < size:
+            hi = min(lo + max_partition_bytes, size)
+            out.append(_WarcFileSlice(f, lo, hi))
+            lo = hi
+    return out
+
+
 def _warcinfo() -> bytes:
     info = b"software: synthetic-crawler/1.0\r\n"
     return (
@@ -218,23 +384,31 @@ def _parse_slice(start: int, end: int, dup_every: int):
     buf = _warcinfo() + b"".join(
         synthetic_warc_record(i, dup_every) for i in range(start, end)
     )
-    for url, rec_type, status, body in parse_warc_records(buf):
-        if rec_type != "response":
-            continue
-        yield url, status, body.decode("utf-8", "replace")
+    yield from _emit_responses(parse_warc_records(buf))
 
 
 class _WarcReader(DataSourceReader):
     #: the per-slice synthesize+parse kernel — the ONLY thing the WET
-    #: variant overrides, so slice planning lives in one place
+    #: variant overrides for synth mode, so slice planning lives in
+    #: one place
     _kernel = staticmethod(_parse_slice)
+    #: parsed-record → output-row projection for FILE mode
+    _emit = staticmethod(_emit_responses)
 
     def __init__(self, options):
         self.rows = int(options.get("rows", 1000))
         self.n_parts = max(1, int(options.get("partitions", 8)))
         self.dup_every = int(options.get("dupEvery", 0))
+        self.path = options.get("path")
+        mpb = options.get("maxPartitionBytes")
+        self.max_partition_bytes = int(mpb) if mpb else None
 
     def partitions(self):
+        if self.path:
+            # FILE mode: real .warc/.wet bytes on disk, one partition
+            # per file (or per maxPartitionBytes slice); rows/
+            # partitions/dupEvery are synth-mode options and ignored
+            return _plan_file_slices(self.path, self.max_partition_bytes)
         if self.rows <= 0:
             return [_WarcSlice(0, 0)]
         step = -(-self.rows // self.n_parts)
@@ -243,7 +417,14 @@ class _WarcReader(DataSourceReader):
             for lo in range(0, self.rows, step)
         ]
 
-    def read(self, partition: _WarcSlice):
+    def read(self, partition):
+        if isinstance(partition, _WarcFileSlice):
+            yield from self._emit(
+                parse_warc_file_slice(
+                    partition.path, partition.start, partition.end
+                )
+            )
+            return
         # one concatenated WARC stream per partition, with a warcinfo
         # head record (real files start with one; the parser skips it)
         yield from self._kernel(
@@ -258,18 +439,48 @@ def _parse_wet_slice(start: int, end: int, dup_every: int):
     buf = _warcinfo() + b"".join(
         synthetic_wet_record(i, dup_every) for i in range(start, end)
     )
-    for url, rec_type, _status, body in parse_warc_records(buf):
-        if rec_type != "conversion":
-            continue
-        yield url, body.decode("utf-8", "replace")
+    yield from _emit_conversions(parse_warc_records(buf))
+
+
+def write_synthetic_crawl_files(
+    out_dir: str,
+    rows: int,
+    n_files: int = 4,
+    dup_every: int = 0,
+    wet: bool = False,
+) -> list[str]:
+    """Write the synthesizer's byte stream to REAL ``.warc``/``.wet``
+    files — the fixture producer for file-backed reading: each file
+    carries a warcinfo head plus a contiguous id range, byte-identical
+    to what the synth partitions parse, so
+    ``file-mode read == synth-mode read`` is checkable record for
+    record. Returns the written paths (sorted)."""
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+    make = synthetic_wet_record if wet else synthetic_warc_record
+    ext = "wet" if wet else "warc"
+    step = -(-rows // n_files) if rows > 0 else 1
+    paths = []
+    for fi, lo in enumerate(range(0, max(rows, 1), step)):
+        hi = min(lo + step, rows)
+        p = _os.path.join(out_dir, f"crawl-{fi:05d}.{ext}")
+        with open(p, "wb") as f:
+            f.write(_warcinfo())
+            for i in range(lo, hi):
+                f.write(make(i, dup_every))
+        paths.append(p)
+    return sorted(paths)
 
 
 class _WetReader(_WarcReader):
     """``_WarcReader`` with the conversion-record kernel — slice
-    planning is inherited, only the parse kernel differs (a future
-    partition-planning fix lands in ONE place)."""
+    planning is inherited, only the parse kernel and the file-mode
+    projection differ (a future partition-planning fix lands in ONE
+    place)."""
 
     _kernel = staticmethod(_parse_wet_slice)
+    _emit = staticmethod(_emit_conversions)
 
 
 class WetDataSource(DataSource):
@@ -277,9 +488,10 @@ class WetDataSource(DataSource):
     (url string, text string) — WET conversion records (extracted
     plain text, no HTTP envelope), the entry point text-first crawl
     consumers actually read. Same partition-planned synthesize+parse
-    shape as :class:`WarcDataSource`; a production deployment swaps
-    the synthesizer for ranged reads of real ``.wet`` files.
-    ``spark.readStream`` gives the offset-managed streaming form."""
+    shape as :class:`WarcDataSource`, and the same FILE mode:
+    ``option("path", dir_or_glob)`` reads real ``.wet`` files via
+    ranged-read partitions. ``spark.readStream`` gives the
+    offset-managed streaming form."""
 
     @classmethod
     def name(cls) -> str:
@@ -348,10 +560,13 @@ class WarcDataSource(DataSource):
     """``spark.read.format("synthetic_warc").option("rows", N)`` →
     (url string, http_status int, html string) — response records only,
     parsed from a synthesized concatenated WARC stream by a real
-    incremental parser. ``spark.readStream`` gives the offset-managed
-    streaming form (micro-batched by ``batchRows``); ``dupEvery=k``
-    mirrors every k-th page under a new URL (duplicate structure for
-    the dedup chain)."""
+    incremental parser. ``option("path", dir_or_glob)`` switches to
+    FILE mode: ranged reads of real ``.warc`` files (one partition per
+    file; ``maxPartitionBytes`` opts into offset slicing).
+    ``spark.readStream`` gives the offset-managed streaming form
+    (micro-batched by ``batchRows``); ``dupEvery=k`` mirrors every
+    k-th page under a new URL (duplicate structure for the dedup
+    chain)."""
 
     @classmethod
     def name(cls) -> str:

@@ -380,3 +380,112 @@ class TestWetSource:
             .collect()
         )
         assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+
+class TestFileBackedCrawl:
+    """FILE mode of the crawl sources: real .warc/.wet bytes on disk,
+    ranged-read partitions (sources/warc.parse_warc_file_slice). The
+    governing law: file-mode == synth-mode on the same records — the
+    fixture files are the synthesizer's own bytes
+    (write_synthetic_crawl_files), so any divergence is a reader bug,
+    never a data difference."""
+
+    def test_slices_partition_records_exactly(self, tmp_path):
+        """Every way of cutting a file into offset slices must yield
+        each record EXACTLY once (head-start ownership), including cuts
+        landing mid-header, mid-body, and mid-magic — with a tiny read
+        chunk so the refill/overlap paths all execute."""
+        from etl_example_spark.sources.warc import (
+            parse_warc_file_slice,
+            parse_warc_records,
+            write_synthetic_crawl_files,
+        )
+
+        (path,) = write_synthetic_crawl_files(
+            str(tmp_path / "one"), rows=12, n_files=1
+        )
+        data = open(path, "rb").read()
+        expect = list(parse_warc_records(data))
+        size = len(data)
+        for cuts in ([], [1], [37], [size // 3], [100, 101],
+                     [size // 4, size // 2, 3 * size // 4]):
+            bounds = [0, *sorted(cuts), size]
+            got = []
+            for lo, hi in zip(bounds, bounds[1:]):
+                got.extend(
+                    parse_warc_file_slice(path, lo, hi, chunk=64)
+                )
+            assert got == expect, f"cuts {cuts} lost/duplicated records"
+
+    def test_warc_file_mode_equals_synth_mode(self, spark, tmp_path):
+        from etl_example_spark.sources.warc import (
+            register_warc_datasource,
+            write_synthetic_crawl_files,
+        )
+
+        register_warc_datasource(spark)
+        write_synthetic_crawl_files(
+            str(tmp_path / "warc"), rows=40, n_files=4, dup_every=7
+        )
+        synth = (
+            spark.read.format("synthetic_warc")
+            .option("rows", 40)
+            .option("dupEvery", 7)
+            .load()
+        )
+        filed = (
+            spark.read.format("synthetic_warc")
+            .option("path", str(tmp_path / "warc"))
+            .load()
+        )
+        assert sorted(map(tuple, filed.collect())) == sorted(
+            map(tuple, synth.collect())
+        )
+        # one partition per file by default
+        assert filed.rdd.getNumPartitions() == 4
+
+    def test_wet_file_mode_equals_synth_mode_with_split(
+        self, spark, tmp_path
+    ):
+        """WET files read back identically, and maxPartitionBytes
+        splitting (many offset slices per file) changes the partition
+        count but not one output row."""
+        from etl_example_spark.sources.warc import (
+            register_wet_datasource,
+            write_synthetic_crawl_files,
+        )
+
+        register_wet_datasource(spark)
+        write_synthetic_crawl_files(
+            str(tmp_path / "wet"), rows=40, n_files=2, dup_every=7,
+            wet=True,
+        )
+        synth = (
+            spark.read.format("synthetic_wet")
+            .option("rows", 40)
+            .option("dupEvery", 7)
+            .load()
+        )
+        whole = (
+            spark.read.format("synthetic_wet")
+            .option("path", str(tmp_path / "wet"))
+            .load()
+        )
+        split = (
+            spark.read.format("synthetic_wet")
+            .option("path", str(tmp_path / "wet"))
+            .option("maxPartitionBytes", 500)
+            .load()
+        )
+        want = sorted(map(tuple, synth.collect()))
+        assert sorted(map(tuple, whole.collect())) == want
+        assert sorted(map(tuple, split.collect())) == want
+        assert split.rdd.getNumPartitions() > whole.rdd.getNumPartitions()
+
+    def test_missing_path_raises(self, tmp_path):
+        from etl_example_spark.sources.warc import _plan_file_slices
+
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError):
+            _plan_file_slices(str(tmp_path / "nowhere"), None)
