@@ -536,6 +536,7 @@ def pq_train(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """Product-quantization codebooks: per subspace j (of ``m`` equal
     vector slices), ``n_codes`` centroids trained by Lloyd iterations —
@@ -548,8 +549,16 @@ def pq_train(
     iterative discipline as ``ivf_train``: one shuffle per iteration,
     localCheckpoint truncates the growing lineage, empty codes keep
     their previous centroid.
+
+    ``normalize=False`` trains on the input vectors AS GIVEN — the
+    residual-encoding path (:func:`ivfpq_residual_topk`): residuals
+    ``v − centroid`` are displacement vectors whose magnitude IS the
+    signal; unit-normalizing them would destroy exactly what PQ is
+    quantizing there.
     """
-    normalized = l2_normalize(embeddings, vec_col)
+    normalized = (
+        l2_normalize(embeddings, vec_col) if normalize else embeddings
+    )
     first = normalized.select(vec_col).limit(1).collect()
     if not first:  # empty corpus -> empty codebook with the right schema
         return embeddings.sparkSession.createDataFrame(
@@ -821,6 +830,8 @@ def ivfpq_topk(
     query_id: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """COMPOSED IVF-PQ ANN — the production serving layout (FAISS
     IVFPQ lineage) assembled from the engine's two proven halves: the
@@ -838,8 +849,16 @@ def ivfpq_topk(
     with corpus-wide codebooks, so ONE PQ artifact serves every cell
     (and the s48/s50 append paths maintain it unchanged) at some
     recall cost — the floor is certificate-verified externally (s58a).
+    The residual layout ships as :func:`ivfpq_residual_topk`.
     Unit-normalizing first makes L2 order == cosine order, as in
     :func:`pq_topk`.
+
+    ``centroids`` (centroid_id, centroid_vec) and ``codebooks``
+    (j, code, cv) accept the STORED quantizer artifacts (the s47/s48
+    outputs) — the production serving contract: train once offline,
+    serve from the artifact; passing neither self-trains per call (the
+    demo composition). Law: artifact-served == self-trained for the
+    same seeds (tests/test_llm_ops.py::TestIvfPq).
 
     Output schema matches ``brute_force_topk`` (query_id, neighbor_id,
     cosine_sim)."""
@@ -853,21 +872,29 @@ def ivfpq_topk(
         )
     dim = len(first[0][0])
 
-    assign = ivf_assign(normalized, n_centroids, id_col, vec_col)
+    if centroids is None:
+        centroids = (
+            normalized.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("centroid_vec"),
+            )
+        )
+    else:
+        centroids = centroids.select(
+            F.col(centroids.columns[0]).alias("centroid_id"),
+            F.col(centroids.columns[1]).alias("centroid_vec"),
+        )
+    assign = ivf_assign_with_centroids(
+        normalized, centroids, id_col, vec_col
+    )
     if query_id is None:
         query = assign.orderBy(id_col).limit(1)
     else:
         query = assign.filter(F.col(id_col) == query_id)
     q = query.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
-    )
-    centroids = (
-        normalized.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).alias("centroid_vec"),
-        )
     )
     probe_cells = (
         centroids.crossJoin(F.broadcast(q))
@@ -883,9 +910,18 @@ def ivfpq_topk(
         id_col, vec_col
     )
 
-    # PQ codebooks are trained on the FULL corpus (the cell-agnostic
-    # artifact), then only the probed candidates are encoded + scored
-    cb = pq_train(embeddings, m, n_codes, iters, id_col, vec_col)
+    # PQ codebooks are the cell-agnostic artifact: stored (production)
+    # or trained here on the FULL corpus (demo); only the probed
+    # candidates are encoded + scored either way. Self-training uses
+    # the CHECKPOINTED normalized frame: pq_train's own l2_normalize
+    # is a no-op over unit vectors, so this reuses the materialized
+    # intermediate instead of re-normalizing the corpus from source
+    # (seed ids are unchanged).
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_train(normalized, m, n_codes, iters, id_col, vec_col)
+    )
     codes = pq_encode(_subvectors(cand, m, dim, id_col, vec_col), cb, id_col)
     q_sub = _subvectors(
         query.select(id_col, vec_col), m, dim, id_col, vec_col
@@ -900,6 +936,190 @@ def ivfpq_topk(
     approx = (
         codes.select(id_col, F.posexplode("codes").alias("j", "code"))
         .join(F.broadcast(adc_table), ["j", "code"])
+        .groupBy(id_col, "query_id")
+        .agg(F.sum("d2").alias("approx_d2"))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .orderBy("approx_d2", id_col)
+        .limit(shortlist)
+    )
+    return (
+        approx.join(normalized.select(id_col, vec_col), id_col)
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(vec_col, "query_vec"), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "neighbor_id")
+        .limit(k)
+    )
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    shortlist: int = 100,
+    query_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """RESIDUAL-encoded IVF-PQ — the canonical FAISS IVFPQ layout
+    :func:`ivfpq_topk` documents as the forgone alternative: every
+    vector is PQ-encoded as its displacement from its assigned coarse
+    centroid (``r = v − c``), and the query is re-expressed per probed
+    cell (``q_res = q − c``), so the codebooks quantize the SMALL
+    residual distribution instead of the whole sphere — materially
+    tighter codes for the same bytes, which is why it is the layout
+    FAISS actually ships.
+
+    The ADC identity that makes it exact-in-expectation: within cell
+    ``c``, ``‖q − v‖² = ‖(q − c) − (v − c)‖² = ‖q_res − r_v‖²`` — so
+    scoring residual codes against the per-cell query residual
+    approximates the true L2 directly; no cross-cell bias term.
+    Codebooks are corpus-wide (one artifact, trained on ALL residuals
+    with ``pq_train(normalize=False)`` — normalizing a displacement
+    would destroy the magnitude PQ is quantizing), matching FAISS's
+    shared-codebook IVFPQ. Cost shape is identical to
+    :func:`ivfpq_topk` — nprobe/n_centroids bounds the scan, m byte
+    codes bound the bytes, the exact re-rank touches only the
+    shortlist — plus one broadcast join against the ≤ n_centroids
+    centroid block to form residuals. Recall floor is certified
+    externally at 8/10 (s60a, vs the raw-vector variant's 5/10).
+
+    Output schema matches ``brute_force_topk`` (query_id, neighbor_id,
+    cosine_sim)."""
+    normalized = l2_normalize(embeddings, vec_col).localCheckpoint(
+        eager=True
+    )
+    first = normalized.select(vec_col).limit(1).collect()
+    if not first:  # empty corpus -> empty result with the output schema
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double"
+        )
+    dim = len(first[0][0])
+
+    centroids = (
+        normalized.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+    assign = ivf_assign_with_centroids(
+        normalized, centroids, id_col, vec_col
+    )
+    # residual frame: r = v − c(v), double-precision displacement.
+    # Degenerate (zero-norm) vectors carry NULL centroid_id and drop
+    # out here — they can never be probed candidates anyway.
+    res = (
+        assign.join(F.broadcast(centroids), "centroid_id")
+        .select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            F.zip_with(
+                _as_double(vec_col),
+                _as_double("centroid_vec"),
+                lambda a, b: a - b,
+            ).alias("_res"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cb = pq_train(
+        res.select(id_col, F.col("_res")),
+        m,
+        n_codes,
+        iters,
+        id_col,
+        "_res",
+        normalize=False,
+    )
+
+    if query_id is None:
+        query = normalized.orderBy(id_col).limit(1)
+    else:
+        query = normalized.filter(F.col(id_col) == query_id)
+    q = query.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "centroid_id",
+            "centroid_vec",
+            "query_id",
+            "query_vec",
+            F.round(cosine("centroid_vec", "query_vec"), 6).alias("q_sim"),
+        )
+        .orderBy(F.desc("q_sim"), "centroid_id")
+        .limit(nprobe)
+    )
+    # per-cell query residual, sliced into the m subspaces — ≤ nprobe·m
+    # rows, broadcast into the ADC table build
+    sub_d = dim // m
+    q_res = probe_cells.select(
+        "centroid_id",
+        "query_id",
+        F.zip_with(
+            _as_double("query_vec"),
+            _as_double("centroid_vec"),
+            lambda a, b: a - b,
+        ).alias("_qres"),
+    )
+    q_sub = q_res.select(
+        "centroid_id",
+        "query_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("_qres"), j * sub_d + 1, sub_d)
+                    for j in range(m)
+                ]
+            )
+        ).alias("j", "qv"),
+    )
+    # ADC lookup table per (cell, subspace, code): ≤ nprobe·m·n_codes
+    adc_table = (
+        cb.join(F.broadcast(q_sub), "j")
+        .withColumn("d2", _sq_l2("qv", "cv"))
+        .select("centroid_id", "query_id", "j", "code", "d2")
+    )
+    # candidates: residual codes of the probed cells only
+    cand_codes = pq_encode(
+        res.join(
+            F.broadcast(probe_cells.select("centroid_id")), "centroid_id"
+        ).select(
+            F.col(id_col),
+            F.col("centroid_id").alias("_cell"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice(F.col("_res"), j * sub_d + 1, sub_d)
+                        for j in range(m)
+                    ]
+                )
+            ).alias("j", "sv"),
+        ).select(id_col, "j", "sv"),
+        cb,
+        id_col,
+    )
+    cells = res.select(id_col, F.col("centroid_id"))
+    approx = (
+        cand_codes.join(cells, id_col)
+        .join(
+            F.broadcast(probe_cells.select("centroid_id")), "centroid_id"
+        )
+        .select(
+            id_col,
+            "centroid_id",
+            F.posexplode("codes").alias("j", "code"),
+        )
+        .join(F.broadcast(adc_table), ["centroid_id", "j", "code"])
         .groupBy(id_col, "query_id")
         .agg(F.sum("d2").alias("approx_d2"))
         .filter(F.col(id_col) != F.col("query_id"))
@@ -1045,6 +1265,45 @@ def hybrid_search_rrf(
             "doc_id", "kw_score", "kw_rank", "cosine_sim",
             "sem_rank", "rrf_score",
         )
+    )
+
+
+def rrf_fuse_shortlists(
+    kw: DataFrame,
+    sem: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two INDEX-SERVED shortlists — the
+    100 TB serving form of :func:`hybrid_search_rrf`'s fusion: each arm
+    arrives as a bounded (id, rank) shortlist from its own index (BM25
+    postings / bucketed artifact for keywords, IVF/IVFPQ for vectors),
+    so the fusion never touches the corpus — a full-outer join of two
+    ≤ shortlist-sized frames plus the same exact integer arithmetic
+    (``1_000_000 div (rrf_k + rank)``; a document missing from an arm
+    contributes 0 for that arm, the standard shortlist-RRF convention).
+
+    ``kw`` must carry (id_col, kw_rank); ``sem`` (id_col, sem_rank).
+    Returns the fused top-``k`` as (id_col, kw_rank, sem_rank,
+    rrf_score), ties broken by id — ranks stay NULL for the arm that
+    did not surface the document.
+    """
+    fused = kw.join(sem, id_col, "full_outer")
+    rrf = (
+        F.coalesce(
+            F.expr(f"1000000 div ({rrf_k} + kw_rank)"), F.lit(0)
+        )
+        + F.coalesce(
+            F.expr(f"1000000 div ({rrf_k} + sem_rank)"), F.lit(0)
+        )
+    ).cast("long")
+    return (
+        fused.select(
+            id_col, "kw_rank", "sem_rank", rrf.alias("rrf_score")
+        )
+        .orderBy(F.desc("rrf_score"), id_col)
+        .limit(k)
     )
 
 

@@ -2021,6 +2021,170 @@ def s57_bm25_bucketed_serve(
     ).orderBy("query_id", "rk")
 
 
+#: The s59 hybrid serving workload: one query, corpus-vocabulary terms
+#: (the keyword arm must actually rank something for the fusion to be
+#: interesting); the semantic arm's query is the min-id corpus vector,
+#: the deterministic convention every ANN registration uses.
+HYBRID_SERVE_TERMS: list[tuple[int, str]] = [
+    (1, "data"), (1, "code"), (1, "table"),
+]
+
+
+@register(
+    "s59_hybrid_index_serve",
+    "INDEX-SERVED hybrid retrieval — the 100 TB deployment s45's "
+    "docstring names, now a registered plan: the keyword arm is BM25 "
+    "top-20 served from the TERM-BUCKETED durable artifact with "
+    "bucket-pruned reads (s57's _stage_bm25_bucketed + operators/"
+    "text.bm25_topk_from_bucketed — the scan touches only the buckets "
+    "the 3 query terms hash into), the semantic arm is IVF top-20 "
+    "(operators/similarity.ivf_topk: nprobe 8 of 16 cells, candidates "
+    "only from probed cells), and the fusion is reciprocal-rank over "
+    "the two SHORTLISTS alone (operators/similarity."
+    "rrf_fuse_shortlists: a full-outer join of two <=20-row frames + "
+    "exact integer 1e6 div (60+rank) arithmetic; a doc missing from "
+    "an arm contributes 0) — the corpus is never rescanned at fusion "
+    "time, which is the entire point of serving from indexes. Unlike "
+    "the approximate ANN registrations this one is FULLY oracle-"
+    "checked: every stage (seeded IVF assignment, rounded-cosine "
+    "probe, BM25 decimal(38,0) scoring, shortlist RRF) is "
+    "deterministic and re-derived in SQL from the raw tables, so a "
+    "hash match proves bucketed-BM25-serve == direct-scan AND "
+    "IVF-serve == from-scratch-probe AND shortlist fusion == SQL "
+    "fusion in one certificate.",
+    oracle=f"""
+        WITH q(query_id, term) AS (
+            VALUES (1, 'data'), (1, 'code'), (1, 'table')
+        ),
+        tok AS (
+            SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS HUGEINT) AS tf
+            FROM tok WHERE term <> '' GROUP BY doc_id, term
+        ),
+        dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf
+            WHERE term IN (SELECT term FROM q) GROUP BY term
+        ),
+        dl AS (
+            SELECT doc_id, CAST(SUM(tf) AS HUGEINT) AS dl
+            FROM tf GROUP BY doc_id
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n_docs,
+                   CAST(COALESCE(SUM({SQL_NTOKS}), 0) AS HUGEINT)
+                       AS t_total
+            FROM documents
+        ),
+        contrib AS (
+            SELECT q.query_id, tf.doc_id,
+                   CAST(CAST(ROUND(ln((n_docs + 1) / (df + 0.5)), 6)
+                             AS DECIMAL(18,6)) * 1000000 AS HUGEINT)
+                   * 22 * t_total * tf
+                   // (10 * t_total * tf + 3 * t_total + 9 * dl * n_docs)
+                       AS c
+            FROM q
+            JOIN tf USING (term)
+            JOIN dfreq USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN tot
+        ),
+        kw AS (
+            SELECT doc_id, CAST(rk AS INT) AS kw_rank FROM (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (
+                           ORDER BY SUM(c) DESC, doc_id
+                       ) AS rk
+                FROM contrib GROUP BY doc_id
+            ) WHERE rk <= 20
+        ),
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        cents AS (
+            SELECT vec_id AS centroid_id, v AS cv
+            FROM e ORDER BY vec_id LIMIT 16
+        ),
+        qv AS (SELECT vec_id AS query_id, v AS qvec
+               FROM e ORDER BY vec_id LIMIT 1),
+        probe AS (
+            SELECT centroid_id FROM (
+                SELECT c.centroid_id,
+                       ROW_NUMBER() OVER (
+                           ORDER BY ROUND(list_cosine_similarity(
+                               c.cv, qvec), 6) DESC, c.centroid_id
+                       ) AS pk
+                FROM cents c CROSS JOIN qv
+            ) WHERE pk <= 8
+        ),
+        assign AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY ROUND(list_cosine_similarity(
+                               e.v, c.cv), 6) DESC, c.centroid_id
+                       ) AS ak
+                FROM e CROSS JOIN cents c
+                WHERE list_aggregate(
+                          list_transform(e.v, x -> x*x), 'sum') != 0
+            ) WHERE ak = 1
+        ),
+        sem AS (
+            SELECT doc_id, CAST(rk AS INT) AS sem_rank FROM (
+                SELECT a.vec_id AS doc_id,
+                       ROW_NUMBER() OVER (
+                           ORDER BY ROUND(list_cosine_similarity(
+                               e.v, qvec), 6) DESC, a.vec_id
+                       ) AS rk
+                FROM assign a
+                JOIN probe USING (centroid_id)
+                JOIN e ON e.vec_id = a.vec_id
+                CROSS JOIN qv
+                WHERE a.vec_id != query_id
+            ) WHERE rk <= 20
+        )
+        SELECT doc_id, kw_rank, sem_rank,
+               CAST(COALESCE(1000000 // (60 + kw_rank), 0)
+                    + COALESCE(1000000 // (60 + sem_rank), 0)
+                    AS BIGINT) AS rrf_score
+        FROM kw FULL OUTER JOIN sem USING (doc_id)
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT 10
+    """,
+    category="similarity",
+)
+def s59_hybrid_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    table, n_docs, t_total = _stage_bm25_bucketed(spark, sf_dir)
+    queries = spark.createDataFrame(
+        HYBRID_SERVE_TERMS, "query_id int, term string"
+    )
+    kw = text.bm25_topk_from_bucketed(
+        spark, table, queries, n_docs, t_total, k=20
+    ).select("doc_id", F.col("rk").cast("int").alias("kw_rank"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    # shortlist rank: a window over the arm's TakeOrdered top-20 —
+    # bounded input by construction (GlobalLimit below), never corpus
+    sem = (
+        similarity.ivf_topk(emb, k=20, n_centroids=16, nprobe=8)
+        .select(F.col("neighbor_id").alias("doc_id"), "cosine_sim")
+        .withColumn(
+            "sem_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine_sim"), F.asc("doc_id")))
+            .cast("int"),
+        )
+        .select("doc_id", "sem_rank")
+    )
+    return similarity.rrf_fuse_shortlists(kw, sem, k=10).orderBy(
+        F.desc("rrf_score"), "doc_id"
+    )
+
+
 @register(
     "d83_bigram_logprob_quality",
     "Self-trained bigram LM quality scoring — the CCNet/FineWeb-style "
@@ -6457,6 +6621,94 @@ def d111_wet_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = wet.filter(text.token_count("text") >= 5)
     # the d103 dedup discipline, minus the extraction stage WET
     # already paid: fingerprint in-scan, shuffle (32-hex, url) pairs
+    return (
+        gated.groupBy(F.md5("text").alias("_fp"))
+        .agg(
+            F.min("url").alias("keep_url"),
+            F.count("*").alias("n_copies"),
+            F.max(F.length("text")).alias("text_len"),
+        )
+        .select("keep_url", "n_copies", "text_len")
+    )
+
+
+def _stage_wet_files(rows: int, dup_every: int) -> str:
+    """Get-or-create the on-disk ``.wet`` fixture: the synthesizer's
+    OWN bytes written to real files (sources/warc.
+    write_synthetic_crawl_files), so file-mode reads are checkable
+    byte-for-byte against synth mode and the d111 oracle. Content is a
+    pure function of (rows, dup_every) — a populated directory is
+    always valid, whatever session wrote it."""
+    import os
+    import tempfile
+
+    from etl_example_spark.sources.warc import write_synthetic_crawl_files
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"wet_fixture_{rows}_{dup_every}"
+    )
+    if not (
+        os.path.isdir(out)
+        and len([p for p in os.listdir(out) if p.endswith(".wet")]) == 4
+    ):
+        write_synthetic_crawl_files(
+            out, rows=rows, n_files=4, dup_every=dup_every, wet=True
+        )
+    return out
+
+
+@register(
+    "d115_wet_files_to_corpus",
+    "FILE-BACKED WET crawl head — the production front door d111's "
+    "synth mode stands in for, now executed: real '.wet' files on "
+    "disk (the synthesizer's bytes written out via sources/warc."
+    "write_synthetic_crawl_files — byte-identical input, different "
+    "I/O path), read through option('path', dir) as one ranged-read "
+    "partition per file (sources/warc.parse_warc_file_slice: chunked "
+    "incremental reads, head-offset record ownership, per-partition "
+    "I/O ~ slice size + one record overhang — never the file tail). "
+    "Downstream is d111's exact gate+dedup pipeline, and the oracle "
+    "is d111's oracle verbatim, so a hash match proves file-mode == "
+    "synth-mode == SQL re-derivation on the same records. At 100 TB "
+    "this is the real layout: a crawl bucket of ~1 GB .wet files, "
+    "one partition each (maxPartitionBytes slicing opt-in for "
+    "stragglers), the parser resync-safe against damaged records.",
+    oracle=f"""
+        WITH ids AS (SELECT unnest(range({_WARC_ROWS})) AS i),
+        base AS (
+            SELECT i, CASE WHEN i % 7 = 6 AND i > 0 THEN i - 1
+                           ELSE i END AS src_i
+            FROM ids
+        ),
+        pages AS (
+            SELECT 'https://example.org/doc/' || i AS url,
+                   'Doc ' || src_i || chr(10) ||
+                   'alpha ' || substr(md5(CAST(src_i AS VARCHAR)), 1, 8)
+                   || ' & café' || chr(10) ||
+                   'beta ' || substr(md5(CAST(src_i AS VARCHAR)), 9, 8)
+                       AS text
+            FROM base
+        ),
+        gated AS (SELECT * FROM pages WHERE {SQL_NTOKS} >= 5)
+        SELECT MIN(url) AS keep_url,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(MAX(length(text)) AS BIGINT) AS text_len
+        FROM gated
+        GROUP BY md5(text)
+        ORDER BY keep_url
+    """,
+    category="dedup",
+)
+def d115_wet_files_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.sources.warc import register_wet_datasource
+
+    register_wet_datasource(spark)
+    wet = (
+        spark.read.format("synthetic_wet")
+        .option("path", _stage_wet_files(_WARC_ROWS, 7))
+        .load()
+    )
+    gated = wet.filter(text.token_count("text") >= 5)
     return (
         gated.groupBy(F.md5("text").alias("_fp"))
         .agg(

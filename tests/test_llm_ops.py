@@ -1771,3 +1771,66 @@ def test_label_propagation_separates_dense_communities(spark):
         for r in graph.label_propagation(edges, nodes, iters=2).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+class TestRrfShortlistFusion:
+    """rrf_fuse_shortlists — the index-served fusion (s59). The
+    governing law: when both shortlists COVER the corpus (shortlist
+    size >= corpus), shortlist fusion equals full-corpus RRF on the
+    same rankings; with truncated shortlists, a doc missing from an
+    arm contributes exactly 0 for that arm (the standard convention),
+    and its rank column stays NULL."""
+
+    def _arms(self, spark):
+        kw = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 3), (4, 4)], "doc_id long, kw_rank int"
+        )
+        sem = spark.createDataFrame(
+            [(3, 1), (4, 2), (5, 3)], "doc_id long, sem_rank int"
+        )
+        return kw, sem
+
+    def test_fusion_arithmetic_and_missing_arm(self, spark):
+        from etl_example_spark.operators.similarity import (
+            rrf_fuse_shortlists,
+        )
+
+        kw, sem = self._arms(spark)
+        got = {
+            r.doc_id: (r.kw_rank, r.sem_rank, r.rrf_score)
+            for r in rrf_fuse_shortlists(kw, sem, k=10).collect()
+        }
+        # doc 3: both arms (kw rank 3, sem rank 1)
+        assert got[3] == (3, 1, 1000000 // 63 + 1000000 // 61)
+        # doc 1: kw only — sem contributes 0, sem_rank NULL
+        assert got[1] == (1, None, 1000000 // 61)
+        # doc 5: sem only
+        assert got[5] == (None, 3, 1000000 // 63)
+
+    def test_covering_shortlists_equal_full_fusion(self, spark, sf_dir):
+        """With shortlist >= corpus and full probe (nprobe =
+        n_centroids, so IVF == brute force), the served fusion ranks
+        every doc both arms rank — the exact-twin configuration."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from etl_example_spark.operators import similarity, text
+        from etl_example_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        served = similarity.ivf_topk(
+            emb, k=n, n_centroids=4, nprobe=4
+        )
+        exact = similarity.brute_force_topk(emb, k=n)
+        assert sorted(map(tuple, served.collect())) == sorted(
+            map(tuple, exact.collect())
+        )
+
+    def test_s59_registration_matches_oracle(self, spark, sf_dir):
+        from etl_example_spark.plans.registry import load_all
+        from tests.oracle import duckdb_connection, run_differential
+
+        q = load_all()["s59_hybrid_index_serve"]
+        con = duckdb_connection(sf_dir)
+        assert run_differential(spark, con, q, sf_dir) == []
