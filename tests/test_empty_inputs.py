@@ -35,6 +35,7 @@ SKIP_DIFFERENTIAL = {
     "s42a_pq_recall_bound",
     "s49a_sq8_recall_bound",
     "s58a_ivfpq_recall_bound",
+    "s60a_ivfpq_residual_recall_bound",
 }
 
 

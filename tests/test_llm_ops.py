@@ -1834,3 +1834,96 @@ class TestRrfShortlistFusion:
         q = load_all()["s59_hybrid_index_serve"]
         con = duckdb_connection(sf_dir)
         assert run_differential(spark, con, q, sf_dir) == []
+
+
+class TestIvfPq:
+    """ivfpq_topk's stored-artifact contract and the residual variant
+    (s60). Laws: (a) serving from stored centroid/codebook artifacts
+    equals self-training with the same seeds — the production path is
+    not a different algorithm; (b) residual encoding certifies the
+    s42a full-ADC recall floor (8/10) that the raw-vector composition
+    cannot (s58a certifies 5/10) — the reason FAISS ships residuals."""
+
+    def test_artifact_served_equals_self_trained(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from etl_example_spark.operators import similarity
+        from etl_example_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        norm = similarity.l2_normalize(emb, "embedding")
+        cents = (
+            norm.orderBy("vec_id")
+            .limit(16)
+            .select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("centroid_vec"),
+            )
+        )
+        cb = similarity.pq_train(norm, 8, 16, 2, "vec_id", "embedding")
+        served = similarity.ivfpq_topk(
+            emb, k=10, centroids=cents, codebooks=cb
+        )
+        self_trained = similarity.ivfpq_topk(emb, k=10)
+        assert sorted(map(tuple, served.collect())) == sorted(
+            map(tuple, self_trained.collect())
+        )
+
+    def test_residual_recall_meets_certified_floor(self, spark, sf_dir):
+        from etl_example_spark.operators import similarity
+        from etl_example_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        exact = {
+            r.neighbor_id
+            for r in similarity.brute_force_topk(emb, k=10).collect()
+        }
+        approx = {
+            r.neighbor_id
+            for r in similarity.ivfpq_residual_topk(
+                emb, k=10, n_centroids=16, nprobe=8, m=16, n_codes=32,
+                iters=4, shortlist=200,
+            ).collect()
+        }
+        assert len(exact & approx) >= 8  # the s60a certified floor
+
+    def test_residual_codebooks_not_normalized(self, spark, sf_dir):
+        """pq_train(normalize=False) must train on displacements AS
+        GIVEN: residual centroids are small vectors (norm well under
+        1), which unit-normalization would have inflated to norm 1."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from etl_example_spark.operators import similarity
+        from etl_example_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        norm = similarity.l2_normalize(emb, "embedding")
+        cents = (
+            norm.orderBy("vec_id")
+            .limit(16)
+            .select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("centroid_vec"),
+            )
+        )
+        assign = similarity.ivf_assign_with_centroids(
+            norm, cents, "vec_id", "embedding"
+        )
+        res = assign.join(F.broadcast(cents), "centroid_id").select(
+            "vec_id",
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("centroid_vec").cast("array<double>"),
+                lambda a, b: a - b,
+            ).alias("r"),
+        )
+        cb = similarity.pq_train(
+            res, 8, 16, 1, "vec_id", "r", normalize=False
+        )
+        norms = [
+            math.sqrt(sum(x * x for x in row.cv))
+            for row in cb.collect()
+        ]
+        assert norms and all(n < 0.95 for n in norms), norms
