@@ -1990,8 +1990,11 @@ def s53_bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
-#: (session key, sf_dir) pairs whose bucketed BM25 artifact is live
-_BM25_BUCKETED_STAGED: set[tuple[str, str]] = set()
+#: (session key, sf_dir, corpus fingerprint) triples whose bucketed
+#: BM25 artifact is live — the fingerprint (leaf files + sizes +
+#: mtimes) makes an in-session corpus overwrite a STAGING MISS instead
+#: of silently serving an index built from the old bytes
+_BM25_BUCKETED_STAGED: set[tuple] = set()
 
 
 def _stage_bm25_bucketed(
@@ -2006,22 +2009,26 @@ def _stage_bm25_bucketed(
     buckets its query terms hash into."""
     import hashlib
 
-    from etl_example_spark.operators.dedup import _session_key
+    from etl_example_spark.operators.dedup import (
+        _input_file_snapshot,
+        _session_key,
+    )
     from etl_example_spark.sources.writers import write_bucketed_table
 
     slug = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     name = f"bm25_postings_bkt_{slug}"
     stats_name = f"bm25_stats_{slug}"
+    docs = load_table(spark, sf_dir, "documents")
     # _session_key, not id(spark): a GC'd session's address can be
     # reused, and a stale staging hit on a fresh session would raise
-    # TABLE_OR_VIEW_NOT_FOUND from its empty in-memory catalog
-    key = (_session_key(spark), sf_dir)
+    # TABLE_OR_VIEW_NOT_FOUND from its empty in-memory catalog.
+    # The corpus fingerprint (leaf files+sizes+mtimes) keys the BYTES:
+    # regenerated testdata re-stages instead of serving a stale index.
+    key = (_session_key(spark), sf_dir, _input_file_snapshot(docs))
     if key not in _BM25_BUCKETED_STAGED:
         from etl_example_spark.sources.writers import (
             drop_table_and_location,
         )
-
-        docs = load_table(spark, sf_dir, "documents")
         write_bucketed_table(
             text.bm25_postings(docs, None),
             name,

@@ -1927,3 +1927,33 @@ class TestIvfPq:
             for row in cb.collect()
         ]
         assert norms and all(n < 0.95 for n in norms), norms
+
+
+class TestBm25BucketedStagingInvalidation:
+    def test_corpus_overwrite_is_a_staging_miss(self, spark, tmp_path):
+        """The bucketed-BM25 staging cache keys the BYTES (leaf files +
+        sizes + mtimes), not just (session, sf_dir): overwriting the
+        corpus in-session must rebuild the artifact, not serve the
+        index of the old bytes."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from etl_example_spark.plans.llm_ops import _stage_bm25_bucketed
+
+        sf = tmp_path / "sf_mut"
+        sf.mkdir()
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta doc {i}", "en", "h", None)
+             for i in range(20)],
+            "doc_id long, text string, lang string, url string, ts timestamp",
+        )
+        docs.coalesce(1).write.parquet(str(sf / "documents.parquet"))
+        _, n1, _ = _stage_bm25_bucketed(spark, str(sf))
+        assert n1 == 20
+        shutil.rmtree(sf / "documents.parquet")
+        docs.filter(F.col("doc_id") < 5).coalesce(1).write.parquet(
+            str(sf / "documents.parquet")
+        )
+        _, n2, _ = _stage_bm25_bucketed(spark, str(sf))
+        assert n2 == 5, "stale bucketed index served after overwrite"
