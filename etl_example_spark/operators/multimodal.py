@@ -1755,3 +1755,76 @@ def decode_avi_frame(payload: bytes, frame_table, idx: int):
     baseline-JPEG parser. Raises IndexError past the last frame."""
     off, ln = frame_table[idx]
     return decode_jpeg(payload[off : off + ln])
+
+
+def media_placeholder_tokens(media_col: str = "media") -> Column:
+    """Deterministic TOKEN COST of a media item in an interleaved
+    training sequence — the counting contract a multimodal packer
+    needs before (and independent of) any decode: a media segment
+    occupies placeholder positions in the token stream exactly like a
+    <image> patch grid does in a VLM.
+
+    - image: one token per 16x16 patch — (w div 16) * (h div 16)
+    - audio: 25 tokens per second — duration_ms div 40
+    - video: a patch grid per SAMPLED frame (the m36 1 fps / cap-8
+      contract) — (w div 16) * (h div 16) * least(duration_ms div
+      1000, 8)
+
+    Pure integer metadata arithmetic (no payload touch, SQL-replayable
+    verbatim), so packing plans budget media before a single byte is
+    decoded — at 100 TB the packer runs on the metadata table alone.
+    """
+    m = F.col(media_col)
+    patches = (
+        F.floor(m["width"] / 16) * F.floor(m["height"] / 16)
+    ).cast("long")
+    return (
+        F.when(m["modality"] == "image", patches)
+        .when(
+            m["modality"] == "audio",
+            F.floor(m["duration_ms"] / 40).cast("long"),
+        )
+        .otherwise(
+            patches
+            * F.least(
+                F.floor(m["duration_ms"] / 1000), F.lit(8)
+            ).cast("long")
+        )
+    )
+
+
+def interleaved_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Explode each document into its interleaved training-sequence
+    SEGMENTS: seg 0 is the document's media item (modality by the
+    attach_mixed_media demo mapping, token cost =
+    :func:`media_placeholder_tokens`), seg 1 its text (whitespace
+    tokens) — the caption-style image+text interleaving a multimodal
+    training shard carries. Returns one row per segment with the full
+    provenance (id, seg_idx, modality, n_tokens); token costs are
+    integer metadata arithmetic, so the segment table (and anything
+    packed from it) is hash-checkable against SQL."""
+    from etl_example_spark.operators.text import token_count
+
+    media = attach_mixed_media(df, text_col, id_col)
+    media_seg = media.join(
+        df.select(id_col, *extra_cols), id_col
+    ).select(
+        *extra_cols,
+        F.col(id_col),
+        F.lit(0).alias("seg_idx"),
+        F.col("media")["modality"].alias("modality"),
+        media_placeholder_tokens("media").alias("n_tokens"),
+    )
+    text_seg = df.select(
+        *extra_cols,
+        F.col(id_col),
+        F.lit(1).alias("seg_idx"),
+        F.lit("text").alias("modality"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    return media_seg.unionByName(text_seg)

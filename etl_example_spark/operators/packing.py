@@ -72,3 +72,28 @@ def pack_stats(
         F.min(id_col).alias("first_doc"),
         F.max(id_col).alias("last_doc"),
     )
+
+
+def pack_segments(
+    seg: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    order_cols: tuple[str, ...] = ("doc_id", "seg_idx"),
+) -> DataFrame:
+    """Concat-and-chunk packing over SEGMENT rows — the multimodal
+    generalization of :func:`pack_concat_chunks`: segments (media
+    placeholders, text spans) are laid end-to-end per ``group_col`` in
+    ``order_cols`` order and the interleaved token stream is cut every
+    ``budget`` tokens; a segment belongs to the bin where it starts.
+    Same scale shape: ONE window cumulative sum per group, parallel
+    across groups, never a global sort. Input must carry ``n_tokens``;
+    all input columns ride through plus (start_offset, bin_id)."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return seg.withColumn(
+        "start_offset",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"),
+    ).withColumn("bin_id", F.floor(F.col("start_offset") / budget))

@@ -8400,6 +8400,146 @@ def m48_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+#: SQL twin of the interleaved segment table (m49/d116): the media
+#: segment's token cost is pure metadata arithmetic (the
+#: attach_mixed_media demo contract: modality by doc_id % 3, 64x64
+#: visual dims, 10 ms per payload byte), the text segment is the
+#: shared whitespace tokenizer — so the whole packing plan re-derives
+#: in SQL with zero payload decodes, exactly like the engine.
+_INTERLEAVED_SEGMENTS_SQL = f"""
+        base AS (
+            SELECT source, doc_id,
+                   octet_length(encode(text)) AS nb
+            FROM documents
+        ),
+        seg AS (
+            SELECT source, doc_id, 0 AS seg_idx,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS modality,
+                   CAST(CASE doc_id % 3
+                        WHEN 0 THEN 16
+                        WHEN 1 THEN (nb * 10) // 40
+                        ELSE 16 * least((nb * 10) // 1000, 8)
+                   END AS BIGINT) AS n_tokens
+            FROM base
+            UNION ALL
+            SELECT source, doc_id, 1 AS seg_idx, 'text' AS modality,
+                   CAST({SQL_NTOKS} AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        packed AS (
+            SELECT source, doc_id, seg_idx, modality, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id, seg_idx
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                       AS start_offset
+            FROM seg
+        )
+"""
+
+
+@register(
+    "m49_interleaved_packing",
+    "INTERLEAVED multimodal sequence packing — the brief's multimodal "
+    "columns as a first-class TRAINING-DATA op: every document "
+    "explodes into its training-sequence segments (seg 0 = the media "
+    "item costed in placeholder tokens by pure metadata arithmetic — "
+    "image: one token per 16x16 patch; audio: 25 tokens/s; video: a "
+    "patch grid per sampled frame under the m36 1 fps/cap-8 contract "
+    "— operators/multimodal.media_placeholder_tokens; seg 1 = the "
+    "text span in whitespace tokens), and the interleaved stream is "
+    "cut every 512 tokens per source by the d46 concat-and-chunk "
+    "window (operators/packing.pack_segments: one cumsum per source, "
+    "parallel across sources, no global sort). Output is the "
+    "per-SEGMENT assignment with full provenance (source, doc, "
+    "seg_idx, modality, n_tokens, start_offset, bin_id) — the shard "
+    "writer's manifest. No payload is ever decoded: at 100 TB the "
+    "packer runs on the metadata table alone, which is why the whole "
+    "plan re-derives in SQL.",
+    oracle=f"""
+        WITH {_INTERLEAVED_SEGMENTS_SQL}
+        SELECT source, doc_id, seg_idx, modality, n_tokens,
+               start_offset,
+               CAST(start_offset // 512 AS BIGINT) AS bin_id
+        FROM packed
+        ORDER BY source, doc_id, seg_idx
+    """,
+    category="multimodal",
+)
+def m49_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_example_spark.operators.packing import pack_segments
+
+    docs = load_table(spark, sf_dir, "documents")
+    seg = multimodal.interleaved_segments(docs)
+    return pack_segments(seg, budget=512).orderBy(
+        "source", "doc_id", "seg_idx"
+    )
+
+
+@register(
+    "d116_interleaved_bin_audit",
+    "Per-bin budget audit of the interleaved multimodal packing (the "
+    "m49 manifest rolled up to training examples): documents started, "
+    "segments, text vs media placeholder tokens, and the bin's total "
+    "against the 512 budget — the table a packing job materializes "
+    "beside the shards to prove every training example's token "
+    "accounting before a byte of media is decoded. Same plan shape "
+    "as d46's audit: the per-source cumsum window then one hash "
+    "aggregate keyed (source, bin).",
+    oracle=f"""
+        WITH {_INTERLEAVED_SEGMENTS_SQL}
+        SELECT source,
+               CAST(start_offset // 512 AS BIGINT) AS bin_id,
+               COUNT(*) AS n_segments,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               CAST(COALESCE(SUM(CASE WHEN modality = 'text'
+                                      THEN n_tokens END), 0) AS BIGINT)
+                   AS text_tokens,
+               CAST(COALESCE(SUM(CASE WHEN modality <> 'text'
+                                      THEN n_tokens END), 0) AS BIGINT)
+                   AS media_tokens
+        FROM packed
+        GROUP BY source, bin_id
+        ORDER BY source, bin_id
+    """,
+    category="multimodal",
+)
+def d116_interleaved_bin_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_example_spark.operators.packing import pack_segments
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_segments(
+        multimodal.interleaved_segments(docs), budget=512
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("modality") == "text", F.col("n_tokens")
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("text_tokens"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("modality") != "text", F.col("n_tokens")
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("media_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
 @register(
     "g04_label_propagation",
     "Weighted synchronous label-propagation communities over the event "
