@@ -69,9 +69,12 @@ action). Callers that already hold a boundary artifact (the same
 contract as BM25 serving's stored stats) pass ``boundaries=`` and skip
 the sampling subquery entirely.
 
-The per-row pid fold is O(numPartitions) comparisons — fine through a
-few hundred partitions; past that, unroll a log₂(P) binary search over
-the same array (documented lever, not needed at current P).
+The per-row pid is an UNROLLED log₂(P) bitwise binary search over the
+sorted boundary array (each step its own projection — a single inlined
+expression would grow ~3^depth nodes): measured, the naive O(P) filter
+fold degrades 5.3 s → 135 s going P=32 → P=512 on the same input,
+while the search stays flat — P in the thousands is exactly the
+production regime.
 
 Correctness requires the order to be a TOTAL order (callers pass a
 unique tie-break column, the same discipline every registered top-k
@@ -225,7 +228,15 @@ def _boundaries_column(
             .otherwise(F.lit(0))
         )
 
-    skeys = F.array_sort(F.col(_SAMPLE), cmp)
+    # The sort gets its OWN projection: lambda-bearing expressions
+    # evaluate interpreted with no common-subexpression elimination,
+    # so inlining `array_sort` into the pick transform re-sorts the
+    # whole S-element sample once PER PICK — measured 108 s for the
+    # one-row subquery at P=512 (O(P·S log S)); staged, it sorts once.
+    sorted_df = packed.select(
+        F.array_sort(F.col(_SAMPLE), cmp).alias(_SAMPLE)
+    )
+    skeys = F.col(_SAMPLE)
     c = F.size(skeys)
     # element_at is 1-based; min(i*c // n, c-1) is the 0-based driver pick
     picks = F.transform(
@@ -243,13 +254,16 @@ def _boundaries_column(
     )
     empty = F.slice(skeys, 1, 0)  # typed empty array<struct<...>>
     bounds = F.when(c >= 2, F.array_distinct(picks)).otherwise(empty)
-    return packed.select(bounds.alias(_BNDS)).scalar()
+    return sorted_df.select(bounds.alias(_BNDS)).scalar()
 
 
 def _pid_from_bounds(order: Sequence[Ord], bounds: Column) -> Column:
     """``|{b : b <spec key}|`` over the boundary array — the
     deterministic, fork-safe range partition id. Works identically over
-    the lazy subquery column and a literal artifact array."""
+    the lazy subquery column and a literal artifact array. O(P)
+    comparator evaluations per row — fine through ~100 boundaries;
+    the default path uses :func:`_attach_pid` (O(log P) binary
+    search), measured 25× faster at P=512."""
     key = [F.col(o.expr) for o in order]
     return F.size(
         F.filter(
@@ -257,6 +271,48 @@ def _pid_from_bounds(order: Sequence[Ord], bounds: Column) -> Column:
             lambda b: _key_before(order, _struct_fields(order, b), key),
         )
     )
+
+
+def _attach_pid(
+    df: DataFrame, order: Sequence[Ord], n_parts: int
+) -> DataFrame:
+    """Attach ``_PID`` = ``|{b : b <spec key}|`` via an UNROLLED
+    bitwise binary search over the sorted boundary array in ``_BNDS``
+    — the classic bisect (``pos += bit`` iff ``bounds[pos+bit] <spec
+    key``), valid because the deduplicated boundaries are strictly
+    increasing under the spec.
+
+    Each of the ⌈log₂ P⌉ steps lands in its OWN projection
+    (``withColumn`` chain): the step expression references the running
+    position three times, so inlining the chain into one expression
+    would grow ~3^depth nodes — the exact codegen blow-up the linear
+    fold hits at high P (measured: the O(P) fold is 5.3 s at P=32 but
+    135 s at P=512 on the same input; the search stays flat). Catalyst
+    keeps non-cheap multiply-referenced aliases in separate projects,
+    and whole-stage codegen fuses them into one function with one
+    local per step — O(log P) comparator evaluations per row.
+
+    ``try_element_at`` (not ``element_at``): the probe index exceeds
+    the array size on purpose mid-search; under ANSI mode the plain
+    form would throw where NULL is wanted (the ``idx <= size``
+    conjunct then forces the step's condition false — FALSE AND NULL
+    is FALSE)."""
+    key = [F.col(o.expr) for o in order]
+    bit = 1
+    while bit * 2 <= max(1, n_parts - 1):
+        bit *= 2
+    df = df.withColumn(_PID, F.lit(0))
+    while bit >= 1:
+        idx = F.col(_PID) + F.lit(bit)
+        probe = F.try_element_at(F.col(_BNDS), idx.cast("int"))
+        step = F.when(
+            (idx <= F.size(F.col(_BNDS)))
+            & _key_before(order, _struct_fields(order, probe), key),
+            idx,
+        ).otherwise(F.col(_PID))
+        df = df.withColumn(_PID, step)
+        bit //= 2
+    return df.withColumn(_PID, F.col(_PID).cast("int"))
 
 
 def _deterministic_boundaries(
@@ -420,16 +476,25 @@ def global_row_number(
         )
 
     if boundaries is not None:
-        pid = _pid_column(df, order, list(boundaries))
-        ranged = df.withColumn(_PID, pid)
+        bl = list(boundaries)
+        if not bl:
+            ranged = df.withColumn(_PID, F.lit(0))
+        else:
+            ranged = _attach_pid(
+                df.withColumn(
+                    _BNDS, _literal_bounds_column(df, order, bl)
+                ),
+                order,
+                len(bl) + 1,
+            ).drop(_BNDS)
     elif n < 2:
         ranged = df.withColumn(_PID, F.lit(0))
     else:
-        ranged = (
-            df.withColumn(_BNDS, _boundaries_column(df, order, n))
-            .withColumn(_PID, _pid_from_bounds(order, F.col(_BNDS)))
-            .drop(_BNDS)
-        )
+        ranged = _attach_pid(
+            df.withColumn(_BNDS, _boundaries_column(df, order, n)),
+            order,
+            n,
+        ).drop(_BNDS)
     # Materialize (lazily) so the count pass and the local-rank pass
     # read one computed intermediate instead of re-deriving the whole
     # upstream pipeline when per-branch column pruning defeats

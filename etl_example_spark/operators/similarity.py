@@ -1139,6 +1139,69 @@ def ivfpq_residual_topk(
     )
 
 
+def ivfpq_residual_encode(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors into the RESIDUAL IVF-PQ artifact under STORED
+    quantizers: assign to the given coarse centroids, form the
+    displacement ``r = v − c``, nearest residual code per subspace —
+    the (id, centroid_id, codes) row a residual index stores per
+    vector. Because both quantizers are frozen inputs, this is the
+    append kernel, and the s48 law carries over unchanged:
+
+    ``old_codes ∪ ivfpq_residual_encode(new, C, CB)`` ==
+    ``ivfpq_residual_encode(old ∪ new, C, CB)`` — incremental equals
+    full rebuild under the same artifacts (asserted row-for-row in
+    tests/test_llm_ops.py::TestIvfPq). Work per ingest is
+    O(batch × (n_centroids + m × n_codes)).
+
+    Degenerate (zero-norm) vectors get NULL centroid assignment and
+    drop out, matching :func:`ivfpq_residual_topk`'s corpus side."""
+    normalized = l2_normalize(vectors, vec_col)
+    first = normalized.select(vec_col).limit(1).collect()
+    if not first:
+        id_type = vectors.schema[id_col].dataType.simpleString()
+        return vectors.sparkSession.createDataFrame(
+            [],
+            f"{id_col} {id_type}, centroid_id long, codes array<int>",
+        )
+    dim = len(first[0][0])
+    sub_d = dim // m
+    cents = centroids.select(
+        F.col(centroids.columns[0]).alias("centroid_id"),
+        F.col(centroids.columns[1]).alias("centroid_vec"),
+    )
+    assign = ivf_assign_with_centroids(normalized, cents, id_col, vec_col)
+    res = assign.join(F.broadcast(cents), "centroid_id").select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        F.zip_with(
+            _as_double(vec_col),
+            _as_double("centroid_vec"),
+            lambda a, b: a - b,
+        ).alias("_res"),
+    )
+    sub = res.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("_res"), j * sub_d + 1, sub_d)
+                    for j in range(m)
+                ]
+            )
+        ).alias("j", "sv"),
+    )
+    return pq_encode(sub, codebooks, id_col).join(
+        res.select(id_col, "centroid_id"), id_col
+    ).select(id_col, "centroid_id", "codes")
+
+
 def knn_graph_blocked(
     embeddings: DataFrame,
     block_col: str = "label",

@@ -1929,6 +1929,55 @@ class TestIvfPq:
         assert norms and all(n < 0.95 for n in norms), norms
 
 
+
+    def test_residual_append_equals_full_rebuild(self, spark, sf_dir):
+        """The s48 law on the residual artifact: with centroids AND
+        residual codebooks frozen, encoding an arriving batch and
+        appending equals re-encoding the whole corpus — the invariant
+        that lets a residual index ingest without rescans."""
+        from pyspark.sql import functions as F
+
+        from etl_example_spark.operators import similarity
+        from etl_example_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        old = emb.filter(F.col("vec_id") % 4 != 0)
+        new = emb.filter(F.col("vec_id") % 4 == 0)
+        norm_old = similarity.l2_normalize(old, "embedding")
+        cents = (
+            norm_old.orderBy("vec_id")
+            .limit(16)
+            .select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("centroid_vec"),
+            )
+        )
+        assign = similarity.ivf_assign_with_centroids(
+            norm_old, cents, "vec_id", "embedding"
+        )
+        res = assign.join(F.broadcast(cents), "centroid_id").select(
+            "vec_id",
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("centroid_vec").cast("array<double>"),
+                lambda a, b: a - b,
+            ).alias("r"),
+        )
+        cb = similarity.pq_train(
+            res, 8, 16, 2, "vec_id", "r", normalize=False
+        )
+        stored = similarity.ivfpq_residual_encode(old, cents, cb)
+        incremental = stored.unionByName(
+            similarity.ivfpq_residual_encode(new, cents, cb)
+        )
+        full = similarity.ivfpq_residual_encode(emb, cents, cb)
+        norm = lambda df: sorted(
+            (r.vec_id, r.centroid_id, tuple(r.codes))
+            for r in df.collect()
+        )
+        assert norm(incremental) == norm(full)
+
+
 class TestBm25BucketedStagingInvalidation:
     def test_corpus_overwrite_is_a_staging_miss(self, spark, tmp_path):
         """The bucketed-BM25 staging cache keys the BYTES (leaf files +
