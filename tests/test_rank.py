@@ -186,14 +186,23 @@ def test_boundaries_artifact_matches_in_plan(skewed):
     }
 
 
-@pytest.mark.parametrize("mode", ["cache", "none"])
+@pytest.mark.parametrize("mode", ["cache", "none", "local_checkpoint"])
 def test_materialize_modes_agree(skewed, mode):
     """Every materialization strategy yields the same ranks — the pid
     is a pure key function, so correctness never depends on whether or
-    how the intermediate is pinned. (local_checkpoint / checkpoint are
-    covered implicitly: same code path, different pin call — and both
-    are exercised by the mode's own opt-in callers.)"""
+    how the intermediate is pinned."""
     got = global_row_number(skewed, ORDER, out="r", materialize=mode)
+    ranks = sorted(x[0] for x in got.select("r").collect())
+    assert ranks == list(range(1, 20001))
+
+
+def test_materialize_reliable_checkpoint(spark, skewed, tmp_path):
+    """The cluster-durability opt-in: reliable checkpoint to the
+    configured directory — same ranks, blocks survive executor loss."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    got = global_row_number(
+        skewed, ORDER, out="r", materialize="checkpoint"
+    )
     ranks = sorted(x[0] for x in got.select("r").collect())
     assert ranks == list(range(1, 20001))
 

@@ -87,32 +87,37 @@ def main() -> None:
     register_wet_datasource(spark)
 
     # --- file-backed WET read: wall vs file count --------------------
+    rows_x1 = 50_000
     tmp = tempfile.mkdtemp(prefix="scale_wet_")
     for n in ns:
         d = f"{tmp}/x{n}"
         write_synthetic_crawl_files(
-            d, rows=400 * n, n_files=4 * n, dup_every=7, wet=True
+            d, rows=rows_x1 * n, n_files=4 * n, dup_every=7, wet=True
         )
         df = (
             spark.read.format("synthetic_wet").option("path", d).load()
         )
-        timed(f"x{n} WET file-mode read+gate+dedup ({4*n} files)",
-              wet_rollup(df))
-    # split mode: ONE big file sliced by maxPartitionBytes
+        timed(
+            f"x{n} WET file-mode read+gate+dedup "
+            f"({rows_x1 * n} records, {4*n} files)",
+            wet_rollup(df),
+        )
+    # split mode: ONE big file sliced by maxPartitionBytes — same
+    # records, more+smaller ranged reads; must cost about the same
     big = f"{tmp}/big"
     write_synthetic_crawl_files(
-        big, rows=400 * max(ns), n_files=1, dup_every=7, wet=True
+        big, rows=rows_x1 * max(ns), n_files=1, dup_every=7, wet=True
     )
     whole = spark.read.format("synthetic_wet").option("path", big).load()
     sliced = (
         spark.read.format("synthetic_wet")
         .option("path", big)
-        .option("maxPartitionBytes", 64 * 1024)
+        .option("maxPartitionBytes", 1 << 20)
         .load()
     )
     timed(f"x{max(ns)} WET one file, ONE partition", wet_rollup(whole))
     timed(
-        f"x{max(ns)} WET one file, 64 KiB slices "
+        f"x{max(ns)} WET one file, 1 MiB slices "
         f"({sliced.rdd.getNumPartitions()} partitions)",
         wet_rollup(sliced),
     )
