@@ -287,16 +287,39 @@ SHOW = {
     ),
     "q90_ntile_buckets": (
         "Exact NTILE on the two-pass deterministic rank: NO "
-        "single-partition window over the fact table — the literal "
-        "boundary array assigns pids in-row, the local-rank window "
-        "partitions by pid, and the only Exchange SinglePartition "
-        "feeds the bounded __gr_pid count table."
+        "single-partition window over the fact table — a LAZY scalar "
+        "subquery samples the boundary array (building/EXPLAINing "
+        "runs zero jobs), an unrolled log2(P) bisect assigns pids "
+        "in-row, the local-rank window partitions by pid, and the "
+        "only Exchange SinglePartition feeds the bounded __gr_pid "
+        "count table."
     ),
     "s57_bm25_bucketed_serve": (
         "Bucket-pruned artifact serving: the bucketed postings scan "
         "shows SelectedBucketsCount <= |query terms| out of 32 — the "
         "probe reads only the buckets its terms hash into; no "
         "exchange on the postings side before the score fold."
+    ),
+    "d115_wet_files_to_corpus": (
+        "File-backed crawl head: a BatchScan over the Python data "
+        "source's ranged-read file slices (one partition per .wet "
+        "file), then the d111 gate+dedup — one fingerprint-keyed "
+        "exchange, text never shuffles."
+    ),
+    "s59_hybrid_index_serve": (
+        "Index-served hybrid fusion: the BM25 arm's bucketed scan is "
+        "term-pruned (SelectedBucketsCount), the IVF arm's corpus "
+        "pass is one crossJoin against the broadcast centroid block "
+        "folded by a packed-max HashAggregate, and the fusion is a "
+        "full-outer join of two <=20-row shortlists — no corpus "
+        "rescan at fusion time."
+    ),
+    "m49_interleaved_packing": (
+        "Interleaved multimodal packing: both segment arms are "
+        "metadata-arithmetic projections over the SAME cached "
+        "documents scan (union, no payload decode); ONE window "
+        "cumsum partitioned by source — no global sort, no "
+        "single-partition exchange."
     ),
 }
 
