@@ -465,10 +465,16 @@ def write_synthetic_crawl_files(
     for fi, lo in enumerate(range(0, max(rows, 1), step)):
         hi = min(lo + step, rows)
         p = _os.path.join(out_dir, f"crawl-{fi:05d}.{ext}")
-        with open(p, "wb") as f:
+        # write-temp-then-rename: a concurrent reader (two sessions
+        # staging the same deterministic fixture dir) never sees a
+        # half-written file — rename is atomic on POSIX, and both
+        # writers produce identical bytes, so last-rename-wins is fine
+        tmp = p + f".tmp.{_os.getpid()}"
+        with open(tmp, "wb") as f:
             f.write(_warcinfo())
             for i in range(lo, hi):
                 f.write(make(i, dup_every))
+        _os.replace(tmp, p)
         paths.append(p)
     return sorted(paths)
 
