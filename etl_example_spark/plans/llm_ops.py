@@ -701,6 +701,55 @@ def s60a_ivfpq_residual_recall_bound(
 
 
 @register(
+    "s61_ivfpq_artifact_law",
+    "EXTERNAL equality certificate for the IVF-PQ stored-artifact "
+    "serving contract: ivfpq_topk served from precomputed centroid + "
+    "codebook artifacts (the s47/s48 outputs — the production path: "
+    "train once offline, serve from the artifact) must return the "
+    "IDENTICAL top-k as the self-training composition with the same "
+    "seeds. Both paths run in Spark; the certificate row counts the "
+    "served top-k and inner-joins it to the self-trained top-k on "
+    "every output column — (10, TRUE) iff they agree row-for-row. "
+    "The oracle emits the expected row, so any drift between the "
+    "artifact path and the algorithm turns a driver row red (the "
+    "same externalization move as the s33a/s58a recall certificates).",
+    oracle=(
+        "SELECT CAST(10 AS BIGINT) AS n_served, TRUE AS artifact_serve_ok"
+    ),
+    category="similarity",
+)
+def s61_ivfpq_artifact_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = similarity.l2_normalize(emb, "embedding")
+    cents = (
+        norm.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    cb = similarity.pq_train(norm, 16, 32, 4, "vec_id", "embedding")
+    kw = dict(k=10, n_centroids=16, nprobe=8, m=16, n_codes=32,
+              iters=4, shortlist=200)
+    served = similarity.ivfpq_topk(emb, centroids=cents, codebooks=cb, **kw)
+    self_trained = similarity.ivfpq_topk(emb, **kw)
+    agree = served.join(
+        self_trained, ["query_id", "neighbor_id", "cosine_sim"]
+    )
+    return (
+        served.agg(F.count("*").alias("n_served"))
+        .crossJoin(agree.agg(F.count("*").alias("_n_agree")))
+        .select(
+            "n_served",
+            (F.col("_n_agree") == F.col("n_served")).alias(
+                "artifact_serve_ok"
+            ),
+        )
+    )
+
+
+@register(
     "m34_multimodal_stats",
     "Multimodal metadata stats: per-modality item counts and byte totals "
     "computed purely from the metadata struct — binary payloads are "

@@ -1723,3 +1723,79 @@ def st58_stream_phrase_route(
         .select("doc_id", "n_hits")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "st60_stream_wet_files",
+    "FILE-BACKED streaming WET ingestion — the production crawl feed "
+    "live AND from real bytes on disk: the stream half of the crawl "
+    "source's file mode (sources/warc._WetFileStreamReader) walks the "
+    "staged '.wet' files with a (file index, byte position) offset, "
+    "each micro-batch parsing the next batchBytes range through the "
+    "same ranged-read slice parser batch file-mode uses — head-offset "
+    "record ownership makes micro-batch boundaries exact, and replay "
+    "re-parses committed byte ranges from disk (the files ARE the "
+    "replay log; no side state). Downstream is st59's exact token "
+    "gate + per-bucket rollup with the collect_set distinct, and the "
+    "oracle is st59's verbatim, so a hash match proves "
+    "file-stream == synth-stream == batch == SQL on the same records "
+    "— the last edge of the crawl front-door square.",
+    oracle=f"""
+        WITH ids AS (SELECT unnest(range(400)) AS i),
+        base AS (
+            SELECT i, CASE WHEN i % 7 = 6 AND i > 0 THEN i - 1
+                           ELSE i END AS src_i
+            FROM ids
+        ),
+        pages AS (
+            SELECT i,
+                   'Doc ' || src_i || chr(10) ||
+                   'alpha ' || substr(md5(CAST(src_i AS VARCHAR)), 1, 8)
+                   || ' & café' || chr(10) ||
+                   'beta ' || substr(md5(CAST(src_i AS VARCHAR)), 9, 8)
+                       AS text
+            FROM base
+        ),
+        gated AS (SELECT i, text FROM pages WHERE {SQL_NTOKS} >= 5)
+        SELECT CAST(i % 10 AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(SUM(length(text)) AS BIGINT) AS chars,
+               CAST(SUM({SQL_NTOKS}) AS BIGINT) AS toks,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT)
+                   AS n_distinct_texts
+        FROM gated
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+    category="streaming",
+)
+def st60_stream_wet_files(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators import text
+    from etl_example_spark.plans.llm_ops import _stage_wet_files
+    from etl_example_spark.sources.warc import register_wet_datasource
+
+    register_wet_datasource(spark)
+    stream = (
+        spark.readStream.format("synthetic_wet")
+        .option("path", _stage_wet_files(400, 7))
+        .option("batchBytes", 16 * 1024)
+        .load()
+    )
+    gated = stream.select(
+        F.regexp_extract("url", r"(\d+)$", 1).cast("int").alias("page"),
+        "text",
+    ).filter(text.token_count("text") >= 5)
+    agg = gated.groupBy((F.col("page") % 10).alias("bucket")).agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.length("text")).alias("chars"),
+        F.sum(text.token_count("text")).alias("toks"),
+        F.size(F.collect_set(F.md5("text"))).cast("long").alias(
+            "n_distinct_texts"
+        ),
+    )
+    result = run_to_memory(agg, output_mode="complete", available_now=False)
+    return result.orderBy("bucket")

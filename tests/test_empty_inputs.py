@@ -36,6 +36,7 @@ SKIP_DIFFERENTIAL = {
     "s49a_sq8_recall_bound",
     "s58a_ivfpq_recall_bound",
     "s60a_ivfpq_residual_recall_bound",
+    "s61_ivfpq_artifact_law",  # empty corpus -> (0, TRUE), vacuously
 }
 
 

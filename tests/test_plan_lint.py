@@ -49,6 +49,7 @@ _CROSS_JOIN_BY_DESIGN = {
     "s59_hybrid_index_serve",  # IVF arm's broadcast centroid/query blocks
     "s60_ivfpq_residual_topk",  # broadcast centroid/query/ADC blocks
     "s60a_ivfpq_residual_recall_bound",  # 1-row certificate + inner ops
+    "s61_ivfpq_artifact_law",  # 1-row certificate crossJoin + IVFPQ inner ops
     "q15_cte_subquery",  # broadcast one-row scalar aggregate
     "q69_quiet_big_accounts",  # broadcast one-row scalar aggregate
     "d52_tfidf_top_terms",  # broadcast one-row corpus-size aggregate

@@ -489,3 +489,47 @@ class TestFileBackedCrawl:
 
         with _pytest.raises(FileNotFoundError):
             _plan_file_slices(str(tmp_path / "nowhere"), None)
+
+    def test_file_stream_reader_replay_and_batch_parity(
+        self, spark, tmp_path
+    ):
+        """The file-backed stream: draining all (file, byte-range)
+        micro-batches yields exactly the batch file-mode rows (record
+        ownership by head offset makes batch boundaries exact), and
+        readBetweenOffsets replays any committed span — including one
+        CROSSING a file boundary — byte-for-byte from disk."""
+        from etl_example_spark.sources.warc import (
+            _WetFileStreamReader,
+            parse_warc_records,
+            write_synthetic_crawl_files,
+        )
+
+        d = str(tmp_path / "wets")
+        paths = write_synthetic_crawl_files(
+            d, rows=60, n_files=3, dup_every=7, wet=True
+        )
+        expect = []
+        for p in paths:
+            for url, rt, _s, body in parse_warc_records(
+                open(p, "rb").read()
+            ):
+                if rt == "conversion":
+                    expect.append((url, body.decode("utf-8")))
+
+        r = _WetFileStreamReader({"path": d, "batchBytes": "700"})
+        off = r.initialOffset()
+        drained, offsets = [], [off]
+        for _ in range(1000):
+            batch, nxt = r.read(off)
+            rows = list(batch)
+            if not rows and nxt == off:
+                break  # caught up
+            drained.extend(rows)
+            off = nxt
+            offsets.append(off)
+        assert drained == expect
+        # replay across a file boundary: from mid-file-0 to mid-file-2
+        lo, hi = offsets[1], offsets[-2]
+        replay = list(r.readBetweenOffsets(lo, hi))
+        assert replay == drained[len(list(r.readBetweenOffsets(offsets[0], lo))):
+                                 len(drained) - len(list(r.readBetweenOffsets(hi, offsets[-1])))]
