@@ -97,6 +97,10 @@ _EXCHANGE_ALLOWANCE = {
     # range sort would run; it executes once, output ≤ P keys). Of the
     # 13 printed exchanges only ~6 distinct corpus-sized shuffles run.
     "d109_quality_bucket_budget": 15,
+    # equality certificate: the plan IS two complete IVF-PQ
+    # compositions (artifact-served arm + self-trained arm) joined —
+    # each arm alone fits the global budget; doubling is the point.
+    "s61_ivfpq_artifact_law": 20,
 }
 
 
