@@ -117,6 +117,41 @@ _SAMPLES_PER_PART = 40
 _MATERIALIZE_MODES = ("cache", "local_checkpoint", "checkpoint", "none")
 _MATERIALIZE_CONF = "spark.etl_example_spark.rank.materialize"
 
+#: Every ranged intermediate persisted under ``materialize='cache'``.
+#: Unlike the old localCheckpoint RDDs (reclaimed by ContextCleaner
+#: once the frame is released), CacheManager entries live until an
+#: explicit unpersist — a long-lived session issuing many transient
+#: ranks would otherwise accumulate disk-backed cache blocks without
+#: bound. Strong references on purpose: the JVM cache entry is keyed
+#: by logical plan, so once the Python wrapper is gone there is no
+#: handle left to unpersist THAT entry with; the wrappers themselves
+#: are tiny plan objects. Call :func:`release_rank_caches` when the
+#: rank outputs have been consumed (or pass ``materialize='none'`` /
+#: ``'local_checkpoint'`` for transient ranks).
+_CACHE_REGISTRY: list[DataFrame] = []
+
+
+def release_rank_caches() -> int:
+    """Unpersist every ranged intermediate this module cached under the
+    default ``materialize='cache'`` mode and clear the registry —
+    the cleanup half of the cache contract (see
+    :func:`global_row_number`'s materialize docs). Blocking=False: the
+    blocks are dead the moment the call returns; reclamation is async.
+    Returns the number of entries released. Safe to call at any time:
+    a released rank frame recomputes correctly (the pid is a pure key
+    function), it just loses the shared-scan saving."""
+    n = 0
+    while _CACHE_REGISTRY:
+        df = _CACHE_REGISTRY.pop()
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            # a stopped session can no longer unpersist — nothing to
+            # reclaim there anyway
+            pass
+    return n
+
 
 @dataclass(frozen=True)
 class Ord:
@@ -352,6 +387,39 @@ def _deterministic_boundaries(
     return bounds
 
 
+def _normalize_boundaries(
+    order: Sequence[Ord], bounds: Sequence[tuple]
+) -> list[tuple]:
+    """Sort + dedupe a caller-supplied ``boundaries=`` artifact under
+    the order spec before it becomes the bisect's literal array.
+
+    The O(P) filter fold this module used to ship was correct for ANY
+    fixed boundary set; the unrolled binary search that replaced it
+    assumes the array is sorted and duplicate-free — an unsorted or
+    duplicated artifact would silently mis-assign pids. Normalizing
+    here (tuple-wise :meth:`Ord.py_cmp` via ``cmp_to_key``, the same
+    driver-side comparator :func:`_deterministic_boundaries` sorts
+    with) keeps the artifact contract what it always was: any fixed
+    key set partitions correctly; order and multiplicity are the
+    engine's problem, not the caller's."""
+
+    def tup_cmp(a, b):
+        for i, o in enumerate(order):
+            c = o.py_cmp(a[i], b[i])
+            if c:
+                return c
+        return 0
+
+    keys = sorted(
+        (tuple(b) for b in bounds), key=functools.cmp_to_key(tup_cmp)
+    )
+    out: list[tuple] = []
+    for k in keys:
+        if not out or tup_cmp(out[-1], k) != 0:
+            out.append(k)
+    return out
+
+
 def _literal_bounds_column(
     df: DataFrame, order: Sequence[Ord], bounds: list[tuple]
 ) -> Column:
@@ -436,7 +504,12 @@ def global_row_number(
       block recomputes — and recomputation is CORRECT here because the
       pid is a pure key function (the exact property this module
       exists to provide; a nondeterministic partitioner is what makes
-      cache unsafe elsewhere). The only truly lazy strategy: Dataset
+      cache unsafe elsewhere). Cache entries outlive the returned
+      frame (CacheManager holds them until an explicit unpersist), so
+      each intermediate is registered module-side — long-lived
+      sessions issuing many transient ranks call
+      :func:`release_rank_caches` once the outputs are consumed, or
+      pass ``materialize='none'``. The only truly lazy strategy: Dataset
       ``localCheckpoint``/``checkpoint`` call ``toRdd`` at BUILD time,
       which under AQE executes the boundary subquery — a measured
       build-time job, the exact cost placement this design forbids.
@@ -476,7 +549,7 @@ def global_row_number(
         )
 
     if boundaries is not None:
-        bl = list(boundaries)
+        bl = _normalize_boundaries(order, boundaries)
         if not bl:
             ranged = df.withColumn(_PID, F.lit(0))
         else:
@@ -508,6 +581,10 @@ def global_row_number(
         from pyspark.storagelevel import StorageLevel
 
         ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+        # registered for explicit reclamation: CacheManager entries
+        # outlive the Python wrapper, so sessions issuing many ranks
+        # call release_rank_caches() once the outputs are consumed
+        _CACHE_REGISTRY.append(ranged)
     elif mode == "local_checkpoint":
         ranged = ranged.localCheckpoint(eager=False)
     elif mode == "checkpoint":

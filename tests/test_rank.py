@@ -186,6 +186,44 @@ def test_boundaries_artifact_matches_in_plan(skewed):
     }
 
 
+def test_unsorted_duplicated_boundaries_normalized(skewed):
+    """A caller-supplied ``boundaries=`` artifact is normalized (sorted
+    under the order spec, deduplicated) before it feeds the unrolled
+    binary search — an unsorted or duplicate-bearing artifact must
+    produce the same exact ranks as the canonical one, not silently
+    wrong pids."""
+    from etl_example_spark.functions.rank import _deterministic_boundaries
+
+    bounds = _deterministic_boundaries(skewed, ORDER, 8)
+    assert len(bounds) >= 3
+    mangled = list(reversed(bounds)) + [bounds[0], bounds[-1]]
+    got = global_row_number(skewed, ORDER, out="r", boundaries=mangled)
+    exp = global_row_number(skewed, ORDER, out="r", boundaries=bounds)
+    assert {tuple(x) for x in got.collect()} == {
+        tuple(x) for x in exp.collect()
+    }
+
+
+def test_release_rank_caches(spark, skewed):
+    """materialize='cache' intermediates are registered for explicit
+    reclamation: release_rank_caches() unpersists every tracked entry
+    and empties the registry; a second call is a no-op."""
+    from etl_example_spark.functions.rank import (
+        _CACHE_REGISTRY,
+        release_rank_caches,
+    )
+
+    release_rank_caches()  # drain entries left by earlier tests
+    got = global_row_number(skewed, ORDER, out="r", materialize="cache")
+    assert got.count() == 20000
+    assert len(_CACHE_REGISTRY) == 1
+    assert release_rank_caches() == 1
+    assert not _CACHE_REGISTRY
+    assert release_rank_caches() == 0
+    # the released frame still recomputes correctly (pure-key pid)
+    assert got.count() == 20000
+
+
 @pytest.mark.parametrize("mode", ["cache", "none", "local_checkpoint"])
 def test_materialize_modes_agree(skewed, mode):
     """Every materialization strategy yields the same ranks — the pid
