@@ -51,7 +51,7 @@ QUERIES: dict[str, Query] = {}
 #: rotation of the already-verified backlog through the driver window so
 #: regressions in verified queries are eventually re-caught (a different
 #: ~39-query sample each round instead of only the 6 sentinels).
-ROUND = 12
+ROUND = 13
 
 #: Queries the external driver has already verified in earlier rounds
 #: (union of non-errored rows across CORRECTNESS_r01–r04). The driver's
@@ -172,6 +172,15 @@ PRIOR_VERIFIED: frozenset[str] = frozenset(
         "d114_reproducible_shuffle", "m48_video_frame_stats",
         "s57_bm25_bucketed_serve", "s58a_ivfpq_recall_bound",
         "st59_stream_wet_ingest",
+        # round 12 (CORRECTNESS_r12: 48/50 green; s58/s60 are the
+        # designed no_oracle approximates, exposed rows-only with
+        # their s58a/s60a certificates hash-green — backlog them like
+        # q22/s33/s40/s42 before them)
+        "d115_wet_files_to_corpus", "d116_interleaved_bin_audit",
+        "m49_interleaved_packing", "s58_ivfpq_topk",
+        "s59_hybrid_index_serve", "s60_ivfpq_residual_topk",
+        "s60a_ivfpq_residual_recall_bound", "s61_ivfpq_artifact_law",
+        "st60_stream_wet_files",
     }
 )
 
@@ -182,44 +191,49 @@ SENTINELS: tuple[str, ...] = (
     "q4_seasonality", "q5_curation_filter", "q6_date_repair",
 )
 
-#: Head of this round's rotation. Round 12: queries whose EXECUTED
-#: PLAN changed (the rank primitive's boundary sample moved from a
-#: build-time driver collect into a lazy in-plan scalar subquery, and
-#: its intermediate pin changed localCheckpoint→cache — outputs must
-#: hash unchanged; plus s58a, whose pq_train now trains on the
-#: checkpointed normalized frame) re-enter the external window first;
-#: then the m43–m47 codec family (multimodal.py was refactored for
-#: m48 last round) and a q45–q56 relational-breadth backlog slice not
-#: externally re-exposed since r6–r8. This round's brand-new queries
-#: (d115 file-backed WET, s59 index-served hybrid, s60/s60a residual
-#: IVF-PQ, m49 packing) follow via never-verified rank-2.
+#: Head of this round's rotation. Round 13 (VERDICT r12 ask 4): the
+#: round-1 driver-rotation tail first — eight queries externally
+#: exposed only in CORRECTNESS_r01, eleven rounds past the rotation's
+#: hygiene bar; then the queries whose EXECUTED PLAN changed this
+#: round (s59's semantic arm now serves from the staged IVF artifact;
+#: ivf_topk/ivfpq_residual_topk grew stored-quantizer parameters and
+#: ivf_train/pq_train grew max_train_rows — defaults must hash
+#: unchanged, certified via their append-law and certificate kin);
+#: then the r3–r5 band the verdict names. This round's brand-new
+#: registrations follow via never-verified rank-2.
 ROTATION_PRIORITY: tuple[str, ...] = (
-    # executed plan CHANGED in round 12 — re-expose before backlog:
-    "q90_ntile_buckets",  # rank: in-plan lazy boundaries + cache pin
-    "d109_quality_bucket_budget",  # same (global_ntile)
-    "d68_vocab_coverage",  # same
-    "s45_hybrid_search_rrf",  # same, two rank call sites
-    "d114_reproducible_shuffle",  # same (global_row_number)
-    "s58a_ivfpq_recall_bound",  # pq_train input: checkpointed frame
-    # m48's refactor touched the shared codec module — re-expose kin:
-    "m43_jpeg_block_stats",
-    "m44_image_phash_dedup",
-    "m45_scale_invariant_phash",
-    "m46_dct_phash",
-    "m47_audio_spectral_energy",
-    # stale relational breadth (not externally re-exposed since r6-r8):
-    "q45_grouping_sets",
-    "q46_asof_join",
-    "q47_range_bin_join",
-    "q48_cube",
-    "q49_window_breadth",
-    "q50_exists_correlated",
-    "q51_scalar_correlated",
-    "q52_conditional_agg",
-    "q53_lateral_explode",
-    "q54_date_breadth",
-    "q55_range_frame_window",
-    "q56_null_safe_join",
+    # round-1 tail — last external exposure CORRECTNESS_r01:
+    "q9_semi_join",
+    "q12_distinct_agg",
+    "q13_rollup",
+    "q14_having",
+    "q15_cte_subquery",
+    "q16_set_ops",
+    "q21_tumbling_window",
+    "q42_local_supplier_volume",
+    # executed plan or shared kernel CHANGED in round 13:
+    "s59_hybrid_index_serve",  # semantic arm: staged-artifact serve
+    "s40a_ivf_recall_bound",  # ivf_topk signature/serving rework
+    "s47_ivf_append",  # ivf assign kernel consumers
+    "s48_pq_append",  # pq_train signature (max_train_rows)
+    "s60a_ivfpq_residual_recall_bound",  # residual stored-artifact path
+    "s61_ivfpq_artifact_law",  # ivfpq artifact contract kin
+    # r3–r5 band (VERDICT r12 ask 4, second slice):
+    "d27_simhash_buckets",
+    "d31_dedup_clusters",
+    "d32_edit_distance_pairs",
+    "s32_embedding_near_dup",
+    "s41_batch_topk",
+    "m34_multimodal_stats",
+    "m36_frame_sample",
+    "m37_audio_chunks",
+    "q17_topk_orders",
+    "q20_sessionize",
+    "st35_stream_tumbling",
+    "st38_stream_first_seen_dedup",
+    "st40_stream_update_counts",
+    "st42_stream_static_enrichment",
+    "st43_stream_cdc_apply",
 )
 
 
