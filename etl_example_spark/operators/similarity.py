@@ -305,12 +305,30 @@ def ivf_append(
     return assignments.unionByName(new_assign)
 
 
+def _train_sample(
+    df: DataFrame, id_col: str, max_train_rows: int
+) -> DataFrame:
+    """Deterministic hash-bottom training sample: the ``max_train_rows``
+    rows with the smallest ``xxhash64(id)`` (id tie-break) — a uniform
+    random sample any re-execution reproduces bit-for-bit, taken as one
+    TakeOrderedAndProject heap pass (the rank primitive's boundary-
+    sampling discipline, never a global sort). Eagerly pinned: every
+    Lloyd iteration re-reads it, and it is bounded by contract."""
+    h = F.xxhash64(F.col(id_col))
+    return (
+        df.orderBy(h.asc(), F.col(id_col).asc())
+        .limit(max_train_rows)
+        .localCheckpoint(eager=True)
+    )
+
+
 def ivf_train(
     embeddings: DataFrame,
     n_centroids: int = 16,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_train_rows: int | None = None,
 ) -> DataFrame:
     """Lloyd iterations over the IVF coarse quantizer: assign (broadcast
     crossJoin + max_by — the same step ``ivf_assign`` runs once), then
@@ -320,9 +338,26 @@ def ivf_train(
     round truncates the growing plan — the standard iterative-algorithm
     discipline on Spark (same as operators/dedup.dedup_clusters). Empty
     cells keep their previous centroid. Returns (centroid_id,
-    centroid_vec) ready to feed the probe/rerank stages."""
+    centroid_vec) ready to feed the probe/rerank stages.
+
+    ``max_train_rows`` bounds EVERY Lloyd pass (and the seed pick) to a
+    deterministic hash-bottom sample of that many rows — FAISS practice
+    (coarse quantizers train on ~100k–1M vectors regardless of corpus
+    size; only the assignment/encode pass touches the full corpus). At
+    100 TB, full-corpus Lloyd is the ANN training-cost wall: per
+    iteration it is a corpus × centroids scan, while the sampled
+    trainer is O(max_train_rows × centroids) — flat in corpus size.
+    The sampled quantizer still certifies the recall floor (the s64
+    registration externalizes it, SCALING.md carries the measurement).
+    Default ``None`` trains on the full corpus, byte-identical to the
+    historical behavior."""
+    train = (
+        embeddings
+        if max_train_rows is None
+        else _train_sample(embeddings, id_col, max_train_rows)
+    )
     centroids = (
-        embeddings.orderBy(id_col)
+        train.orderBy(id_col)
         .limit(n_centroids)
         .select(
             F.col(id_col).alias("centroid_id"),
@@ -333,7 +368,7 @@ def ivf_train(
     sim = F.round(cosine(vec_col, "centroid_vec"), 6)
     for _ in range(iters):
         assign = (
-            embeddings.crossJoin(F.broadcast(centroids))
+            train.crossJoin(F.broadcast(centroids))
             .select(
                 F.col(id_col),
                 F.col(vec_col),
@@ -391,26 +426,55 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` cells whose centroids
     are nearest the query, exact-rerank only their members. Expected scan
     fraction is nprobe/n_centroids of the corpus — the inverted-file
-    trade: coarser cells = fewer probes = lower recall."""
-    assign = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    trade: coarser cells = fewer probes = lower recall.
+
+    ``centroids`` (centroid_id, centroid_vec) and ``assignments`` (the
+    :func:`ivf_assign` output — id, vec, centroid_id, c_sim; the s47
+    append-maintained artifact) accept the STORED index — the
+    production serving contract the PQ side got first
+    (:func:`ivfpq_topk`'s ``centroids=``/``codebooks=``): assign once
+    offline, maintain incrementally, and every query is a pure probe —
+    broadcast centroid block picks the cells, the stored assignment
+    table supplies their members, the corpus is NEVER re-assigned at
+    query time (at 100 TB the per-query coarse assignment IS a corpus
+    pass; the stored table turns it into a semi-join against
+    nprobe/n_centroids of the artifact). Passing neither self-assigns
+    per call (the demo composition, byte-identical to the historical
+    behavior). Law: artifact-served == in-query for the same centroid
+    set (the s59a registration certifies it externally the way s61
+    does for IVF-PQ)."""
+    if centroids is None:
+        centroids = (
+            embeddings.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("centroid_vec"),
+            )
+        )
+    else:
+        centroids = centroids.select(
+            F.col(centroids.columns[0]).alias("centroid_id"),
+            F.col(centroids.columns[1]).alias("centroid_vec"),
+        )
+    if assignments is None:
+        assign = ivf_assign_with_centroids(
+            embeddings, centroids, id_col, vec_col
+        )
+    else:
+        assign = assignments
     if query_id is None:
         query = assign.orderBy(id_col).limit(1)
     else:
         query = assign.filter(F.col(id_col) == query_id)
     q = query.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
-    )
-    centroids = (
-        embeddings.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).alias("centroid_vec"),
-        )
     )
     probe_cells = (
         centroids.crossJoin(F.broadcast(q))
@@ -537,6 +601,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     normalize: bool = True,
+    max_train_rows: int | None = None,
 ) -> DataFrame:
     """Product-quantization codebooks: per subspace j (of ``m`` equal
     vector slices), ``n_codes`` centroids trained by Lloyd iterations —
@@ -555,10 +620,20 @@ def pq_train(
     ``v − centroid`` are displacement vectors whose magnitude IS the
     signal; unit-normalizing them would destroy exactly what PQ is
     quantizing there.
+
+    ``max_train_rows`` bounds the Lloyd passes (and the seed pick) to
+    a deterministic hash-bottom sample — the :func:`ivf_train`
+    contract: codebook training cost goes flat in corpus size (FAISS
+    trains PQ codebooks on a bounded sample; only the ENCODE pass is
+    corpus-sized), the sampled codebooks still certify the recall
+    floor (s64). Default ``None`` trains on the full corpus,
+    byte-identical to the historical behavior.
     """
     normalized = (
         l2_normalize(embeddings, vec_col) if normalize else embeddings
     )
+    if max_train_rows is not None:
+        normalized = _train_sample(normalized, id_col, max_train_rows)
     first = normalized.select(vec_col).limit(1).collect()
     if not first:  # empty corpus -> empty codebook with the right schema
         return embeddings.sparkSession.createDataFrame(
@@ -568,9 +643,13 @@ def pq_train(
     sub = _subvectors(normalized, m, dim, id_col, vec_col).localCheckpoint(
         eager=True
     )
+    # seeds come from the TRAINING set (the sample, when one is
+    # requested): a seed outside it would have no subvectors in ``sub``
+    # and its codebook row would silently vanish
+    seed_source = embeddings if max_train_rows is None else normalized
     seed_ids = [
         r[0]
-        for r in embeddings.select(id_col)
+        for r in seed_source.select(id_col)
         .orderBy(id_col)
         .limit(n_codes)
         .collect()
@@ -955,6 +1034,67 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_residual_train(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train_rows: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the RESIDUAL IVF-PQ quantizer pair — (coarse centroids,
+    residual codebooks) — exactly as :func:`ivfpq_residual_topk`'s
+    self-training path does, but as a standalone artifact producer:
+    write both frames to the index store once, then serve every query
+    through ``ivfpq_residual_topk(centroids=, codebooks=)`` and
+    maintain the code artifact with :func:`ivfpq_residual_encode`
+    (append) — the full production lifecycle the raw-layout siblings
+    (s47/s48/st49/st50) have. Centroids are the ``n_centroids``
+    lowest-id normalized vectors (deterministic, SQL-replayable);
+    codebooks are Lloyd-trained on ALL residuals with
+    ``normalize=False`` (a displacement's magnitude IS the signal).
+    ``max_train_rows`` bounds the Lloyd pass to a deterministic
+    hash-bottom sample (see :func:`pq_train`)."""
+    normalized = l2_normalize(embeddings, vec_col).localCheckpoint(
+        eager=True
+    )
+    centroids = (
+        normalized.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+    assign = ivf_assign_with_centroids(
+        normalized, centroids, id_col, vec_col
+    )
+    res = (
+        assign.join(F.broadcast(centroids), "centroid_id")
+        .select(
+            F.col(id_col),
+            F.zip_with(
+                _as_double(vec_col),
+                _as_double("centroid_vec"),
+                lambda a, b: a - b,
+            ).alias("_res"),
+        )
+    )
+    codebooks = pq_train(
+        res,
+        m,
+        n_codes,
+        iters,
+        id_col,
+        "_res",
+        normalize=False,
+        max_train_rows=max_train_rows,
+    )
+    return centroids, codebooks
+
+
 def ivfpq_residual_topk(
     embeddings: DataFrame,
     k: int = 10,
@@ -967,6 +1107,8 @@ def ivfpq_residual_topk(
     query_id: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """RESIDUAL-encoded IVF-PQ — the canonical FAISS IVFPQ layout
     :func:`ivfpq_topk` documents as the forgone alternative: every
@@ -991,6 +1133,15 @@ def ivfpq_residual_topk(
     centroid block to form residuals. Recall floor is certified
     externally at 8/10 (s60a, vs the raw-vector variant's 5/10).
 
+    ``centroids`` (centroid_id, centroid_vec) and ``codebooks``
+    (j, code, cv over RESIDUAL subvectors) accept the STORED quantizer
+    artifacts (the :func:`ivfpq_residual_train` outputs) — train once
+    offline, serve from the artifact, the same contract
+    :func:`ivfpq_topk` carries; passing neither self-trains per call.
+    Law: artifact-served == self-trained for the same seeds (the s63
+    registration certifies it externally the way s61 does for the raw
+    layout).
+
     Output schema matches ``brute_force_topk`` (query_id, neighbor_id,
     cosine_sim)."""
     normalized = l2_normalize(embeddings, vec_col).localCheckpoint(
@@ -1003,14 +1154,20 @@ def ivfpq_residual_topk(
         )
     dim = len(first[0][0])
 
-    centroids = (
-        normalized.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).alias("centroid_vec"),
+    if centroids is None:
+        centroids = (
+            normalized.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("centroid_vec"),
+            )
         )
-    )
+    else:
+        centroids = centroids.select(
+            F.col(centroids.columns[0]).alias("centroid_id"),
+            F.col(centroids.columns[1]).alias("centroid_vec"),
+        )
     assign = ivf_assign_with_centroids(
         normalized, centroids, id_col, vec_col
     )
@@ -1030,14 +1187,18 @@ def ivfpq_residual_topk(
         )
         .localCheckpoint(eager=True)
     )
-    cb = pq_train(
-        res.select(id_col, F.col("_res")),
-        m,
-        n_codes,
-        iters,
-        id_col,
-        "_res",
-        normalize=False,
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_train(
+            res.select(id_col, F.col("_res")),
+            m,
+            n_codes,
+            iters,
+            id_col,
+            "_res",
+            normalize=False,
+        )
     )
 
     if query_id is None:
@@ -1146,6 +1307,7 @@ def ivfpq_residual_encode(
     m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Encode vectors into the RESIDUAL IVF-PQ artifact under STORED
     quantizers: assign to the given coarse centroids, form the
@@ -1157,8 +1319,11 @@ def ivfpq_residual_encode(
     ``old_codes ∪ ivfpq_residual_encode(new, C, CB)`` ==
     ``ivfpq_residual_encode(old ∪ new, C, CB)`` — incremental equals
     full rebuild under the same artifacts (asserted row-for-row in
-    tests/test_llm_ops.py::TestIvfPq). Work per ingest is
-    O(batch × (n_centroids + m × n_codes)).
+    tests/test_llm_ops.py::TestIvfPq, and externally via the s62
+    registration's from-scratch DuckDB oracle). Work per ingest is
+    O(batch × (n_centroids + m × n_codes)). ``round_digits`` is the
+    :func:`pq_encode` cross-engine-deterministic argmin mode the
+    oracle-checked registrations use.
 
     Degenerate (zero-norm) vectors get NULL centroid assignment and
     drop out, matching :func:`ivfpq_residual_topk`'s corpus side."""
@@ -1197,7 +1362,7 @@ def ivfpq_residual_encode(
             )
         ).alias("j", "sv"),
     )
-    return pq_encode(sub, codebooks, id_col).join(
+    return pq_encode(sub, codebooks, id_col, round_digits).join(
         res.select(id_col, "centroid_id"), id_col
     ).select(id_col, "centroid_id", "codes")
 

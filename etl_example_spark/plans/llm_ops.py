@@ -750,6 +750,91 @@ def s61_ivfpq_artifact_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s63_ivfpq_residual_artifact_law",
+    "EXTERNAL equality certificate for the RESIDUAL IVF-PQ stored-"
+    "artifact serving contract — s61's move applied to the layout "
+    "SCALING.md r12 proves is the deployable one: "
+    "ivfpq_residual_topk served from precomputed quantizer artifacts "
+    "(operators/similarity.ivfpq_residual_train: the coarse centroid "
+    "block plus codebooks Lloyd-trained on ALL residuals, the pair a "
+    "production residual index stores) must return the IDENTICAL "
+    "top-k as the self-training composition with the same seeds. The "
+    "certificate row counts the served top-k and inner-joins it to "
+    "the self-trained top-k on every output column — (10, TRUE) iff "
+    "they agree row-for-row; the oracle emits the expected row, so "
+    "any drift between the artifact path and the algorithm turns a "
+    "driver row red.",
+    oracle=(
+        "SELECT CAST(10 AS BIGINT) AS n_served, TRUE AS artifact_serve_ok"
+    ),
+    category="similarity",
+)
+def s63_ivfpq_residual_artifact_law(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, cb = similarity.ivfpq_residual_train(
+        emb, n_centroids=16, m=16, n_codes=32, iters=4
+    )
+    kw = dict(k=10, n_centroids=16, nprobe=8, m=16, n_codes=32,
+              iters=4, shortlist=200)
+    served = similarity.ivfpq_residual_topk(
+        emb, centroids=cents, codebooks=cb, **kw
+    )
+    self_trained = similarity.ivfpq_residual_topk(emb, **kw)
+    agree = served.join(
+        self_trained, ["query_id", "neighbor_id", "cosine_sim"]
+    )
+    return (
+        served.agg(F.count("*").alias("n_served"))
+        .crossJoin(agree.agg(F.count("*").alias("_n_agree")))
+        .select(
+            "n_served",
+            (F.col("_n_agree") == F.col("n_served")).alias(
+                "artifact_serve_ok"
+            ),
+        )
+    )
+
+
+@register(
+    "s64_sampled_quantizer_bound",
+    "EXTERNAL recall certificate for SAMPLE-TRAINED quantizers — the "
+    "FAISS training discipline (coarse centroids and PQ codebooks "
+    "train on a bounded ~100k–1M-vector sample; only assignment/"
+    "encode touches the full corpus) certified in-engine: IVF-PQ "
+    "serving from a quantizer pair trained on a deterministic "
+    "hash-bottom HALF-ish sample (max_train_rows=256 of the 500-"
+    "vector sf0.01 corpus; ivf_train Lloyd x2 + pq_train Lloyd x4 "
+    "never see the other half) must still clear the s58a floor of "
+    "5/10 recall@10 vs exact brute force. At 100 TB this is the "
+    "difference between a training wall that scales with the corpus "
+    "and one that is flat (SCALING.md r13 carries the measurement); "
+    "the certificate proves the flat path does not silently trade "
+    "away the recall the full-corpus trainer certifies "
+    "(operators/similarity.ivf_train/pq_train(max_train_rows=)).",
+    oracle="SELECT CAST(10 AS BIGINT) AS n_exact, TRUE AS recall_ok",
+    category="similarity",
+)
+def s64_sampled_quantizer_bound(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.brute_force_topk(emb, k=10)
+    cents = similarity.ivf_train(
+        emb, n_centroids=16, iters=2, max_train_rows=256
+    )
+    cb = similarity.pq_train(
+        emb, m=16, n_codes=32, iters=4, max_train_rows=256
+    )
+    approx = similarity.ivfpq_topk(
+        emb, k=10, n_centroids=16, nprobe=8, m=16, n_codes=32,
+        shortlist=200, centroids=cents, codebooks=cb,
+    )
+    return _recall_certificate(exact, approx, min_hits=5)
+
+
+@register(
     "m34_multimodal_stats",
     "Multimodal metadata stats: per-modality item counts and byte totals "
     "computed purely from the metadata struct — binary payloads are "
@@ -1628,6 +1713,143 @@ def s48_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", "j")
 
 
+#: Full-from-scratch RESIDUAL IVF-PQ encode of EVERY vector: normalize
+#: -> assign to the 16 lowest-id existing (vec_id % 4 != 0) normalized
+#: vectors as coarse centroids (rounded cosine argmax, zero-norm
+#: vectors drop — they can never be probed candidates) -> residual
+#: r = v − c -> slice into m=8 subvectors -> seeded residual codebook
+#: (the 16 lowest-id existing residual rows' slices) -> rounded argmin.
+#: Shared by s62 (batch incremental append) and st61 (streaming
+#: maintenance): both incremental outputs must hash-match this
+#: complete rebuild under the same frozen quantizer pair.
+RESIDUAL_FULL_ENCODE_ORACLE = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id,
+               CASE WHEN sqrt(list_aggregate(
+                        list_transform(v, y -> y*y), 'sum')) = 0
+                    THEN v
+                    ELSE list_transform(v, x -> x / sqrt(
+                        list_aggregate(
+                            list_transform(v, y -> y*y), 'sum')))
+               END AS v
+        FROM e
+    ),
+    cents AS (
+        SELECT vec_id AS centroid_id, v AS cv
+        FROM n WHERE vec_id % 4 != 0 ORDER BY vec_id LIMIT 16
+    ),
+    sims AS (
+        SELECT n.vec_id, c.centroid_id,
+               CASE WHEN list_aggregate(
+                        list_transform(n.v, x -> x*x), 'sum') = 0
+                    THEN NULL
+                    ELSE ROUND(list_cosine_similarity(n.v, c.cv), 6)
+               END AS c_sim
+        FROM n CROSS JOIN cents c
+    ),
+    best AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY c_sim DESC, centroid_id
+                   ) AS rk
+            FROM sims WHERE c_sim IS NOT NULL
+        ) WHERE rk = 1
+    ),
+    res AS (
+        SELECT b.vec_id, b.centroid_id,
+               list_transform(list_zip(n.v, c.cv), p -> p[1] - p[2])
+                   AS r
+        FROM best b
+        JOIN n USING (vec_id)
+        JOIN cents c USING (centroid_id)
+    ),
+    sub AS (
+        SELECT vec_id, centroid_id, j,
+               list_slice(r, j*8 + 1, j*8 + 8) AS sv
+        FROM res CROSS JOIN (SELECT unnest(range(8)) AS j) js
+    ),
+    seeds AS (
+        SELECT vec_id AS seed_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS code
+        FROM (
+            SELECT vec_id FROM res
+            WHERE vec_id % 4 != 0 ORDER BY vec_id LIMIT 16
+        )
+    ),
+    cb AS (
+        SELECT sub.j, s.code, sub.sv AS cv
+        FROM seeds s JOIN sub ON sub.vec_id = s.seed_id
+    ),
+    d AS (
+        SELECT sub.vec_id, sub.centroid_id, sub.j, cb.code,
+               ROUND(list_aggregate(list_transform(
+                   list_zip(sub.sv, cb.cv),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6)
+                   AS d2
+        FROM sub JOIN cb ON cb.j = sub.j
+    )
+    SELECT vec_id, centroid_id, CAST(j AS INT) AS j, code
+    FROM (
+        SELECT vec_id, centroid_id, j, code,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, j ORDER BY d2, code
+               ) AS rk
+        FROM d
+    ) WHERE rk = 1
+    ORDER BY vec_id, j
+"""
+
+
+@register(
+    "s62_ivfpq_residual_append",
+    "INCREMENTAL RESIDUAL IVF-PQ index maintenance law, externally "
+    "verified — the s47/s48 lifecycle brought to the layout SCALING.md "
+    "r12 proves is the deployable one (residual codes double recall at "
+    "equal bytes/vector): a new batch (vec_id % 4 == 0) is assigned "
+    "against the STORED coarse centroids (the 16 lowest-id existing "
+    "normalized vectors), its displacement r = v − c is encoded "
+    "against the STORED residual codebooks (seeded from the 16 "
+    "lowest-id existing residual rows' m=8 slices, rounded argmin), "
+    "and the (id, centroid, codes) rows append to the stored artifact "
+    "— the indexed corpus is never re-encoded; work per ingest is "
+    "O(batch × (n_centroids + m × n_codes)) "
+    "(operators/similarity.ivfpq_residual_encode, round_digits=6). "
+    "The oracle re-derives the FULL residual encode of every vector "
+    "from scratch, so a hash match IS the incremental == full-rebuild-"
+    "restricted law under the frozen quantizer pair.",
+    oracle=RESIDUAL_FULL_ENCODE_ORACLE,
+    category="similarity",
+)
+def s62_ivfpq_residual_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+    cents, cb = similarity.ivfpq_residual_train(
+        old, n_centroids=16, m=8, n_codes=16, iters=0
+    )
+    stored = similarity.ivfpq_residual_encode(
+        old, cents, cb, m=8, round_digits=6
+    )
+    incremental = stored.unionByName(
+        similarity.ivfpq_residual_encode(
+            new, cents, cb, m=8, round_digits=6
+        )
+    )
+    return incremental.select(
+        "vec_id",
+        "centroid_id",
+        F.posexplode("codes").alias("j", "code"),
+    ).orderBy("vec_id", "j")
+
+
 #: Shared CTE: uniform-SQ8 codes of every vector — global (lo, hi)
 #: element bounds, code = clamp(floor(round((x−lo)·255/(hi−lo), 6)),
 #: 0, 255). The round-to-6-before-floor is the pq round_digits
@@ -2039,11 +2261,17 @@ def s53_bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
-#: (session key, sf_dir, corpus fingerprint) triples whose bucketed
-#: BM25 artifact is live — the fingerprint (leaf files + sizes +
-#: mtimes) makes an in-session corpus overwrite a STAGING MISS instead
-#: of silently serving an index built from the old bytes
-_BM25_BUCKETED_STAGED: set[tuple] = set()
+#: (session key, sf_dir) -> corpus fingerprint of the LIVE bucketed
+#: BM25 artifact. The fingerprint (leaf files + sizes + mtimes) makes
+#: an in-session corpus overwrite a STAGING MISS instead of silently
+#: serving an index built from the old bytes. A dict keyed WITHOUT the
+#: fingerprint (not a set of triples): the artifact tables are named by
+#: sf_dir alone, so only the latest build exists on disk — a set would
+#: keep the old fingerprint as a stale hit when the corpus reverts to
+#: previously-seen bytes (e.g. a backup restored via mv, which
+#: preserves sizes+mtimes) even though the tables now hold the
+#: intermediate corpus's index.
+_BM25_BUCKETED_STAGED: dict[tuple, tuple] = {}
 
 
 def _stage_bm25_bucketed(
@@ -2071,10 +2299,12 @@ def _stage_bm25_bucketed(
     # _session_key, not id(spark): a GC'd session's address can be
     # reused, and a stale staging hit on a fresh session would raise
     # TABLE_OR_VIEW_NOT_FOUND from its empty in-memory catalog.
-    # The corpus fingerprint (leaf files+sizes+mtimes) keys the BYTES:
-    # regenerated testdata re-stages instead of serving a stale index.
-    key = (_session_key(spark), sf_dir, _input_file_snapshot(docs))
-    if key not in _BM25_BUCKETED_STAGED:
+    # The corpus fingerprint (leaf files+sizes+mtimes) values the BYTES:
+    # any fingerprint change — including a revert to previously-seen
+    # bytes — re-stages instead of serving a stale index.
+    key = (_session_key(spark), sf_dir)
+    fingerprint = _input_file_snapshot(docs)
+    if _BM25_BUCKETED_STAGED.get(key) != fingerprint:
         from etl_example_spark.sources.writers import (
             drop_table_and_location,
         )
@@ -2095,7 +2325,7 @@ def _stage_bm25_bucketed(
                 F.lit(0),
             ).alias("t_total"),
         ).write.mode("overwrite").saveAsTable(stats_name)
-        _BM25_BUCKETED_STAGED.add(key)
+        _BM25_BUCKETED_STAGED[key] = fingerprint
     stats = spark.table(stats_name).collect()[0]
     return name, int(stats["n_docs"]), int(stats["t_total"])
 
@@ -2140,6 +2370,59 @@ HYBRID_SERVE_TERMS: list[tuple[int, str]] = [
 ]
 
 
+#: (session key, sf_dir) -> corpus fingerprint of the LIVE stored IVF
+#: index — same invalidation contract as _BM25_BUCKETED_STAGED (one
+#: fingerprint per key; any byte change, including a revert, re-stages).
+_IVF_ARTIFACTS_STAGED: dict[tuple, tuple] = {}
+
+
+def _stage_ivf_artifacts(
+    spark: SparkSession, sf_dir: str, n_centroids: int = 16
+) -> tuple[DataFrame, DataFrame]:
+    """Get-or-create the STORED IVF index: the centroid block plus the
+    full corpus assignment table, written to the warehouse once per
+    (session, corpus) — the vector-side twin of the bucketed BM25
+    artifact (:func:`_stage_bm25_bucketed`). Build cost is one corpus
+    assignment pass (the s47 kernel), paid at index-build time; every
+    serve afterwards probes the stored table without re-assigning the
+    corpus — at 100 TB the per-query coarse assignment IS a corpus
+    pass, so storing it is what makes 'index-served' true on the
+    vector arm. Incremental maintenance of the same artifact is
+    operators/similarity.ivf_append (s47) / st49 streaming."""
+    import hashlib
+
+    from etl_example_spark.operators.dedup import (
+        _input_file_snapshot,
+        _session_key,
+    )
+    from etl_example_spark.sources.writers import drop_table_and_location
+
+    slug = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    cents_name = f"ivf_centroids_{slug}"
+    assign_name = f"ivf_assign_{slug}"
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (_session_key(spark), sf_dir)
+    fingerprint = _input_file_snapshot(emb)
+    if _IVF_ARTIFACTS_STAGED.get(key) != fingerprint:
+        drop_table_and_location(spark, cents_name)
+        (
+            emb.orderBy("vec_id")
+            .limit(n_centroids)
+            .select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("centroid_vec"),
+            )
+            .write.mode("overwrite")
+            .saveAsTable(cents_name)
+        )
+        drop_table_and_location(spark, assign_name)
+        similarity.ivf_assign_with_centroids(
+            emb, spark.table(cents_name)
+        ).write.mode("overwrite").saveAsTable(assign_name)
+        _IVF_ARTIFACTS_STAGED[key] = fingerprint
+    return spark.table(cents_name), spark.table(assign_name)
+
+
 @register(
     "s59_hybrid_index_serve",
     "INDEX-SERVED hybrid retrieval — the 100 TB deployment s45's "
@@ -2148,8 +2431,13 @@ HYBRID_SERVE_TERMS: list[tuple[int, str]] = [
     "bucket-pruned reads (s57's _stage_bm25_bucketed + operators/"
     "text.bm25_topk_from_bucketed — the scan touches only the buckets "
     "the 3 query terms hash into), the semantic arm is IVF top-20 "
-    "(operators/similarity.ivf_topk: nprobe 8 of 16 cells, candidates "
-    "only from probed cells), and the fusion is reciprocal-rank over "
+    "served from the STORED index (_stage_ivf_artifacts: the centroid "
+    "block and the full assignment table are warehouse tables built "
+    "once per corpus; operators/similarity.ivf_topk(centroids=, "
+    "assignments=) probes nprobe 8 of 16 cells as a semi-join against "
+    "the stored assignment — the corpus is never re-assigned at query "
+    "time, closing the r12 asymmetry where only the keyword arm was "
+    "artifact-served), and the fusion is reciprocal-rank over "
     "the two SHORTLISTS alone (operators/similarity."
     "rrf_fuse_shortlists: a full-outer join of two <=20-row frames + "
     "exact integer 1e6 div (60+rank) arithmetic; a doc missing from "
@@ -2277,10 +2565,14 @@ def s59_hybrid_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, table, queries, n_docs, t_total, k=20
     ).select("doc_id", F.col("rk").cast("int").alias("kw_rank"))
     emb = load_table(spark, sf_dir, "embeddings")
+    cents, assignments = _stage_ivf_artifacts(spark, sf_dir)
     # shortlist rank: a window over the arm's TakeOrdered top-20 —
     # bounded input by construction (GlobalLimit below), never corpus
     sem = (
-        similarity.ivf_topk(emb, k=20, n_centroids=16, nprobe=8)
+        similarity.ivf_topk(
+            emb, k=20, n_centroids=16, nprobe=8,
+            centroids=cents, assignments=assignments,
+        )
         .select(F.col("neighbor_id").alias("doc_id"), "cosine_sim")
         .withColumn(
             "sem_rank",
@@ -2292,6 +2584,48 @@ def s59_hybrid_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return similarity.rrf_fuse_shortlists(kw, sem, k=10).orderBy(
         F.desc("rrf_score"), "doc_id"
+    )
+
+
+@register(
+    "s59a_ivf_artifact_law",
+    "EXTERNAL equality certificate for the IVF stored-index serving "
+    "contract (the s61 move applied to the coarse index): ivf_topk "
+    "served from the STAGED warehouse artifacts — the centroid block "
+    "and the full assignment table s59's semantic arm reads, round-"
+    "tripped through parquet — must return the IDENTICAL top-k as the "
+    "in-query composition that re-assigns the corpus per call. The "
+    "certificate row counts the served top-k and inner-joins it to "
+    "the in-query top-k on every output column — (20, TRUE) iff they "
+    "agree row-for-row; the oracle emits the expected row, so any "
+    "drift between the stored-artifact path and the algorithm turns "
+    "a driver row red (operators/similarity.ivf_topk(centroids=, "
+    "assignments=)).",
+    oracle=(
+        "SELECT CAST(20 AS BIGINT) AS n_served, TRUE AS artifact_serve_ok"
+    ),
+    category="similarity",
+)
+def s59a_ivf_artifact_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assignments = _stage_ivf_artifacts(spark, sf_dir)
+    kw = dict(k=20, n_centroids=16, nprobe=8)
+    served = similarity.ivf_topk(
+        emb, centroids=cents, assignments=assignments, **kw
+    )
+    in_query = similarity.ivf_topk(emb, **kw)
+    agree = served.join(
+        in_query, ["query_id", "neighbor_id", "cosine_sim"]
+    )
+    return (
+        served.agg(F.count("*").alias("n_served"))
+        .crossJoin(agree.agg(F.count("*").alias("_n_agree")))
+        .select(
+            "n_served",
+            (F.col("_n_agree") == F.col("n_served")).alias(
+                "artifact_serve_ok"
+            ),
+        )
     )
 
 

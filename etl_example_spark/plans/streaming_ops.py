@@ -42,6 +42,7 @@ from etl_example_spark.plans.llm_ops import (  # noqa: E402
     IVF_FULL_ASSIGN_ORACLE,
     JACCARD_COND,
     PQ_FULL_ENCODE_ORACLE,
+    RESIDUAL_FULL_ENCODE_ORACLE,
     SQ8_CODES_CTE,
     SQL_NTOKS,
     SQL_SHINGLES3,
@@ -902,6 +903,101 @@ def st50_stream_pq_maintenance(
     return (
         spark.read.parquet(codes_dir)
         .select("vec_id", "j", "code")
+        .orderBy("vec_id", "j")
+    )
+
+
+@register(
+    "st61_stream_residual_maintenance",
+    "Streaming RESIDUAL IVF-PQ index maintenance — the streaming half "
+    "of the s62 incremental-residual story, completing the lifecycle "
+    "parity the raw layout has (st49 coarse / st50 PQ): the frozen "
+    "quantizer pair (coarse centroids = the 16 lowest-id existing "
+    "normalized vectors; residual codebooks seeded from the 16 "
+    "lowest-id existing residual rows' m=8 slices) and the existing "
+    "corpus's (id, centroid, codes) rows are SEEDED to parquet once "
+    "(epoch=-1); each arriving micro-batch of new embeddings "
+    "(vec_id % 4 == 0) is residual-encoded against the artifacts read "
+    "back from parquet (operators/similarity.ivfpq_residual_encode, "
+    "round_digits=6) and written to its own epoch slice (overwrite "
+    "per epoch — idempotent under micro-batch retry, the st45/st49 "
+    "discipline). The indexed corpus is never re-encoded; per-batch "
+    "work is O(batch × (n_centroids + m × n_codes)). The final read "
+    "of the epoch-partitioned artifact must hash-match the oracle's "
+    "FULL from-scratch residual encode — stream-maintained == "
+    "batch-rebuilt, externally verified.",
+    oracle=RESIDUAL_FULL_ENCODE_ORACLE,
+    category="streaming",
+)
+def st61_stream_residual_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators.similarity import (
+        ivfpq_residual_encode,
+        ivfpq_residual_train,
+    )
+    from etl_example_spark.sources.loaders import load_table
+    from etl_example_spark.streaming.sources import read_embeddings_stream
+
+    static = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 4 != 0
+    )
+    cents_dir = _tempfile.mkdtemp(prefix="respq_centroids_")
+    cb_dir = _tempfile.mkdtemp(prefix="respq_codebooks_")
+    codes_dir = _tempfile.mkdtemp(prefix="respq_codes_")
+    # stored quantizer pair: written once (iters=0 keeps the codebook
+    # seeding deterministic and oracle-replayable), read back per batch
+    cents, cb = ivfpq_residual_train(
+        static, n_centroids=16, m=8, n_codes=16, iters=0
+    )
+    cents.write.mode("overwrite").parquet(cents_dir)
+    cb.write.mode("overwrite").parquet(cb_dir)
+
+    def encode_exploded(batch_df: DataFrame) -> DataFrame:
+        s = batch_df.sparkSession
+        return ivfpq_residual_encode(
+            batch_df,
+            s.read.parquet(cents_dir),
+            s.read.parquet(cb_dir),
+            m=8,
+            round_digits=6,
+        ).select(
+            "vec_id",
+            "centroid_id",
+            F.posexplode("codes").alias("j", "code"),
+        )
+
+    encode_exploded(static).write.mode("overwrite").parquet(
+        os.path.join(codes_dir, "epoch=-1")
+    )
+
+    stream = read_embeddings_stream(
+        spark, sf_dir, max_files_per_trigger=1
+    ).filter(F.col("vec_id") % 4 == 0)
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        encode_exploded(batch_df).write.mode("overwrite").parquet(
+            os.path.join(codes_dir, f"epoch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(update)
+        .option(
+            "checkpointLocation", _tempfile.mkdtemp(prefix="ckpt_respq_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return (
+        spark.read.parquet(codes_dir)
+        .select("vec_id", "centroid_id", "j", "code")
         .orderBy("vec_id", "j")
     )
 

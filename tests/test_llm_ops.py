@@ -1977,6 +1977,120 @@ class TestIvfPq:
         )
         assert norm(incremental) == norm(full)
 
+    def test_ivf_artifact_served_equals_in_query(self, spark, sf_dir):
+        """The r13 serving contract on the COARSE index (the s59a law):
+        ivf_topk probing a stored centroid block + stored assignment
+        table returns the identical top-k as the in-query composition
+        that re-assigns the corpus per call."""
+        from pyspark.sql import functions as F
+
+        from etl_example_spark.operators import similarity
+        from etl_example_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = (
+            emb.orderBy("vec_id")
+            .limit(16)
+            .select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("centroid_vec"),
+            )
+        )
+        assignments = similarity.ivf_assign_with_centroids(emb, cents)
+        served = similarity.ivf_topk(
+            emb, k=10, n_centroids=16, nprobe=8,
+            centroids=cents, assignments=assignments,
+        )
+        in_query = similarity.ivf_topk(emb, k=10, n_centroids=16, nprobe=8)
+        assert sorted(map(tuple, served.collect())) == sorted(
+            map(tuple, in_query.collect())
+        )
+
+    def test_residual_artifact_served_equals_self_trained(
+        self, spark, sf_dir
+    ):
+        """The s63 law: ivfpq_residual_topk served from the
+        ivfpq_residual_train artifact pair equals the self-training
+        composition with the same seeds."""
+        from etl_example_spark.operators import similarity
+        from etl_example_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents, cb = similarity.ivfpq_residual_train(
+            emb, n_centroids=16, m=8, n_codes=16, iters=2
+        )
+        served = similarity.ivfpq_residual_topk(
+            emb, k=10, n_centroids=16, nprobe=8, m=8, n_codes=16,
+            iters=2, centroids=cents, codebooks=cb,
+        )
+        self_trained = similarity.ivfpq_residual_topk(
+            emb, k=10, n_centroids=16, nprobe=8, m=8, n_codes=16,
+            iters=2,
+        )
+        assert sorted(map(tuple, served.collect())) == sorted(
+            map(tuple, self_trained.collect())
+        )
+
+    def test_sampled_trainer_meets_certified_floor(self, spark, sf_dir):
+        """ivf_train/pq_train(max_train_rows=256) — Lloyd never sees
+        roughly half the 500-vector corpus — must still clear the s58a
+        raw-layout floor of 5/10 recall@10 (the s64 certificate)."""
+        from etl_example_spark.operators import similarity
+        from etl_example_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        exact = {
+            r.neighbor_id
+            for r in similarity.brute_force_topk(emb, k=10).collect()
+        }
+        cents = similarity.ivf_train(
+            emb, n_centroids=16, iters=2, max_train_rows=256
+        )
+        cb = similarity.pq_train(
+            emb, m=16, n_codes=32, iters=4, max_train_rows=256
+        )
+        approx = {
+            r.neighbor_id
+            for r in similarity.ivfpq_topk(
+                emb, k=10, n_centroids=16, nprobe=8, m=16, n_codes=32,
+                shortlist=200, centroids=cents, codebooks=cb,
+            ).collect()
+        }
+        assert len(exact & approx) >= 5
+
+    def test_sampled_trainer_bounds_the_training_set(self, spark):
+        """The sample contract itself: with max_train_rows=n, the seed
+        pick and every Lloyd pass read only the n hash-bottom rows —
+        verified by feeding a corpus where the NON-sample rows carry
+        poison vectors that would move every centroid if touched."""
+        from etl_example_spark.operators import similarity
+        from etl_example_spark.operators.similarity import _train_sample
+
+        base = spark.range(0, 200).selectExpr(
+            "id AS vec_id",
+            "transform(sequence(1, 8), "
+            "x -> cast(pmod(id * x, 7) AS DOUBLE)) AS embedding",
+        )
+        sample_ids = {
+            r.vec_id
+            for r in _train_sample(base, "vec_id", 50)
+            .select("vec_id")
+            .collect()
+        }
+        assert len(sample_ids) == 50
+        sampled_only = base.filter(
+            F.col("vec_id").isin(*sample_ids)
+        )
+        got = similarity.pq_train(
+            base, m=4, n_codes=8, iters=2, max_train_rows=50
+        )
+        want = similarity.pq_train(sampled_only, m=4, n_codes=8, iters=2)
+        key = lambda df: sorted(
+            (r.j, r.code, tuple(round(x, 9) for x in r.cv))
+            for r in df.collect()
+        )
+        assert key(got) == key(want)
+
 
 class TestBm25BucketedStagingInvalidation:
     def test_corpus_overwrite_is_a_staging_miss(self, spark, tmp_path):
@@ -2006,3 +2120,42 @@ class TestBm25BucketedStagingInvalidation:
         )
         _, n2, _ = _stage_bm25_bucketed(spark, str(sf))
         assert n2 == 5, "stale bucketed index served after overwrite"
+
+    def test_corpus_revert_is_a_staging_miss(self, spark, tmp_path):
+        """Reverting the corpus to PREVIOUSLY-seen bytes (a backup
+        restored via mv — sizes and mtimes preserved) must also
+        rebuild: the staging cache stores one fingerprint per
+        (session, sf_dir), so a revert mismatches the live fingerprint
+        instead of hitting a remembered old one (the tables on disk
+        hold the intermediate corpus's index by then)."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from etl_example_spark.plans.llm_ops import _stage_bm25_bucketed
+
+        sf = tmp_path / "sf_revert"
+        sf.mkdir()
+        backup = tmp_path / "backup.parquet"
+        docs = spark.createDataFrame(
+            [(i, f"gamma delta doc {i}", "en", "h", None)
+             for i in range(20)],
+            "doc_id long, text string, lang string, url string, ts timestamp",
+        )
+        docs.coalesce(1).write.parquet(str(backup))
+        # restore-from-backup preserves sizes AND mtimes, like mv does
+        shutil.copytree(backup, sf / "documents.parquet",
+                        copy_function=shutil.copy2)
+        _, n1, _ = _stage_bm25_bucketed(spark, str(sf))
+        assert n1 == 20
+        shutil.rmtree(sf / "documents.parquet")
+        docs.filter(F.col("doc_id") < 5).coalesce(1).write.parquet(
+            str(sf / "documents.parquet")
+        )
+        _, n2, _ = _stage_bm25_bucketed(spark, str(sf))
+        assert n2 == 5
+        shutil.rmtree(sf / "documents.parquet")
+        shutil.copytree(backup, sf / "documents.parquet",
+                        copy_function=shutil.copy2)
+        _, n3, _ = _stage_bm25_bucketed(spark, str(sf))
+        assert n3 == 20, "stale bucketed index served after revert"
