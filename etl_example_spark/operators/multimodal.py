@@ -33,7 +33,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1826,5 +1826,123 @@ def interleaved_segments(
         F.lit(1).alias("seg_idx"),
         F.lit("text").alias("modality"),
         token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    return media_seg.unionByName(text_seg)
+
+
+def attach_media_array(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """ARRAY-OF-MEDIA demo table — the schema real interleaved training
+    documents carry (N media items per document, not one): each
+    document gets ``n = 1 + doc_id % 3`` media item structs, item ``i``
+    with modality ``(doc_id + i) % 3`` (image/audio/video), the
+    document's bytes split evenly across items (``n_bytes = total div
+    n``), and the :func:`attach_mixed_media` metadata contract per item
+    (64x64 visual dims, 10 ms of media per payload byte). Pure
+    metadata arithmetic over ``transform(sequence(...))`` — one row per
+    document, the media array built in-row with no explode, no
+    payload touch, SQL-replayable verbatim."""
+    nb = F.length(
+        F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")
+    ).cast("long")
+    n_media = (F.pmod(F.col(id_col), 3) + 1).cast("int")
+
+    def item(i: Column) -> Column:
+        mod_idx = F.pmod(F.col(id_col) + i, 3)
+        modality = F.element_at(
+            F.array(*[F.lit(m) for m in MODALITIES]),
+            (mod_idx + 1).cast("int"),
+        )
+        fmt = F.element_at(
+            F.array(*[F.lit(MODALITY_FORMATS[m]) for m in MODALITIES]),
+            (mod_idx + 1).cast("int"),
+        )
+        item_bytes = F.floor(nb / n_media).cast("long")
+        timed = modality.isin("audio", "video")
+        visual = modality.isin("image", "video")
+        return F.struct(
+            modality.alias("modality"),
+            fmt.alias("format"),
+            item_bytes.alias("n_bytes"),
+            F.when(visual, F.lit(64)).alias("width"),
+            F.when(visual, F.lit(64)).alias("height"),
+            F.when(timed, item_bytes * 10).alias("duration_ms"),
+        )
+
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), n_media - 1), item
+        ).alias("media"),
+    )
+
+
+def interleaved_multi_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """ORDER-PRESERVING interleave of the array-of-media schema — the
+    generalization of :func:`interleaved_segments` (one media + one
+    text segment, caption shape) to real interleaved training
+    documents: ``n`` media items sit at arbitrary offsets inside the
+    text, so a document explodes into ``2n + 1`` segments — even
+    ``seg_idx`` = text span ``s`` (the document's whitespace tokens
+    split ``div (n+1)`` per span, remainder on the last span, so span
+    tokens always sum to the document total), odd ``seg_idx`` = media
+    item ``(seg_idx-1)/2`` costed by
+    :func:`media_placeholder_tokens`. ``seg_idx`` derives from the
+    media item's ARRAY POSITION (posexplode), so the training-sequence
+    order is the document's own item order — never a sort. Token costs
+    stay pure integer metadata arithmetic; the segment table and
+    anything packed from it hash-checks against SQL (m50)."""
+    from etl_example_spark.operators.text import token_count
+
+    media = attach_media_array(df, text_col, id_col)
+    media_seg = media.join(
+        df.select(id_col, *extra_cols), id_col
+    ).select(
+        *extra_cols,
+        F.col(id_col),
+        F.posexplode("media").alias("_i", "_m"),
+    ).select(
+        *extra_cols,
+        F.col(id_col),
+        (F.col("_i") * 2 + 1).cast("int").alias("seg_idx"),
+        F.col("_m")["modality"].alias("modality"),
+        media_placeholder_tokens("_m").alias("n_tokens"),
+    )
+    n_spans = (F.pmod(F.col(id_col), 3) + 2).cast("long")
+    text_seg = (
+        df.select(
+            *extra_cols,
+            F.col(id_col),
+            token_count(text_col).cast("long").alias("_ntoks"),
+            n_spans.alias("_ns"),
+        )
+        .select(
+            *extra_cols,
+            F.col(id_col),
+            "_ntoks",
+            "_ns",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("_ns") - 1)
+            ).alias("_s"),
+        )
+        .select(
+            *extra_cols,
+            F.col(id_col),
+            (F.col("_s") * 2).cast("int").alias("seg_idx"),
+            F.lit("text").alias("modality"),
+            (
+                F.floor(F.col("_ntoks") / F.col("_ns"))
+                + F.when(
+                    F.col("_s") == F.col("_ns") - 1,
+                    F.pmod(F.col("_ntoks"), F.col("_ns")),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("n_tokens"),
+        )
     )
     return media_seg.unionByName(text_seg)

@@ -8924,6 +8924,80 @@ def d116_interleaved_bin_audit(
 
 
 @register(
+    "m50_multi_interleaved_packing",
+    "MULTI-SEGMENT interleaved packing — m49's caption shape (one "
+    "media + one text segment) generalized to the array-of-media "
+    "schema real interleaved training documents carry: each document "
+    "holds n = 1 + doc_id %% 3 media items at text offsets "
+    "(operators/multimodal.attach_media_array: one row per doc, the "
+    "media array built in-row by transform(sequence) — no explode, no "
+    "payload touch), and explodes ORDER-PRESERVINGLY into 2n+1 "
+    "segments: even seg_idx = text span (whitespace tokens split "
+    "div(n+1) per span, remainder on the last, spans always sum to "
+    "the doc total), odd seg_idx = media item (seg_idx-1)/2 costed in "
+    "placeholder tokens from metadata alone — seg_idx derives from "
+    "the item's ARRAY POSITION (posexplode), never a sort "
+    "(operators/multimodal.interleaved_multi_segments). The "
+    "interleaved stream is cut every 512 tokens per source by the "
+    "same d46/m49 cumsum window (operators/packing.pack_segments); "
+    "output is the per-segment shard manifest, re-derived in SQL with "
+    "zero payload decodes.",
+    oracle=f"""
+        WITH base AS (
+            SELECT source, doc_id,
+                   octet_length(encode(COALESCE(text, ''))) AS nb,
+                   CAST({SQL_NTOKS} AS BIGINT) AS ntoks,
+                   doc_id % 3 + 1 AS nm
+            FROM documents
+        ),
+        seg AS (
+            SELECT source, doc_id, CAST(2*i + 1 AS INT) AS seg_idx,
+                   CASE (doc_id + i) % 3 WHEN 0 THEN 'image'
+                                         WHEN 1 THEN 'audio'
+                                         ELSE 'video' END AS modality,
+                   CAST(CASE (doc_id + i) % 3
+                        WHEN 0 THEN 16
+                        WHEN 1 THEN ((nb // nm) * 10) // 40
+                        ELSE 16 * least(((nb // nm) * 10) // 1000, 8)
+                   END AS BIGINT) AS n_tokens
+            FROM base, LATERAL (SELECT unnest(range(nm)) AS i) g
+            UNION ALL
+            SELECT source, doc_id, CAST(2*s AS INT) AS seg_idx,
+                   'text' AS modality,
+                   CAST(ntoks // (nm + 1)
+                        + CASE WHEN s = nm THEN ntoks % (nm + 1)
+                               ELSE 0 END AS BIGINT) AS n_tokens
+            FROM base, LATERAL (SELECT unnest(range(nm + 1)) AS s) g
+        ),
+        packed AS (
+            SELECT source, doc_id, seg_idx, modality, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id, seg_idx
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                       AS start_offset
+            FROM seg
+        )
+        SELECT source, doc_id, seg_idx, modality, n_tokens,
+               start_offset,
+               CAST(start_offset // 512 AS BIGINT) AS bin_id
+        FROM packed
+        ORDER BY source, doc_id, seg_idx
+    """,
+    category="multimodal",
+)
+def m50_multi_interleaved_packing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_example_spark.operators.packing import pack_segments
+
+    docs = load_table(spark, sf_dir, "documents")
+    seg = multimodal.interleaved_multi_segments(docs)
+    return pack_segments(seg, budget=512).orderBy(
+        "source", "doc_id", "seg_idx"
+    )
+
+
+@register(
     "g04_label_propagation",
     "Weighted synchronous label-propagation communities over the event "
     "click-transition graph — the community-detection sibling of g01's "

@@ -1393,35 +1393,11 @@ def st53_stream_decontaminate(
     )
 
 
-@register(
-    "st54_stream_sq8_maintenance",
-    "Streaming SQ8 index maintenance — the uniform-scalar-quantizer "
-    "member of the st49/st50 family, completing streaming maintenance "
-    "across all three quantizers: the (lo, hi) bounds artifact (global "
-    "element min/max of the EXISTING corpus) and the existing corpus's "
-    "codes are SEEDED to parquet once (epoch=-1); each arriving "
-    "micro-batch of new embeddings (vec_id % 4 == 0) is encoded "
-    "against the STORED bounds read back from the artifact "
-    "(out-of-range elements clamp to the edge codes) and written to "
-    "its own epoch slice (overwrite per epoch — idempotent under "
-    "micro-batch retry). The indexed corpus is never re-encoded; "
-    "per-batch work is O(batch x dim). The final read of the "
-    "epoch-partitioned code table must hash-match the oracle's FULL "
-    "from-scratch encode against the same frozen bounds — "
-    "stream-maintained == batch-rebuilt, externally verified "
-    "(operators/similarity.sq8_encode/sq8_train).",
-    oracle="WITH "
-    + SQ8_CODES_CTE.format(bounds_filter=" WHERE vec_id % 4 != 0")
-    + """
-    SELECT vec_id, CAST(j AS INT) AS j, codes[j + 1] AS code
-    FROM c CROSS JOIN (SELECT unnest(range(64)) AS j) js
-    ORDER BY vec_id, j
-    """,
-    category="streaming",
-)
-def st54_stream_sq8_maintenance(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+def _run_sq8_maintenance(spark: SparkSession, sf_dir: str) -> str:
+    """The st54 streaming-maintenance flow, factored so st62 can run
+    the identical ingest and then compact: seed the frozen (lo, hi)
+    bounds + the existing corpus's codes to parquet, stream the new
+    batches into per-epoch slices, return the artifact directory."""
     import os
     import tempfile as _tempfile
 
@@ -1471,9 +1447,89 @@ def st54_stream_sq8_maintenance(
         .start()
     )
     q.awaitTermination()
+    return codes_dir
 
+
+
+@register(
+    "st54_stream_sq8_maintenance",
+    "Streaming SQ8 index maintenance — the uniform-scalar-quantizer "
+    "member of the st49/st50 family, completing streaming maintenance "
+    "across all three quantizers: the (lo, hi) bounds artifact (global "
+    "element min/max of the EXISTING corpus) and the existing corpus's "
+    "codes are SEEDED to parquet once (epoch=-1); each arriving "
+    "micro-batch of new embeddings (vec_id % 4 == 0) is encoded "
+    "against the STORED bounds read back from the artifact "
+    "(out-of-range elements clamp to the edge codes) and written to "
+    "its own epoch slice (overwrite per epoch — idempotent under "
+    "micro-batch retry). The indexed corpus is never re-encoded; "
+    "per-batch work is O(batch x dim). The final read of the "
+    "epoch-partitioned code table must hash-match the oracle's FULL "
+    "from-scratch encode against the same frozen bounds — "
+    "stream-maintained == batch-rebuilt, externally verified "
+    "(operators/similarity.sq8_encode/sq8_train).",
+    oracle="WITH "
+    + SQ8_CODES_CTE.format(bounds_filter=" WHERE vec_id % 4 != 0")
+    + """
+    SELECT vec_id, CAST(j AS INT) AS j, codes[j + 1] AS code
+    FROM c CROSS JOIN (SELECT unnest(range(64)) AS j) js
+    ORDER BY vec_id, j
+    """,
+    category="streaming",
+)
+def st54_stream_sq8_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    codes_dir = _run_sq8_maintenance(spark, sf_dir)
     return (
         spark.read.parquet(codes_dir)
+        .select("vec_id", "j", "code")
+        .orderBy("vec_id", "j")
+    )
+
+
+@register(
+    "st62_stream_index_compaction",
+    "Hot/cold COMPACTION of a streaming-maintained index, serve-"
+    "equality certified — the table-maintenance job every epoch-"
+    "sliced landing zone needs (st49–st55/st60-style appends grow one "
+    "parquet slice per micro-batch FOREVER; scans then pay per-file "
+    "open/footer costs and lose row-group pruning): the st54 SQ8 "
+    "ingest runs verbatim (frozen bounds, per-epoch slices), then "
+    "sources/writers.compact_small_files rewrites the whole artifact "
+    "into ceil(bytes/target) files and republishes the path with one "
+    "atomic _CURRENT-pointer replace (the object-store-portable "
+    "publish; in-flight readers of the prior generation finish "
+    "undisturbed), and the SERVE reads through the repointed path "
+    "(sources/writers.resolve_dataset_path). The oracle is st54's "
+    "FULL from-scratch encode, so a hash match proves compacted-"
+    "artifact-served == stream-maintained == batch-rebuilt in one "
+    "certificate; the file-count collapse itself is asserted in "
+    "tests/test_streaming.py.",
+    oracle="WITH "
+    + SQ8_CODES_CTE.format(bounds_filter=" WHERE vec_id % 4 != 0")
+    + """
+    SELECT vec_id, CAST(j AS INT) AS j, codes[j + 1] AS code
+    FROM c CROSS JOIN (SELECT unnest(range(64)) AS j) js
+    ORDER BY vec_id, j
+    """,
+    category="streaming",
+)
+def st62_stream_index_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_example_spark.sources.writers import (
+        compact_small_files,
+        resolve_dataset_path,
+    )
+
+    codes_dir = _run_sq8_maintenance(spark, sf_dir)
+    compact_small_files(
+        spark, codes_dir, target_file_bytes=128 * 1024 * 1024,
+        publish="pointer",
+    )
+    return (
+        spark.read.parquet(resolve_dataset_path(codes_dir))
         .select("vec_id", "j", "code")
         .orderBy("vec_id", "j")
     )

@@ -2159,3 +2159,45 @@ class TestBm25BucketedStagingInvalidation:
                         copy_function=shutil.copy2)
         _, n3, _ = _stage_bm25_bucketed(spark, str(sf))
         assert n3 == 20, "stale bucketed index served after revert"
+
+
+class TestMultiInterleavedSegments:
+    def test_segment_shape_and_token_conservation(self, spark):
+        """The m50 fixture contract: a doc with n = 1 + doc_id % 3
+        media items explodes into exactly 2n+1 segments (>= 3 per doc),
+        media items keep their ARRAY order at odd seg_idx, and the text
+        spans' tokens sum to the document's whitespace-token total."""
+        from etl_example_spark.operators.multimodal import (
+            interleaved_multi_segments,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "one two three", "s"),       # n=1 -> 3 segments
+                (1, "a b c d e f g", "s"),       # n=2 -> 5 segments
+                (2, "ten tokens here x y", "s"),  # n=3 -> 7 segments
+            ],
+            "doc_id long, text string, source string",
+        )
+        seg = interleaved_multi_segments(docs).collect()
+        by_doc: dict[int, list] = {}
+        for r in seg:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for doc_id, rows in by_doc.items():
+            n = 1 + doc_id % 3
+            assert len(rows) == 2 * n + 1
+            idxs = sorted(r.seg_idx for r in rows)
+            assert idxs == list(range(2 * n + 1))
+            for r in rows:
+                if r.seg_idx % 2 == 1:
+                    # item i = (seg_idx-1)/2 -> modality (doc_id+i)%3
+                    i = (r.seg_idx - 1) // 2
+                    want = ["image", "audio", "video"][(doc_id + i) % 3]
+                    assert r.modality == want, (doc_id, r.seg_idx)
+                else:
+                    assert r.modality == "text"
+        text_tokens = {
+            d: sum(r.n_tokens for r in rows if r.modality == "text")
+            for d, rows in by_doc.items()
+        }
+        assert text_tokens == {0: 3, 1: 7, 2: 5}

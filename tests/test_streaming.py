@@ -680,3 +680,48 @@ def test_quota_admission_out_of_order_landing_zone(spark, tmp_path):
     assert len(by_key["s1"]) == 6
     assert set(range(100, 104)) <= {r["doc_id"] for r in by_key["s1"]}
     assert len(by_key["s2"]) == 2
+
+
+def test_stream_index_compaction_collapses_files(spark, sf_dir):
+    """The st62 law's OTHER half (content preservation is the external
+    oracle's job): compacting the epoch-sliced streaming SQ8 artifact
+    must actually collapse the per-micro-batch file sprawl to the
+    measured ceil(bytes/target) count — here 1 — while the repointed
+    path serves the identical rows."""
+    import os
+
+    from etl_example_spark.plans.streaming_ops import _run_sq8_maintenance
+    from etl_example_spark.sources.writers import (
+        compact_small_files,
+        resolve_dataset_path,
+    )
+
+    codes_dir = _run_sq8_maintenance(spark, sf_dir)
+
+    def n_parquet_files(root: str) -> int:
+        return sum(
+            1
+            for dirpath, _dirs, files in os.walk(root, followlinks=True)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+
+    before_files = n_parquet_files(codes_dir)
+    assert before_files > 1, "maintenance should leave epoch slices"
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(codes_dir)
+            .select("vec_id", "j", "code").collect())
+    )
+    stats = compact_small_files(
+        spark, codes_dir, target_file_bytes=128 * 1024 * 1024,
+        publish="pointer",
+    )
+    assert stats["files_before"] == before_files
+    assert stats["files_after"] == 1
+    current = resolve_dataset_path(codes_dir)
+    assert n_parquet_files(current) == 1
+    after_rows = sorted(
+        map(tuple, spark.read.parquet(current)
+            .select("vec_id", "j", "code").collect())
+    )
+    assert after_rows == before_rows
