@@ -29,6 +29,22 @@ from etl_example_spark.plans.registry import load_all
 from etl_example_spark.session import get_spark
 from etl_example_spark.sources.loaders import warm_tables
 
+#: Box-drift canaries: two bench queries whose CODE has been frozen
+#: since round 9/10 (q0's plan untouched since r1; d87's since r9),
+#: with their recorded round-10 sweep medians as floors (BENCH_r10 —
+#: the first sweep on the noop-sink method with the current query
+#: set). Three rounds running, cross-round sum deltas needed manual
+#: interleaved A/B reconciliation (d80 r10, the BM25 family r11, the
+#: dedup family r12 — every one concluded "environment, not code");
+#: the emitted drift_factor = geometric mean over canaries of
+#: (this sweep's wall / recorded floor) quantifies sweep-day
+#: environment in the artifact itself, so a +20% on untouched queries
+#: reads against a +20% canary drift instead of being re-litigated.
+CANARY_FLOORS: dict[str, float] = {
+    "q0_pricing_summary": 0.2793,
+    "d87_newline_line_dedup": 0.4085,
+}
+
 
 def time_query(
     spark, query, sf_dir: str, runs: int = 5, warmups: int = 2
@@ -77,6 +93,29 @@ def main() -> None:
     except ValueError:
         sf_value = sf_label
 
+    # drift factor only claims meaning at the floors' recording point
+    # (sf0.1); at other SFs the canaries still print but the factor is
+    # omitted rather than implying a cross-SF comparison
+    canaries = {
+        n: per_query[n] for n in CANARY_FLOORS if n in per_query
+    }
+    import math
+
+    drift = (
+        round(
+            math.exp(
+                sum(
+                    math.log(canaries[n] / CANARY_FLOORS[n])
+                    for n in canaries
+                )
+                / len(canaries)
+            ),
+            4,
+        )
+        if canaries and sf_value == 0.1
+        else None
+    )
+
     print(
         json.dumps(
             {
@@ -84,6 +123,8 @@ def main() -> None:
                 "value": round(sum(per_query.values()), 4),
                 "unit": "sec",
                 "queries": per_query,
+                "canaries": canaries,
+                "drift_factor": drift,
                 "sf": sf_value,
             }
         )

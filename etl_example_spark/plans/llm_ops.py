@@ -664,6 +664,7 @@ def s58a_ivfpq_recall_bound(
     "(operators/similarity.ivfpq_residual_topk).",
     oracle=None,
     category="similarity",
+    bench=True,  # the deployable residual IVF-PQ layout (SCALING.md r12)
 )
 def s60_ivfpq_residual_topk(
     spark: SparkSession, sf_dir: str
@@ -2348,6 +2349,7 @@ def _stage_bm25_bucketed(
     "bucketed-artifact == direct-scan end to end.",
     oracle=_BM25_SERVE_ORACLE,
     category="similarity",
+    bench=True,  # the bucket-pruned serve path — the 100 TB serving form
 )
 def s57_bm25_bucketed_serve(
     spark: SparkSession, sf_dir: str
@@ -2553,6 +2555,7 @@ def _stage_ivf_artifacts(
         LIMIT 10
     """,
     category="similarity",
+    bench=True,  # the fused two-arm index-served retrieval flagship
 )
 def s59_hybrid_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -7142,6 +7145,7 @@ def _stage_wet_files(rows: int, dup_every: int) -> str:
         ORDER BY keep_url
     """,
     category="dedup",
+    bench=True,  # the file-backed crawl front door
 )
 def d115_wet_files_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_example_spark.sources.warc import register_wet_datasource
