@@ -911,6 +911,8 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
+    assignments: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """COMPOSED IVF-PQ ANN — the production serving layout (FAISS
     IVFPQ lineage) assembled from the engine's two proven halves: the
@@ -939,6 +941,18 @@ def ivfpq_topk(
     demo composition). Law: artifact-served == self-trained for the
     same seeds (tests/test_llm_ops.py::TestIvfPq).
 
+    ``assignments`` (the :func:`ivf_assign` output over the NORMALIZED
+    corpus) and ``codes`` (the (id, codes) table :func:`pq_encode_vectors`
+    emits — what a PQ index stores per vector) complete the serving
+    contract: with all four artifacts given, the per-query work is
+    probe (centroids × query) → candidate ids (stored assignment ⋈
+    probed cells) → ADC (stored codes ⋈ the ≤ m·n_codes lookup table)
+    → exact re-rank of the shortlist — NO corpus-sized assignment and
+    NO candidate re-encoding at query time, which at 100 TB is the
+    difference between an index probe and a per-query encode pass over
+    nprobe/n_centroids of the corpus. The s65 registration certifies
+    fully-served == self-trained externally.
+
     Output schema matches ``brute_force_topk`` (query_id, neighbor_id,
     cosine_sim)."""
     normalized = l2_normalize(embeddings, vec_col).localCheckpoint(
@@ -965,8 +979,12 @@ def ivfpq_topk(
             F.col(centroids.columns[0]).alias("centroid_id"),
             F.col(centroids.columns[1]).alias("centroid_vec"),
         )
-    assign = ivf_assign_with_centroids(
-        normalized, centroids, id_col, vec_col
+    assign = (
+        assignments
+        if assignments is not None
+        else ivf_assign_with_centroids(
+            normalized, centroids, id_col, vec_col
+        )
     )
     if query_id is None:
         query = assign.orderBy(id_col).limit(1)
@@ -1001,7 +1019,15 @@ def ivfpq_topk(
         if codebooks is not None
         else pq_train(normalized, m, n_codes, iters, id_col, vec_col)
     )
-    codes = pq_encode(_subvectors(cand, m, dim, id_col, vec_col), cb, id_col)
+    if codes is not None:
+        # the stored per-vector code artifact: candidates' codes are a
+        # semi-join against the probed cells' member ids — nothing is
+        # re-encoded at query time
+        cand_codes = codes.join(cand.select(id_col), id_col)
+    else:
+        cand_codes = pq_encode(
+            _subvectors(cand, m, dim, id_col, vec_col), cb, id_col
+        )
     q_sub = _subvectors(
         query.select(id_col, vec_col), m, dim, id_col, vec_col
     ).select(
@@ -1013,7 +1039,7 @@ def ivfpq_topk(
         .select("query_id", "j", "code", "d2")
     )
     approx = (
-        codes.select(id_col, F.posexplode("codes").alias("j", "code"))
+        cand_codes.select(id_col, F.posexplode("codes").alias("j", "code"))
         .join(F.broadcast(adc_table), ["j", "code"])
         .groupBy(id_col, "query_id")
         .agg(F.sum("d2").alias("approx_d2"))
@@ -1109,6 +1135,7 @@ def ivfpq_residual_topk(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """RESIDUAL-encoded IVF-PQ — the canonical FAISS IVFPQ layout
     :func:`ivfpq_topk` documents as the forgone alternative: every
@@ -1142,8 +1169,23 @@ def ivfpq_residual_topk(
     registration certifies it externally the way s61 does for the raw
     layout).
 
+    ``codes`` accepts the stored PER-VECTOR artifact — the
+    (id, centroid_id, codes) table :func:`ivfpq_residual_encode` emits
+    and s62/st61 maintain. With it (requires ``centroids`` and
+    ``codebooks`` too), the per-query work is probe → stored codes of
+    the probed cells ⋈ the per-cell ADC table → exact re-rank of the
+    shortlist: the corpus is neither re-assigned NOR re-encoded at
+    query time (the s66 registration certifies fully-served ==
+    self-trained externally).
+
     Output schema matches ``brute_force_topk`` (query_id, neighbor_id,
     cosine_sim)."""
+    if codes is not None and (centroids is None or codebooks is None):
+        raise ValueError(
+            "codes= serving requires the matching centroids= and "
+            "codebooks= artifacts (the probe and the ADC table are "
+            "built from them)"
+        )
     normalized = l2_normalize(embeddings, vec_col).localCheckpoint(
         eager=True
     )
@@ -1168,38 +1210,45 @@ def ivfpq_residual_topk(
             F.col(centroids.columns[0]).alias("centroid_id"),
             F.col(centroids.columns[1]).alias("centroid_vec"),
         )
-    assign = ivf_assign_with_centroids(
-        normalized, centroids, id_col, vec_col
-    )
-    # residual frame: r = v − c(v), double-precision displacement.
-    # Degenerate (zero-norm) vectors carry NULL centroid_id and drop
-    # out here — they can never be probed candidates anyway.
-    res = (
-        assign.join(F.broadcast(centroids), "centroid_id")
-        .select(
-            F.col(id_col),
-            F.col("centroid_id"),
-            F.zip_with(
-                _as_double(vec_col),
-                _as_double("centroid_vec"),
-                lambda a, b: a - b,
-            ).alias("_res"),
+    if codes is None:
+        assign = ivf_assign_with_centroids(
+            normalized, centroids, id_col, vec_col
         )
-        .localCheckpoint(eager=True)
-    )
-    cb = (
-        codebooks
-        if codebooks is not None
-        else pq_train(
-            res.select(id_col, F.col("_res")),
-            m,
-            n_codes,
-            iters,
-            id_col,
-            "_res",
-            normalize=False,
+        # residual frame: r = v − c(v), double-precision displacement.
+        # Degenerate (zero-norm) vectors carry NULL centroid_id and
+        # drop out here — they can never be probed candidates anyway.
+        res = (
+            assign.join(F.broadcast(centroids), "centroid_id")
+            .select(
+                F.col(id_col),
+                F.col("centroid_id"),
+                F.zip_with(
+                    _as_double(vec_col),
+                    _as_double("centroid_vec"),
+                    lambda a, b: a - b,
+                ).alias("_res"),
+            )
+            .localCheckpoint(eager=True)
         )
-    )
+        cb = (
+            codebooks
+            if codebooks is not None
+            else pq_train(
+                res.select(id_col, F.col("_res")),
+                m,
+                n_codes,
+                iters,
+                id_col,
+                "_res",
+                normalize=False,
+            )
+        )
+    else:
+        # fully-served path: the stored (id, centroid_id, codes)
+        # artifact supplies both the cell membership and the codes —
+        # no corpus assignment, no residual formation at query time
+        res = None
+        cb = codebooks
 
     if query_id is None:
         query = normalized.orderBy(id_col).limit(1)
@@ -1250,36 +1299,56 @@ def ivfpq_residual_topk(
         .withColumn("d2", _sq_l2("qv", "cv"))
         .select("centroid_id", "query_id", "j", "code", "d2")
     )
-    # candidates: residual codes of the probed cells only
-    cand_codes = pq_encode(
-        res.join(
-            F.broadcast(probe_cells.select("centroid_id")), "centroid_id"
-        ).select(
-            F.col(id_col),
-            F.col("centroid_id").alias("_cell"),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.slice(F.col("_res"), j * sub_d + 1, sub_d)
-                        for j in range(m)
-                    ]
-                )
-            ).alias("j", "sv"),
-        ).select(id_col, "j", "sv"),
-        cb,
-        id_col,
-    )
-    cells = res.select(id_col, F.col("centroid_id"))
-    approx = (
-        cand_codes.join(cells, id_col)
-        .join(
-            F.broadcast(probe_cells.select("centroid_id")), "centroid_id"
+    # candidates: residual codes of the probed cells only — from the
+    # stored per-vector artifact when given (a pure semi-join, nothing
+    # re-encoded), else encoded here from the residual frame
+    if codes is not None:
+        exploded = (
+            codes.join(
+                F.broadcast(probe_cells.select("centroid_id")),
+                "centroid_id",
+            )
+            .select(
+                F.col(id_col),
+                F.col("centroid_id"),
+                F.posexplode("codes").alias("j", "code"),
+            )
         )
-        .select(
+    else:
+        cand_codes = pq_encode(
+            res.join(
+                F.broadcast(probe_cells.select("centroid_id")),
+                "centroid_id",
+            ).select(
+                F.col(id_col),
+                F.col("centroid_id").alias("_cell"),
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.slice(F.col("_res"), j * sub_d + 1, sub_d)
+                            for j in range(m)
+                        ]
+                    )
+                ).alias("j", "sv"),
+            ).select(id_col, "j", "sv"),
+            cb,
             id_col,
-            "centroid_id",
-            F.posexplode("codes").alias("j", "code"),
         )
+        cells = res.select(id_col, F.col("centroid_id"))
+        exploded = (
+            cand_codes.join(cells, id_col)
+            .join(
+                F.broadcast(probe_cells.select("centroid_id")),
+                "centroid_id",
+            )
+            .select(
+                id_col,
+                "centroid_id",
+                F.posexplode("codes").alias("j", "code"),
+            )
+        )
+    approx = (
+        exploded
         .join(F.broadcast(adc_table), ["centroid_id", "j", "code"])
         .groupBy(id_col, "query_id")
         .agg(F.sum("d2").alias("approx_d2"))

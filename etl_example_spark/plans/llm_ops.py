@@ -836,6 +836,113 @@ def s64_sampled_quantizer_bound(
 
 
 @register(
+    "s65_ivfpq_fully_served_law",
+    "EXTERNAL equality certificate for FULLY-SERVED IVF-PQ — s61 "
+    "proved quantizer-artifact serving (centroids + codebooks); this "
+    "closes the remaining per-query corpus work: with the stored "
+    "ASSIGNMENT table (s47's artifact) and the stored per-vector CODE "
+    "table (s48's artifact) also given, ivfpq_topk's per-query plan "
+    "is probe (centroid block x query) -> candidate ids (stored "
+    "assignment semi-joined to the probed cells) -> ADC (stored codes "
+    "x the <= m*n_codes lookup table) -> exact re-rank of the "
+    "shortlist — the corpus is neither re-assigned nor re-encoded at "
+    "query time, which at 100 TB is the difference between an index "
+    "probe and a per-query encode pass over nprobe/n_centroids of "
+    "the corpus. Certificate: fully-served top-k inner-joined to the "
+    "self-trained top-k on every output column — (10, TRUE) iff "
+    "row-for-row identical (operators/similarity.ivfpq_topk"
+    "(centroids=, codebooks=, assignments=, codes=)).",
+    oracle=(
+        "SELECT CAST(10 AS BIGINT) AS n_served, TRUE AS artifact_serve_ok"
+    ),
+    category="similarity",
+)
+def s65_ivfpq_fully_served_law(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = similarity.l2_normalize(emb, "embedding")
+    cents = (
+        norm.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    cb = similarity.pq_train(norm, 16, 32, 4, "vec_id", "embedding")
+    assignments = similarity.ivf_assign_with_centroids(norm, cents)
+    code_table = similarity.pq_encode_vectors(emb, cb, m=16)
+    kw = dict(k=10, n_centroids=16, nprobe=8, m=16, n_codes=32,
+              iters=4, shortlist=200)
+    served = similarity.ivfpq_topk(
+        emb, centroids=cents, codebooks=cb,
+        assignments=assignments, codes=code_table, **kw
+    )
+    self_trained = similarity.ivfpq_topk(emb, **kw)
+    agree = served.join(
+        self_trained, ["query_id", "neighbor_id", "cosine_sim"]
+    )
+    return (
+        served.agg(F.count("*").alias("n_served"))
+        .crossJoin(agree.agg(F.count("*").alias("_n_agree")))
+        .select(
+            "n_served",
+            (F.col("_n_agree") == F.col("n_served")).alias(
+                "artifact_serve_ok"
+            ),
+        )
+    )
+
+
+@register(
+    "s66_residual_fully_served_law",
+    "EXTERNAL equality certificate for FULLY-SERVED residual IVF-PQ — "
+    "s65's move on the deployable layout: with the stored "
+    "(id, centroid_id, codes) artifact (ivfpq_residual_encode's "
+    "output, the table s62 appends to and st61 maintains) given "
+    "alongside the quantizer pair, ivfpq_residual_topk's per-query "
+    "plan probes the centroid block, semi-joins the stored codes to "
+    "the probed cells, scores them against the per-cell query-"
+    "residual ADC table, and exact-reranks the shortlist — no corpus "
+    "assignment, no residual formation, no candidate encode at query "
+    "time. Certificate: fully-served top-k == self-trained top-k "
+    "row-for-row (operators/similarity.ivfpq_residual_topk(codes=)).",
+    oracle=(
+        "SELECT CAST(10 AS BIGINT) AS n_served, TRUE AS artifact_serve_ok"
+    ),
+    category="similarity",
+)
+def s66_residual_fully_served_law(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, cb = similarity.ivfpq_residual_train(
+        emb, n_centroids=16, m=16, n_codes=32, iters=4
+    )
+    code_table = similarity.ivfpq_residual_encode(emb, cents, cb, m=16)
+    kw = dict(k=10, n_centroids=16, nprobe=8, m=16, n_codes=32,
+              iters=4, shortlist=200)
+    served = similarity.ivfpq_residual_topk(
+        emb, centroids=cents, codebooks=cb, codes=code_table, **kw
+    )
+    self_trained = similarity.ivfpq_residual_topk(emb, **kw)
+    agree = served.join(
+        self_trained, ["query_id", "neighbor_id", "cosine_sim"]
+    )
+    return (
+        served.agg(F.count("*").alias("n_served"))
+        .crossJoin(agree.agg(F.count("*").alias("_n_agree")))
+        .select(
+            "n_served",
+            (F.col("_n_agree") == F.col("n_served")).alias(
+                "artifact_serve_ok"
+            ),
+        )
+    )
+
+
+@register(
     "m34_multimodal_stats",
     "Multimodal metadata stats: per-modality item counts and byte totals "
     "computed purely from the metadata struct — binary payloads are "

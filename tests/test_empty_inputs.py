@@ -37,6 +37,11 @@ SKIP_DIFFERENTIAL = {
     "s58a_ivfpq_recall_bound",
     "s60a_ivfpq_residual_recall_bound",
     "s61_ivfpq_artifact_law",  # empty corpus -> (0, TRUE), vacuously
+    "s59a_ivf_artifact_law",  # same vacuous (0, TRUE) shape
+    "s63_ivfpq_residual_artifact_law",  # same
+    "s64_sampled_quantizer_bound",  # recall-certificate shape, same
+    "s65_ivfpq_fully_served_law",  # same vacuous (0, TRUE) shape
+    "s66_residual_fully_served_law",  # same
 }
 
 

@@ -2058,6 +2058,68 @@ class TestIvfPq:
         }
         assert len(exact & approx) >= 5
 
+    def test_fully_served_equals_self_trained(self, spark, sf_dir):
+        """The s65 law at test scale: serving from ALL FOUR stored
+        artifacts (centroids, codebooks, assignment table, per-vector
+        code table) equals the self-training composition — the path
+        where a query neither re-assigns nor re-encodes anything."""
+        from pyspark.sql import functions as F
+
+        from etl_example_spark.operators import similarity
+        from etl_example_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        norm = similarity.l2_normalize(emb, "embedding")
+        cents = (
+            norm.orderBy("vec_id")
+            .limit(16)
+            .select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("centroid_vec"),
+            )
+        )
+        cb = similarity.pq_train(norm, 8, 16, 2, "vec_id", "embedding")
+        assignments = similarity.ivf_assign_with_centroids(norm, cents)
+        code_table = similarity.pq_encode_vectors(emb, cb, m=8)
+        served = similarity.ivfpq_topk(
+            emb, k=10, centroids=cents, codebooks=cb,
+            assignments=assignments, codes=code_table,
+        )
+        self_trained = similarity.ivfpq_topk(emb, k=10)
+        assert sorted(map(tuple, served.collect())) == sorted(
+            map(tuple, self_trained.collect())
+        )
+
+    def test_residual_fully_served_equals_self_trained(
+        self, spark, sf_dir
+    ):
+        """The s66 law at test scale: the stored (id, centroid_id,
+        codes) residual artifact serves the identical top-k — and
+        codes= without the quantizer artifacts is rejected."""
+        import pytest as _pytest
+
+        from etl_example_spark.operators import similarity
+        from etl_example_spark.sources.loaders import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents, cb = similarity.ivfpq_residual_train(
+            emb, n_centroids=16, m=8, n_codes=16, iters=2
+        )
+        code_table = similarity.ivfpq_residual_encode(emb, cents, cb, m=8)
+        served = similarity.ivfpq_residual_topk(
+            emb, k=10, n_centroids=16, nprobe=8, m=8, n_codes=16,
+            iters=2, centroids=cents, codebooks=cb, codes=code_table,
+        )
+        self_trained = similarity.ivfpq_residual_topk(
+            emb, k=10, n_centroids=16, nprobe=8, m=8, n_codes=16,
+            iters=2,
+        )
+        assert sorted(map(tuple, served.collect())) == sorted(
+            map(tuple, self_trained.collect())
+        )
+        with _pytest.raises(ValueError, match="codes="):
+            similarity.ivfpq_residual_topk(emb, codes=code_table)
+
     def test_sampled_trainer_bounds_the_training_set(self, spark):
         """The sample contract itself: with max_train_rows=n, the seed
         pick and every Lloyd pass read only the n hash-bottom rows —
