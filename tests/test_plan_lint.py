@@ -50,6 +50,12 @@ _CROSS_JOIN_BY_DESIGN = {
     "s60_ivfpq_residual_topk",  # broadcast centroid/query/ADC blocks
     "s60a_ivfpq_residual_recall_bound",  # 1-row certificate + inner ops
     "s61_ivfpq_artifact_law",  # 1-row certificate crossJoin + IVFPQ inner ops
+    "s59a_ivf_artifact_law",  # 1-row certificate crossJoin + IVF inner ops
+    "s62_ivfpq_residual_append",  # broadcast centroid block (s47 shape)
+    "s63_ivfpq_residual_artifact_law",  # 1-row certificate + residual ops
+    "s64_sampled_quantizer_bound",  # 1-row certificate + broadcast blocks
+    "s65_ivfpq_fully_served_law",  # 1-row certificate + IVFPQ inner ops
+    "s66_residual_fully_served_law",  # 1-row certificate + residual ops
     "q15_cte_subquery",  # broadcast one-row scalar aggregate
     "q69_quiet_big_accounts",  # broadcast one-row scalar aggregate
     "d52_tfidf_top_terms",  # broadcast one-row corpus-size aggregate
@@ -101,6 +107,25 @@ _EXCHANGE_ALLOWANCE = {
     # compositions (artifact-served arm + self-trained arm) joined —
     # each arm alone fits the global budget; doubling is the point.
     "s61_ivfpq_artifact_law": 20,
+    # incremental == full-rebuild law: old-batch encode + new-batch
+    # encode + the quantizer training lineage all print (11 at
+    # sf0.001); every exchange is batch- or artifact-sized.
+    "s62_ivfpq_residual_append": 15,
+    # two-arm residual certificate (s61's structure on the residual
+    # layout): artifact-served arm + self-trained arm joined (9 at
+    # sf0.001, AQE headroom for the two-arm shape).
+    "s63_ivfpq_residual_artifact_law": 15,
+    # recall certificate whose approx arm TRAINS in-plan: ivf_train
+    # x2 + pq_train x4 Lloyd lineages print alongside the brute-force
+    # arm (14 at sf0.001); training exchanges are sample-bounded by
+    # max_train_rows.
+    "s64_sampled_quantizer_bound": 18,
+    # two-arm certificate where the served arm ALSO prints the
+    # assignment + per-vector code artifact builds (20 at sf0.001) —
+    # pinned to the two-arm + two-artifact structure, like s61.
+    "s65_ivfpq_fully_served_law": 24,
+    # same structure on the residual layout (13 at sf0.001).
+    "s66_residual_fully_served_law": 18,
 }
 
 
@@ -126,6 +151,12 @@ _SINGLE_PARTITION_WINDOW_BY_DESIGN = {
     # grand total over the per-source aggregate: a mixture has a few
     # dozen sources at any corpus size (key-domain-bounded)
     "d69_domain_shift",
+    # the centroid-coding row_number inside ivf_assign_with_centroids:
+    # its input is the centroid TABLE (≤ n_centroids rows by the IVF
+    # contract). Elsewhere that table descends from a GlobalLimit the
+    # checker recognizes; in s64 it is ivf_train's aggregate output,
+    # so the bound is the key domain, invisible in the plan string.
+    "s64_sampled_quantizer_bound",
 }
 
 
