@@ -307,12 +307,19 @@ SHOW = {
         "exchange, text never shuffles."
     ),
     "s59_hybrid_index_serve": (
-        "Index-served hybrid fusion: the BM25 arm's bucketed scan is "
-        "term-pruned (SelectedBucketsCount), the IVF arm's corpus "
-        "pass is one crossJoin against the broadcast centroid block "
-        "folded by a packed-max HashAggregate, and the fusion is a "
-        "full-outer join of two <=20-row shortlists — no corpus "
-        "rescan at fusion time."
+        "Index-served hybrid fusion, BOTH arms from stored artifacts "
+        "(round 13): the BM25 arm's bucketed scan is term-pruned "
+        "(SelectedBucketsCount), the IVF arm reads the STAGED "
+        "assignment table and semi-joins it to the broadcast probed "
+        "cells — no corpus re-assignment in the plan — and the fusion "
+        "is a full-outer join of two <=20-row shortlists."
+    ),
+    "s65_ivfpq_fully_served_law": (
+        "Fully-served IVF-PQ certificate: the served arm's candidate "
+        "codes come from the stored per-vector code table semi-joined "
+        "to the probed cells (no pq_encode of candidates in that arm); "
+        "the self-trained arm re-derives everything — the two top-10s "
+        "join row-for-row into the one-row certificate."
     ),
     "m49_interleaved_packing": (
         "Interleaved multimodal packing: both segment arms are "
