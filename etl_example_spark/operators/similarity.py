@@ -1903,6 +1903,7 @@ def sq8_kmeans(
     iters: int = 2,
     id_col: str = "vec_id",
     codes_col: str = "codes",
+    max_train_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd's k-means over SQ8-QUANTIZED vectors, integer-exact end to
     end — the FAISS-style coarse-quantizer training step (train the
@@ -1928,11 +1929,22 @@ def sq8_kmeans(
     so even the one corpus-wide scan per iteration reads a quarter of
     the raw-vector bytes.
 
+    ``max_train_rows`` bounds the Lloyd passes (and the seed pick) to
+    a deterministic hash-bottom sample (:func:`_train_sample` — the
+    ivf_train/pq_train contract, completing sampled training across
+    ALL of the engine's quantizer trainers); the returned assignment
+    still covers the FULL input under the final centroids.
+
     Returns ``(centroids, assignment)``: (centroid_id, cent) with
     cent an int array, and (vec_id, centroid_id, d2) under the FINAL
     centroids."""
+    train = (
+        codes
+        if max_train_rows is None
+        else _train_sample(codes, id_col, max_train_rows)
+    )
 
-    def assign_to(cents: DataFrame) -> DataFrame:
+    def assign_to(cents: DataFrame, src: DataFrame = codes) -> DataFrame:
         d2 = F.aggregate(
             F.zip_with(
                 F.col(codes_col),
@@ -1943,7 +1955,7 @@ def sq8_kmeans(
             lambda acc, x: acc + x,
         )
         return (
-            codes.crossJoin(F.broadcast(cents))
+            src.crossJoin(F.broadcast(cents))
             .select(
                 F.col(id_col),
                 F.col(codes_col),
@@ -1967,7 +1979,7 @@ def sq8_kmeans(
         )
 
     cents = (
-        codes.orderBy(id_col)
+        train.orderBy(id_col)
         .limit(k)
         .select(
             F.col(id_col).cast("long").alias("centroid_id"),
@@ -1987,7 +1999,7 @@ def sq8_kmeans(
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
-        assign = assign_to(cents)
+        assign = assign_to(cents, train)
         means = (
             assign.select(
                 "centroid_id",

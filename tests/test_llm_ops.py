@@ -1705,6 +1705,30 @@ class TestSq8Kmeans:
         assert assign.select("vec_id").distinct().count() == n
         assert cents.count() == 8
 
+    def test_sampled_training_bounds_lloyd_but_assigns_all(
+        self, spark, sf_dir
+    ):
+        """max_train_rows: centroids must equal kmeans run on exactly
+        the hash-bottom sample (Lloyd never saw the rest), while the
+        returned assignment still covers the FULL corpus — the
+        trainer-family contract ivf_train/pq_train carry since r13."""
+        from etl_example_spark.operators.similarity import _train_sample
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        codes = similarity.sq8_encode(emb, similarity.sq8_train(emb))
+        n = codes.count()
+        cents, assign = similarity.sq8_kmeans(
+            codes, k=8, iters=2, max_train_rows=100
+        )
+        sample = _train_sample(codes, "vec_id", 100)
+        want_cents, _ = similarity.sq8_kmeans(sample, k=8, iters=2)
+        key = lambda df: sorted(
+            (r["centroid_id"], tuple(r["cent"])) for r in df.collect()
+        )
+        assert key(cents) == key(want_cents)
+        assert assign.count() == n
+        assert assign.select("vec_id").distinct().count() == n
+
 
 class TestDftBinEnergy:
     """Fixed-point DFT-bin energy (operators/multimodal.dft_bin_energy)."""
