@@ -1081,8 +1081,12 @@ def ivfpq_residual_train(
     lowest-id normalized vectors (deterministic, SQL-replayable);
     codebooks are Lloyd-trained on ALL residuals with
     ``normalize=False`` (a displacement's magnitude IS the signal).
-    ``max_train_rows`` bounds the Lloyd pass to a deterministic
-    hash-bottom sample (see :func:`pq_train`)."""
+    ``max_train_rows`` bounds the ENTIRE training pass — the sample is
+    taken before the coarse assignment, so training-time work is
+    O(sample × centroids) assignment + bounded Lloyd, never a corpus
+    pass (the corpus-sized assignment happens once, at ENCODE time,
+    where it is the index build itself); the sample is the same
+    deterministic hash-bottom set :func:`pq_train` uses."""
     normalized = l2_normalize(embeddings, vec_col).localCheckpoint(
         eager=True
     )
@@ -1094,8 +1098,13 @@ def ivfpq_residual_train(
             F.col(vec_col).alias("centroid_vec"),
         )
     )
+    train = (
+        normalized
+        if max_train_rows is None
+        else _train_sample(normalized, id_col, max_train_rows)
+    )
     assign = ivf_assign_with_centroids(
-        normalized, centroids, id_col, vec_col
+        train, centroids, id_col, vec_col
     )
     res = (
         assign.join(F.broadcast(centroids), "centroid_id")
@@ -1116,7 +1125,6 @@ def ivfpq_residual_train(
         id_col,
         "_res",
         normalize=False,
-        max_train_rows=max_train_rows,
     )
     return centroids, codebooks
 

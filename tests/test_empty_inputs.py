@@ -42,6 +42,7 @@ SKIP_DIFFERENTIAL = {
     "s64_sampled_quantizer_bound",  # recall-certificate shape, same
     "s65_ivfpq_fully_served_law",  # same vacuous (0, TRUE) shape
     "s66_residual_fully_served_law",  # same
+    "s67_sampled_residual_bound",  # recall-certificate shape, same
 }
 
 

@@ -56,6 +56,7 @@ _CROSS_JOIN_BY_DESIGN = {
     "s64_sampled_quantizer_bound",  # 1-row certificate + broadcast blocks
     "s65_ivfpq_fully_served_law",  # 1-row certificate + IVFPQ inner ops
     "s66_residual_fully_served_law",  # 1-row certificate + residual ops
+    "s67_sampled_residual_bound",  # 1-row certificate + broadcast blocks
     "q15_cte_subquery",  # broadcast one-row scalar aggregate
     "q69_quiet_big_accounts",  # broadcast one-row scalar aggregate
     "d52_tfidf_top_terms",  # broadcast one-row corpus-size aggregate
