@@ -2503,6 +2503,77 @@ def s57_bm25_bucketed_serve(
     ).orderBy("query_id", "rk")
 
 
+@register(
+    "s68_bm25_bucketed_append",
+    "INCREMENTAL maintenance of the TERM-BUCKETED BM25 artifact, "
+    "serve-equality certified — the s52 append law lifted from the "
+    "flat postings file to the production bucketed layout s57/s59 "
+    "serve from: the existing corpus's full-vocabulary postings are "
+    "written bucketBy(32, term) once; an arriving batch "
+    "(doc_id %% 4 == 0) writes ONLY ITS OWN postings with the same "
+    "bucket spec in append mode (Spark routes the new files into the "
+    "same 32 hash buckets, so SelectedBucketsCount pruning survives "
+    "the append — asserted in tests/test_llm_ops.py), and the stats "
+    "sidecar advances by a batch-sized (n, t) add — the indexed "
+    "corpus is never re-scanned, re-bucketed, or re-sorted; work per "
+    "ingest is O(batch tokens). Exact because postings rows are "
+    "per-document-local (tf, dl depend on one document). The oracle "
+    "recomputes the serve from the RAW full corpus, so a hash match "
+    "proves append-maintained-bucketed == full-rebuild == direct-scan "
+    "in one certificate (operators/text.bm25_postings + "
+    "sources/writers.write_bucketed_table(mode='append')).",
+    oracle=_BM25_SERVE_ORACLE,
+    category="similarity",
+)
+def s68_bm25_bucketed_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib
+
+    from etl_example_spark.sources.writers import write_bucketed_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    slug = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"bm25_bkt_appendlaw_{slug}"
+    # index build: the existing corpus only (overwrite drops any
+    # previous demo table, so the law rebuilds deterministically)
+    write_bucketed_table(
+        text.bm25_postings(old, None), name, ["term"], 32,
+        sort_by=["term"],
+    )
+    # ingest: the batch's own postings appended under the SAME bucket
+    # spec — the stored files are untouched
+    write_bucketed_table(
+        text.bm25_postings(new, None), name, ["term"], 32,
+        sort_by=["term"], mode="append",
+    )
+
+    def totals(df: DataFrame) -> tuple[int, int]:
+        row = df.select(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(
+                    text.token_count(F.coalesce(F.col("text"), F.lit("")))
+                ),
+                F.lit(0),
+            ).alias("t"),
+        ).collect()[0]
+        return int(row["n"]), int(row["t"])
+
+    # stats sidecar advance: stored totals + batch totals (a one-row
+    # add, never a full-corpus re-scan)
+    n_old, t_old = totals(old)
+    n_new, t_new = totals(new)
+    queries = spark.createDataFrame(
+        BM25_SERVE_QUERIES, "query_id int, term string"
+    )
+    return text.bm25_topk_from_bucketed(
+        spark, name, queries, n_old + n_new, t_old + t_new, k=10
+    ).orderBy("query_id", "rk")
+
+
 #: The s59 hybrid serving workload: one query, corpus-vocabulary terms
 #: (the keyword arm must actually rank something for the fusion to be
 #: interesting); the semantic arm's query is the min-id corpus vector,

@@ -1116,6 +1116,41 @@ def test_bm25_index_serve_equals_direct_scan(spark, sf_dir):
     assert a == b and a
 
 
+def test_bm25_bucketed_append_preserves_pruning(spark, sf_dir):
+    """The s68 plan half (serve equality is the external oracle's job):
+    appending a batch's postings under the same bucket spec must keep
+    the serve plan bucket-PRUNED (SelectedBucketsCount <= |terms| of
+    32) — an append that degraded the artifact to unpruned files would
+    silently turn every probe back into a full-artifact scan."""
+    import re
+
+    from etl_example_spark.operators.text import bm25_topk_from_bucketed
+    from etl_example_spark.plans.llm_ops import BM25_SERVE_QUERIES
+    from etl_example_spark.plans.registry import load_all
+
+    # run the registered builder (build + append + serve)
+    load_all()["s68_bm25_bucketed_append"].spark_builder(
+        spark, sf_dir
+    ).collect()
+    import hashlib
+
+    name = "bm25_bkt_appendlaw_" + hashlib.md5(
+        sf_dir.encode()
+    ).hexdigest()[:8]
+    queries = spark.createDataFrame(
+        BM25_SERVE_QUERIES, "query_id int, term string"
+    )
+    plan = (
+        bm25_topk_from_bucketed(spark, name, queries, 1, 1, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, f"append destroyed bucket pruning:\n{plan[:2000]}"
+    n_terms = len({t for _, t in BM25_SERVE_QUERIES})
+    assert int(m.group(2)) == 32
+    assert int(m.group(1)) <= n_terms, m.group(0)
+
+
 def test_bm25_bucketed_serve_prunes_buckets_and_matches(spark, sf_dir):
     """The s57 laws: (a) the term-bucketed artifact's serve plan PRUNES
     — its FileSourceScan selects at most |query terms| of the 32

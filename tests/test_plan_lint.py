@@ -67,6 +67,7 @@ _CROSS_JOIN_BY_DESIGN = {
     "s53_bm25_index_serve",  # broadcast one-row (N, T) stored totals
     "d95_token_budget_plan",  # broadcast one-row budget-totals aggregate
     "s57_bm25_bucketed_serve",  # broadcast one-row (N, T) stored totals
+    "s68_bm25_bucketed_append",  # same serve path (broadcast df fold)
     "m38_encode_then_search",  # broadcast query-vector block (brute force)
 }
 
