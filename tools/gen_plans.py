@@ -300,6 +300,13 @@ SHOW = {
         "probe reads only the buckets its terms hash into; no "
         "exchange on the postings side before the score fold."
     ),
+    "s68_bm25_bucketed_append": (
+        "Bucketed-append maintenance: the serve scan after the append "
+        "still shows SelectedBucketsCount <= |query terms| out of 32 — "
+        "the appended batch's files were routed into the same hash "
+        "buckets, so pruning survives incremental ingest; the indexed "
+        "corpus is never re-scanned or re-bucketed."
+    ),
     "d115_wet_files_to_corpus": (
         "File-backed crawl head: a BatchScan over the Python data "
         "source's ranged-read file slices (one partition per .wet "
