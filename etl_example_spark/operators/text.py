@@ -764,6 +764,149 @@ def nb_langid_scores(
     return out
 
 
+def _micro6(x: float) -> int:
+    """``round(x, 6) * 1e6`` as an exact integer — :func:`_ln_micro`'s
+    rounding discipline (decimal HALF_UP over the double's shortest
+    repr, matching DuckDB ``ROUND(x, 6)::DECIMAL(18,6) * 1e6``) applied
+    to an arbitrary double, for driver-side constants the oracle
+    recomputes with its own transcendentals (the DSIR Gumbel table)."""
+    import decimal
+
+    return int(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+        * 1_000_000
+    )
+
+
+def hashed_ngram_stream(col: Column | str, dim: int) -> Column:
+    """``array<long>`` of hashed-feature buckets over the document's
+    unigrams AND adjacent-word bigrams — the hashed n-gram feature
+    space of DSIR (Xie et al., *Data Selection for Language Models via
+    Importance Resampling*, NeurIPS 2023): bigrams carry the phrase
+    signal a unigram bag loses, and the hash bound (:func:
+    `hashed_feature_bucket`, md5 so the SQL oracles reproduce every
+    bucket) keeps the model dim-sized regardless of vocabulary. Pure
+    in-row list algebra — builds inside the scan stage, no explode
+    needed by callers that fold over it. Token-less text → []."""
+    toks = tokens(col)
+    bigrams = F.when(
+        # guarded: Spark's sequence(1, 0) DESCENDS instead of being
+        # empty, so a 0/1-token document must short-circuit to []
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i),
+                F.lit(" "),
+                F.element_at(toks, i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.concat(toks, bigrams), lambda t: hashed_feature_bucket(t, dim)
+    )
+
+
+def dsir_delta_train(
+    target: DataFrame,
+    raw: DataFrame,
+    dim: int = 256,
+    text_col: str = "text",
+) -> list[int]:
+    """Fit the DSIR importance model: per-bucket micro-nat log-ratio
+    ``delta[b] = ln p_target[b] − ln p_raw[b]`` between two add-one-
+    smoothed hashed-n-gram multinomials (target = the trusted corpus
+    the selection steers toward, raw = the pool it draws from — Xie et
+    al. 2023 §2; same smoothing/rounding as :func:`nb_langid_train`,
+    so the SQL oracles replay the fit on the full bucket grid).
+
+    Fit IS counting: one partial-aggregating n-gram pass per side,
+    each ending in a ≤ dim-row MODEL-sized collect — at 100 TB both
+    passes map-side combine to ``dim`` rows and the driver never sees
+    corpus-sized data. Returns the dense dim-entry integer delta list;
+    downstream scoring (:func:`dsir_logweight`) is zero-shuffle."""
+
+    def lam(df: DataFrame) -> list[int]:
+        rows = (
+            df.select(
+                F.explode(
+                    hashed_ngram_stream(F.col(text_col), dim)
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("c"))
+            .collect()
+        )
+        counts = {int(r["bucket"]): int(r["c"]) for r in rows}
+        t = sum(counts.values())
+        return [
+            _ln_micro((counts.get(b, 0) + 1) / (t + dim))
+            for b in range(dim)
+        ]
+
+    lt, lr = lam(target), lam(raw)
+    return [a - b for a, b in zip(lt, lr)]
+
+
+def dsir_logweight(
+    delta: list[int], dim: int = 256, text_col: str = "text"
+) -> Column:
+    """Integer micro-nat log importance weight of one document:
+    ``Σ_{n-grams} delta[bucket(gram)]`` — the trained delta as ONE
+    literal dense array folded over the hashed n-gram stream entirely
+    IN-ROW (whole-stage codegen: zero joins, zero shuffles; scoring
+    100 TB is a pure map stage). Token-less documents weigh 0 (the
+    fold's init), the neutral element both engines agree on."""
+    arr = F.array(*[F.lit(int(v)) for v in delta])
+    return F.aggregate(
+        hashed_ngram_stream(F.col(text_col), dim),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(arr, (b + 1).cast("int")),
+    ).cast("long")
+
+
+def gumbel_micro(id_col: Column | str, n_bins: int = 1024) -> Column:
+    """Deterministic discretized Gumbel(0,1) noise in integer
+    micro-nats — the resampling half of DSIR's Gumbel-top-k selection
+    (``argtop_k(logw + g)`` samples WITHOUT replacement proportionally
+    to the importance weights), made hash-verifiable: the uniform is
+    ``md5('g:' || doc_id)`` folded to a bin in [0, n_bins), and the
+    Gumbel quantile ``−ln(−ln((bin+0.5)/n_bins))`` comes from a
+    driver-built literal table rounded with the micro-nat discipline,
+    which the DuckDB oracle recomputes per-row with its own ``ln`` —
+    agreement across all n_bins values is pinned by a test. In-row
+    lookup, zero shuffle; NULL ids coalesce to '' so degenerate rows
+    get a key instead of a silent NULL-sort surprise."""
+    import math
+
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    table = F.array(
+        *[
+            F.lit(_micro6(-math.log(-math.log((i + 0.5) / n_bins))))
+            for i in range(n_bins)
+        ]
+    )
+    bin_ = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("g:"), F.coalesce(c.cast("string"), F.lit(""))
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_bins
+    )
+    return F.element_at(table, (bin_ + 1).cast("int")).cast("long")
+
+
 def perceptron_scores(
     df: DataFrame,
     weights: dict[int, int],

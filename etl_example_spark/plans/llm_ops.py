@@ -9138,6 +9138,128 @@ def d116_interleaved_bin_audit(
     )
 
 
+_DSIR_DIM = 256
+_DSIR_BINS = 1024
+
+
+@register(
+    "d117_dsir_select",
+    "DSIR data selection (Xie et al., 'Data Selection for Language "
+    "Models via Importance Resampling', NeurIPS 2023 — the standard "
+    "target-domain selection move production pretraining sets use): "
+    "fit two add-one-smoothed multinomials over HASHED N-GRAM features "
+    "(unigrams + adjacent bigrams, md5 buckets, dim=256) — p_target on "
+    "the trusted slice (lang='en'), p_raw on the full pool — then "
+    "score every document with the integer micro-nat log importance "
+    "ratio log w = Σ_grams (ln p_t[b] − ln p_r[b]) and select k=100 "
+    "docs by GUMBEL-TOP-K (key = log w + discretized Gumbel noise "
+    "from md5('g:'||doc_id) — sampling WITHOUT replacement "
+    "proportionally to the importance weights, the paper's §2 "
+    "estimator, made deterministic and hash-verifiable). Fit IS "
+    "counting: two partial-aggregating n-gram passes ending in "
+    "dim-row MODEL-sized collects; scoring + noise are pure in-row "
+    "literal-array folds (zero joins/shuffles — a 100 TB scoring pass "
+    "is map-only); selection is TakeOrderedAndProject (a top-k heap, "
+    "never a global sort). The oracle replays the ENTIRE chain — "
+    "tokenize, bigram, hash, both fits on the full bucket grid, the "
+    "per-row Gumbel quantile −ln(−ln((bin+.5)/1024)) with its own "
+    "transcendentals, and the ranking (operators/text.{"
+    "hashed_ngram_stream,dsir_delta_train,dsir_logweight,"
+    "gumbel_micro}).",
+    oracle=f"""
+        WITH lab AS (
+            SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents
+        ),
+        ng AS (
+            SELECT doc_id, lang,
+                   list_concat(
+                       toks,
+                       list_transform(
+                           range(1, len(toks)),
+                           zz_i -> toks[zz_i] || ' ' || toks[zz_i + 1])
+                   ) AS grams
+            FROM lab
+        ),
+        tb AS (
+            SELECT lang,
+                   CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+                       % {_DSIR_DIM} AS bucket
+            FROM (SELECT lang, unnest(grams) AS g FROM ng)
+        ),
+        tc AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM tb
+            WHERE lang = 'en' GROUP BY 1
+        ),
+        rc AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tb GROUP BY 1
+        ),
+        tt AS (SELECT COALESCE(SUM(c), 0) AS t FROM tc),
+        rt AS (SELECT COALESCE(SUM(c), 0) AS t FROM rc),
+        grid AS (
+            SELECT CAST(unnest(range({_DSIR_DIM})) AS BIGINT) AS bucket
+        ),
+        delta AS (
+            SELECT g.bucket,
+                   CAST(CAST(ROUND(ln((COALESCE(tc.c, 0) + 1)
+                            / (tt.t + {_DSIR_DIM})), 6)
+                        AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                 - CAST(CAST(ROUND(ln((COALESCE(rc.c, 0) + 1)
+                            / (rt.t + {_DSIR_DIM})), 6)
+                        AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS d
+            FROM grid g CROSS JOIN tt CROSS JOIN rt
+            LEFT JOIN tc ON tc.bucket = g.bucket
+            LEFT JOIN rc ON rc.bucket = g.bucket
+        ),
+        dl AS (SELECT list(d ORDER BY bucket) AS ds FROM delta),
+        scored AS (
+            SELECT n.doc_id,
+                   CAST(COALESCE(list_sum(list_transform(n.grams,
+                       zz_g -> dl.ds[CAST(('0x' || substr(md5(zz_g),
+                           1, 8)) AS BIGINT) % {_DSIR_DIM} + 1])),
+                       0) AS BIGINT) AS logw_micro,
+                   CAST(('0x' || substr(md5('g:' ||
+                       COALESCE(CAST(n.doc_id AS VARCHAR), '')), 1, 8))
+                       AS BIGINT) % {_DSIR_BINS} AS bin
+            FROM ng n CROSS JOIN dl
+        ),
+        keyed AS (
+            SELECT doc_id, logw_micro,
+                   logw_micro + CAST(CAST(ROUND(
+                       -ln(-ln((bin + 0.5) / {_DSIR_BINS}.0)), 6)
+                       AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                       AS key_micro
+            FROM scored
+        )
+        SELECT doc_id, logw_micro, key_micro,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY key_micro DESC, doc_id) AS INT) AS rk
+        FROM keyed
+        ORDER BY rk
+        LIMIT 100
+    """,
+    category="text",
+)
+def d117_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    delta = text.dsir_delta_train(target, docs, dim=_DSIR_DIM)
+    keyed = docs.select(
+        "doc_id",
+        text.dsir_logweight(delta, dim=_DSIR_DIM).alias("logw_micro"),
+    ).withColumn(
+        "key_micro",
+        F.col("logw_micro")
+        + text.gumbel_micro("doc_id", n_bins=_DSIR_BINS),
+    )
+    top = keyed.orderBy(F.desc("key_micro"), "doc_id").limit(100)
+    # the rank window's input is bounded by the top-k limit above
+    w = Window.orderBy(F.desc("key_micro"), F.asc("doc_id"))
+    return top.withColumn("rk", F.row_number().over(w)).orderBy("rk")
+
+
 @register(
     "m50_multi_interleaved_packing",
     "MULTI-SEGMENT interleaved packing — m49's caption shape (one "

@@ -2322,3 +2322,88 @@ class TestMultiInterleavedSegments:
             for d, rows in by_doc.items()
         }
         assert text_tokens == {0: 3, 1: 7, 2: 5}
+
+
+class TestDsirSelection:
+    def test_gumbel_table_matches_duckdb(self):
+        """The d117 hash match rests on driver-side _micro6 over
+        Python's libm agreeing with DuckDB's ROUND(-ln(-ln(u)), 6) on
+        every one of the 1024 discretized Gumbel quantiles — pin ALL
+        of them, not just the ones the fixture's doc_ids happen to
+        hit, so a libm/rounding divergence surfaces here instead of
+        as a one-row hash flake at some future scale factor."""
+        import math
+
+        import duckdb
+
+        from etl_example_spark.operators.text import _micro6
+
+        eng = [
+            _micro6(-math.log(-math.log((i + 0.5) / 1024)))
+            for i in range(1024)
+        ]
+        ora = duckdb.sql(
+            "SELECT CAST(CAST(ROUND(-ln(-ln((i + 0.5) / 1024.0)), 6) "
+            "AS DECIMAL(18,6)) * 1000000 AS BIGINT) "
+            "FROM range(1024) t(i) ORDER BY i"
+        ).fetchall()
+        assert eng == [r[0] for r in ora]
+
+    def test_selection_prefers_target_like_docs(self, spark):
+        """Semantics: documents sharing the target slice's n-grams must
+        out-rank documents that don't — the importance weight is the
+        whole point, the Gumbel noise only diversifies within it. Two
+        disjoint vocabularies, noise-dominating weight gap."""
+        from etl_example_spark.operators import text as T
+
+        rows = [(i, "alpha beta gamma delta " * 8, "en") for i in range(8)]
+        rows += [(100 + i, "zulu yankee xray whiskey " * 8, "de")
+                 for i in range(8)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+        delta = T.dsir_delta_train(
+            docs.filter("lang = 'en'"), docs, dim=64
+        )
+        scored = docs.select(
+            "doc_id", T.dsir_logweight(delta, dim=64).alias("lw")
+        ).collect()
+        en = {r.lw for r in scored if r.doc_id < 100}
+        de = {r.lw for r in scored if r.doc_id >= 100}
+        assert min(en) > max(de)
+
+    def test_empty_and_null_text_weigh_zero(self, spark):
+        """Token-less documents weigh exactly 0 (the fold's init) under
+        ANY model, and NULL ids still draw a Gumbel key — no silent
+        NULL-ordering surprises in the selection."""
+        from etl_example_spark.operators import text as T
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "   ")],
+            "doc_id long, text string",
+        )
+        delta = [7] * 64  # any non-degenerate model
+        out = docs.select(
+            "doc_id",
+            T.dsir_logweight(delta, dim=64).alias("lw"),
+            T.gumbel_micro("doc_id").alias("g"),
+        ).collect()
+        assert all(r.lw == 0 for r in out)
+        assert all(r.g is not None for r in out)
+
+    def test_bigram_stream_shape(self, spark):
+        """hashed_ngram_stream emits len + (len-1) buckets (unigrams +
+        adjacent bigrams); 0/1-token docs emit len alone — the Spark
+        sequence(1,0)-descends trap stays guarded."""
+        from etl_example_spark.operators import text as T
+
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "a"), (3, ""), (4, None)],
+            "doc_id long, text string",
+        )
+        out = docs.select(
+            "doc_id",
+            F.size(T.hashed_ngram_stream(F.col("text"), 64)).alias("n"),
+        ).collect()
+        got = {r.doc_id: r.n for r in out}
+        assert got == {1: 5, 2: 1, 3: 0, 4: 0}
