@@ -300,6 +300,13 @@ SHOW = {
         "probe reads only the buckets its terms hash into; no "
         "exchange on the postings side before the score fold."
     ),
+    "d117_dsir_select": (
+        "DSIR selection: ONE column-pruned documents scan; importance "
+        "scoring and Gumbel noise are literal-array folds inside the "
+        "scan's projections (zero joins, zero corpus-keyed shuffles); "
+        "TakeOrderedAndProject is the top-100 heap; the rank window's "
+        "input is bounded by that limit."
+    ),
     "s68_bm25_bucketed_append": (
         "Bucketed-append maintenance: the serve scan after the append "
         "still shows SelectedBucketsCount <= |query terms| out of 32 — "
