@@ -2574,6 +2574,68 @@ def s68_bm25_bucketed_append(
     ).orderBy("query_id", "rk")
 
 
+@register(
+    "s69_bm25_bucketed_compaction",
+    "COMPACTION of the term-bucketed BM25 artifact after incremental "
+    "ingest, serve-equality certified — the maintenance END of the "
+    "s68 lifecycle: four batches land via bucketBy(32, term) appends "
+    "(each append adds one file-set per bucket, so a long-lived "
+    "incremental index accumulates per-bucket small files and every "
+    "serve pays their open/footer costs), then "
+    "sources/writers.compact_bucketed_table rewrites the WHOLE "
+    "artifact ONCE — repartitioned on the bucket column so the write "
+    "lands ~one file per bucket — into a fresh table under the SAME "
+    "bucket spec and swaps names (write-temp-then-swap; an "
+    "object-store dataset gets st62's atomic _CURRENT-pointer publish "
+    "instead, a catalog table gets the rename). The serve reads the "
+    "compacted table with SelectedBucketsCount pruning intact "
+    "(file-count collapse + pruning asserted in "
+    "tests/test_llm_ops.py). The oracle recomputes the serve from the "
+    "RAW corpus, so one hash match proves compacted == "
+    "append-maintained == full-rebuild == direct-scan.",
+    oracle=_BM25_SERVE_ORACLE,
+    category="similarity",
+)
+def s69_bm25_bucketed_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib
+
+    from etl_example_spark.sources.writers import (
+        compact_bucketed_table,
+        write_bucketed_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    slug = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"bm25_bkt_compactlaw_{slug}"
+    write_bucketed_table(
+        text.bm25_postings(docs.filter(F.col("doc_id") % 4 == 0), None),
+        name, ["term"], 32, sort_by=["term"],
+    )
+    for r in (1, 2, 3):
+        write_bucketed_table(
+            text.bm25_postings(
+                docs.filter(F.col("doc_id") % 4 == r), None
+            ),
+            name, ["term"], 32, sort_by=["term"], mode="append",
+        )
+    compact_bucketed_table(spark, name, ["term"], 32, sort_by=["term"])
+    row = docs.select(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(text.token_count(F.coalesce(F.col("text"), F.lit("")))),
+            F.lit(0),
+        ).alias("t"),
+    ).collect()[0]
+    queries = spark.createDataFrame(
+        BM25_SERVE_QUERIES, "query_id int, term string"
+    )
+    return text.bm25_topk_from_bucketed(
+        spark, name, queries, int(row["n"]), int(row["t"]), k=10
+    ).orderBy("query_id", "rk")
+
+
 #: The s59 hybrid serving workload: one query, corpus-vocabulary terms
 #: (the keyword arm must actually rank something for the fusion to be
 #: interesting); the semantic arm's query is the min-id corpus vector,

@@ -135,6 +135,46 @@ def write_bucketed_table(
     writer.saveAsTable(name)
 
 
+def compact_bucketed_table(
+    spark: SparkSession,
+    name: str,
+    bucket_by: Sequence[str],
+    num_buckets: int = 32,
+    sort_by: Sequence[str] | None = None,
+) -> None:
+    """Compact a bucketed catalog table grown by appends: every append
+    lands one file-set per bucket, so a long-lived incremental index
+    accumulates per-bucket small files and every serve pays their
+    open/footer costs. The rewrite repartitions on the bucket columns
+    (so the write lands ~one file per bucket instead of tasks ×
+    buckets), writes a fresh table under the SAME bucket spec, then
+    swaps names — write-temp-then-swap, the engine's transactional
+    discipline for catalog tables (an object-store dataset would use
+    :func:`compact_small_files`'s atomic ``_CURRENT``-pointer publish
+    instead; a catalog table gets the rename, and readers planned
+    against the old generation's files finish undisturbed because the
+    rewrite never touches them until the final drop). Bucket pruning
+    survives: the new files carry the same bucket ids, only fewer of
+    them — asserted in tests/test_llm_ops.py."""
+    tmp = f"{name}__compact_tmp"
+    # materialize BEFORE dropping anything: the rewrite's source plan
+    # must not lazily re-read a table the swap is about to drop
+    df = spark.table(name).localCheckpoint(eager=True)
+    drop_table_and_location(spark, tmp)
+    writer = (
+        df.repartition(num_buckets, *[F.col(c) for c in bucket_by])
+        .write.mode("overwrite")
+        .bucketBy(num_buckets, *bucket_by)
+        .option("compression", "zstd")
+        .format("parquet")
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(tmp)
+    drop_table_and_location(spark, name)
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+
+
 def resolve_dataset_path(path: str) -> str:
     """The CURRENT data directory of a possibly-compacted dataset.
 

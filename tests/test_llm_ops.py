@@ -2407,3 +2407,58 @@ class TestDsirSelection:
         ).collect()
         got = {r.doc_id: r.n for r in out}
         assert got == {1: 5, 2: 1, 3: 0, 4: 0}
+
+
+def test_bucketed_compaction_collapses_files_and_keeps_pruning(
+    spark, sf_dir
+):
+    """The s69 plan halves (serve equality is the external oracle's
+    job): compaction must (a) strictly REDUCE the artifact's file
+    count after multi-batch appends — the whole point of the
+    maintenance job — (b) keep the serve bucket-PRUNED, and (c) leave
+    the served rows byte-identical to the pre-compaction serve."""
+    import re
+
+    from etl_example_spark.operators import text as T
+    from etl_example_spark.operators.text import bm25_topk_from_bucketed
+    from etl_example_spark.plans.llm_ops import BM25_SERVE_QUERIES
+    from etl_example_spark.sources.loaders import load_table
+    from etl_example_spark.sources.writers import (
+        compact_bucketed_table,
+        write_bucketed_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    name = "bm25_bkt_compact_test"
+    write_bucketed_table(
+        T.bm25_postings(docs.filter(F.col("doc_id") % 4 == 0), None),
+        name, ["term"], 32, sort_by=["term"],
+    )
+    for r in (1, 2, 3):
+        write_bucketed_table(
+            T.bm25_postings(docs.filter(F.col("doc_id") % 4 == r), None),
+            name, ["term"], 32, sort_by=["term"], mode="append",
+        )
+    queries = spark.createDataFrame(
+        BM25_SERVE_QUERIES, "query_id int, term string"
+    )
+    before_files = len(spark.table(name).inputFiles())
+    before_rows = bm25_topk_from_bucketed(
+        spark, name, queries, 1000, 100000, k=10
+    ).orderBy("query_id", "rk").collect()
+
+    compact_bucketed_table(spark, name, ["term"], 32, sort_by=["term"])
+
+    after_files = len(spark.table(name).inputFiles())
+    served = bm25_topk_from_bucketed(
+        spark, name, queries, 1000, 100000, k=10
+    ).orderBy("query_id", "rk")
+    after_rows = served.collect()
+    assert after_files < before_files, (before_files, after_files)
+    assert after_rows == before_rows
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, f"compaction destroyed bucket pruning:\n{plan[:2000]}"
+    n_terms = len({t for _, t in BM25_SERVE_QUERIES})
+    assert int(m.group(2)) == 32 and int(m.group(1)) <= n_terms
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -68,6 +68,7 @@ _CROSS_JOIN_BY_DESIGN = {
     "d95_token_budget_plan",  # broadcast one-row budget-totals aggregate
     "s57_bm25_bucketed_serve",  # broadcast one-row (N, T) stored totals
     "s68_bm25_bucketed_append",  # same serve path (broadcast df fold)
+    "s69_bm25_bucketed_compaction",  # same serve path (broadcast fold)
     "m38_encode_then_search",  # broadcast query-vector block (brute force)
 }
 
