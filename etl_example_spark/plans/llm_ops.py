@@ -8142,33 +8142,21 @@ def s54_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dct_oracle() -> str:
-    """m46 oracle: the ENTIRE pHash — 64 pixel bytes from hex
-    arithmetic, fixed-point 2-D DCT, median threshold — replayed in
-    SQL. The integer basis is generated once in Python and inlined as
-    the SAME literals the engine multiplies by (multimodal.
-    dct_basis_int), so there is no cross-engine cosine to disagree
-    on; the double sum is the direct O(64²) DCT definition, an
-    independent formulation of the engine's matrix product (equal by
-    integer associativity)."""
+def _dct_from_px_ctes() -> str:
+    """Shared m46/m51 oracle fragment: the pixels→pHash half of the
+    DCT perceptual hash as WITH-body CTEs — expects an upstream CTE
+    ``px(doc_id, v)`` with ``v`` the 64-entry pixel-byte list, ends in
+    ``ph(doc_id, dct_hash)``. The integer basis is generated once in
+    Python and inlined as the SAME literals the engine multiplies by
+    (multimodal.dct_basis_int), so there is no cross-engine cosine to
+    disagree on; the double sum is the direct O(64²) DCT definition,
+    an independent formulation of the engine's matrix product (equal
+    by integer associativity)."""
     basis = multimodal.dct_basis_int().tolist()
     b_lit = (
         "[" + ", ".join("[" + ", ".join(map(str, row)) + "]" for row in basis) + "]"
     )
     return f"""
-        WITH h AS (
-            SELECT doc_id,
-                   md5(COALESCE(text, ''))
-                   || md5(COALESCE(text, '') || '1')
-                   || md5(COALESCE(text, '') || '2')
-                   || md5(COALESCE(text, '') || '3') AS hx
-            FROM documents
-        ),
-        px AS (
-            SELECT doc_id,
-                   list_transform(range(64), k -> {_hex_byte("k")}) AS v
-            FROM h
-        ),
         bm AS (SELECT {b_lit} AS b),
         cf AS (
             SELECT doc_id,
@@ -8183,14 +8171,44 @@ def _dct_oracle() -> str:
             SELECT doc_id, coef,
                    list_sort(coef[2:64])[32] AS med
             FROM cf
+        ),
+        ph AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(1, 64), q ->
+                       CASE WHEN coef[q + 1] > med
+                            THEN CAST(1 AS BIGINT) << (q - 1)
+                            ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+                       AS dct_hash
+            FROM md
         )
-        SELECT doc_id,
-               CAST(list_sum(list_transform(range(1, 64), q ->
-                   CASE WHEN coef[q + 1] > med
-                        THEN CAST(1 AS BIGINT) << (q - 1)
-                        ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
-                   AS dct_hash
-        FROM md
+    """
+
+
+def _dct_oracle() -> str:
+    """m46 oracle: the ENTIRE pHash — 64 pixel bytes from hex
+    arithmetic, fixed-point 2-D DCT, median threshold — replayed in
+    SQL. The integer basis is generated once in Python and inlined as
+    the SAME literals the engine multiplies by (multimodal.
+    dct_basis_int), so there is no cross-engine cosine to disagree
+    on; the double sum is the direct O(64²) DCT definition, an
+    independent formulation of the engine's matrix product (equal by
+    integer associativity)."""
+    return f"""
+        WITH h AS (
+            SELECT doc_id,
+                   md5(COALESCE(text, ''))
+                   || md5(COALESCE(text, '') || '1')
+                   || md5(COALESCE(text, '') || '2')
+                   || md5(COALESCE(text, '') || '3') AS hx
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id,
+                   list_transform(range(64), k -> {_hex_byte("k")}) AS v
+            FROM h
+        ),
+        {_dct_from_px_ctes()}
+        SELECT doc_id, dct_hash FROM ph
         ORDER BY doc_id
     """
 
@@ -9197,6 +9215,150 @@ def d116_interleaved_bin_audit(
             ).cast("long").alias("media_tokens"),
         )
         .orderBy("source", "bin_id")
+    )
+
+
+@register(
+    "m51_phash_near_dup",
+    "IMAGE NEAR-dup pairs via banded perceptual-hash LSH — the "
+    "multimodal analogue of the MinHash band trick (d26), over the "
+    "m46 DCT pHash: every image's 64-bit spectrum hash splits into "
+    "4 x 16-bit BANDS, candidates are pairs sharing ANY band "
+    "(equi-join on (band, value) — never all-pairs: two images are "
+    "compared only if 16 consecutive hash bits agree exactly), and "
+    "candidates verify by HAMMING distance <= 10 (bit_count of the "
+    "XOR — integer-exact on both engines). The fixture plants "
+    "near-dup twins (every 25th document re-rasterized with its "
+    "first four pixel bytes +48 — a local brightness edit, the "
+    "re-encode/crop-ish perturbation pHash exists to survive), and "
+    "the banding finds 16 of the 20 at sf0.01 with Hamming spread "
+    "0-10 — honest LSH recall, deterministically replayed: the "
+    "oracle re-derives pixels, DCT, hash, bands, candidates, and "
+    "Hamming from hex arithmetic and the shared basis literals. At "
+    "100 TB: hashing is one Arrow scan (8 bytes out per image), "
+    "banding shuffles 4 (band, bval) ints per image, and each "
+    "candidate pair carries two longs — payload bytes never join "
+    "(operators/multimodal.dct_phash; bands mirror dedup.py's "
+    "MinHash-LSH banding).",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   md5(COALESCE(text, ''))
+                   || md5(COALESCE(text, '') || '1')
+                   || md5(COALESCE(text, '') || '2')
+                   || md5(COALESCE(text, '') || '3') AS hx
+            FROM documents
+        ),
+        px0 AS (
+            SELECT doc_id,
+                   list_transform(range(64), k -> {_hex_byte("k")}) AS v
+            FROM h
+        ),
+        px AS (
+            SELECT doc_id, v FROM px0
+            UNION ALL
+            SELECT doc_id + 10000000,
+                   list_transform(range(64), k ->
+                       CASE WHEN k < 4 THEN (v[k + 1] + 48) % 256
+                            ELSE v[k + 1] END)
+            FROM px0 WHERE doc_id % 25 = 0
+        ),
+        {_dct_from_px_ctes()},
+        bd AS (
+            SELECT doc_id, dct_hash, b,
+                   (dct_hash >> (16 * b)) & 65535 AS bval
+            FROM ph CROSS JOIN (
+                SELECT CAST(unnest(range(4)) AS INT) AS b
+            )
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.dct_hash AS h_a, b.dct_hash AS h_b
+            FROM bd a JOIN bd b
+              ON a.b = b.b AND a.bval = b.bval
+             AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(h_a, h_b)) <= 10
+        ORDER BY id_a, id_b
+    """,
+    category="multimodal",
+)
+def m51_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def hashes(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                base = (t or "").encode()
+                d = b"".join(
+                    hashlib.md5(base + suf).digest()
+                    for suf in (b"", b"1", b"2", b"3")
+                )
+                v = np.frombuffer(d, dtype=np.uint8).astype(np.int64)
+                did = None if pd.isna(doc_id) else int(doc_id)
+                rows.append(
+                    (did, int(multimodal.dct_phash(v.reshape(8, 8))))
+                )
+                if did is not None and did % 25 == 0:
+                    w = v.copy()
+                    w[:4] = (w[:4] + 48) % 256
+                    rows.append(
+                        (
+                            did + 10_000_000,
+                            int(multimodal.dct_phash(w.reshape(8, 8))),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "dct_hash"])
+
+    ph = docs.mapInPandas(hashes, "doc_id long, dct_hash long")
+    bands = ph.select(
+        "doc_id",
+        "dct_hash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("dct_hash", 16 * b).bitwiseAND(
+                        F.lit(65535)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bval"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.dct_hash").alias("h_a"),
+            F.col("b.dct_hash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= 10)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
     )
 
 

@@ -2462,3 +2462,26 @@ def test_bucketed_compaction_collapses_files_and_keeps_pruning(
     n_terms = len({t for _, t in BM25_SERVE_QUERIES})
     assert int(m.group(2)) == 32 and int(m.group(1)) <= n_terms
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_phash_near_dup_finds_planted_twins(spark, sf_dir):
+    """The m51 recall story stated in its docstring: the banded LSH
+    must find MOST of the planted brightness-edit twins (>= 60%, each
+    at Hamming <= 10), and every reported pair must verify — no pair
+    above the threshold leaks through banding. Missing a few twins is
+    honest LSH recall (a twin whose edit flipped bits in all four
+    bands is invisible to banding BY DESIGN), not a defect."""
+    from etl_example_spark.plans.registry import load_all
+
+    rows = (
+        load_all()["m51_phash_near_dup"]
+        .spark_builder(spark, sf_dir)
+        .collect()
+    )
+    assert all(r.hamming <= 10 for r in rows)
+    twins = [r for r in rows if r.id_b - r.id_a == 10_000_000]
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    n_planted = sum(1 for i in range(n_docs) if i % 25 == 0)
+    assert len(twins) >= 0.6 * n_planted, (len(twins), n_planted)
