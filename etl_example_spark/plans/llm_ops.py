@@ -9366,32 +9366,16 @@ _DSIR_DIM = 256
 _DSIR_BINS = 1024
 
 
-@register(
-    "d117_dsir_select",
-    "DSIR data selection (Xie et al., 'Data Selection for Language "
-    "Models via Importance Resampling', NeurIPS 2023 — the standard "
-    "target-domain selection move production pretraining sets use): "
-    "fit two add-one-smoothed multinomials over HASHED N-GRAM features "
-    "(unigrams + adjacent bigrams, md5 buckets, dim=256) — p_target on "
-    "the trusted slice (lang='en'), p_raw on the full pool — then "
-    "score every document with the integer micro-nat log importance "
-    "ratio log w = Σ_grams (ln p_t[b] − ln p_r[b]) and select k=100 "
-    "docs by GUMBEL-TOP-K (key = log w + discretized Gumbel noise "
-    "from md5('g:'||doc_id) — sampling WITHOUT replacement "
-    "proportionally to the importance weights, the paper's §2 "
-    "estimator, made deterministic and hash-verifiable). Fit IS "
-    "counting: two partial-aggregating n-gram passes ending in "
-    "dim-row MODEL-sized collects; scoring + noise are pure in-row "
-    "literal-array folds (zero joins/shuffles — a 100 TB scoring pass "
-    "is map-only); selection is TakeOrderedAndProject (a top-k heap, "
-    "never a global sort). The oracle replays the ENTIRE chain — "
-    "tokenize, bigram, hash, both fits on the full bucket grid, the "
-    "per-row Gumbel quantile −ln(−ln((bin+.5)/1024)) with its own "
-    "transcendentals, and the ranking (operators/text.{"
-    "hashed_ngram_stream,dsir_delta_train,dsir_logweight,"
-    "gumbel_micro}).",
-    oracle=f"""
-        WITH lab AS (
+def _dsir_fit_ctes() -> str:
+    """Shared d117/st63 oracle fragment: the DSIR FIT replayed as
+    WITH-body CTEs over the documents table — tokenize, adjacent
+    bigrams, md5 bucket hash, both add-one-smoothed multinomials
+    (target = lang='en', raw = full pool) on the full bucket grid
+    with the micro-nat rounding discipline — ending in ``dl(ds)``,
+    the dense per-bucket delta list, plus ``ng(doc_id, lang, grams)``
+    for downstream scoring."""
+    return f"""
+        lab AS (
             SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents
         ),
         ng AS (
@@ -9435,13 +9419,49 @@ _DSIR_BINS = 1024
             LEFT JOIN tc ON tc.bucket = g.bucket
             LEFT JOIN rc ON rc.bucket = g.bucket
         ),
-        dl AS (SELECT list(d ORDER BY bucket) AS ds FROM delta),
+        dl AS (SELECT list(d ORDER BY bucket) AS ds FROM delta)
+    """
+
+
+#: Per-document integer micro-nat log importance weight from the fitted
+#: delta list — the in-SQL twin of operators/text.dsir_logweight,
+#: folded over ng.grams (expects ng aliased as ``n`` and dl in scope).
+_DSIR_LW_SQL = (
+    "CAST(COALESCE(list_sum(list_transform(n.grams, "
+    "zz_g -> dl.ds[CAST(('0x' || substr(md5(zz_g), 1, 8)) AS BIGINT) "
+    f"% {_DSIR_DIM} + 1])), 0) AS BIGINT)"
+)
+
+
+@register(
+    "d117_dsir_select",
+    "DSIR data selection (Xie et al., 'Data Selection for Language "
+    "Models via Importance Resampling', NeurIPS 2023 — the standard "
+    "target-domain selection move production pretraining sets use): "
+    "fit two add-one-smoothed multinomials over HASHED N-GRAM features "
+    "(unigrams + adjacent bigrams, md5 buckets, dim=256) — p_target on "
+    "the trusted slice (lang='en'), p_raw on the full pool — then "
+    "score every document with the integer micro-nat log importance "
+    "ratio log w = Σ_grams (ln p_t[b] − ln p_r[b]) and select k=100 "
+    "docs by GUMBEL-TOP-K (key = log w + discretized Gumbel noise "
+    "from md5('g:'||doc_id) — sampling WITHOUT replacement "
+    "proportionally to the importance weights, the paper's §2 "
+    "estimator, made deterministic and hash-verifiable). Fit IS "
+    "counting: two partial-aggregating n-gram passes ending in "
+    "dim-row MODEL-sized collects; scoring + noise are pure in-row "
+    "literal-array folds (zero joins/shuffles — a 100 TB scoring pass "
+    "is map-only); selection is TakeOrderedAndProject (a top-k heap, "
+    "never a global sort). The oracle replays the ENTIRE chain — "
+    "tokenize, bigram, hash, both fits on the full bucket grid, the "
+    "per-row Gumbel quantile −ln(−ln((bin+.5)/1024)) with its own "
+    "transcendentals, and the ranking (operators/text.{"
+    "hashed_ngram_stream,dsir_delta_train,dsir_logweight,"
+    "gumbel_micro}).",
+    oracle=f"""
+        WITH {_dsir_fit_ctes()},
         scored AS (
             SELECT n.doc_id,
-                   CAST(COALESCE(list_sum(list_transform(n.grams,
-                       zz_g -> dl.ds[CAST(('0x' || substr(md5(zz_g),
-                           1, 8)) AS BIGINT) % {_DSIR_DIM} + 1])),
-                       0) AS BIGINT) AS logw_micro,
+                   {_DSIR_LW_SQL} AS logw_micro,
                    CAST(('0x' || substr(md5('g:' ||
                        COALESCE(CAST(n.doc_id AS VARCHAR), '')), 1, 8))
                        AS BIGINT) % {_DSIR_BINS} AS bin

@@ -39,6 +39,9 @@ SQL_EXACT_VALUE_SUM = (
 
 # shared DuckDB fragments for the document-stream oracles
 from etl_example_spark.plans.llm_ops import (  # noqa: E402
+    _DSIR_DIM,
+    _DSIR_LW_SQL,
+    _dsir_fit_ctes,
     IVF_FULL_ASSIGN_ORACLE,
     JACCARD_COND,
     PQ_FULL_ENCODE_ORACLE,
@@ -1533,6 +1536,66 @@ def st62_stream_index_compaction(
         .select("vec_id", "j", "code")
         .orderBy("vec_id", "j")
     )
+
+
+@register(
+    "st63_stream_dsir_gate",
+    "STREAMING DSIR gate — data selection at ingest, the "
+    "offline-train / online-serve split (the st55 discipline applied "
+    "to the d117 importance model): the hashed-n-gram delta model "
+    "fits ONCE on the static corpus (two model-sized counting "
+    "passes), then ships into the stream plan as a FROZEN literal "
+    "array; every arriving document scores its integer micro-nat log "
+    "importance weight IN-ROW (operators/text.dsir_logweight — "
+    "stateless, zero joins, zero per-row state store; the only state "
+    "is the complete-mode rollup) and gates on logw > 0 (more "
+    "target-like than pool-like). Because scoring is stateless "
+    "per-row arithmetic, stream-scored == batch-scored is a LAW, and "
+    "the oracle replays fit, scoring, gate, and the per-language "
+    "decision rollup from the same parquet the stream drains.",
+    oracle=f"""
+        WITH {_dsir_fit_ctes()},
+        scored AS (
+            SELECT n.lang, {_DSIR_LW_SQL} AS lw
+            FROM ng n CROSS JOIN dl
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN lw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(COALESCE(SUM(CASE WHEN lw > 0 THEN lw END), 0)
+                   AS BIGINT) AS kept_logw_sum
+        FROM scored
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    category="streaming",
+)
+def st63_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators import text
+    from etl_example_spark.sources.loaders import load_table
+    from etl_example_spark.streaming.sources import read_documents_stream
+
+    static = load_table(spark, sf_dir, "documents")
+    delta = text.dsir_delta_train(
+        static.filter(F.col("lang") == "en"), static, dim=_DSIR_DIM
+    )
+    stream = read_documents_stream(spark, sf_dir)
+    scored = stream.select(
+        "lang", text.dsir_logweight(delta, dim=_DSIR_DIM).alias("lw")
+    )
+    agg = scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("lw") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.coalesce(F.sum(F.when(F.col("lw") > 0, F.col("lw"))), F.lit(0))
+        .cast("long")
+        .alias("kept_logw_sum"),
+    )
+    return run_to_memory(agg, output_mode="complete").orderBy("lang")
 
 
 @register(
