@@ -300,6 +300,13 @@ SHOW = {
         "probe reads only the buckets its terms hash into; no "
         "exchange on the postings side before the score fold."
     ),
+    "m51_phash_near_dup": (
+        "Banded pHash LSH: ONE Arrow mapInPandas scan emits 8 bytes "
+        "per image; candidates come from an EQUI-join on (band, "
+        "value) — no cross join anywhere in the plan — and the "
+        "Hamming verify is in-row bit_count over the joined longs; "
+        "payload bytes never reach an exchange."
+    ),
     "d117_dsir_select": (
         "DSIR selection: ONE column-pruned documents scan; importance "
         "scoring and Gumbel noise are literal-array folds inside the "
