@@ -276,6 +276,82 @@ def ivf_assign(
     return ivf_assign_with_centroids(embeddings, centroids, id_col, vec_col)
 
 
+def semdedup(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication with the pairwise work BOUNDED by coarse clusters.
+    Assign every vector to its nearest centroid (:func:`ivf_assign` /
+    :func:`ivf_assign_with_centroids`), compare pairs ONLY within a
+    cluster, and inside each duplicate pair keep the vector LESS
+    similar to its cluster centroid (the paper's diversity-preserving
+    keep rule — near-centroid redundancy is what gets dropped), ties
+    to the lower id. A vector is removed iff SOME same-cluster
+    neighbor with rounded cosine ≥ ``threshold`` dominates it
+    ((c_sim, id) greater under the keep rule) — a single EXISTS, no
+    transitive closure, so the decision is order-free and replayable.
+
+    Scale shape: the global all-pairs O(n²) becomes one equi-join ON
+    THE CLUSTER KEY — Σ|cluster|² comparisons, shuffle keyed by
+    centroid_id. At 100 TB the cluster count scales with the corpus
+    (FAISS-style sqrt(n) cells) keeping cells ~constant-sized; a
+    pathological mega-cluster is the same skew problem as any hot key
+    (salt the pair join or cap per-cell membership upstream). Zero-norm
+    vectors carry a NULL centroid and are always kept — the equi-join
+    drops NULL keys so they never pair.
+
+    Returns (id, centroid_id, c_sim, keep) for EVERY input row — the
+    full decision table, not just the survivors, so the gate is
+    auditable (the d45/d100 discipline)."""
+    assign = (
+        ivf_assign(embeddings, n_centroids, id_col, vec_col)
+        if centroids is None
+        else ivf_assign_with_centroids(embeddings, centroids, id_col, vec_col)
+    )
+    a = assign.select(
+        F.col(id_col).alias("_id_a"),
+        F.col(vec_col).alias("_vec_a"),
+        F.col("centroid_id").alias("_cell"),
+        F.col("c_sim").alias("_sim_a"),
+    )
+    b = assign.select(
+        F.col(id_col).alias("_id_b"),
+        F.col(vec_col).alias("_vec_b"),
+        F.col("centroid_id").alias("_cell"),
+        F.col("c_sim").alias("_sim_b"),
+    )
+    removed = (
+        a.join(b, "_cell")
+        .filter(F.col("_id_a") != F.col("_id_b"))
+        .filter(F.round(cosine("_vec_a", "_vec_b"), 6) >= threshold)
+        .filter(
+            (F.col("_sim_a") > F.col("_sim_b"))
+            | (
+                (F.col("_sim_a") == F.col("_sim_b"))
+                & (F.col("_id_a") > F.col("_id_b"))
+            )
+        )
+        .select(F.col("_id_a").alias(id_col))
+        .distinct()
+    )
+    return (
+        assign.join(
+            removed.withColumn("_removed", F.lit(True)), id_col, "left"
+        )
+        .select(
+            id_col,
+            "centroid_id",
+            "c_sim",
+            F.coalesce(~F.col("_removed"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def ivf_append(
     assignments: DataFrame,
     new_vectors: DataFrame,
@@ -497,6 +573,72 @@ def ivf_topk(
         )
         .orderBy(F.desc("cosine_sim"), "neighbor_id")
         .limit(k)
+    )
+
+
+def ivf_topk_batch(
+    queries: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve a BATCH of queries from the stored IVF index — the
+    many-query form of :func:`ivf_topk`'s artifact path, the shape a
+    streaming serve loop needs (st64): each arriving micro-batch of
+    queries probes the stored (centroids, assignments) pair; the
+    indexed corpus is never re-assigned. Per batch: queries × centroid
+    block (broadcast — tiny both sides) picks each query's ``nprobe``
+    cells, one equi-join on the CELL KEY pulls only those cells'
+    members from the assignment artifact (write the artifact
+    partitioned by centroid_id and the broadcast join's dynamic
+    partition pruning skips the other cells' files — the s57
+    SelectedBucketsCount discipline for vectors), then the exact
+    rerank touches candidates only. Zero-norm queries and zero-norm
+    candidates are filtered explicitly (cosine NULL), so NULL-ordering
+    never reaches a window sort — both engines replay rank-for-rank.
+
+    Returns (query_id, neighbor_id, cosine_sim, rk), rk 1..k per
+    query, ties broken by neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    cents = centroids.select(
+        F.col(centroids.columns[0]).alias("centroid_id"),
+        F.col(centroids.columns[1]).alias("centroid_vec"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("q_sim"), F.asc("centroid_id")
+    )
+    probe_cells = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "query_vec",
+            "centroid_id",
+            F.round(cosine("query_vec", "centroid_vec"), 6).alias("q_sim"),
+        )
+        .filter(F.col("q_sim").isNotNull())
+        .withColumn("_rk", F.row_number().over(w_probe))
+        .filter(F.col("_rk") <= nprobe)
+        .select("query_id", "query_vec", "centroid_id")
+    )
+    w_rerank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        assignments.join(F.broadcast(probe_cells), "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(vec_col, "query_vec"), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim").isNotNull())
+        .withColumn("rk", F.row_number().over(w_rerank))
+        .filter(F.col("rk") <= k)
     )
 
 

@@ -183,3 +183,99 @@ CMS_HEAVY_HITTERS_ORACLE = """
     FROM est
     ORDER BY exact_count DESC, item
 """
+
+
+def hll_ranks(
+    items: DataFrame,
+    item_col: str = "item",
+    carry: tuple[str, ...] = (),
+    bucket_hex: int = 2,
+) -> DataFrame:
+    """Per-item HyperLogLog observation (Flajolet et al. 2007): hash
+    the item with md5, split the digest into a bucket index (the first
+    ``bucket_hex`` hex digits — m = 16^bucket_hex buckets) and a 48-bit
+    rank window (the next 12 hex digits), and emit rank = position of
+    the window's first 1-bit (leading zeros + 1; all-zero window
+    saturates at 49). Everything is integer arithmetic over the
+    portable md5 digest, so the DuckDB oracle re-derives every rank
+    from the same hex — the d78 count-min determinism contract applied
+    to distinct counting. ``carry`` names pass-through columns (e.g. a
+    shard key for per-shard sketches)."""
+    h = F.md5(F.col(item_col))
+    w = F.conv(F.substring(h, bucket_hex + 1, 12), 16, 10).cast("long")
+    return items.select(
+        *[F.col(c) for c in carry],
+        F.conv(F.substring(h, 1, bucket_hex), 16, 10)
+        .cast("int")
+        .alias("bucket"),
+        F.when(w == 0, F.lit(49))
+        .otherwise(F.lit(49) - F.length(F.bin(w)))
+        .cast("int")
+        .alias("rank"),
+    )
+
+
+def hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias constant α_m (table values for small
+    m, the asymptotic formula otherwise)."""
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)
+    )
+
+
+def hll_registers(
+    ranks: DataFrame, spark=None, m: int = 256
+) -> DataFrame:
+    """Fold rank observations into the dense m-row register table
+    (max rank per bucket; never-hit buckets hold 0). MAX is the whole
+    state — idempotent and commutative, which is exactly why HLL
+    sketches merge: max(merge of per-shard maxes) == global max. The
+    shuffle is m rows wide regardless of corpus size."""
+    spark = spark or ranks.sparkSession
+    got = ranks.groupBy("bucket").agg(F.max("rank").alias("register"))
+    dense = spark.range(m).select(F.col("id").cast("int").alias("bucket"))
+    return dense.join(got, "bucket", "left").select(
+        "bucket",
+        F.coalesce("register", F.lit(0)).cast("int").alias("register"),
+    )
+
+
+def hll_estimate_cols() -> list[Column]:
+    """Scalar estimate columns over an aggregated register table
+    (expects ``register`` values; call under a global agg). S is the
+    EXACT integer Σ 2^(49−register) — the harmonic-mean denominator
+    scaled by 2^49 so it stays a bigint. S can exceed 2^53, but the
+    int64→double conversion is IEEE round-to-nearest in both the JVM
+    (JLS 5.1.2) and libstdc++, so the raw estimate α_m·m²·2^49/S is
+    bit-identical across engines when the oracle mirrors the
+    operation order."""
+    s = F.sum(
+        F.expr("shiftleft(CAST(1 AS BIGINT), 49 - register)")
+    ).alias("s_num")
+    v = F.sum(
+        F.when(F.col("register") == 0, F.lit(1)).otherwise(F.lit(0))
+    ).alias("n_zero")
+    return [s, v]
+
+
+def hll_estimate_expr(m: int = 256) -> Column:
+    """Rounded cardinality estimate from (s_num, n_zero). The
+    small-range branch (raw E ≤ 2.5m with empty buckets) is Flajolet's
+    linear counting m·ln(m/V); ln is the one libm call in the whole
+    sketch, so the estimate is rounded to 4 decimals to absorb
+    last-ulp divergence between java.lang.Math.log and libm log. The
+    α_m·m² factor is pre-multiplied driver-side; since m is a power of
+    two the product is an exact scaling of α_m and the oracle's
+    runtime ``α × m²`` multiply lands on the identical double."""
+    raw = (
+        F.lit(hll_alpha(m) * m * m)
+        * F.lit(float(1 << 49))
+        / F.col("s_num").cast("double")
+    )
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero"))
+    return F.round(
+        F.when(
+            (raw <= F.lit(2.5 * m)) & (F.col("n_zero") > 0), linear
+        ).otherwise(raw),
+        4,
+    )

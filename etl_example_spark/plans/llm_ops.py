@@ -8667,7 +8667,7 @@ def _contam_cell_sql(bench_src: str, n: int) -> str:
                    AS contaminated_tokens
         FROM (
             WITH t AS (
-                SELECT doc_id, source, {{SQL_TOKS}} AS toks
+                SELECT doc_id, source, {SQL_TOKS} AS toks
                 FROM documents
             ),
             bs AS (
@@ -9600,3 +9600,455 @@ def g04_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same vertex-set filter as the oracle's ev CTE (user/ts non-null)
     nodes = graph.event_graph_nodes(events, node)
     return graph.label_propagation(edges, nodes, iters=2).orderBy("node")
+
+
+#: Full SemDeDup decision table replayed from scratch: seed the 16
+#: lowest-id vectors as coarse centroids, assign every vector (rounded
+#: cosine argmax, ties to the lower centroid id, zero-norm -> NULL
+#: cell), pair ONLY within a cell, and remove a vector iff some
+#: same-cell neighbor at rounded cosine >= 0.4 dominates it under the
+#: paper's keep rule (keep the vector LESS similar to its centroid;
+#: ties keep the lower id).
+SEMDEDUP_ORACLE = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS centroid_id, v AS cv
+        FROM e ORDER BY vec_id LIMIT 16
+    ),
+    sims AS (
+        SELECT e.vec_id, c.centroid_id,
+               CASE WHEN list_aggregate(
+                        list_transform(e.v, x -> x*x), 'sum') = 0
+                    THEN NULL
+                    ELSE ROUND(list_cosine_similarity(e.v, c.cv), 6)
+               END AS c_sim
+        FROM e CROSS JOIN cents c
+    ),
+    best AS (
+        SELECT vec_id, centroid_id, c_sim FROM (
+            SELECT vec_id, centroid_id, c_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY c_sim DESC, centroid_id
+                   ) AS rk
+            FROM sims WHERE c_sim IS NOT NULL
+        ) WHERE rk = 1
+    ),
+    asg AS (
+        SELECT e.vec_id, e.v, b.centroid_id, b.c_sim
+        FROM e LEFT JOIN best b USING (vec_id)
+    ),
+    removed AS (
+        SELECT DISTINCT x.vec_id
+        FROM asg x JOIN asg y
+          ON x.centroid_id = y.centroid_id AND x.vec_id != y.vec_id
+        WHERE ROUND(list_cosine_similarity(x.v, y.v), 6) >= 0.4
+          AND (x.c_sim > y.c_sim
+               OR (x.c_sim = y.c_sim AND x.vec_id > y.vec_id))
+    )
+    SELECT a.vec_id, a.centroid_id, a.c_sim,
+           (r.vec_id IS NULL) AS keep
+    FROM asg a LEFT JOIN removed r USING (vec_id)
+    ORDER BY a.vec_id
+"""
+
+
+@register(
+    "s70_semdedup",
+    "SemDeDup (Abbas et al. 2023) cluster-partitioned semantic "
+    "deduplication: coarse-assign every embedding to its nearest of 16 "
+    "seeded centroids, compare pairs ONLY within a cluster (one "
+    "equi-join on the cell key — Sigma |cell|^2 comparisons, never the "
+    "global n^2 cross join s44's exact-pairs form pays), and inside "
+    "each >=0.4-cosine duplicate pair keep the vector LESS similar to "
+    "its cluster centroid (the paper's diversity-preserving rule, ties "
+    "to the lower id). Output is the FULL per-vector decision table "
+    "(cell, centroid-sim, keep), not just survivors — the d45/d100 "
+    "auditable-gate discipline (operators/similarity.semdedup). The "
+    "oracle replays assignment, intra-cell pairing, and the dominance "
+    "EXISTS from scratch in SQL, so the hash match certifies the whole "
+    "decision table.",
+    oracle=SEMDEDUP_ORACLE,
+    category="similarity",
+)
+def s70_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup(emb, n_centroids=16, threshold=0.4).orderBy(
+        "vec_id"
+    )
+
+
+#: Global HLL registers recomputed from scratch (no shards): bucket =
+#: first two md5 hex digits (m = 256), 48-bit rank window from hex
+#: digits 3–14, rank = leading zeros + 1 (all-zero window saturates at
+#: 49), register = max rank per bucket over ALL documents, dense 256
+#: rows. The Spark side builds PER-SHARD sketches (doc_id % 4) and
+#: merges them with a cell-wise MAX, so the hash match IS the merge
+#: law: merge of shard sketches == sketch of the union. Estimate
+#: arithmetic mirrors the engine expression shape operation for
+#: operation (exact-integer harmonic denominator; 0.7182725932495458
+#: is repr(α_256) and × 65536 is an exact power-of-two scaling, so the
+#: runtime multiply lands on the same double the engine pre-multiplies
+#: driver-side; ln in the linear-counting branch is absorbed by
+#: ROUND(·, 4)).
+HLL_DISTINCT_ORACLE = """
+    WITH d AS (
+        SELECT md5(COALESCE(text, '')) AS h FROM documents
+    ),
+    r AS (
+        SELECT CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1
+                    AS INT) * 16
+               + CAST(strpos('0123456789abcdef', substr(h, 2, 1)) - 1
+                      AS INT) AS bucket,
+               CAST(list_sum(list_transform(range(12), i ->
+                   CAST(strpos('0123456789abcdef',
+                               substr(h, CAST(i AS INT) + 3, 1)) - 1
+                        AS BIGINT)
+                   * (CAST(1 AS BIGINT) << CAST(4 * (11 - i) AS INT))
+               )) AS BIGINT) AS w
+        FROM d
+    ),
+    rk AS (
+        SELECT bucket,
+               CASE WHEN w = 0 THEN 49
+                    ELSE 49 - length(bin(w)) END AS rank
+        FROM r
+    ),
+    regs AS (
+        SELECT CAST(b.bucket AS INT) AS bucket,
+               CAST(COALESCE(MAX(rk.rank), 0) AS INT) AS register
+        FROM (SELECT unnest(range(256)) AS bucket) b
+        LEFT JOIN rk ON rk.bucket = b.bucket
+        GROUP BY b.bucket
+    ),
+    est AS (
+        SELECT CAST(SUM(CAST(1 AS BIGINT) << (49 - register))
+                    AS BIGINT) AS s_num,
+               CAST(SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_zero
+        FROM regs
+    )
+    SELECT regs.bucket, regs.register, est.s_num, est.n_zero,
+           ROUND(CASE WHEN (CAST(0.7182725932495458 AS DOUBLE)
+                            * CAST(65536 AS DOUBLE)
+                            * CAST((CAST(1 AS BIGINT) << 49) AS DOUBLE)
+                            / CAST(est.s_num AS DOUBLE)) <= 640.0
+                       AND est.n_zero > 0
+                      THEN CAST(256 AS DOUBLE)
+                           * ln(CAST(256 AS DOUBLE)
+                                / CAST(est.n_zero AS DOUBLE))
+                      ELSE CAST(0.7182725932495458 AS DOUBLE)
+                           * CAST(65536 AS DOUBLE)
+                           * CAST((CAST(1 AS BIGINT) << 49) AS DOUBLE)
+                           / CAST(est.s_num AS DOUBLE)
+                 END, 4) AS estimate
+    FROM regs CROSS JOIN est
+    ORDER BY regs.bucket
+"""
+
+
+@register(
+    "d118_hll_distinct",
+    "HyperLogLog distinct-text sketch WITH the shard-merge law "
+    "externally certified: each of 4 shards (doc_id % 4) folds its "
+    "documents into a 256-register sketch (max md5-rank per bucket — "
+    "operators/sketches.hll_ranks), the shard sketches merge by "
+    "cell-wise MAX, and the oracle recomputes the registers GLOBALLY "
+    "from scratch — the hash match proves merge(shard sketches) == "
+    "sketch(union), the property that lets 100 TB distinct counts "
+    "reduce to 16 integers per partition with no raw-key shuffle "
+    "(unlike q22's builtin HLL++, every register and the estimate "
+    "itself are portable integer/IEEE arithmetic, replayed exactly). "
+    "Output: dense registers + exact harmonic denominator + the "
+    "Flajolet estimate (linear-counting branch included).",
+    oracle=HLL_DISTINCT_ORACLE,
+    category="dedup",
+)
+def d118_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 4).alias("shard"),
+        F.coalesce("text", F.lit("")).alias("item"),
+    )
+    ranks = sketches.hll_ranks(docs, carry=("shard",))
+    shard_regs = ranks.groupBy("shard", "bucket").agg(
+        F.max("rank").alias("register")
+    )
+    merged = shard_regs.groupBy("bucket").agg(
+        F.max("register").alias("register")
+    )
+    dense = (
+        spark.range(256)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .join(merged, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("register", F.lit(0)).cast("int").alias("register"),
+        )
+    )
+    est = (
+        dense.agg(*sketches.hll_estimate_cols())
+        .withColumn("estimate", sketches.hll_estimate_expr())
+    )
+    return dense.crossJoin(F.broadcast(est)).orderBy("bucket")
+
+
+#: Frame-fingerprint replay: each document is a synthetic 6-frame video
+#: whose frame k carries content fingerprint md5(text || '|' || k); every
+#: 25th document also plants a RE-CUT twin (id + 10^7) holding frames
+#: k = 2..7 — a head-trim + tail-extension, so original and twin share
+#: exactly 4 of their 8 distinct fingerprints (Jaccard 500 permille).
+#: Candidates are pairs sharing ANY frame fingerprint (equi-join on the
+#: fingerprint — never all-pairs), overlap/union/Jaccard are pure
+#: integer arithmetic.
+VIDEO_FRAME_NEAR_DUP_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, COALESCE(text, '') AS t FROM documents
+    ),
+    vids AS (
+        SELECT doc_id, t, 0 AS k0 FROM d
+        UNION ALL
+        SELECT doc_id + 10000000, t, 2 FROM d WHERE doc_id % 25 = 0
+    ),
+    fr AS (
+        SELECT doc_id,
+               unnest(list_transform(range(6), k ->
+                   md5(t || '|' || CAST(k + k0 AS VARCHAR)))) AS fhash
+        FROM vids
+    ),
+    sz AS (
+        SELECT doc_id, COUNT(*) AS n FROM fr GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               COUNT(*) AS shared
+        FROM fr a JOIN fr b
+          ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, shared,
+           sa.n + sb.n - shared AS uni,
+           CAST(shared * 1000 // (sa.n + sb.n - shared) AS BIGINT)
+               AS jaccard_permille
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE shared * 1000 // (sa.n + sb.n - shared) >= 300
+    ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "m52_video_near_dup",
+    "VIDEO near-dup pairs via frame-fingerprint overlap — the video "
+    "analogue of m51's image banding: each video is reduced to its "
+    "sampled frames' CONTENT fingerprints (order- and offset-free, so "
+    "a re-cut that trims the head and extends the tail still matches "
+    "on the surviving frames — here the fingerprint layer is "
+    "md5-derived per frame; hashing the real decoded frames is m47's "
+    "codec job and plugs in above this plan unchanged), candidate "
+    "pairs share ANY fingerprint (one equi-join on the fingerprint "
+    "key — never all-pairs; two videos are compared only if a whole "
+    "frame matches exactly), and candidates verify by integer-exact "
+    "Jaccard over the fingerprint sets (>= 300 permille). The fixture "
+    "plants a 2-frame-offset re-cut of every 25th video sharing 4 of "
+    "8 distinct frames — found at exactly 500 permille. At 100 TB: "
+    "fingerprinting is one scan emitting ~6 hashes per video, the "
+    "candidate join is keyed by fingerprint (a hot fingerprint — an "
+    "intro card shared by thousands of videos — is the usual hot-key "
+    "skew: cap per-fingerprint fan-out or salt, same playbook as "
+    "d26's bands), and pair verification carries two longs + counts.",
+    oracle=VIDEO_FRAME_NEAR_DUP_ORACLE,
+    category="multimodal",
+)
+def m52_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("t")
+    )
+    vids = docs.select("doc_id", "t", F.lit(0).alias("k0")).unionByName(
+        docs.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            "t",
+            F.lit(2).alias("k0"),
+        )
+    )
+    fr = vids.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(5)),
+                lambda k: F.md5(
+                    F.concat(
+                        F.col("t"),
+                        F.lit("|"),
+                        (k + F.col("k0")).cast("string"),
+                    )
+                ),
+            )
+        ).alias("fhash"),
+    )
+    sz = fr.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        fr.alias("a")
+        .join(
+            fr.alias("b"),
+            (F.col("a.fhash") == F.col("b.fhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        inter.join(sz.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(sz.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            (F.col("sa.n") + F.col("sb.n") - F.col("shared")).alias("uni"),
+        )
+        .withColumn(
+            "jaccard_permille", F.expr("(shared * 1000) div uni")
+        )
+        .filter(F.col("jaccard_permille") >= 300)
+        .orderBy("id_a", "id_b")
+    )
+
+
+#: The d25 exact-Jaccard universe at a 300-permille reporting floor,
+#: LEFT-joined against the d26 LSH candidate set, with the recall@600
+#: summary as a one-row sidecar — every number (including the recall
+#: itself) replayed exactly, so the certificate is a hash match, not a
+#: trust-me bound.
+MINHASH_CALIBRATION_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({SQL_SHINGLES3}) AS shingle FROM t),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+    ),
+    ex AS (
+        SELECT doc_a, doc_b,
+               CAST(i * 1000 // (sa.n + sb.n - i) AS BIGINT)
+                   AS jaccard_permille
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1000000 >= 300000 * (sa.n + sb.n - i)
+    ),
+    sig AS (
+        SELECT doc_id, s,
+               MIN(md5(CAST(s AS VARCHAR) || '|' || shingle)) AS mh
+        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS s) seeds
+        GROUP BY doc_id, s
+    ),
+    bands AS (
+        SELECT doc_id, s // 4 AS band_id,
+               md5(string_agg(mh, '|' ORDER BY s)) AS band_hash
+        FROM sig GROUP BY doc_id, s // 4
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    cal AS (
+        SELECT ex.doc_a, ex.doc_b, ex.jaccard_permille,
+               (c.doc_a IS NOT NULL) AS lsh_candidate
+        FROM ex LEFT JOIN cands c USING (doc_a, doc_b)
+    ),
+    s AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN jaccard_permille >= 600
+                                      THEN 1 END), 0) AS BIGINT)
+                   AS n_true,
+               CAST(COALESCE(SUM(CASE WHEN jaccard_permille >= 600
+                                       AND lsh_candidate
+                                      THEN 1 END), 0) AS BIGINT)
+                   AS n_caught
+        FROM cal
+    )
+    SELECT cal.doc_a, cal.doc_b, cal.jaccard_permille,
+           cal.lsh_candidate, s.n_true, s.n_caught,
+           CAST(CASE WHEN s.n_true = 0 THEN 1000
+                ELSE s.n_caught * 1000 // s.n_true END AS BIGINT)
+               AS recall_permille
+    FROM cal CROSS JOIN s
+    ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "d119_minhash_calibration",
+    "MinHash-LSH CALIBRATION certificate: the exact word-3-gram "
+    "Jaccard pair universe down to a 300-permille floor (d25's index "
+    "self-join, lower threshold) LEFT-joined against the MinHash(16)/"
+    "4-band candidate set (d26's banding), so every near-dup pair "
+    "carries its exact integer Jaccard AND whether the sub-quadratic "
+    "path would have found it — the measured detection curve that "
+    "justifies deploying d26 instead of d25 at 100 TB, where only the "
+    "banded path is affordable. recall@600 rides along as an exactly-"
+    "replayed one-row sidecar — 1000 permille at sf0.01, 992 at sf0.1 "
+    "(2 of 256 true pairs missed by every band, honest LSH fall-off "
+    "near the threshold, exactly what the calibration table exists to "
+    "expose). The whole table — pairs, flags, recall arithmetic — "
+    "hash-matches the oracle's independent replay; "
+    "tests/test_llm_ops.py pins the observed recall floor "
+    "(operators/dedup.jaccard_pairs / minhash_signatures / "
+    "lsh_candidate_pairs).",
+    oracle=MINHASH_CALIBRATION_ORACLE,
+    category="dedup",
+)
+def d119_minhash_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dedup.jaccard_pairs(docs, threshold=0.3, n=3).select(
+        "doc_a",
+        "doc_b",
+        F.expr(
+            "CAST((inter * 1000) div (size_a + size_b - inter) AS BIGINT)"
+        ).alias("jaccard_permille"),
+    )
+    sigs = dedup.minhash_signatures(docs, num_hashes=16, n=3)
+    cands = dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+    cal = exact.join(
+        cands.withColumn("_hit", F.lit(True)), ["doc_a", "doc_b"], "left"
+    ).select(
+        "doc_a",
+        "doc_b",
+        "jaccard_permille",
+        F.coalesce("_hit", F.lit(False)).alias("lsh_candidate"),
+    )
+    summary = cal.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("jaccard_permille") >= 600, 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_true"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("jaccard_permille") >= 600)
+                    & F.col("lsh_candidate"),
+                    1,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_caught"),
+    ).withColumn(
+        "recall_permille",
+        F.when(F.col("n_true") == 0, F.lit(1000).cast("long")).otherwise(
+            F.expr("CAST(n_caught * 1000 div n_true AS BIGINT)")
+        ),
+    )
+    return cal.crossJoin(F.broadcast(summary)).orderBy("doc_a", "doc_b")

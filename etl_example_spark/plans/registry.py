@@ -236,6 +236,23 @@ ROTATION_PRIORITY: tuple[str, ...] = (
     "st43_stream_cdc_apply",
 )
 
+#: Queries registered AFTER this round's driver window filled: the
+#: round-13 window is exactly full (6 sentinels + 29 rotation-priority
+#: + 15 never-verified new registrations = 50), and never-verified
+#: rank-2 ordering follows module import order (llm_ops before
+#: streaming_ops), so a late llm_ops registration would otherwise
+#: EVICT st61–st63 from their first external exposure. Names listed
+#: here rank behind the in-window never-verified set and take their
+#: first driver exposure next round (where they are plain rank-2 once
+#: this tuple is rotated out).
+LATE_REGISTRATIONS: tuple[str, ...] = (
+    "s70_semdedup",
+    "d118_hll_distinct",
+    "st64_stream_ivf_serve",
+    "m52_video_near_dup",
+    "d119_minhash_calibration",
+)
+
 
 def register(
     name: str,
@@ -294,7 +311,9 @@ def load_all() -> dict[str, Query]:
         if name in ROTATION_PRIORITY:
             return (1, ROTATION_PRIORITY.index(name))
         if name not in PRIOR_VERIFIED:
-            return (2, names.index(name))
+            if name in LATE_REGISTRATIONS:
+                return (2, (1, LATE_REGISTRATIONS.index(name)))
+            return (2, (0, names.index(name)))
         return (3, backlog_key(name))
 
     return {n: QUERIES[n] for n in sorted(names, key=rank)}

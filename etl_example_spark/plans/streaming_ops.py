@@ -2014,3 +2014,182 @@ def st60_stream_wet_files(
     )
     result = run_to_memory(agg, output_mode="complete", available_now=False)
     return result.orderBy("bucket")
+
+
+#: Batch replay of the FULL streaming IVF serve: corpus assignment
+#: from scratch (16 lowest-id centroids, rounded argmax, zero-norm
+#: corpus vectors drop — they are never candidates), every query
+#: (vec_id % 16 == 0, zero-norm queries drop) probes its top-2 cells
+#: (rounded centroid cosine, ties to the lower centroid id), and the
+#: exact rerank over ONLY those cells' members keeps top-5 (ties to
+#: the lower neighbor id). The streaming side answers each micro-batch
+#: of queries from the STORED artifacts; since every query arrives
+#: exactly once, the union of epoch outputs must hash-match this
+#: all-queries batch replay.
+IVF_BATCH_SERVE_ORACLE = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS centroid_id, v AS cv
+        FROM e ORDER BY vec_id LIMIT 16
+    ),
+    asims AS (
+        SELECT e.vec_id, c.centroid_id,
+               CASE WHEN list_aggregate(
+                        list_transform(e.v, x -> x*x), 'sum') = 0
+                    THEN NULL
+                    ELSE ROUND(list_cosine_similarity(e.v, c.cv), 6)
+               END AS c_sim
+        FROM e CROSS JOIN cents c
+    ),
+    asg AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY c_sim DESC, centroid_id
+                   ) AS rk
+            FROM asims WHERE c_sim IS NOT NULL
+        ) WHERE rk = 1
+    ),
+    qsims AS (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
+               CASE WHEN list_aggregate(
+                        list_transform(q.v, x -> x*x), 'sum') = 0
+                    THEN NULL
+                    ELSE ROUND(list_cosine_similarity(q.v, c.cv), 6)
+               END AS q_sim
+        FROM e q CROSS JOIN cents c
+        WHERE q.vec_id % 16 = 0
+    ),
+    probe AS (
+        SELECT query_id, qv, centroid_id FROM (
+            SELECT query_id, qv, centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY q_sim DESC, centroid_id
+                   ) AS rk
+            FROM qsims WHERE q_sim IS NOT NULL
+        ) WHERE rk <= 2
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(ev.v, p.qv), 6) AS cosine_sim
+        FROM probe p
+        JOIN asg a ON a.centroid_id = p.centroid_id
+        JOIN e ev ON ev.vec_id = a.vec_id
+        WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rk FROM (
+        SELECT query_id, neighbor_id, cosine_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, neighbor_id
+               ) AS INT) AS rk
+        FROM cand WHERE cosine_sim IS NOT NULL
+    ) WHERE rk <= 5
+    ORDER BY query_id, rk
+"""
+
+
+@register(
+    "st64_stream_ivf_serve",
+    "Streaming ANN SERVE from the stored IVF index — the query-side "
+    "twin of st49's maintenance: centroids and the cell-partitioned "
+    "assignment table are staged to parquet once (the artifact is "
+    "written partitionBy(centroid_id), so the per-batch cell join "
+    "prunes to the probed cells' files — the s57 bucket-pruning "
+    "discipline for vectors); each arriving micro-batch of queries "
+    "(vec_id % 16 == 0) probes its top-2 cells and exact-reranks only "
+    "their members (operators/similarity.ivf_topk_batch), writing one "
+    "epoch slice per batch (overwrite — idempotent under retry). The "
+    "corpus is NEVER re-assigned at query time. Every query arrives "
+    "exactly once, so the union of epoch outputs hash-matches the "
+    "oracle's all-queries batch replay: stream-served == batch-served "
+    "from the same artifact, externally verified.",
+    oracle=IVF_BATCH_SERVE_ORACLE,
+    category="streaming",
+)
+def st64_stream_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators import similarity
+    from etl_example_spark.sources.loaders import load_table
+    from etl_example_spark.streaming.sources import read_embeddings_stream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents_dir = _tempfile.mkdtemp(prefix="ivf_serve_quantizer_")
+    assign_dir = _tempfile.mkdtemp(prefix="ivf_serve_index_")
+    out_dir = _tempfile.mkdtemp(prefix="ivf_serve_out_")
+    (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        .write.mode("overwrite")
+        .parquet(cents_dir)
+    )
+    stored_cents = spark.read.parquet(cents_dir)
+    # zero-norm corpus vectors carry a NULL cell — they can never be
+    # probed candidates, so the serving artifact excludes them (the
+    # oracle's asg CTE drops them the same way)
+    (
+        similarity.ivf_assign_with_centroids(emb, stored_cents)
+        .filter(F.col("centroid_id").isNotNull())
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(assign_dir)
+    )
+
+    stream = read_embeddings_stream(
+        spark, sf_dir, max_files_per_trigger=1
+    ).filter(F.col("vec_id") % 16 == 0)
+
+    def read_index(s: SparkSession) -> DataFrame:
+        # a PARTITIONED write of an empty corpus emits no schema-bearing
+        # files (unlike the unpartitioned st49 seed), so an empty index
+        # artifact reads back as an explicit empty frame
+        try:
+            return s.read.parquet(assign_dir)
+        except Exception:  # noqa: BLE001 — empty artifact
+            return s.createDataFrame(
+                [],
+                "vec_id long, embedding array<float>, c_sim double, "
+                "centroid_id long",
+            )
+
+    def serve(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        cents = s.read.parquet(cents_dir)
+        similarity.ivf_topk_batch(
+            batch_df, cents, read_index(s), k=5, nprobe=2
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(serve)
+        .option(
+            "checkpointLocation",
+            _tempfile.mkdtemp(prefix="ckpt_ivf_serve_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    try:
+        served = spark.read.parquet(out_dir)
+    except Exception:  # noqa: BLE001 — no batch ever fired
+        served = spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rk int"
+        )
+    return served.select(
+        "query_id", "neighbor_id", "cosine_sim", "rk"
+    ).orderBy("query_id", "rk")

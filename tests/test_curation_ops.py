@@ -618,3 +618,45 @@ def test_intradoc_line_dedup_first_occurrence_order(spark):
     assert out[2] == (2, 1, "a")
     assert out[3] == (1, 1, "")  # split('') -> ['']
     assert out[4] == (1, 1, "")  # NULL text coalesces to ''
+
+
+def test_hll_merges_under_any_shard_split_and_bounds_error(spark):
+    """HLL registers must be identical no matter how the corpus is
+    sharded (cell-wise MAX merge == global build), and the m=256
+    estimate must land within the ~3σ relative-error window."""
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators.sketches import (
+        hll_estimate_cols,
+        hll_estimate_expr,
+        hll_ranks,
+        hll_registers,
+    )
+
+    df = spark.range(3000).select(
+        F.concat(F.lit("item-"), F.col("id").cast("string")).alias("item")
+    )
+    whole = hll_registers(hll_ranks(df), spark)
+
+    # 3-way split on a hash — different from d118's doc_id % 4 split
+    parts = [
+        df.filter(F.crc32("item") % 3 == i).select("item") for i in range(3)
+    ]
+    merged = (
+        hll_registers(hll_ranks(parts[0]), spark)
+        .unionByName(hll_registers(hll_ranks(parts[1]), spark))
+        .unionByName(hll_registers(hll_ranks(parts[2]), spark))
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+    est = (
+        whole.agg(*hll_estimate_cols())
+        .withColumn("estimate", hll_estimate_expr())
+        .collect()[0]["estimate"]
+    )
+    # σ ≈ 1.04/sqrt(256) ≈ 6.5% — allow 3σ
+    assert abs(est - 3000) / 3000 < 0.20, est

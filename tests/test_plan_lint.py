@@ -70,6 +70,9 @@ _CROSS_JOIN_BY_DESIGN = {
     "s68_bm25_bucketed_append",  # same serve path (broadcast df fold)
     "s69_bm25_bucketed_compaction",  # same serve path (broadcast fold)
     "m38_encode_then_search",  # broadcast query-vector block (brute force)
+    "s70_semdedup",  # broadcast centroid block for cell assignment
+    "d118_hll_distinct",  # broadcast one-row (s_num, n_zero) estimate
+    "d119_minhash_calibration",  # broadcast one-row recall sidecar
 }
 
 _BATCH = [n for n in REGISTRY if n not in _STREAMING]

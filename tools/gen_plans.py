@@ -349,6 +349,25 @@ SHOW = {
         "cumsum partitioned by source — no global sort, no "
         "single-partition exchange."
     ),
+    "s70_semdedup": (
+        "SemDeDup: the only corpus-sized joins are keyed by the "
+        "CLUSTER id (assignment's broadcast centroid block, then the "
+        "intra-cell pair equi-join) — Σ|cell|² comparisons, never the "
+        "global n² cross join; the removal set folds back as one "
+        "id-keyed left join."
+    ),
+    "d118_hll_distinct": (
+        "HLL distinct: one documents scan emits (shard, bucket, rank) "
+        "ints, two m-row-wide hash aggregates (per-shard build, "
+        "cell-wise MAX merge), and the estimate is a broadcast "
+        "one-row sidecar — no raw-key shuffle anywhere."
+    ),
+    "m52_video_near_dup": (
+        "Video frame-fingerprint near-dup: one scan fans each video "
+        "to 6 fingerprint rows; candidates come from an EQUI-join on "
+        "the fingerprint key (never all-pairs) and Jaccard is integer "
+        "arithmetic over pair counts — payloads never join."
+    ),
 }
 
 
