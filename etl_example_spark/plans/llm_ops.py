@@ -10052,3 +10052,147 @@ def d119_minhash_calibration(
         ),
     )
     return cal.crossJoin(F.broadcast(summary)).orderBy("doc_a", "doc_b")
+
+
+#: Global 128-bin histogram of per-document token counts built from
+#: scratch (bin = min(tokens div 8, 127)), cumulative counts via the
+#: triangular bin self-join (128 rows — no window, no single-partition
+#: exchange), quantile estimate = lower edge of the first bin whose
+#: cumulative count reaches ceil(q·N/1000), and the EXACT quantile
+#: re-derived from the value-level cumulative for the certificate
+#: columns. The Spark side builds PER-SHARD histograms (doc_id % 4)
+#: and merges by summing counts, so the hash match is the merge law
+#: (d118's discipline for the quantile sketch); the within_bin boolean
+#: is the certified |exact − estimate| < bin-width bound.
+HIST_QUANTILE_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, {SQL_NTOKS} AS v FROM documents
+    ),
+    hist AS (
+        SELECT LEAST(v // 8, 127) AS bin, COUNT(*) AS cnt
+        FROM d GROUP BY 1
+    ),
+    cum AS (
+        SELECT a.bin, SUM(b.cnt) AS cum
+        FROM hist a JOIN hist b ON b.bin <= a.bin
+        GROUP BY a.bin
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d),
+    qs AS (SELECT unnest([250, 500, 750, 900, 990]) AS q_permille),
+    tgt AS (
+        SELECT q_permille, n_docs,
+               CAST((q_permille * n_docs + 999) // 1000 AS BIGINT)
+                   AS target
+        FROM qs CROSS JOIN tot
+    ),
+    est AS (
+        SELECT q_permille, n_docs,
+               CAST(MIN(bin) * 8 AS BIGINT) AS est_lo
+        FROM tgt JOIN cum ON cum.cum >= tgt.target
+        GROUP BY 1, 2
+    ),
+    vcnt AS (SELECT v, COUNT(*) AS vc FROM d GROUP BY v),
+    vcum AS (
+        SELECT a.v, SUM(b.vc) AS cum_v
+        FROM vcnt a JOIN vcnt b ON b.v <= a.v
+        GROUP BY a.v
+    ),
+    ex AS (
+        SELECT q_permille, CAST(MIN(v) AS BIGINT) AS exact_q
+        FROM tgt JOIN vcum ON vcum.cum_v >= tgt.target
+        GROUP BY 1
+    )
+    SELECT est.q_permille, est.n_docs, est.est_lo, ex.exact_q,
+           (ex.exact_q >= est.est_lo AND ex.exact_q < est.est_lo + 8)
+               AS within_bin
+    FROM est JOIN ex USING (q_permille)
+    ORDER BY q_permille
+"""
+
+
+@register(
+    "d120_hist_quantile_sketch",
+    "Mergeable HISTOGRAM quantile sketch with the error bound "
+    "certified per quantile — the third shelf of the mergeable-sketch "
+    "family (d78 count-min: frequencies; d118 HLL: distinct; this: "
+    "quantiles): per-shard 128-bin histograms of document token "
+    "counts (bin width 8) merge by summing counts, the q-quantile "
+    "estimate is the first bin whose cumulative count reaches "
+    "ceil(q*N/1000), and each output row carries the EXACT quantile "
+    "beside it with within_bin certifying |exact - est| < bin width. "
+    "The oracle rebuilds the histogram globally, so the hash match is "
+    "simultaneously the merge law AND the bound. At 100 TB: quantiles "
+    "of a corpus-wide distribution for 128 integers per partition on "
+    "the wire — the alternative the certificate's own exact arm shows "
+    "(value-level cumulative) ships every distinct value; cumulative "
+    "counts use a triangular self-join over the 128 bins, so no "
+    "single-partition window ever sees unbounded input.",
+    oracle=HIST_QUANTILE_ORACLE,
+    category="text",
+)
+def d120_hist_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.select(
+        (F.col("doc_id") % 4).alias("shard"),
+        text.token_count(F.coalesce("text", F.lit(""))).alias("v"),
+    )
+    shard_hist = (
+        vals.select(
+            "shard",
+            F.least(F.expr("v div 8"), F.lit(127)).alias("bin"),
+        )
+        .groupBy("shard", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merged = shard_hist.groupBy("bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    cum = (
+        merged.alias("a")
+        .join(merged.alias("b"), F.col("b.bin") <= F.col("a.bin"))
+        .groupBy(F.col("a.bin").alias("bin"))
+        .agg(F.sum("b.cnt").alias("cum"))
+    )
+    tot = vals.agg(F.count("*").cast("long").alias("n_docs"))
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(q) for q in (250, 500, 750, 900, 990)])
+        ).alias("q_permille")
+    )
+    tgt = qs.crossJoin(F.broadcast(tot)).withColumn(
+        "target",
+        F.expr("CAST((q_permille * n_docs + 999) div 1000 AS BIGINT)"),
+    )
+    est = (
+        tgt.join(F.broadcast(cum), F.col("cum") >= F.col("target"))
+        .groupBy("q_permille", "n_docs")
+        .agg((F.min("bin") * 8).cast("long").alias("est_lo"))
+    )
+    vcnt = vals.groupBy("v").agg(F.count("*").alias("vc"))
+    vcum = (
+        vcnt.alias("a")
+        .join(vcnt.alias("b"), F.col("b.v") <= F.col("a.v"))
+        .groupBy(F.col("a.v").alias("v"))
+        .agg(F.sum("b.vc").alias("cum_v"))
+    )
+    ex = (
+        tgt.join(F.broadcast(vcum), F.col("cum_v") >= F.col("target"))
+        .groupBy("q_permille")
+        .agg(F.min("v").cast("long").alias("exact_q"))
+    )
+    return (
+        est.join(ex, "q_permille")
+        .select(
+            "q_permille",
+            "n_docs",
+            "est_lo",
+            "exact_q",
+            (
+                (F.col("exact_q") >= F.col("est_lo"))
+                & (F.col("exact_q") < F.col("est_lo") + 8)
+            ).alias("within_bin"),
+        )
+        .orderBy("q_permille")
+    )

@@ -251,6 +251,7 @@ LATE_REGISTRATIONS: tuple[str, ...] = (
     "st64_stream_ivf_serve",
     "m52_video_near_dup",
     "d119_minhash_calibration",
+    "d120_hist_quantile_sketch",
 )
 
 

@@ -2641,3 +2641,40 @@ def test_d119_calibration_recall_floor(spark, sf_dir):
     )
     assert rows[0]["n_true"] == n_true
     assert rows[0]["n_caught"] == n_caught
+
+
+def test_d120_sketch_bound_and_merge_under_any_split(spark, sf_dir):
+    """Every quantile estimate must sit within one bin width of the
+    exact quantile, and the merged histogram must be independent of
+    the shard split (the d118 merge discipline for quantiles)."""
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators import text
+    from etl_example_spark.plans.registry import load_all
+    from etl_example_spark.sources.loaders import load_table
+
+    rows = (
+        load_all()["d120_hist_quantile_sketch"]
+        .spark_builder(spark, sf_dir)
+        .collect()
+    )
+    assert rows and all(r.within_bin for r in rows)
+    assert all(0 <= r.exact_q - r.est_lo < 8 for r in rows)
+
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.select(
+        text.token_count(F.coalesce("text", F.lit(""))).alias("v")
+    ).withColumn("bin", F.least(F.expr("v div 8"), F.lit(127)))
+    whole = {
+        (r.bin, r.cnt)
+        for r in vals.groupBy("bin").agg(F.count("*").alias("cnt")).collect()
+    }
+    # crc32-keyed 3-way split, different from the query's doc_id % 4
+    three = (
+        vals.withColumn("shard", F.crc32(F.col("v").cast("string")) % 3)
+        .groupBy("shard", "bin")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert {(r.bin, r.cnt) for r in three.collect()} == whole

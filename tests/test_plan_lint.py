@@ -73,6 +73,7 @@ _CROSS_JOIN_BY_DESIGN = {
     "s70_semdedup",  # broadcast centroid block for cell assignment
     "d118_hll_distinct",  # broadcast one-row (s_num, n_zero) estimate
     "d119_minhash_calibration",  # broadcast one-row recall sidecar
+    "d120_hist_quantile_sketch",  # 5-row quantile probe vs broadcast cum tables
 }
 
 _BATCH = [n for n in REGISTRY if n not in _STREAMING]
@@ -132,6 +133,12 @@ _EXCHANGE_ALLOWANCE = {
     "s65_ivfpq_fully_served_law": 24,
     # same structure on the residual layout (13 at sf0.001).
     "s66_residual_fully_served_law": 18,
+    # certificate carries its OWN exact arm beside the sketch (13 at
+    # sf0.001): per-shard hist + merge + triangular cum on the sketch
+    # side, value-level count + cum on the exact side, 5-row per-q
+    # probes — only the two first-stage aggregates are corpus-keyed;
+    # every later exchange moves <= 128 bins or the distinct-value set.
+    "d120_hist_quantile_sketch": 16,
 }
 
 
