@@ -10196,3 +10196,98 @@ def d120_hist_quantile_sketch(
         )
         .orderBy("q_permille")
     )
+
+
+@register(
+    "g05_connected_components",
+    "Connected components over the THRESHOLDED event click-transition "
+    "graph (the backbone-extraction move: keep an undirected page pair "
+    "only if users stepped between them >= 5 times, then find the "
+    "islands) — the graph-family form of the min-label propagation d31 "
+    "runs on near-dup pairs (one shared iterative kernel, "
+    "operators/dedup.dedup_clusters): every node converges to the "
+    "smallest node id reachable over backbone edges; pages below the "
+    "traffic threshold become singleton components via the g01/g04 "
+    "vertex-set left join. The fixture sweeps all three regimes: at "
+    "sf0.001 no pair clears the threshold (100 singletons — the "
+    "isolated-vertex path), at sf0.01 the backbone fragments into 3 "
+    "islands, at sf0.1 traffic saturates into one giant component. "
+    "Per iteration: one edge-sized join + one (node, label) min "
+    "aggregate, localCheckpoint-pinned — the 100 TB loop shape every "
+    "iterative graph op here uses. The oracle recomputes the closure "
+    "with a recursive CTE over the same weighted edge set.",
+    oracle="""
+        WITH RECURSIVE
+        ev AS (
+            SELECT user_id, ts, event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS page
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        tr AS (
+            SELECT page AS src,
+                   LEAD(page) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+            FROM ev
+        ),
+        wedge AS (
+            SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+                   COUNT(*) AS c
+            FROM tr WHERE dst IS NOT NULL AND src != dst
+            GROUP BY 1, 2
+        ),
+        de AS (SELECT u, v FROM wedge WHERE c >= 5),
+        ed AS (
+            SELECT u AS src, v AS dst FROM de
+            UNION ALL
+            SELECT v, u FROM de
+        ),
+        walk AS (
+            SELECT src AS node, src AS reach FROM ed
+            UNION
+            SELECT w.node, e.dst FROM walk w JOIN ed e ON e.src = w.reach
+        ),
+        cc AS (SELECT node, MIN(reach) AS comp FROM walk GROUP BY node),
+        nodes AS (
+            SELECT DISTINCT page AS node FROM ev WHERE page IS NOT NULL
+        )
+        SELECT n.node,
+               COALESCE(cc.comp, n.node) AS component_id,
+               (n.node = COALESCE(cc.comp, n.node)) AS is_root
+        FROM nodes n LEFT JOIN cc ON cc.node = n.node
+        ORDER BY n.node
+    """,
+    category="graph",
+)
+def g05_connected_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    node = F.get_json_object("props", "$.k").cast("long")
+    edges = graph.transition_edges(events, node)
+    pairs = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("doc_a"),
+            F.greatest("src", "dst").alias("doc_b"),
+        )
+        .agg(F.sum("c").alias("w"))
+        .filter(F.col("w") >= 5)
+        .select("doc_a", "doc_b")
+    )
+    cc = dedup.dedup_clusters(pairs).select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("comp")
+    )
+    nodes = graph.event_graph_nodes(events, node)
+    return (
+        nodes.join(cc, "node", "left")
+        .select(
+            "node",
+            F.coalesce("comp", "node").alias("component_id"),
+        )
+        .withColumn(
+            "is_root", F.col("node") == F.col("component_id")
+        )
+        .orderBy("node")
+    )

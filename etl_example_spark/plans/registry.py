@@ -252,6 +252,7 @@ LATE_REGISTRATIONS: tuple[str, ...] = (
     "m52_video_near_dup",
     "d119_minhash_calibration",
     "d120_hist_quantile_sketch",
+    "g05_connected_components",
 )
 
 
