@@ -253,6 +253,7 @@ LATE_REGISTRATIONS: tuple[str, ...] = (
     "d119_minhash_calibration",
     "d120_hist_quantile_sketch",
     "g05_connected_components",
+    "st65_stream_hll_maintenance",
 )
 
 

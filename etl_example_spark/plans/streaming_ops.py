@@ -42,6 +42,7 @@ from etl_example_spark.plans.llm_ops import (  # noqa: E402
     _DSIR_DIM,
     _DSIR_LW_SQL,
     _dsir_fit_ctes,
+    HLL_DISTINCT_ORACLE,
     IVF_FULL_ASSIGN_ORACLE,
     JACCARD_COND,
     PQ_FULL_ENCODE_ORACLE,
@@ -2193,3 +2194,90 @@ def st64_stream_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return served.select(
         "query_id", "neighbor_id", "cosine_sim", "rk"
     ).orderBy("query_id", "rk")
+
+
+@register(
+    "st65_stream_hll_maintenance",
+    "Streaming HyperLogLog maintenance — the d118 distinct sketch's "
+    "streaming form, and the cleanest possible incremental-index law: "
+    "each arriving micro-batch of documents folds to its own 256 "
+    "(bucket, register) rows (max md5-rank per bucket, "
+    "operators/sketches.hll_ranks) written to an idempotent epoch "
+    "slice; registers merge across epochs by cell-wise MAX, which is "
+    "exactly the operation the sketch is built from, so "
+    "stream-maintained == batch-built NEEDS no replay bookkeeping at "
+    "all — the final read merges the slices and must hash-match the "
+    "oracle's single global build (the IDENTICAL oracle d118 uses, "
+    "estimate arithmetic included). Per-batch state on the wire: 256 "
+    "integers, regardless of batch or corpus size — the streaming "
+    "distinct-count answer at 100 TB ingest rates.",
+    oracle=HLL_DISTINCT_ORACLE,
+    category="streaming",
+)
+def st65_stream_hll_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators import sketches
+    from etl_example_spark.sources.loaders import load_table
+    from etl_example_spark.streaming.sources import DOCUMENTS_SCHEMA
+
+    slice_dir = _tempfile.mkdtemp(prefix="hll_slices_")
+    # stage the corpus as FOUR files so the file stream fires four
+    # micro-batches — the merge law is then over real multi-epoch
+    # state, not a single trivial slice
+    landing = _tempfile.mkdtemp(prefix="hll_landing_")
+    load_table(spark, sf_dir, "documents").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(landing)
+    )
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        items = batch_df.select(
+            F.coalesce("text", F.lit("")).alias("item")
+        )
+        sketches.hll_registers(
+            sketches.hll_ranks(items), batch_df.sparkSession
+        ).write.mode("overwrite").parquet(
+            os.path.join(slice_dir, f"epoch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation", _tempfile.mkdtemp(prefix="ckpt_hll_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    try:
+        slices = spark.read.parquet(slice_dir)
+    except Exception:  # noqa: BLE001 — no batch ever fired
+        slices = spark.createDataFrame([], "bucket int, register int")
+    merged = slices.groupBy("bucket").agg(
+        F.max("register").alias("register")
+    )
+    dense = (
+        spark.range(256)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .join(merged, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("register", F.lit(0)).cast("int").alias("register"),
+        )
+    )
+    est = dense.agg(*sketches.hll_estimate_cols()).withColumn(
+        "estimate", sketches.hll_estimate_expr()
+    )
+    return dense.crossJoin(F.broadcast(est)).orderBy("bucket")
