@@ -10291,3 +10291,147 @@ def g05_connected_components(
         )
         .orderBy("node")
     )
+
+
+#: The s57 serve workload recomputed from the REDUCED corpus (every
+#: doc_id % 5 == 0 document deleted) — rebuild-on-reduced-corpus as
+#: the deletion ground truth. IDF, document frequencies, and the
+#: (n_docs, t_total) totals all reflect the post-delete corpus.
+_BM25_DELETE_ORACLE = f"""
+        WITH docs AS (
+            SELECT * FROM documents WHERE doc_id % 5 != 0
+        ),
+        q(query_id, term) AS (
+            VALUES (4, 'data'), (4, 'code'), (4, 'zzznotaterm'),
+                   (5, 'table'), (5, 'row'), (5, 'group')
+        ),
+        tok AS (
+            SELECT doc_id, unnest({SQL_TOKS}) AS term FROM docs
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS HUGEINT) AS tf
+            FROM tok WHERE term <> '' GROUP BY doc_id, term
+        ),
+        dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf
+            WHERE term IN (SELECT term FROM q) GROUP BY term
+        ),
+        dl AS (
+            SELECT doc_id, CAST(SUM(tf) AS HUGEINT) AS dl
+            FROM tf GROUP BY doc_id
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n_docs,
+                   CAST(COALESCE(SUM({SQL_NTOKS}), 0) AS HUGEINT)
+                       AS t_total
+            FROM docs
+        ),
+        contrib AS (
+            SELECT q.query_id, tf.doc_id,
+                   CAST(CAST(ROUND(ln((n_docs + 1) / (df + 0.5)), 6)
+                             AS DECIMAL(18,6)) * 1000000 AS HUGEINT)
+                   * 22 * t_total * tf
+                   // (10 * t_total * tf + 3 * t_total + 9 * dl * n_docs)
+                       AS c
+            FROM q
+            JOIN tf USING (term)
+            JOIN dfreq USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN tot
+        ),
+        scored AS (
+            SELECT query_id, doc_id,
+                   CAST(SUM(c) AS BIGINT) AS score_micro
+            FROM contrib GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, score_micro, CAST(rk AS INT) AS rk
+        FROM (
+            SELECT query_id, doc_id, score_micro,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_micro DESC, doc_id
+                   ) AS rk
+            FROM scored
+        ) t WHERE rk <= 10
+        ORDER BY query_id, rk
+    """
+
+
+@register(
+    "s71_bm25_bucketed_delete",
+    "DELETION from the term-bucketed BM25 artifact — the lifecycle "
+    "stage the index family lacked (build s57 / append s68 / compact "
+    "s69 / now delete): a takedown request for 20%% of the corpus "
+    "(doc_id %% 5 == 0) writes only an O(|deleted|) TOMBSTONE id set "
+    "and decrements the stats sidecar by the delete set's own "
+    "(n, token) totals — the stored postings files are NOT rewritten "
+    "and the surviving corpus is never re-scanned or re-tokenized. "
+    "The serve path is s57's literal-isin bucket-pruned scan plus ONE "
+    "broadcast anti-join against the tombstones before ranking, so "
+    "document frequencies, IDF, and totals all reflect the reduced "
+    "corpus exactly. The oracle recomputes the whole serve from the "
+    "corpus WITH the documents removed, so the hash match proves "
+    "tombstone-served == rebuild-on-reduced-corpus — deletes are "
+    "correct the moment the tombstone lands, and the physical rewrite "
+    "is deferred to the s69 compaction job "
+    "(operators/text._bm25_rank; tombstone anti-join in-plan).",
+    oracle=_BM25_DELETE_ORACLE,
+    category="similarity",
+)
+def s71_bm25_bucketed_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib
+
+    from etl_example_spark.operators.text import _bm25_rank
+    from etl_example_spark.sources.writers import write_bucketed_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    slug = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"bm25_bkt_deletelaw_{slug}"
+    # the stored index: FULL corpus, built once (overwrite keeps the
+    # law deterministic across runs)
+    write_bucketed_table(
+        text.bm25_postings(docs, None), name, ["term"], 32,
+        sort_by=["term"],
+    )
+
+    def totals(df: DataFrame) -> tuple[int, int]:
+        row = df.select(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(
+                    text.token_count(F.coalesce(F.col("text"), F.lit("")))
+                ),
+                F.lit(0),
+            ).alias("t"),
+        ).collect()[0]
+        return int(row["n"]), int(row["t"])
+
+    n_full, t_full = totals(docs)
+    # the delete request: O(|deleted|) work — tombstone ids plus the
+    # delete set's own totals; the indexed corpus is never re-scanned
+    deleted = docs.filter(F.col("doc_id") % 5 == 0)
+    n_del, t_del = totals(deleted)
+    tombstones = deleted.select("doc_id")
+
+    queries = spark.createDataFrame(
+        BM25_SERVE_QUERIES, "query_id int, term string"
+    )
+    terms = tuple(
+        sorted({r[0] for r in queries.select("term").distinct().collect()})
+    )
+    matched = (
+        spark.table(name)
+        .filter(F.col("term").isin(*terms))
+        .join(F.broadcast(tombstones), "doc_id", "left_anti")
+    )
+    totals_df = F.broadcast(
+        spark.createDataFrame(
+            [(n_full - n_del, t_full - t_del)],
+            "n_docs bigint, t_total bigint",
+        )
+    )
+    return _bm25_rank(matched, queries, totals_df, k=10).orderBy(
+        "query_id", "rk"
+    )

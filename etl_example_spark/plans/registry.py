@@ -254,6 +254,7 @@ LATE_REGISTRATIONS: tuple[str, ...] = (
     "d120_hist_quantile_sketch",
     "g05_connected_components",
     "st65_stream_hll_maintenance",
+    "s71_bm25_bucketed_delete",
 )
 
 

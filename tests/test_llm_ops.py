@@ -2678,3 +2678,24 @@ def test_d120_sketch_bound_and_merge_under_any_split(spark, sf_dir):
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
     assert {(r.bin, r.cnt) for r in three.collect()} == whole
+
+
+def test_s71_tombstone_serve_keeps_pruning_and_excludes_deleted(
+    spark, sf_dir
+):
+    """The delete law's two plan properties: the tombstone anti-join
+    must not destroy SelectedBucketsCount pruning, and no deleted
+    document may appear in the served results."""
+    import re
+
+    from etl_example_spark.plans.registry import load_all
+
+    q = load_all()["s71_bm25_bucketed_delete"]
+    df = q.spark_builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, f"tombstone join destroyed bucket pruning:\n{plan[:2000]}"
+    assert int(m.group(1)) <= 6
+    rows = df.collect()
+    assert rows, "serve returned nothing"
+    assert all(r.doc_id % 5 != 0 for r in rows)

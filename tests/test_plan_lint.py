@@ -69,6 +69,7 @@ _CROSS_JOIN_BY_DESIGN = {
     "s57_bm25_bucketed_serve",  # broadcast one-row (N, T) stored totals
     "s68_bm25_bucketed_append",  # same serve path (broadcast df fold)
     "s69_bm25_bucketed_compaction",  # same serve path (broadcast fold)
+    "s71_bm25_bucketed_delete",  # same serve path (broadcast fold)
     "m38_encode_then_search",  # broadcast query-vector block (brute force)
     "s70_semdedup",  # broadcast centroid block for cell assignment
     "d118_hll_distinct",  # broadcast one-row (s_num, n_zero) estimate
