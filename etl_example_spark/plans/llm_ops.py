@@ -10435,3 +10435,127 @@ def s71_bm25_bucketed_delete(
     return _bm25_rank(matched, queries, totals_df, k=10).orderBy(
         "query_id", "rk"
     )
+
+
+#: st64's batch replay over the REDUCED corpus: the coarse quantizer
+#: stays FROZEN (the 16 lowest-id vectors of the FULL corpus — a
+#: takedown deletes index members, it does not retrain parameters),
+#: candidates and queries both exclude the deleted ids
+#: (vec_id % 7 == 3), probe top-2 cells, exact rerank top-5.
+IVF_DELETE_SERVE_ORACLE = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS centroid_id, v AS cv
+        FROM e ORDER BY vec_id LIMIT 16
+    ),
+    live AS (SELECT * FROM e WHERE vec_id % 7 != 3),
+    asims AS (
+        SELECT l.vec_id, c.centroid_id,
+               CASE WHEN list_aggregate(
+                        list_transform(l.v, x -> x*x), 'sum') = 0
+                    THEN NULL
+                    ELSE ROUND(list_cosine_similarity(l.v, c.cv), 6)
+               END AS c_sim
+        FROM live l CROSS JOIN cents c
+    ),
+    asg AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY c_sim DESC, centroid_id
+                   ) AS rk
+            FROM asims WHERE c_sim IS NOT NULL
+        ) WHERE rk = 1
+    ),
+    qsims AS (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
+               CASE WHEN list_aggregate(
+                        list_transform(q.v, x -> x*x), 'sum') = 0
+                    THEN NULL
+                    ELSE ROUND(list_cosine_similarity(q.v, c.cv), 6)
+               END AS q_sim
+        FROM live q CROSS JOIN cents c
+        WHERE q.vec_id % 16 = 0
+    ),
+    probe AS (
+        SELECT query_id, qv, centroid_id FROM (
+            SELECT query_id, qv, centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY q_sim DESC, centroid_id
+                   ) AS rk
+            FROM qsims WHERE q_sim IS NOT NULL
+        ) WHERE rk <= 2
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(ev.v, p.qv), 6) AS cosine_sim
+        FROM probe p
+        JOIN asg a ON a.centroid_id = p.centroid_id
+        JOIN e ev ON ev.vec_id = a.vec_id
+        WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rk FROM (
+        SELECT query_id, neighbor_id, cosine_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, neighbor_id
+               ) AS INT) AS rk
+        FROM cand WHERE cosine_sim IS NOT NULL
+    ) WHERE rk <= 5
+    ORDER BY query_id, rk
+"""
+
+
+@register(
+    "s72_ivf_delete",
+    "DELETION from the stored IVF index — s71's takedown law on the "
+    "vector side, completing deletes across BOTH index families: the "
+    "cell-partitioned assignment artifact is built once on the full "
+    "corpus; a takedown for vec_id %% 7 == 3 writes only an "
+    "O(|deleted|) tombstone id set — the artifact files and the "
+    "FROZEN coarse quantizer are untouched (a delete removes index "
+    "members, it does not retrain parameters; periodic re-training is "
+    "the offline ivf_train job, same as s47's contract). Serving is "
+    "the st64 batch probe plus ONE broadcast anti-join of the probed "
+    "cells' members against the tombstones before the exact rerank; "
+    "deleted vectors are also dropped from the query stream. The "
+    "oracle replays the whole serve over the reduced corpus under the "
+    "same frozen centroids — tombstone-served == rebuild-on-reduced-"
+    "corpus (operators/similarity.ivf_topk_batch + tombstone "
+    "anti-join).",
+    oracle=IVF_DELETE_SERVE_ORACLE,
+    category="similarity",
+)
+def s72_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators import similarity
+    from etl_example_spark.sources.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    # the stored index: full corpus assigned once under the frozen
+    # quantizer (zero-norm rows excluded — never probe candidates)
+    index = similarity.ivf_assign_with_centroids(emb, cents).filter(
+        F.col("centroid_id").isNotNull()
+    )
+    # the takedown: O(|deleted|) tombstones; index files untouched
+    tombstones = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    live_index = index.join(F.broadcast(tombstones), "vec_id", "left_anti")
+    queries = emb.filter(
+        (F.col("vec_id") % 16 == 0) & (F.col("vec_id") % 7 != 3)
+    )
+    return similarity.ivf_topk_batch(
+        queries, cents, live_index, k=5, nprobe=2
+    ).orderBy("query_id", "rk")

@@ -255,6 +255,7 @@ LATE_REGISTRATIONS: tuple[str, ...] = (
     "g05_connected_components",
     "st65_stream_hll_maintenance",
     "s71_bm25_bucketed_delete",
+    "s72_ivf_delete",
 )
 
 

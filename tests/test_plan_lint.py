@@ -72,6 +72,7 @@ _CROSS_JOIN_BY_DESIGN = {
     "s71_bm25_bucketed_delete",  # same serve path (broadcast fold)
     "m38_encode_then_search",  # broadcast query-vector block (brute force)
     "s70_semdedup",  # broadcast centroid block for cell assignment
+    "s72_ivf_delete",  # broadcast centroid/probe blocks (st64 serve shape)
     "d118_hll_distinct",  # broadcast one-row (s_num, n_zero) estimate
     "d119_minhash_calibration",  # broadcast one-row recall sidecar
     "d120_hist_quantile_sketch",  # 5-row quantile probe vs broadcast cum tables
