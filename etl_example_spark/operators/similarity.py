@@ -1754,6 +1754,48 @@ def rrf_fuse_shortlists(
     )
 
 
+def rrf_fuse_shortlists_by_query(
+    kw: DataFrame,
+    sem: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    query_col: str = "query_id",
+) -> DataFrame:
+    """Per-query reciprocal-rank fusion of two index-served shortlist
+    BATCHES — :func:`rrf_fuse_shortlists` generalized to many queries
+    (the shape a streaming serve loop fuses per micro-batch): the
+    full-outer join keys on (query, id), the integer RRF arithmetic is
+    identical, and the top-``k`` cut is a per-query window over the
+    joined shortlists — bounded input by construction (each arm ships
+    ≤ shortlist rows per query), never the corpus.
+
+    ``kw`` must carry (query_col, id_col, kw_rank); ``sem``
+    (query_col, id_col, sem_rank). Returns (query_col, id_col,
+    kw_rank, sem_rank, rrf_score, rk), rk 1..k per query, ties broken
+    by id."""
+    fused = kw.join(sem, [query_col, id_col], "full_outer")
+    rrf = (
+        F.coalesce(
+            F.expr(f"1000000 div ({rrf_k} + kw_rank)"), F.lit(0)
+        )
+        + F.coalesce(
+            F.expr(f"1000000 div ({rrf_k} + sem_rank)"), F.lit(0)
+        )
+    ).cast("long")
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_score"), F.asc(id_col)
+    )
+    return (
+        fused.select(
+            query_col, id_col, "kw_rank", "sem_rank",
+            rrf.alias("rrf_score"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def mmr_rerank(
     embeddings: DataFrame,
     k: int = 5,

@@ -256,6 +256,7 @@ LATE_REGISTRATIONS: tuple[str, ...] = (
     "st65_stream_hll_maintenance",
     "s71_bm25_bucketed_delete",
     "s72_ivf_delete",
+    "st66_stream_hybrid_serve",
 )
 
 

@@ -2281,3 +2281,297 @@ def st65_stream_hll_maintenance(
         "estimate", sketches.hll_estimate_expr()
     )
     return dense.crossJoin(F.broadcast(est)).orderBy("bucket")
+
+
+#: Full batch replay of the streaming hybrid serve: every query doc
+#: (doc_id % 64 == 0) derives its keyword probe from its own first
+#: three tokens (query-by-example), the BM25 arm scores the FULL
+#: corpus with the shared decimal arithmetic (top-20), the vector arm
+#: probes the frozen IVF index with the query's embedding where one
+#: exists (top-2 cells, exact rerank, top-20, self excluded), and the
+#: two shortlists fuse per query with integer RRF (top-10). The
+#: streaming side serves each micro-batch from the stored bucketed
+#: postings + stats sidecar + cell-partitioned assignment artifacts;
+#: every query arrives exactly once, so the union of epoch outputs
+#: must hash-match this all-queries replay.
+HYBRID_STREAM_SERVE_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+    ),
+    q AS (
+        SELECT DISTINCT query_id, term FROM (
+            SELECT doc_id AS query_id,
+                   unnest(list_slice(toks, 1, 3)) AS term
+            FROM t WHERE doc_id % 64 = 0
+        )
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS HUGEINT) AS tf
+        FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM q) GROUP BY term
+    ),
+    dl AS (
+        SELECT doc_id, CAST(SUM(tf) AS HUGEINT) AS dl
+        FROM tf GROUP BY doc_id
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n_docs,
+               CAST(COALESCE(SUM({SQL_NTOKS}), 0) AS HUGEINT) AS t_total
+        FROM documents
+    ),
+    contrib AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(CAST(ROUND(ln((n_docs + 1) / (df + 0.5)), 6)
+                         AS DECIMAL(18,6)) * 1000000 AS HUGEINT)
+               * 22 * t_total * tf
+               // (10 * t_total * tf + 3 * t_total + 9 * dl * n_docs)
+                   AS c
+        FROM q
+        JOIN tf USING (term)
+        JOIN dfreq USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN tot
+    ),
+    kwsc AS (
+        SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+        FROM contrib GROUP BY query_id, doc_id
+    ),
+    kwarm AS (
+        SELECT query_id, doc_id, CAST(rk AS INT) AS kw_rank FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_micro DESC, doc_id
+                   ) AS rk
+            FROM kwsc
+        ) WHERE rk <= 20
+    ),
+    e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS centroid_id, v AS cv
+        FROM e ORDER BY vec_id LIMIT 16
+    ),
+    asims AS (
+        SELECT e.vec_id, c.centroid_id,
+               CASE WHEN list_aggregate(
+                        list_transform(e.v, x -> x*x), 'sum') = 0
+                    THEN NULL
+                    ELSE ROUND(list_cosine_similarity(e.v, c.cv), 6)
+               END AS c_sim
+        FROM e CROSS JOIN cents c
+    ),
+    asg AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY c_sim DESC, centroid_id
+                   ) AS rk
+            FROM asims WHERE c_sim IS NOT NULL
+        ) WHERE rk = 1
+    ),
+    qsims AS (
+        SELECT qv.vec_id AS query_id, qv.v AS qvec, c.centroid_id,
+               CASE WHEN list_aggregate(
+                        list_transform(qv.v, x -> x*x), 'sum') = 0
+                    THEN NULL
+                    ELSE ROUND(list_cosine_similarity(qv.v, c.cv), 6)
+               END AS q_sim
+        FROM e qv CROSS JOIN cents c
+        WHERE qv.vec_id % 64 = 0
+    ),
+    probe AS (
+        SELECT query_id, qvec, centroid_id FROM (
+            SELECT query_id, qvec, centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY q_sim DESC, centroid_id
+                   ) AS rk
+            FROM qsims WHERE q_sim IS NOT NULL
+        ) WHERE rk <= 2
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(ev.v, p.qvec), 6)
+                   AS cosine_sim
+        FROM probe p
+        JOIN asg a ON a.centroid_id = p.centroid_id
+        JOIN e ev ON ev.vec_id = a.vec_id
+        WHERE a.vec_id != p.query_id
+    ),
+    semarm AS (
+        SELECT query_id, neighbor_id AS doc_id,
+               CAST(rk AS INT) AS sem_rank
+        FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id
+                   ) AS rk
+            FROM cand WHERE cosine_sim IS NOT NULL
+        ) WHERE rk <= 20
+    ),
+    fused AS (
+        SELECT COALESCE(kw.query_id, sem.query_id) AS query_id,
+               COALESCE(kw.doc_id, sem.doc_id) AS doc_id,
+               kw.kw_rank, sem.sem_rank
+        FROM kwarm kw FULL OUTER JOIN semarm sem
+          ON kw.query_id = sem.query_id AND kw.doc_id = sem.doc_id
+    ),
+    scored AS (
+        SELECT query_id, doc_id, kw_rank, sem_rank,
+               CAST(COALESCE(1000000 // (60 + kw_rank), 0)
+                    + COALESCE(1000000 // (60 + sem_rank), 0)
+                    AS BIGINT) AS rrf_score
+        FROM fused
+    )
+    SELECT query_id, doc_id, kw_rank, sem_rank, rrf_score,
+           CAST(rk AS INT) AS rk
+    FROM (
+        SELECT query_id, doc_id, kw_rank, sem_rank, rrf_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_score DESC, doc_id
+               ) AS rk
+        FROM scored
+    ) WHERE rk <= 10
+    ORDER BY query_id, rk
+"""
+
+
+@register(
+    "st66_stream_hybrid_serve",
+    "STREAMING hybrid retrieval serve — s59's index-served fusion "
+    "lifted to the stream, completing the serving stack's streaming "
+    "story (st55 ingest-side scoring, st64 vector serve, now the "
+    "fused front door): hybrid queries arrive as a document stream "
+    "(query-by-example: doc_id %% 64 == 0; keyword probe = the doc's "
+    "own first three tokens, vector probe = its stored embedding "
+    "where one exists), and every micro-batch is answered ENTIRELY "
+    "from stored artifacts — the term-bucketed BM25 postings + stats "
+    "sidecar (bucket-pruned scan, top-20), the frozen-centroid "
+    "cell-partitioned IVF assignment table (top-2 cells, exact "
+    "rerank, top-20), and a per-query integer-RRF fusion of the two "
+    "shortlists (top-10, operators/similarity."
+    "rrf_fuse_shortlists_by_query) — the corpus is never re-scanned, "
+    "re-tokenized, or re-assigned at query time. Epoch slices are "
+    "idempotent; every query arrives exactly once, so the union of "
+    "epochs hash-matches the oracle's all-queries replay of both "
+    "arms and the fusion.",
+    oracle=HYBRID_STREAM_SERVE_ORACLE,
+    category="streaming",
+)
+def st66_stream_hybrid_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators import similarity, text
+    from etl_example_spark.plans.llm_ops import _stage_bm25_bucketed
+    from etl_example_spark.sources.loaders import load_table
+    from etl_example_spark.streaming.sources import read_documents_stream
+
+    table, n_docs, t_total = _stage_bm25_bucketed(spark, sf_dir)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents_dir = _tempfile.mkdtemp(prefix="hyb_quantizer_")
+    assign_dir = _tempfile.mkdtemp(prefix="hyb_index_")
+    out_dir = _tempfile.mkdtemp(prefix="hyb_out_")
+    (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        .write.mode("overwrite")
+        .parquet(cents_dir)
+    )
+    stored_cents = spark.read.parquet(cents_dir)
+    (
+        similarity.ivf_assign_with_centroids(emb, stored_cents)
+        .filter(F.col("centroid_id").isNotNull())
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(assign_dir)
+    )
+
+    def read_index(s: SparkSession) -> DataFrame:
+        try:
+            return s.read.parquet(assign_dir)
+        except Exception:  # noqa: BLE001 — empty artifact
+            return s.createDataFrame(
+                [],
+                "vec_id long, embedding array<float>, c_sim double, "
+                "centroid_id long",
+            )
+
+    stream = read_documents_stream(
+        spark, sf_dir, max_files_per_trigger=1
+    ).filter(F.col("doc_id") % 64 == 0)
+
+    def serve(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        queries = (
+            batch_df.select(
+                F.col("doc_id").alias("query_id"),
+                F.explode(
+                    F.slice(
+                        text.tokens(F.coalesce("text", F.lit(""))), 1, 3
+                    )
+                ).alias("term"),
+            )
+            .distinct()
+        )
+        kw = text.bm25_topk_from_bucketed(
+            s, table, queries, n_docs, t_total, k=20
+        ).select(
+            "query_id", "doc_id", F.col("rk").cast("int").alias("kw_rank")
+        )
+        qvecs = load_table(s, sf_dir, "embeddings").join(
+            F.broadcast(batch_df.select(F.col("doc_id").alias("vec_id"))),
+            "vec_id",
+        )
+        sem = similarity.ivf_topk_batch(
+            qvecs, s.read.parquet(cents_dir), read_index(s), k=20, nprobe=2
+        ).select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rk").cast("int").alias("sem_rank"),
+        )
+        similarity.rrf_fuse_shortlists_by_query(
+            kw, sem, k=10
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(serve)
+        .option(
+            "checkpointLocation", _tempfile.mkdtemp(prefix="ckpt_hyb_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    try:
+        served = spark.read.parquet(out_dir)
+    except Exception:  # noqa: BLE001 — no batch ever fired
+        served = spark.createDataFrame(
+            [],
+            "query_id long, doc_id long, kw_rank int, sem_rank int, "
+            "rrf_score long, rk int",
+        )
+    return served.select(
+        "query_id", "doc_id", "kw_rank", "sem_rank", "rrf_score", "rk"
+    ).orderBy("query_id", "rk")
