@@ -257,6 +257,7 @@ LATE_REGISTRATIONS: tuple[str, ...] = (
     "s71_bm25_bucketed_delete",
     "s72_ivf_delete",
     "st66_stream_hybrid_serve",
+    "st67_stream_semdedup_gate",
 )
 
 

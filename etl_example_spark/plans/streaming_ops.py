@@ -2575,3 +2575,220 @@ def st66_stream_hybrid_serve(
     return served.select(
         "query_id", "doc_id", "kw_rank", "sem_rank", "rrf_score", "rk"
     ).orderBy("query_id", "rk")
+
+
+#: Batch replay of the streaming SemDeDup admission gate: the EXISTING
+#: corpus (vec_id % 4 != 0) is indexed once — cell assignment + rounded
+#: centroid-sim under the 16 lowest-id EXISTING vectors as frozen
+#: centroids — and every arriving vector (vec_id % 4 == 0) is admitted
+#: iff NO stored member of its cell sits at rounded cosine >= 0.3 AND
+#: dominates it under the s70 keep rule (keep the vector LESS similar
+#: to the centroid, ties to the lower id). Newcomers are judged
+#: against the STORED index only (the d55 incremental discipline) —
+#: same-batch arrivals never interact, so the gate is order-free and
+#: exactly replayable.
+STREAM_SEMDEDUP_ORACLE = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    old AS (SELECT * FROM e WHERE vec_id % 4 != 0),
+    cents AS (
+        SELECT vec_id AS centroid_id, v AS cv
+        FROM old ORDER BY vec_id LIMIT 16
+    ),
+    osims AS (
+        SELECT o.vec_id, o.v, c.centroid_id,
+               CASE WHEN list_aggregate(
+                        list_transform(o.v, x -> x*x), 'sum') = 0
+                    THEN NULL
+                    ELSE ROUND(list_cosine_similarity(o.v, c.cv), 6)
+               END AS c_sim
+        FROM old o CROSS JOIN cents c
+    ),
+    oasg AS (
+        SELECT vec_id, v, centroid_id, c_sim FROM (
+            SELECT vec_id, v, centroid_id, c_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY c_sim DESC, centroid_id
+                   ) AS rk
+            FROM osims WHERE c_sim IS NOT NULL
+        ) WHERE rk = 1
+    ),
+    newv AS (SELECT * FROM e WHERE vec_id % 4 = 0),
+    nsims AS (
+        SELECT n.vec_id, n.v, c.centroid_id,
+               CASE WHEN list_aggregate(
+                        list_transform(n.v, x -> x*x), 'sum') = 0
+                    THEN NULL
+                    ELSE ROUND(list_cosine_similarity(n.v, c.cv), 6)
+               END AS c_sim
+        FROM newv n CROSS JOIN cents c
+    ),
+    nasg AS (
+        SELECT vec_id, v, centroid_id, c_sim FROM (
+            SELECT vec_id, v, centroid_id, c_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY c_sim DESC, centroid_id
+                   ) AS rk
+            FROM nsims WHERE c_sim IS NOT NULL
+        ) WHERE rk = 1
+    ),
+    dominated AS (
+        SELECT DISTINCT n.vec_id
+        FROM nasg n JOIN oasg o
+          ON n.centroid_id = o.centroid_id
+        WHERE ROUND(list_cosine_similarity(n.v, o.v), 6) >= 0.3
+          AND (n.c_sim > o.c_sim
+               OR (n.c_sim = o.c_sim AND n.vec_id > o.vec_id))
+    )
+    SELECT n.vec_id, n.centroid_id, n.c_sim,
+           (d.vec_id IS NULL) AS admit
+    FROM (
+        SELECT nv.vec_id, a.centroid_id, a.c_sim
+        FROM newv nv LEFT JOIN nasg a ON a.vec_id = nv.vec_id
+    ) n
+    LEFT JOIN dominated d ON d.vec_id = n.vec_id
+    ORDER BY n.vec_id
+"""
+
+
+@register(
+    "st67_stream_semdedup_gate",
+    "STREAMING SemDeDup admission gate — s70's cluster-partitioned "
+    "semantic dedup enforced AT INGEST (the production use: an "
+    "arriving embedded document is admitted only if it is not a "
+    "semantic duplicate of what the corpus already holds): the "
+    "existing corpus's cell assignment + centroid-sims are staged "
+    "once as a cell-PARTITIONED artifact under frozen centroids; each "
+    "arriving micro-batch (vec_id %% 4 == 0) assigns against the "
+    "frozen centroids (O(batch x cells)), joins ONLY its own cells' "
+    "stored members, and is dropped iff some stored member at rounded "
+    "cosine >= 0.3 dominates it under the diversity keep rule. "
+    "Newcomers are judged against the STORED index only — same-batch "
+    "arrivals never interact — so the gate is order-free, idempotent "
+    "per epoch slice, and the union of epochs hash-matches the "
+    "oracle's batch replay of every admission decision. Zero-norm "
+    "arrivals carry a NULL cell and are always admitted "
+    "(operators/similarity.semdedup's assignment kernel + one "
+    "cell-keyed equi-join per batch).",
+    oracle=STREAM_SEMDEDUP_ORACLE,
+    category="streaming",
+)
+def st67_stream_semdedup_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators import similarity
+    from etl_example_spark.sources.loaders import load_table
+    from etl_example_spark.streaming.sources import read_embeddings_stream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 4 != 0)
+    cents_dir = _tempfile.mkdtemp(prefix="semdd_quantizer_")
+    index_dir = _tempfile.mkdtemp(prefix="semdd_index_")
+    out_dir = _tempfile.mkdtemp(prefix="semdd_out_")
+    (
+        old.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        .write.mode("overwrite")
+        .parquet(cents_dir)
+    )
+    stored_cents = spark.read.parquet(cents_dir)
+    (
+        similarity.ivf_assign_with_centroids(old, stored_cents)
+        .filter(F.col("centroid_id").isNotNull())
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(index_dir)
+    )
+
+    def read_index(s: SparkSession) -> DataFrame:
+        try:
+            return s.read.parquet(index_dir)
+        except Exception:  # noqa: BLE001 — empty artifact
+            return s.createDataFrame(
+                [],
+                "vec_id long, embedding array<float>, c_sim double, "
+                "centroid_id long",
+            )
+
+    stream = read_embeddings_stream(
+        spark, sf_dir, max_files_per_trigger=1
+    ).filter(F.col("vec_id") % 4 == 0)
+
+    def gate(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        cents = s.read.parquet(cents_dir)
+        arriving = similarity.ivf_assign_with_centroids(batch_df, cents)
+        stored = read_index(s).select(
+            F.col("centroid_id").alias("_cell"),
+            F.col("vec_id").alias("_oid"),
+            F.col("embedding").alias("_ovec"),
+            F.col("c_sim").alias("_osim"),
+        )
+        dominated = (
+            arriving.select(
+                F.col("vec_id").alias("_nid"),
+                F.col("embedding").alias("_nvec"),
+                F.col("centroid_id").alias("_cell"),
+                F.col("c_sim").alias("_nsim"),
+            )
+            .join(stored, "_cell")
+            .filter(
+                F.round(similarity.cosine("_nvec", "_ovec"), 6) >= 0.3
+            )
+            .filter(
+                (F.col("_nsim") > F.col("_osim"))
+                | (
+                    (F.col("_nsim") == F.col("_osim"))
+                    & (F.col("_nid") > F.col("_oid"))
+                )
+            )
+            .select(F.col("_nid").alias("vec_id"))
+            .distinct()
+        )
+        (
+            arriving.join(
+                dominated.withColumn("_hit", F.lit(True)),
+                "vec_id",
+                "left",
+            )
+            .select(
+                "vec_id",
+                "centroid_id",
+                "c_sim",
+                F.coalesce(~F.col("_hit"), F.lit(True)).alias("admit"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"epoch={epoch_id}"))
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option(
+            "checkpointLocation", _tempfile.mkdtemp(prefix="ckpt_semdd_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    try:
+        out = spark.read.parquet(out_dir)
+    except Exception:  # noqa: BLE001 — no batch ever fired
+        out = spark.createDataFrame(
+            [], "vec_id long, centroid_id long, c_sim double, admit boolean"
+        )
+    return out.select(
+        "vec_id", "centroid_id", "c_sim", "admit"
+    ).orderBy("vec_id")
