@@ -10559,3 +10559,182 @@ def s72_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_batch(
         queries, cents, live_index, k=5, nprobe=2
     ).orderBy("query_id", "rk")
+
+
+#: The s57 serve workload recomputed from the v2 SNAPSHOT (d104's
+#: deterministic recrawl: v2 drops doc_id % 17 == 0 and rewrites
+#: doc_id % 13 == 0 content with a ' v2' suffix) — rebuild-on-v2 as
+#: the CDC-maintenance ground truth.
+_BM25_CDC_ORACLE = f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 13 = 0
+                        THEN COALESCE(text, '') || ' v2'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 17 != 0
+        ),
+        q(query_id, term) AS (
+            VALUES (4, 'data'), (4, 'code'), (4, 'zzznotaterm'),
+                   (5, 'table'), (5, 'row'), (5, 'group')
+        ),
+        tok AS (
+            SELECT doc_id, unnest({SQL_TOKS}) AS term FROM docs
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS HUGEINT) AS tf
+            FROM tok WHERE term <> '' GROUP BY doc_id, term
+        ),
+        dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf
+            WHERE term IN (SELECT term FROM q) GROUP BY term
+        ),
+        dl AS (
+            SELECT doc_id, CAST(SUM(tf) AS HUGEINT) AS dl
+            FROM tf GROUP BY doc_id
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n_docs,
+                   CAST(COALESCE(SUM({SQL_NTOKS}), 0) AS HUGEINT)
+                       AS t_total
+            FROM docs
+        ),
+        contrib AS (
+            SELECT q.query_id, tf.doc_id,
+                   CAST(CAST(ROUND(ln((n_docs + 1) / (df + 0.5)), 6)
+                             AS DECIMAL(18,6)) * 1000000 AS HUGEINT)
+                   * 22 * t_total * tf
+                   // (10 * t_total * tf + 3 * t_total + 9 * dl * n_docs)
+                       AS c
+            FROM q
+            JOIN tf USING (term)
+            JOIN dfreq USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN tot
+        ),
+        scored AS (
+            SELECT query_id, doc_id,
+                   CAST(SUM(c) AS BIGINT) AS score_micro
+            FROM contrib GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, score_micro, CAST(rk AS INT) AS rk
+        FROM (
+            SELECT query_id, doc_id, score_micro,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_micro DESC, doc_id
+                   ) AS rk
+            FROM scored
+        ) t WHERE rk <= 10
+        ORDER BY query_id, rk
+    """
+
+
+@register(
+    "s73_bm25_cdc_maintenance",
+    "SNAPSHOT-DIFF-DRIVEN index maintenance — the full CDC loop a "
+    "periodically-recrawled corpus runs, composed from proven pieces "
+    "and certified end to end: corpus v1 is indexed once (bucketed "
+    "postings + stats); the recrawl lands v2 (d104's deterministic "
+    "snapshot: some docs removed, some rewritten, some added); "
+    "d104's fingerprint diff classifies every id WITHOUT shipping "
+    "text; then maintenance is the LSM triplet — removed+changed ids "
+    "become TOMBSTONES (s71's move), added+changed docs' postings "
+    "land in a DELTA table (s68's move, tokenizing only the "
+    "arrivals), and the stats sidecar adjusts by the touched docs' "
+    "own totals. v1's unchanged documents are never re-tokenized, "
+    "re-bucketed, or re-scanned. Serving reads base (bucket-pruned) "
+    "ANTI tombstones UNION delta, and the oracle rebuilds the serve "
+    "from the v2 corpus from scratch — maintained == rebuilt, with "
+    "df/IDF/totals all post-recrawl exact "
+    "(operators/corpus.snapshot_diff + text.bm25_postings + "
+    "text._bm25_rank).",
+    oracle=_BM25_CDC_ORACLE,
+    category="similarity",
+)
+def s73_bm25_cdc_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib
+
+    from etl_example_spark.operators.corpus import snapshot_diff
+    from etl_example_spark.operators.text import _bm25_rank
+    from etl_example_spark.sources.writers import write_bucketed_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 11 != 0)
+    v2 = docs.filter(F.col("doc_id") % 17 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")),
+        ).otherwise(F.col("text")),
+    )
+
+    def totals(df: DataFrame) -> tuple[int, int]:
+        row = df.select(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(
+                    text.token_count(F.coalesce(F.col("text"), F.lit("")))
+                ),
+                F.lit(0),
+            ).alias("t"),
+        ).collect()[0]
+        return int(row["n"]), int(row["t"])
+
+    slug = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"bm25_cdc_base_{slug}"
+    delta = f"bm25_cdc_delta_{slug}"
+    # index build: v1 only, once
+    write_bucketed_table(
+        text.bm25_postings(v1, None), base, ["term"], 32,
+        sort_by=["term"],
+    )
+    n1, t1 = totals(v1)
+
+    # the recrawl diff: fingerprints only, text never shuffles
+    diff = snapshot_diff(v1, v2)
+    gone = diff.filter(
+        F.col("status").isin("removed", "changed")
+    ).select("doc_id")
+    arriving = v2.join(
+        F.broadcast(
+            diff.filter(F.col("status").isin("added", "changed")).select(
+                "doc_id"
+            )
+        ),
+        "doc_id",
+    )
+    # maintenance: tombstones + delta postings + a touched-docs-sized
+    # totals adjustment — v1's unchanged docs are never re-tokenized
+    write_bucketed_table(
+        text.bm25_postings(arriving, None), delta, ["term"], 32,
+        sort_by=["term"],
+    )
+    n_gone, t_gone = totals(v1.join(F.broadcast(gone), "doc_id"))
+    n_arr, t_arr = totals(arriving)
+    tombstones = gone
+
+    queries = spark.createDataFrame(
+        BM25_SERVE_QUERIES, "query_id int, term string"
+    )
+    terms = tuple(
+        sorted({r[0] for r in queries.select("term").distinct().collect()})
+    )
+    matched = (
+        spark.table(base)
+        .filter(F.col("term").isin(*terms))
+        .join(F.broadcast(tombstones), "doc_id", "left_anti")
+        .unionByName(
+            spark.table(delta).filter(F.col("term").isin(*terms))
+        )
+    )
+    totals_df = F.broadcast(
+        spark.createDataFrame(
+            [(n1 - n_gone + n_arr, t1 - t_gone + t_arr)],
+            "n_docs bigint, t_total bigint",
+        )
+    )
+    return _bm25_rank(matched, queries, totals_df, k=10).orderBy(
+        "query_id", "rk"
+    )

@@ -258,6 +258,7 @@ LATE_REGISTRATIONS: tuple[str, ...] = (
     "s72_ivf_delete",
     "st66_stream_hybrid_serve",
     "st67_stream_semdedup_gate",
+    "s73_bm25_cdc_maintenance",
 )
 
 

@@ -70,6 +70,7 @@ _CROSS_JOIN_BY_DESIGN = {
     "s68_bm25_bucketed_append",  # same serve path (broadcast df fold)
     "s69_bm25_bucketed_compaction",  # same serve path (broadcast fold)
     "s71_bm25_bucketed_delete",  # same serve path (broadcast fold)
+    "s73_bm25_cdc_maintenance",  # same serve path (broadcast fold)
     "m38_encode_then_search",  # broadcast query-vector block (brute force)
     "s70_semdedup",  # broadcast centroid block for cell assignment
     "s72_ivf_delete",  # broadcast centroid/probe blocks (st64 serve shape)
