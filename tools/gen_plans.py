@@ -368,6 +368,18 @@ SHOW = {
         "the fingerprint key (never all-pairs) and Jaccard is integer "
         "arithmetic over pair counts — payloads never join."
     ),
+    "s71_bm25_bucketed_delete": (
+        "Tombstone delete: the serve scan STILL shows "
+        "SelectedBucketsCount pruning; the only addition over s57's "
+        "plan is one BroadcastHashJoin LeftAnti against the "
+        "O(|deleted|) tombstone set — no rewrite, no corpus re-scan."
+    ),
+    "s73_bm25_cdc_maintenance": (
+        "CDC maintenance serve: base scan (bucket-pruned) anti-joined "
+        "against tombstones, unioned with the delta table's pruned "
+        "scan — the only tokenization in the whole plan is the "
+        "arrivals'; v1's unchanged postings come from stored files."
+    ),
 }
 
 

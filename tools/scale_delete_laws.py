@@ -107,5 +107,67 @@ def main() -> None:
         )
 
 
+def cdc_vs_rebuild() -> None:
+    """CDC-maintenance cost (diff + tokenize touched docs + tombstones)
+    vs full v2 rebuild, replicated sf0.1 — the s73 scale claim."""
+    from etl_example_spark.operators.corpus import snapshot_diff
+
+    spark = get_spark("scale-cdc", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for mult in (1, 4, 16):
+        docs = base
+        for i in range(1, mult):
+            docs = docs.unionByName(
+                base.withColumn("doc_id", F.col("doc_id") + 1_000_000 * i)
+            )
+        docs = docs.localCheckpoint()
+        v1 = docs.filter(F.col("doc_id") % 11 != 0)
+        v2 = docs.filter(F.col("doc_id") % 17 != 0).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")
+                ),
+            ).otherwise(F.col("text")),
+        )
+        write_bucketed_table(
+            text.bm25_postings(v1, None), f"cdc_base_{mult}",
+            ["term"], 32, sort_by=["term"],
+        )
+        t0 = time.perf_counter()
+        diff = snapshot_diff(v1, v2).localCheckpoint()
+        gone = diff.filter(
+            F.col("status").isin("removed", "changed")
+        ).select("doc_id")
+        arriving = v2.join(
+            F.broadcast(
+                diff.filter(
+                    F.col("status").isin("added", "changed")
+                ).select("doc_id")
+            ),
+            "doc_id",
+        )
+        write_bucketed_table(
+            text.bm25_postings(arriving, None), f"cdc_delta_{mult}",
+            ["term"], 32, sort_by=["term"],
+        )
+        gone.write.mode("overwrite").saveAsTable(f"cdc_tomb_{mult}")
+        n_touch = arriving.count() + gone.count()
+        t_cdc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        write_bucketed_table(
+            text.bm25_postings(v2, None), f"cdc_rebuild_{mult}",
+            ["term"], 32, sort_by=["term"],
+        )
+        t_rebuild = time.perf_counter() - t0
+        print(
+            f"x{mult} ({docs.count():,} docs, {n_touch:,} touched): "
+            f"cdc_maintain={t_cdc:.2f}s rebuild_v2={t_rebuild:.2f}s"
+        )
+
+
 if __name__ == "__main__":
     main()
+    cdc_vs_rebuild()
