@@ -2699,3 +2699,53 @@ def test_s71_tombstone_serve_keeps_pruning_and_excludes_deleted(
     rows = df.collect()
     assert rows, "serve returned nothing"
     assert all(r.doc_id % 5 != 0 for r in rows)
+
+
+def test_s73_cdc_triplet_reconstructs_v2_membership(spark, sf_dir):
+    """The LSM triplet's membership law: (base doc ids − tombstones)
+    ∪ delta doc ids must equal v2's tokenized doc set exactly, and
+    the delta must contain ONLY added/changed ids (v1's unchanged
+    docs are never re-tokenized)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators import text
+    from etl_example_spark.operators.corpus import snapshot_diff
+    from etl_example_spark.plans.registry import load_all
+    from etl_example_spark.sources.loaders import load_table
+
+    # run the registered query to (re)build the base/delta tables
+    load_all()["s73_bm25_cdc_maintenance"].spark_builder(
+        spark, sf_dir
+    ).collect()
+    slug = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base_ids = {
+        r.doc_id
+        for r in spark.table(f"bm25_cdc_base_{slug}")
+        .select("doc_id").distinct().collect()
+    }
+    delta_ids = {
+        r.doc_id
+        for r in spark.table(f"bm25_cdc_delta_{slug}")
+        .select("doc_id").distinct().collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 11 != 0)
+    v2 = docs.filter(F.col("doc_id") % 17 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")),
+        ).otherwise(F.col("text")),
+    )
+    diff = {r.doc_id: r.status for r in snapshot_diff(v1, v2).collect()}
+    gone = {d for d, s in diff.items() if s in ("removed", "changed")}
+    touched = {d for d, s in diff.items() if s in ("added", "changed")}
+    assert delta_ids <= touched
+    v2_tokenized = {
+        r.doc_id
+        for r in text.bm25_postings(v2, None)
+        .select("doc_id").distinct().collect()
+    }
+    assert (base_ids - gone) | delta_ids == v2_tokenized
