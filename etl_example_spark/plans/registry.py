@@ -259,6 +259,7 @@ LATE_REGISTRATIONS: tuple[str, ...] = (
     "st66_stream_hybrid_serve",
     "st67_stream_semdedup_gate",
     "s73_bm25_cdc_maintenance",
+    "st68_stream_cdc_index_maintenance",
 )
 
 

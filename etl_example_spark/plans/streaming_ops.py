@@ -43,6 +43,7 @@ from etl_example_spark.plans.llm_ops import (  # noqa: E402
     _DSIR_LW_SQL,
     _dsir_fit_ctes,
     HLL_DISTINCT_ORACLE,
+    _BM25_CDC_ORACLE,
     IVF_FULL_ASSIGN_ORACLE,
     JACCARD_COND,
     PQ_FULL_ENCODE_ORACLE,
@@ -2792,3 +2793,170 @@ def st67_stream_semdedup_gate(
     return out.select(
         "vec_id", "centroid_id", "c_sim", "admit"
     ).orderBy("vec_id")
+
+
+@register(
+    "st68_stream_cdc_index_maintenance",
+    "STREAMING CDC index maintenance — s73's recrawl loop consumed as "
+    "a CHANGE-EVENT STREAM (the shape a continuously-recrawling "
+    "pipeline actually emits): corpus v1 is indexed once; the d104 "
+    "fingerprint diff's (doc_id, status) events land as files and "
+    "arrive in micro-batches; each batch writes its removed+changed "
+    "ids to a TOMBSTONE epoch slice and tokenizes ONLY its "
+    "added+changed documents (semi-join against the static v2 "
+    "snapshot) into a DELTA epoch slice — idempotent per epoch, "
+    "O(batch) work, v1's unchanged docs never re-tokenized. After the "
+    "stream drains, serving reads base (bucket-pruned) ANTI the "
+    "accumulated tombstones UNION the accumulated delta, with totals "
+    "adjusted by the touched docs only, and must hash-match the SAME "
+    "rebuild-on-v2 oracle s73 certifies against — batch-maintained == "
+    "stream-maintained == rebuilt, one ground truth for the whole "
+    "lifecycle (operators/corpus.snapshot_diff + text.bm25_postings "
+    "+ text._bm25_rank).",
+    oracle=_BM25_CDC_ORACLE,
+    category="streaming",
+)
+def st68_stream_cdc_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators import text
+    from etl_example_spark.operators.corpus import snapshot_diff
+    from etl_example_spark.operators.text import _bm25_rank
+    from etl_example_spark.plans.llm_ops import BM25_SERVE_QUERIES
+    from etl_example_spark.sources.loaders import load_table
+    from etl_example_spark.sources.writers import write_bucketed_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 11 != 0)
+    v2 = docs.filter(F.col("doc_id") % 17 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")),
+        ).otherwise(F.col("text")),
+    )
+
+    def totals(df: DataFrame) -> tuple[int, int]:
+        row = df.select(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(
+                    text.token_count(F.coalesce(F.col("text"), F.lit("")))
+                ),
+                F.lit(0),
+            ).alias("t"),
+        ).collect()[0]
+        return int(row["n"]), int(row["t"])
+
+    slug = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"bm25_stcdc_base_{slug}"
+    write_bucketed_table(
+        text.bm25_postings(v1, None), base, ["term"], 32,
+        sort_by=["term"],
+    )
+    n1, t1 = totals(v1)
+
+    # the change-event stream: the fingerprint diff lands as FOUR
+    # files so the maintenance loop runs over real micro-batches
+    landing = _tempfile.mkdtemp(prefix="cdc_events_")
+    snapshot_diff(v1, v2).filter(
+        F.col("status") != "unchanged"
+    ).repartition(4).write.mode("overwrite").parquet(landing)
+    tomb_dir = _tempfile.mkdtemp(prefix="cdc_tombs_")
+    arr_dir = _tempfile.mkdtemp(prefix="cdc_arrivals_")
+    delta_dir = _tempfile.mkdtemp(prefix="cdc_delta_")
+
+    stream = (
+        spark.readStream.schema("doc_id long, status string")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(landing)
+    )
+
+    def maintain(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch_df.filter(
+            F.col("status").isin("removed", "changed")
+        ).select("doc_id").write.mode("overwrite").parquet(
+            os.path.join(tomb_dir, f"epoch={epoch_id}")
+        )
+        v2_static = load_table(s, sf_dir, "documents").filter(
+            F.col("doc_id") % 17 != 0
+        ).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")
+                ),
+            ).otherwise(F.col("text")),
+        )
+        arr_ids = batch_df.filter(
+            F.col("status").isin("added", "changed")
+        ).select("doc_id")
+        # id slice, not derived from postings later: a token-less
+        # added document produces NO postings rows but still counts
+        # toward n_docs — the totals must see it
+        arr_ids.write.mode("overwrite").parquet(
+            os.path.join(arr_dir, f"epoch={epoch_id}")
+        )
+        arriving = v2_static.join(F.broadcast(arr_ids), "doc_id")
+        text.bm25_postings(arriving, None).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(delta_dir, f"epoch={epoch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .option(
+            "checkpointLocation", _tempfile.mkdtemp(prefix="ckpt_cdc_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def read_slices(path: str, schema: str) -> DataFrame:
+        try:
+            return spark.read.parquet(path)
+        except Exception:  # noqa: BLE001 — no batch ever fired
+            return spark.createDataFrame([], schema)
+
+    tombstones = read_slices(tomb_dir, "doc_id long").select("doc_id")
+    delta = read_slices(
+        delta_dir, "doc_id long, term string, tf long, dl long"
+    )
+    n_gone, t_gone = totals(v1.join(F.broadcast(tombstones), "doc_id"))
+    arrivals = read_slices(arr_dir, "doc_id long").select("doc_id")
+    n_arr, t_arr = totals(v2.join(F.broadcast(arrivals), "doc_id"))
+
+    queries = spark.createDataFrame(
+        BM25_SERVE_QUERIES, "query_id int, term string"
+    )
+    terms = tuple(
+        sorted({r[0] for r in queries.select("term").distinct().collect()})
+    )
+    matched = (
+        spark.table(base)
+        .filter(F.col("term").isin(*terms))
+        .join(F.broadcast(tombstones), "doc_id", "left_anti")
+        .unionByName(
+            delta.filter(F.col("term").isin(*terms)).select(
+                *spark.table(base).columns
+            )
+        )
+    )
+    totals_df = F.broadcast(
+        spark.createDataFrame(
+            [(n1 - n_gone + n_arr, t1 - t_gone + t_arr)],
+            "n_docs bigint, t_total bigint",
+        )
+    )
+    return _bm25_rank(matched, queries, totals_df, k=10).orderBy(
+        "query_id", "rk"
+    )
