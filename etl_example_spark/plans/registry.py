@@ -260,6 +260,7 @@ LATE_REGISTRATIONS: tuple[str, ...] = (
     "st67_stream_semdedup_gate",
     "s73_bm25_cdc_maintenance",
     "st68_stream_cdc_index_maintenance",
+    "st69_stream_hist_maintenance",
 )
 
 

@@ -42,6 +42,7 @@ from etl_example_spark.plans.llm_ops import (  # noqa: E402
     _DSIR_DIM,
     _DSIR_LW_SQL,
     _dsir_fit_ctes,
+    HIST_QUANTILE_ORACLE,
     HLL_DISTINCT_ORACLE,
     _BM25_CDC_ORACLE,
     IVF_FULL_ASSIGN_ORACLE,
@@ -2959,4 +2960,129 @@ def st68_stream_cdc_index_maintenance(
     )
     return _bm25_rank(matched, queries, totals_df, k=10).orderBy(
         "query_id", "rk"
+    )
+
+
+@register(
+    "st69_stream_hist_maintenance",
+    "Streaming HISTOGRAM maintenance — the d120 quantile sketch's "
+    "streaming form, completing the mergeable-sketch streaming triple "
+    "(st48 count-min: cell-wise ADD; st65 HLL: cell-wise MAX; this: "
+    "bin-wise ADD): each arriving micro-batch of documents folds to "
+    "its own 128-bin token-count histogram written to an idempotent "
+    "epoch slice; bins merge across epochs by summing counts — "
+    "exactly the operation the sketch is built from. After the drain, "
+    "the quantile read and the certificate's exact arm run over the "
+    "merged registers and must hash-match the IDENTICAL d120 oracle "
+    "(global build + per-quantile within-bin bound included): "
+    "stream-maintained == batch-built == bounded. Per-batch state on "
+    "the wire: 128 integers.",
+    oracle=HIST_QUANTILE_ORACLE,
+    category="streaming",
+)
+def st69_stream_hist_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_example_spark.operators import text as _text
+    from etl_example_spark.sources.loaders import load_table
+    from etl_example_spark.streaming.sources import DOCUMENTS_SCHEMA
+
+    slice_dir = _tempfile.mkdtemp(prefix="hist_slices_")
+    landing = _tempfile.mkdtemp(prefix="hist_landing_")
+    load_table(spark, sf_dir, "documents").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(landing)
+    )
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(
+                _text.token_count(
+                    F.coalesce("text", F.lit(""))
+                ).alias("v")
+            )
+            .select(F.least(F.expr("v div 8"), F.lit(127)).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(slice_dir, f"epoch={epoch_id}"))
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation", _tempfile.mkdtemp(prefix="ckpt_hist_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    try:
+        slices = spark.read.parquet(slice_dir)
+    except Exception:  # noqa: BLE001 — no batch ever fired
+        slices = spark.createDataFrame([], "bin int, cnt long")
+    merged = slices.groupBy("bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    cum = (
+        merged.alias("a")
+        .join(merged.alias("b"), F.col("b.bin") <= F.col("a.bin"))
+        .groupBy(F.col("a.bin").alias("bin"))
+        .agg(F.sum("b.cnt").alias("cum"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.select(
+        _text.token_count(F.coalesce("text", F.lit(""))).alias("v")
+    )
+    tot = vals.agg(F.count("*").cast("long").alias("n_docs"))
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x) for x in (250, 500, 750, 900, 990)])
+        ).alias("q_permille")
+    )
+    tgt = qs.crossJoin(F.broadcast(tot)).withColumn(
+        "target",
+        F.expr("CAST((q_permille * n_docs + 999) div 1000 AS BIGINT)"),
+    )
+    est = (
+        tgt.join(F.broadcast(cum), F.col("cum") >= F.col("target"))
+        .groupBy("q_permille", "n_docs")
+        .agg((F.min("bin") * 8).cast("long").alias("est_lo"))
+    )
+    vcnt = vals.groupBy("v").agg(F.count("*").alias("vc"))
+    vcum = (
+        vcnt.alias("a")
+        .join(vcnt.alias("b"), F.col("b.v") <= F.col("a.v"))
+        .groupBy(F.col("a.v").alias("v"))
+        .agg(F.sum("b.vc").alias("cum_v"))
+    )
+    ex = (
+        tgt.join(F.broadcast(vcum), F.col("cum_v") >= F.col("target"))
+        .groupBy("q_permille")
+        .agg(F.min("v").cast("long").alias("exact_q"))
+    )
+    return (
+        est.join(ex, "q_permille")
+        .select(
+            "q_permille",
+            "n_docs",
+            "est_lo",
+            "exact_q",
+            (
+                (F.col("exact_q") >= F.col("est_lo"))
+                & (F.col("exact_q") < F.col("est_lo") + 8)
+            ).alias("within_bin"),
+        )
+        .orderBy("q_permille")
     )
