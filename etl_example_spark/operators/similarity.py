@@ -53,6 +53,29 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.try_divide(dot(da, db), norm(da) * norm(db))
 
 
+def _cosine_sims(vec_col: str, cvs_col: str = "cvs") -> Column:
+    """``transform(cvs, cv -> round(cosine(vec, cv), 6))`` as one
+    SQL-text expression — the in-row form of the rounded :func:`cosine`
+    column, evaluated against a PACKED array of centroid vectors
+    (round-13: the trainers/assigners pick the nearest centroid inside
+    the row instead of expanding corpus × centroids through a join).
+    Identical arithmetic to ``round(cosine(...), 6)`` term for term
+    (same casts, same fold seeds, same operand order), so the
+    similarity values are bit-identical; SQL-text lambdas, not
+    Python-lambda builders, for the variable-collision reason
+    :func:`_sq_l2` documents."""
+    return F.expr(
+        f"transform({cvs_col}, cv -> round(try_divide("
+        f"aggregate(zip_with(CAST({vec_col} AS array<double>), "
+        "CAST(cv AS array<double>), (x, y) -> x * y), "
+        "0D, (acc, x) -> acc + x), "
+        f"sqrt(aggregate(transform(CAST({vec_col} AS array<double>), "
+        "x -> x * x), 0D, (acc, x) -> acc + x)) * "
+        "sqrt(aggregate(transform(CAST(cv AS array<double>), "
+        "x -> x * x), 0D, (acc, x) -> acc + x))), 6))"
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_id: int | None = None,
@@ -184,71 +207,76 @@ def ivf_assign_with_centroids(
     """Assign every vector to its nearest of the GIVEN centroids
     (max cosine, ties to the lower centroid id) — the shared kernel of
     :func:`ivf_assign` (seeded centroids) and :func:`ivf_append`
-    (stored centroids). One broadcast-crossJoin (corpus × tiny centroid
-    table — a narrow map, no shuffle of the corpus) folded by a single
-    aggregate, so the corpus shuffles once, on its id, at 100 TB.
+    (stored centroids).
 
-    The argmax is a plain ``max`` over ONE packed bigint — the rounded
-    cosine in micro-units (6 decimals → integral) concatenated with the
-    complement of a dense centroid code — because ``max_by`` with a
-    struct ordering key has no mutable aggregation buffer and compiles
-    the whole fold to SortAggregate; the packed max keeps it a
-    HashAggregate (the same discipline as the dedup family's
-    first-occurrence min). Dense codes come from a row_number over the
-    centroid table (tiny by contract — it broadcasts), so centroid ids
-    stay arbitrary. Returns (id, vec, centroid_id, c_sim)."""
-    from pyspark.sql import Window
-
-    n_codes = 1 << 21  # up to 2M centroids; codes asserted in range
-    cents = centroids.select(
-        F.col(centroids.columns[0]).alias("centroid_id"),
-        F.col(centroids.columns[1]).alias("centroid_vec"),
+    In-row argmax (round-13 optimization, guide §2.2/§3): previously a
+    broadcast-crossJoin expanded corpus × centroids and a packed-bigint
+    max folded it back per (id, vec) — correct and HashAggregate-
+    shaped, but the expansion plus the corpus-keyed aggregate (the
+    full VECTOR was a group key) measured as the whole cost. The
+    centroid table is MODEL-SIZED by contract (it broadcast before),
+    so collect it, pack it as ONE row (centroid vectors + ids ordered
+    by centroid_id ASC NULLS FIRST — the order the old dense
+    row_number codes encoded), and take the argmax inside the row:
+    the corpus is a pure map now — no expansion, no aggregate, no
+    shuffle at any scale. Old semantics replicated exactly: ties break
+    to the lower centroid id (array_position returns the first match
+    in id order, == the old complement-code max); degenerate
+    (zero-norm) vectors have every cosine NULL, array_max ignores
+    NULLs so an all-NULL row yields NULL centroid_id/c_sim — the old
+    LEFT-join survival; c_sim is the same round(cosine, 6) double the
+    packed micro-units round-tripped to; an empty centroid table
+    yields the empty result the old crossJoin produced. Returns
+    (id, vec, centroid_id, c_sim)."""
+    spark = embeddings.sparkSession
+    n_codes = 1 << 21  # same centroid-count bound the packed max had
+    cid_col, cvec_col = centroids.columns[0], centroids.columns[1]
+    cid_type = centroids.schema[cid_col].dataType.simpleString()
+    cvec_type = centroids.schema[cvec_col].dataType.simpleString()
+    cent_rows = sorted(
+        centroids.select(
+            F.col(cid_col).alias("centroid_id"),
+            F.col(cvec_col).alias("centroid_vec"),
+        ).collect(),
+        key=lambda r: (r["centroid_id"] is not None, r["centroid_id"]),
     )
-    coded = cents.withColumn(
-        "_code",
-        F.row_number().over(Window.orderBy("centroid_id")) - 1,
-    ).withColumn(
-        "_code",
-        F.when(
-            F.assert_true(
-                F.col("_code") < n_codes, F.lit("too many centroids")
-            ).isNull(),
-            F.col("_code"),
-        ),
+    if len(cent_rows) >= n_codes:
+        raise ValueError("too many centroids")
+    if not cent_rows:
+        return (
+            embeddings.select(F.col(id_col), F.col(vec_col))
+            .filter(F.lit(False))
+            .withColumn("centroid_id", F.lit(None).cast(cid_type))
+            .withColumn("c_sim", F.lit(None).cast("double"))
+        )
+    packed = spark.createDataFrame(
+        [
+            (
+                [
+                    list(r["centroid_vec"])
+                    if r["centroid_vec"] is not None
+                    else None
+                    for r in cent_rows
+                ],
+                [r["centroid_id"] for r in cent_rows],
+            )
+        ],
+        f"cvs array<{cvec_type}>, cds array<{cid_type}>",
     )
-    # sim is already rounded to 6 decimals, so micro-units are integral
-    sim = F.round(cosine(vec_col, "centroid_vec"), 6)
-    packed = (
-        F.round(sim * 1e6).cast("long") * F.lit(n_codes).cast("long")
-        + (F.lit(n_codes - 1) - F.col("_code"))
+    pos = F.expr(
+        "CASE WHEN array_max(_ss) IS NULL THEN CAST(NULL AS INT) "
+        "ELSE CAST(array_position(_ss, array_max(_ss)) AS INT) END"
     )
-    best_packed = F.col("_k")
-    best_sim = F.floor(best_packed / F.lit(n_codes))
-    best_code = (
-        F.lit(n_codes - 1) - (best_packed - best_sim * F.lit(n_codes))
-    ).cast("int")
-    # Degenerate (zero-norm) vectors: cosine's divide-by-zero is NULL,
-    # so every packed sim is NULL and max(_p) aggregates to NULL. The
-    # join on _code is LEFT so those rows survive with NULL
-    # centroid_id/c_sim — corpus membership through the assignment
-    # artifact is preserved (callers decide whether to quarantine them).
     return (
-        embeddings.crossJoin(F.broadcast(coded))
-        .select(F.col(id_col), F.col(vec_col), packed.alias("_p"))
-        .groupBy(id_col, vec_col)
-        .agg(F.max("_p").alias("_k"))
+        embeddings.crossJoin(F.broadcast(packed))
+        .withColumn("_ss", _cosine_sims(vec_col))
+        .withColumn("_bp", pos)
         .select(
             id_col,
             vec_col,
-            best_code.alias("_code"),
-            (best_sim.cast("double") / 1e6).alias("c_sim"),
+            F.expr("cds[_bp - 1]").alias("centroid_id"),
+            F.expr("_ss[_bp - 1]").alias("c_sim"),
         )
-        .join(
-            F.broadcast(coded.select("_code", "centroid_id")),
-            "_code",
-            "left",
-        )
-        .select(id_col, vec_col, "centroid_id", "c_sim")
     )
 
 
@@ -406,14 +434,13 @@ def ivf_train(
     vec_col: str = "embedding",
     max_train_rows: int | None = None,
 ) -> DataFrame:
-    """Lloyd iterations over the IVF coarse quantizer: assign (broadcast
-    crossJoin + max_by — the same step ``ivf_assign`` runs once), then
+    """Lloyd iterations over the IVF coarse quantizer: assign every
+    training vector to its nearest centroid (in-row argmax over the
+    packed driver-held centroid state — see the loop comment), then
     recompute each centroid as the element-wise mean of its members
-    (posexplode → per-(cell, dim) average → rebuild the vector). One
-    shuffle per iteration on (centroid, dim); ``localCheckpoint`` per
-    round truncates the growing plan — the standard iterative-algorithm
-    discipline on Spark (same as operators/dedup.dedup_clusters). Empty
-    cells keep their previous centroid. Returns (centroid_id,
+    (posexplode → per-(cell, dim) average → bounded driver collect of
+    model-sized means). One shuffle per iteration on (centroid, dim).
+    Empty cells keep their previous centroid. Returns (centroid_id,
     centroid_vec) ready to feed the probe/rerank stages.
 
     ``max_train_rows`` bounds EVERY Lloyd pass (and the seed pick) to a
@@ -426,72 +453,112 @@ def ivf_train(
     The sampled quantizer still certifies the recall floor (the s64
     registration externalizes it, SCALING.md carries the measurement).
     Default ``None`` trains on the full corpus, byte-identical to the
-    historical behavior."""
+    historical behavior.
+
+    Iteration materialization (round-13 optimization): centroids are
+    MODEL-SIZED (≤ n_centroids rows by contract), so each Lloyd round
+    ends in a bounded driver collect and re-enters the next round as a
+    literal local relation — the d106 parameter-server discipline,
+    replacing the per-round ``localCheckpoint`` job (checkpoint
+    materialization + old-centroid left join). The assign + per-(cell,
+    dim) mean pipeline — the float-summation-order-bearing part — is
+    unchanged, so trained centroids are bit-identical; the collect /
+    literal round trip through Python floats is exact (IEEE-754
+    doubles both sides)."""
     train = (
         embeddings
         if max_train_rows is None
         else _train_sample(embeddings, id_col, max_train_rows)
     )
-    centroids = (
-        train.orderBy(id_col)
+    spark = embeddings.sparkSession
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    cent_schema = f"centroid_id {id_type}, centroid_vec array<double>"
+    # driver-held model state: {centroid_id: vec as a Python list}
+    cent_state: dict = {
+        r["centroid_id"]: (
+            list(r["centroid_vec"])
+            if r["centroid_vec"] is not None
+            else None
+        )
+        for r in train.orderBy(id_col)
         .limit(n_centroids)
         .select(
             F.col(id_col).alias("centroid_id"),
             _as_double(vec_col).alias("centroid_vec"),
         )
-        .localCheckpoint(eager=True)
+        .collect()
+    }
+
+    def cents_df() -> DataFrame:
+        rows = [
+            (cid, cent_state[cid])
+            for cid in sorted(
+                cent_state, key=lambda c: (c is not None, c)
+            )
+        ]
+        return spark.createDataFrame(rows, cent_schema)
+
+    # in-row argmax (round-13 optimization, guide §2.2/§3): the Lloyd
+    # assign previously expanded train × centroids through a
+    # broadcast-crossJoin and folded back with
+    # max_by(centroid_id, struct(c_sim, -centroid_id)) — measured on
+    # the PQ sibling, the expansion + per-id fold was the iteration
+    # cost, not the cosine arithmetic. Centroids are driver-held
+    # state, so pack them as ONE broadcast row (vectors + ids ordered
+    # by centroid_id ASC NULLS FIRST) and take the argmax inside the
+    # row. max_by's exact semantics are replicated: highest rounded
+    # cosine wins, similarity ties break to the LOWEST centroid id
+    # (array_position returns the first match in id order — the old
+    # -centroid_id tiebreak), NaN sorts greatest and wins (array_max
+    # shares the SQL double ordering), and an all-NULL similarity row
+    # (degenerate vector) falls to the lowest NON-NULL centroid id —
+    # which is what struct(NULL, -cid) maximization did (NULL ids lose
+    # ties; all ids NULL -> NULL), precomputed here as a literal.
+    cid_vals = sorted(cent_state, key=lambda c: (c is not None, c))
+    fallback_cid = next((c for c in cid_vals if c is not None), None)
+
+    def packed_df() -> DataFrame:
+        return spark.createDataFrame(
+            [([cent_state[c] for c in cid_vals], cid_vals)],
+            f"cvs array<array<double>>, cds array<{id_type}>",
+        )
+
+    pos = F.expr(
+        "CAST(array_position(_ss, array_max(_ss)) AS INT)"
     )
-    sim = F.round(cosine(vec_col, "centroid_vec"), 6)
     for _ in range(iters):
         assign = (
-            train.crossJoin(F.broadcast(centroids))
-            .select(
-                F.col(id_col),
-                F.col(vec_col),
-                F.col("centroid_id"),
-                sim.alias("c_sim"),
-            )
-            .groupBy(id_col)
-            .agg(
-                F.any_value(vec_col).alias(vec_col),
-                F.max_by(
-                    "centroid_id",
-                    F.struct(
-                        F.col("c_sim"), (-F.col("centroid_id")).alias("nid")
-                    ),
-                ).alias("centroid_id"),
+            train.crossJoin(F.broadcast(packed_df()))
+            .withColumn("_ss", _cosine_sims(vec_col))
+            .withColumn(
+                "centroid_id",
+                F.when(
+                    F.expr("array_max(_ss)").isNull(),
+                    F.lit(fallback_cid).cast(id_type),
+                ).otherwise(F.expr("cds")[pos - 1]),
             )
         )
-        means = (
+        mean_rows = (
             assign.select(
                 "centroid_id",
                 F.posexplode(_as_double(vec_col)).alias("dim", "x"),
             )
             .groupBy("centroid_id", "dim")
             .agg(F.avg("x").alias("m"))
-            .groupBy("centroid_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("dim", "m"))
-                ).alias("dm")
-            )
-            .select(
-                "centroid_id",
-                F.expr("transform(dm, s -> s.m)").alias("centroid_vec"),
-            )
+            .collect()
         )
-        centroids = (
-            centroids.alias("old")
-            .join(means.alias("new"), "centroid_id", "left")
-            .select(
-                "centroid_id",
-                F.coalesce(
-                    F.col("new.centroid_vec"), F.col("old.centroid_vec")
-                ).alias("centroid_vec"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return centroids
+        upd: dict = {}
+        for r in mean_rows:
+            # a NULL centroid_id mean (all-degenerate cell) never
+            # equi-joined the old centroid table — skip, as before
+            if r["centroid_id"] is None:
+                continue
+            upd.setdefault(r["centroid_id"], {})[r["dim"]] = r["m"]
+        # empty cells keep their previous centroid (the old left-join
+        # + coalesce semantics)
+        for cid, dims in upd.items():
+            cent_state[cid] = [dims[d] for d in sorted(dims)]
+    return cents_df()
 
 
 def ivf_topk(
@@ -770,6 +837,21 @@ def pq_train(
     corpus-sized), the sampled codebooks still certify the recall
     floor (s64). Default ``None`` trains on the full corpus,
     byte-identical to the historical behavior.
+
+    Iteration materialization (round-13 optimization): the codebook is
+    MODEL-SIZED state (≤ m·n_codes rows by contract), so each round
+    ends in a bounded driver collect and the next round's broadcast is
+    a literal local relation — the d106 parameter-server discipline.
+    This replaces the previous per-iteration ``localCheckpoint`` of the
+    codebook frame (an extra cluster job per round: the checkpoint
+    materialization plus the old-codebook left join it fed) while the
+    per-round ASSIGN + per-(j, code, dim) mean pipeline — the part
+    whose float summation order determines the trained values — is
+    unchanged, so the trained codebooks are bit-identical (asserted by
+    the s63/s65/s66 equality laws and the oracle hash of s55).
+    Python's float IS an IEEE-754 double, so the collect/literal round
+    trip is exact. Plan-sized win at any scale: one fewer pass per
+    Lloyd round over state that was never cluster-sized to begin with.
     """
     normalized = (
         l2_normalize(embeddings, vec_col) if normalize else embeddings
@@ -785,67 +867,110 @@ def pq_train(
     sub = _subvectors(normalized, m, dim, id_col, vec_col).localCheckpoint(
         eager=True
     )
-    # seeds come from the TRAINING set (the sample, when one is
+    # Seeds come from the TRAINING set (the sample, when one is
     # requested): a seed outside it would have no subvectors in ``sub``
-    # and its codebook row would silently vanish
-    seed_source = embeddings if max_train_rows is None else normalized
-    seed_ids = [
-        r[0]
-        for r in seed_source.select(id_col)
-        .orderBy(id_col)
-        .limit(n_codes)
-        .collect()
-    ]
+    # and its codebook row would silently vanish. One MODEL-SIZED
+    # collect (n_codes lowest-id training vectors) supplies both the
+    # seed order and the initial codebook values, sliced driver-side
+    # with the exact indexing :func:`_subvectors` uses (a pure slice,
+    # no arithmetic — Python ``v[a:b]`` and Spark ``slice`` agree on
+    # short/empty/NULL inputs) — replacing the previous corpus-sized
+    # broadcast-join + collect against ``sub`` (round-13: the join was
+    # a full extra pass over the sliced corpus for 512 rows of model
+    # state).
     spark = embeddings.sparkSession
-    # id type derived from the input so string/int id columns seed too
-    seed_id_type = embeddings.schema[id_col].dataType.simpleString()
-    code_map = spark.createDataFrame(
-        [(i, c) for c, i in enumerate(seed_ids)],
-        f"{id_col} {seed_id_type}, code int",
+    sub_d = dim // m
+    seed_rows = (
+        normalized.orderBy(id_col)
+        .limit(n_codes)
+        .select(F.col(id_col), _as_double(vec_col).alias("_v"))
+        .collect()
     )
-    cb = (
-        sub.join(F.broadcast(code_map), id_col)
-        .select("j", "code", F.col("sv").alias("cv"))
-        .localCheckpoint(eager=True)
+    # driver-held model state: {(j, code): cv as a Python list}
+    cb_state: dict[tuple, list] = {}
+    for code, r in enumerate(seed_rows):
+        v = r["_v"]
+        for j in range(m):
+            cb_state[(j, code)] = (
+                None if v is None else list(v[j * sub_d : (j + 1) * sub_d])
+            )
+
+    def cb_df() -> DataFrame:
+        rows = [(j, c, cb_state[(j, c)]) for (j, c) in sorted(cb_state)]
+        return spark.createDataFrame(
+            rows, "j int, code int, cv array<double>"
+        )
+
+    # in-row argmin (round-13 optimization, guide §2.2/§3): the Lloyd
+    # assign previously expanded sub × codebook (rows·n_codes joined
+    # rows) through a broadcast join and folded back with
+    # min_by(struct(d2, code)) — measured, the iteration cost was the
+    # row EXPANSION plus that struct-keyed min_by (no mutable buffer,
+    # so it compiled to Sort + Exchange + SortAggregate), not the
+    # distance arithmetic. The codebook is driver-held state, so pack
+    # it per subspace (one array<array<double>> row per j, m rows,
+    # broadcast) and pick the nearest code inside the row over the
+    # packed array. The argmin replicates min_by's exact semantics:
+    # NULL d2 sorts FIRST (the exists() branch picks the first NULL,
+    # i.e. the lowest code), distance ties break to the lower code
+    # (array_position returns the first match; cvs is ordered by code,
+    # codes contiguous 0..n-1 from the seed enumeration, so position-1
+    # IS the code), NaN sorts greatest (array_min shares the SQL
+    # double ordering). The per-pair distance stays the exact
+    # _sq_l2 fold (bit-identical floats); an UNROLLED per-code variant
+    # was measured and rejected — at n_codes CASE branches per row the
+    # Catalyst analysis of the big tree cost more per iteration than
+    # the interpreted fold it saved (plans are rebuilt every
+    # iteration). One row per input (id, j) comes out, exactly the
+    # rows the old groupBy produced — ``id_col`` keys the code
+    # artifact throughout this module (pq_append/ivf_append join on
+    # it), same as before.
+    codes_present = list(range(len(seed_rows)))
+    js_present = list(range(m))
+
+    def cbj_df() -> DataFrame:
+        rows = [
+            (j, [cb_state[(j, c)] for c in codes_present])
+            for j in js_present
+        ]
+        return spark.createDataFrame(
+            rows, "j int, cvs array<array<double>>"
+        )
+
+    d2s = F.expr(
+        "transform(cvs, cv -> aggregate(zip_with(sv, cv, "
+        "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v))"
+    )
+    best_code = F.expr(
+        "CASE WHEN exists(_ds, x -> x IS NULL) THEN "
+        "CAST(array_position("
+        "transform(_ds, x -> CAST(x IS NULL AS INT)), 1) AS INT) - 1 "
+        "ELSE CAST(array_position(_ds, array_min(_ds)) AS INT) - 1 END"
     )
     for _ in range(iters):
         assign = (
-            sub.join(F.broadcast(cb), "j")
-            .withColumn("d2", _sq_l2("sv", "cv"))
-            .groupBy(id_col, "j")
-            .agg(
-                F.any_value("sv").alias("sv"),
-                F.min_by(
-                    "code", F.struct(F.col("d2"), F.col("code"))
-                ).alias("code"),
-            )
+            sub.join(F.broadcast(cbj_df()), "j")
+            .withColumn("_ds", d2s)
+            .withColumn("code", best_code)
         )
-        means = (
+        mean_rows = (
             assign.select("j", "code", F.posexplode("sv").alias("dim", "x"))
             .groupBy("j", "code", "dim")
             .agg(F.avg("x").alias("mx"))
-            .groupBy("j", "code")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("dim", "mx"))).alias(
-                    "dm"
-                )
-            )
-            .select(
-                "j",
-                "code",
-                F.expr("transform(dm, s -> s.mx)").alias("cv_new"),
-            )
+            .collect()
         )
-        cb = (
-            cb.join(means, ["j", "code"], "left")
-            .select(
-                "j",
-                "code",
-                F.coalesce("cv_new", "cv").alias("cv"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return cb
+        upd: dict[tuple, dict[int, float]] = {}
+        for r in mean_rows:
+            # a NULL code (all-null-distance group) never equi-joined
+            # the old codebook — skip, as the old left join did
+            if r["code"] is None:
+                continue
+            upd.setdefault((r["j"], r["code"]), {})[r["dim"]] = r["mx"]
+        # empty codes ((j, code) absent from the means) keep their
+        # previous centroid — the old left-join + coalesce semantics
+        for key, dims in upd.items():
+            cb_state[key] = [dims[d] for d in sorted(dims)]
+    return cb_df()
 
 
 def pq_encode(
@@ -858,46 +983,93 @@ def pq_encode(
     ``round_digits`` rounds the squared distance before the argmin (ties
     then break to the lower code) — the cross-engine-deterministic mode
     the oracle-checked s48 registration uses, mirroring the rounded-
-    cosine convention of the search queries. In that mode the rounded
-    distance is integral in 10^-round_digits units, so the argmin is a
-    plain ``min`` over one packed bigint (distance units ‖ code) and
-    the per-(id, j) fold stays a HashAggregate; a struct-keyed
-    ``min_by`` (the unrounded path) has no mutable buffer and compiles
-    to SortAggregate."""
-    joined = sub.join(F.broadcast(codebooks), "j")
-    d2 = _sq_l2("sv", "cv")
+    cosine convention of the search queries.
+
+    In-row argmin (round-13 optimization, guide §2.2/§3): the encode
+    previously expanded sub × codebook (rows·n_codes joined rows)
+    through a broadcast join and folded back per (id, j) — min over a
+    packed bigint (rounded mode) or a struct-keyed min_by that
+    compiled to Sort + Exchange + SortAggregate (unrounded mode).
+    Measured, that expansion + fold dominated the encode. The codebook
+    is MODEL-SIZED by contract (m·n_codes rows — the same contract
+    that lets pq_train hold it in driver state), so collect it, pack
+    it per subspace ordered by code (NULL codes first, mirroring how a
+    NULL code won the old struct min_by on a distance tie), and pick
+    the nearest code inside the row: one output row per input (id, j),
+    no expansion, no per-(id, j) shuffle fold. Old-fold semantics are
+    replicated exactly: per-pair distance is the same _sq_l2 fold
+    (bit-identical floats), NULL distance sorts first in the unrounded
+    mode (exists() branch -> first NULL position -> lowest code) but
+    is SKIPPED by the rounded mode's min (array_min ignores NULLs; all
+    NULL -> NULL code, as min over an all-NULL column was), ties break
+    to the lower code (array_position returns the first match in
+    code order), NaN sorts greatest, a NULL-j codebook row never
+    equi-joins (excluded from the pack), and a j absent from the
+    codebook drops its sub rows (the packed table only carries js with
+    entries, and the inner join stays). The rounded mode's in-plan
+    packing-range assert becomes a driver-side check on the collected
+    artifact (same contract: int codes in [0, 2^21))."""
+    spark = sub.sparkSession
+    code_type = codebooks.schema["code"].dataType.simpleString()
+    cv_type = codebooks.schema["cv"].dataType.simpleString()
+    j_type = codebooks.schema["j"].dataType.simpleString()
+    by_j: dict = {}
+    for r in codebooks.select("j", "code", "cv").collect():
+        if r["j"] is None:  # a NULL j never equi-joined sub
+            continue
+        by_j.setdefault(r["j"], []).append(
+            (r["code"], list(r["cv"]) if r["cv"] is not None else None)
+        )
     if round_digits is not None:
         n_codes = 1 << 21  # matches the ivf packing bound
-        units = F.round(
-            F.round(d2, round_digits) * F.lit(10.0**round_digits)
-        ).cast("long")
-        packed = units * F.lit(n_codes).cast("long") + F.col("code")
+        for entries in by_j.values():
+            for c, _ in entries:
+                if c is None or not (0 <= c < n_codes):
+                    raise ValueError("code out of packing range")
+    packed = [
+        (
+            j,
+            [cv for _, cv in sorted(es, key=lambda e: (e[0] is not None, e[0]))],
+            [c for c, _ in sorted(es, key=lambda e: (e[0] is not None, e[0]))],
+        )
+        for j, es in sorted(by_j.items())
+    ]
+    cbp = spark.createDataFrame(
+        packed, f"j {j_type}, cvs array<{cv_type}>, cds array<{code_type}>"
+    )
+    ds = F.expr(
+        "transform(cvs, cv -> aggregate(zip_with(sv, cv, "
+        "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v))"
+    )
+    if round_digits is not None:
+        scale = repr(10.0**round_digits)
+        us = F.expr(
+            f"transform(_ds, d -> CAST(round(round(d, {round_digits}) "
+            f"* {scale}D) AS LONG))"
+        )
+        code = F.expr(
+            "CASE WHEN array_min(_us) IS NULL THEN CAST(NULL AS INT) "
+            "ELSE CAST(cds[CAST(array_position(_us, array_min(_us)) "
+            "AS INT) - 1] AS INT) END"
+        )
         per_subspace = (
-            joined.select(
-                F.col(id_col),
-                "j",
-                F.when(
-                    F.assert_true(
-                        (F.col("code") >= 0) & (F.col("code") < n_codes),
-                        F.lit("code out of packing range"),
-                    ).isNull(),
-                    packed,
-                ).alias("_p"),
-            )
-            .groupBy(id_col, "j")
-            .agg(
-                (F.min("_p") % F.lit(n_codes)).cast("int").alias("code")
-            )
+            sub.join(F.broadcast(cbp), "j")
+            .withColumn("_ds", ds)
+            .withColumn("_us", us)
+            .select(F.col(id_col), "j", code.alias("code"))
         )
     else:
+        code = F.expr(
+            "CASE WHEN exists(_ds, x -> x IS NULL) THEN "
+            "cds[CAST(array_position("
+            "transform(_ds, x -> CAST(x IS NULL AS INT)), 1) AS INT) - 1] "
+            "ELSE cds[CAST(array_position(_ds, array_min(_ds)) "
+            "AS INT) - 1] END"
+        )
         per_subspace = (
-            joined.withColumn("d2", d2)
-            .groupBy(id_col, "j")
-            .agg(
-                F.min_by(
-                    "code", F.struct(F.col("d2"), F.col("code"))
-                ).alias("code")
-            )
+            sub.join(F.broadcast(cbp), "j")
+            .withColumn("_ds", ds)
+            .select(F.col(id_col), "j", code.alias("code"))
         )
     return per_subspace.groupBy(id_col).agg(
         F.expr(
@@ -2111,15 +2283,15 @@ def sq8_kmeans(
     discipline: deterministic, engine-portable). Empty cells keep
     their previous centroid.
 
-    Plan per iteration: centroids (k rows) broadcast into the code
-    scan; the assign argmin folds in-row over a k-term array (min_by
-    on a packed (dist, cid) struct — the repo's argmin discipline);
-    the update shuffles (cid, dim, partial-sum) triples — ≤ k·dims
-    groups after map-side partials; ``localCheckpoint`` per round
-    truncates lineage (the iterative-algorithm discipline shared with
-    ivf_train/pagerank/bpe_train). Codes are 4× smaller than float32,
-    so even the one corpus-wide scan per iteration reads a quarter of
-    the raw-vector bytes.
+    Plan per iteration: the driver-held centroid state (k rows)
+    broadcasts as one packed row into the code scan, the assign argmin
+    folds IN-ROW over the k-term distance array (no corpus × centroid
+    expansion, no per-id aggregate — see assign_to's comment), and the
+    update shuffles (cid, dim, partial-sum) triples — ≤ k·dims groups
+    after map-side partials — into a bounded driver collect (the d106
+    parameter-server discipline shared with ivf_train/pq_train).
+    Codes are 4× smaller than float32, so even the one corpus-wide
+    scan per iteration reads a quarter of the raw-vector bytes.
 
     ``max_train_rows`` bounds the Lloyd passes (and the seed pick) to
     a deterministic hash-bottom sample (:func:`_train_sample` — the
@@ -2136,63 +2308,88 @@ def sq8_kmeans(
         else _train_sample(codes, id_col, max_train_rows)
     )
 
-    def assign_to(cents: DataFrame, src: DataFrame = codes) -> DataFrame:
-        d2 = F.aggregate(
-            F.zip_with(
-                F.col(codes_col),
-                F.col("cent"),
-                lambda a, b: (a - b).cast("long") * (a - b).cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    # in-row argmin (round-13 optimization, guide §2.2/§3): previously
+    # a broadcast-crossJoin expanded src × centroids and a struct-keyed
+    # min_by folded it back per id (Sort + Exchange + SortAggregate —
+    # measured on the PQ sibling as the real iteration cost). The
+    # centroids are driver-held state, so pack them as ONE broadcast
+    # row (cent arrays + dense ids, id order) and take the argmin
+    # inside the row. min_by(struct(d2, centroid_id)) semantics
+    # replicated exactly: NULL d2 sorts FIRST (the exists() branch
+    # picks the first NULL, i.e. the lowest centroid id), distance
+    # ties break to the lower id (array_position returns the first
+    # match in id order), the winning d2 rides along (NULL in the
+    # NULL-win case, as min_by carried it). Integer arithmetic is the
+    # same CAST/fold, so distances are exact either way. One output
+    # row per input row — ids key the artifact, as before.
+    spark = codes.sparkSession
+    elem = train.schema[codes_col].dataType.simpleString()  # array<...>
+
+    def assign_to(src: DataFrame = codes) -> DataFrame:
+        cds = sorted(cent_state)
+        if not cds:  # empty training set: the old crossJoin with an
+            # empty centroid table produced no rows at all
+            return (
+                src.select(F.col(id_col), F.col(codes_col))
+                .filter(F.lit(False))
+                .withColumn("centroid_id", F.lit(None).cast("long"))
+                .withColumn("d2", F.lit(None).cast("long"))
+            )
+        packed = spark.createDataFrame(
+            [([cent_state[c] for c in cds], [int(c) for c in cds])],
+            f"cvs array<{elem}>, cds array<bigint>",
+        )
+        ds = F.expr(
+            f"transform(cvs, cv -> aggregate(zip_with({codes_col}, cv, "
+            "(a, b) -> CAST((a - b) AS BIGINT) * CAST((a - b) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x))"
+        )
+        pos = F.expr(
+            "CASE WHEN exists(_ds, x -> x IS NULL) THEN "
+            "CAST(array_position("
+            "transform(_ds, x -> CAST(x IS NULL AS INT)), 1) AS INT) "
+            "ELSE CAST(array_position(_ds, array_min(_ds)) AS INT) END"
         )
         return (
-            src.crossJoin(F.broadcast(cents))
-            .select(
-                F.col(id_col),
-                F.col(codes_col),
-                F.col("centroid_id"),
-                d2.alias("d2"),
-            )
-            .groupBy(id_col)
-            .agg(
-                F.any_value(codes_col).alias(codes_col),
-                F.min_by(
-                    F.struct("centroid_id", "d2"),
-                    F.struct("d2", "centroid_id"),
-                ).alias("best"),
-            )
+            src.crossJoin(F.broadcast(packed))
+            .withColumn("_ds", ds)
+            .withColumn("_bp", pos)
             .select(
                 id_col,
                 codes_col,
-                F.col("best.centroid_id").alias("centroid_id"),
-                F.col("best.d2").alias("d2"),
+                F.expr("cds[_bp - 1]").alias("centroid_id"),
+                F.expr("_ds[_bp - 1]").alias("d2"),
             )
         )
 
-    cents = (
+    # seeds: the k lowest-id codes, re-keyed 0..k-1 in id order (the
+    # previous row_number window, done on the driver over k rows —
+    # model-sized state, the d106 parameter-server discipline; NULL ids
+    # sort first, matching Spark's ASC nulls-first window order)
+    seed_rows = sorted(
         train.orderBy(id_col)
         .limit(k)
         .select(
-            F.col(id_col).cast("long").alias("centroid_id"),
+            F.col(id_col).cast("long").alias("cid0"),
             F.col(codes_col).alias("cent"),
         )
-        .localCheckpoint(eager=True)
+        .collect(),
+        key=lambda r: (r["cid0"] is not None, r["cid0"]),
     )
-    # re-key seeds to 0..k-1 so centroid ids are rank-stable
-    cents = (
-        cents.withColumn(
-            "centroid_id",
-            F.row_number().over(
-                Window.orderBy("centroid_id")
-            ).cast("long")
-            - 1,
+    cent_state: dict[int, list | None] = {
+        i: (list(r["cent"]) if r["cent"] is not None else None)
+        for i, r in enumerate(seed_rows)
+    }
+
+    def cents_df() -> DataFrame:
+        rows = [(cid, cent_state[cid]) for cid in sorted(cent_state)]
+        return spark.createDataFrame(
+            rows, f"centroid_id long, cent {elem}"
         )
-        .localCheckpoint(eager=True)
-    )
+
     for _ in range(iters):
-        assign = assign_to(cents, train)
-        means = (
+        assign = assign_to(train)
+        mean_rows = (
             assign.select(
                 "centroid_id",
                 F.posexplode(codes_col).alias("dim", "x"),
@@ -2202,31 +2399,21 @@ def sq8_kmeans(
                 F.sum(F.col("x").cast("long")).alias("sx"),
                 F.count("*").alias("n"),
             )
-            .groupBy("centroid_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "dim",
-                            F.expr("sx DIV n").cast("int").alias("m"),
-                        )
-                    )
-                ).alias("dm")
-            )
-            .select(
-                "centroid_id",
-                F.expr("transform(dm, s -> s.m)").alias("cent"),
-            )
+            .collect()
         )
-        cents = (
-            cents.alias("old")
-            .join(means.alias("new"), "centroid_id", "left")
-            .select(
-                "centroid_id",
-                F.coalesce(
-                    F.col("new.cent"), F.col("old.cent")
-                ).alias("cent"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return cents, assign_to(cents)
+        upd: dict[int, dict[int, int]] = {}
+        for r in mean_rows:
+            if r["centroid_id"] is None:
+                continue
+            sx, n = r["sx"], r["n"]
+            # Spark's `sx DIV n` truncates toward zero; replicate for
+            # any sign (codes are nonnegative in practice, where this
+            # equals floor division)
+            q = abs(sx) // n if sx is not None else None
+            m = None if q is None else (q if sx >= 0 else -q)
+            upd.setdefault(r["centroid_id"], {})[r["dim"]] = m
+        # empty cells keep their previous centroid (old left-join +
+        # coalesce semantics)
+        for cid, dims in upd.items():
+            cent_state[cid] = [dims[d] for d in sorted(dims)]
+    return cents_df(), assign_to()
