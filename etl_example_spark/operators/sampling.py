@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_example_spark.functions.localrel import local_df
+
 #: hex prefix width compared against the threshold; 8 hex digits = 32
 #: uniform bits, plenty of rate resolution (~2.3e-10)
 _PREFIX = 8
@@ -124,6 +126,7 @@ def temperature_sample(
     Rows with a NULL stratum are dropped (a NULL never equals a stratum
     value in the filter) — normalize unknowns to a sentinel stratum
     upstream if they must be sampled."""
+    df = _materialize_if_derived(df)
     counts = {
         r[0]: r[1]
         for r in df.groupBy(stratum_col).count().collect()
@@ -132,6 +135,24 @@ def temperature_sample(
     return stratified_sample(
         df, rates=rates, stratum_col=stratum_col, id_col=id_col
     )
+
+
+def _materialize_if_derived(df: DataFrame) -> DataFrame:
+    """The count-then-filter samplers execute their input TWICE — once
+    for the stratum counts (driver rates), once in the returned plan.
+    Over a plain (projected/filtered) table scan that is the optimal
+    shape: the counts pass is a column-pruned scan, the cheapest op
+    there is, and materializing the corpus to re-read it would cost
+    more than the second scan. Over a DERIVED input (the d53/d97
+    curation chains: dedup joins, LSH, aggregates) the second execution
+    repeats all of that work, so materialize once and let both passes
+    read the checkpoint (round-13, guide §5 compute-once (cut lineage with localCheckpoint when an intermediate is reused)). The
+    heuristic is the plan itself: any Join/Aggregate/Window/Generate
+    upstream means re-execution is non-trivial."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(k in plan for k in ("Join", "Aggregate", "Window", "Generate")):
+        return df.localCheckpoint(eager=True)
+    return df
 
 
 def mixture_rates(
@@ -180,6 +201,7 @@ def mixture_sample(
     the hash-threshold filter — same two-narrow-pass, zero-shuffle shape
     as ``temperature_sample``, but with an explicit mixture spec instead
     of the count^alpha rule."""
+    df = _materialize_if_derived(df)
     counts = {
         r[0]: r[1]
         for r in df.groupBy(stratum_col).count().collect()
@@ -349,7 +371,8 @@ def token_budget_plan(
 
     d38 = "decimal(38,0)"
     spark = df.sparkSession
-    w_df = spark.createDataFrame(
+    w_df = local_df(
+        spark,
         sorted(target_weights.items()),
         f"{stratum_col} string, wt long",
     )

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_example_spark.functions.localrel import local_df
+
 
 def _as_double(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -209,7 +211,7 @@ def ivf_assign_with_centroids(
     :func:`ivf_assign` (seeded centroids) and :func:`ivf_append`
     (stored centroids).
 
-    In-row argmax (round-13 optimization, guide §2.2/§3): previously a
+    In-row argmax (round-13 optimization, guide §2.4/§3.1): previously a
     broadcast-crossJoin expanded corpus × centroids and a packed-bigint
     max folded it back per (id, vec) — correct and HashAggregate-
     shaped, but the expansion plus the corpus-keyed aggregate (the
@@ -249,7 +251,8 @@ def ivf_assign_with_centroids(
             .withColumn("centroid_id", F.lit(None).cast(cid_type))
             .withColumn("c_sim", F.lit(None).cast("double"))
         )
-    packed = spark.createDataFrame(
+    packed = local_df(
+        spark,
         [
             (
                 [
@@ -496,9 +499,9 @@ def ivf_train(
                 cent_state, key=lambda c: (c is not None, c)
             )
         ]
-        return spark.createDataFrame(rows, cent_schema)
+        return local_df(spark, rows, cent_schema)
 
-    # in-row argmax (round-13 optimization, guide §2.2/§3): the Lloyd
+    # in-row argmax (round-13 optimization, guide §2.4/§3.1): the Lloyd
     # assign previously expanded train × centroids through a
     # broadcast-crossJoin and folded back with
     # max_by(centroid_id, struct(c_sim, -centroid_id)) — measured on
@@ -518,7 +521,8 @@ def ivf_train(
     fallback_cid = next((c for c in cid_vals if c is not None), None)
 
     def packed_df() -> DataFrame:
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [([cent_state[c] for c in cid_vals], cid_vals)],
             f"cvs array<array<double>>, cds array<{id_type}>",
         )
@@ -897,11 +901,11 @@ def pq_train(
 
     def cb_df() -> DataFrame:
         rows = [(j, c, cb_state[(j, c)]) for (j, c) in sorted(cb_state)]
-        return spark.createDataFrame(
-            rows, "j int, code int, cv array<double>"
+        return local_df(
+            spark, rows, "j int, code int, cv array<double>"
         )
 
-    # in-row argmin (round-13 optimization, guide §2.2/§3): the Lloyd
+    # in-row argmin (round-13 optimization, guide §2.4/§3.1): the Lloyd
     # assign previously expanded sub × codebook (rows·n_codes joined
     # rows) through a broadcast join and folded back with
     # min_by(struct(d2, code)) — measured, the iteration cost was the
@@ -933,8 +937,8 @@ def pq_train(
             (j, [cb_state[(j, c)] for c in codes_present])
             for j in js_present
         ]
-        return spark.createDataFrame(
-            rows, "j int, cvs array<array<double>>"
+        return local_df(
+            spark, rows, "j int, cvs array<array<double>>"
         )
 
     d2s = F.expr(
@@ -985,7 +989,7 @@ def pq_encode(
     the oracle-checked s48 registration uses, mirroring the rounded-
     cosine convention of the search queries.
 
-    In-row argmin (round-13 optimization, guide §2.2/§3): the encode
+    In-row argmin (round-13 optimization, guide §2.4/§3.1): the encode
     previously expanded sub × codebook (rows·n_codes joined rows)
     through a broadcast join and folded back per (id, j) — min over a
     packed bigint (rounded mode) or a struct-keyed min_by that
@@ -1034,8 +1038,9 @@ def pq_encode(
         )
         for j, es in sorted(by_j.items())
     ]
-    cbp = spark.createDataFrame(
-        packed, f"j {j_type}, cvs array<{cv_type}>, cds array<{code_type}>"
+    cbp = local_df(
+        spark, packed,
+        f"j {j_type}, cvs array<{cv_type}>, cds array<{code_type}>",
     )
     ds = F.expr(
         "transform(cvs, cv -> aggregate(zip_with(sv, cv, "
@@ -2308,7 +2313,7 @@ def sq8_kmeans(
         else _train_sample(codes, id_col, max_train_rows)
     )
 
-    # in-row argmin (round-13 optimization, guide §2.2/§3): previously
+    # in-row argmin (round-13 optimization, guide §2.4/§3.1): previously
     # a broadcast-crossJoin expanded src × centroids and a struct-keyed
     # min_by folded it back per id (Sort + Exchange + SortAggregate —
     # measured on the PQ sibling as the real iteration cost). The
@@ -2335,7 +2340,8 @@ def sq8_kmeans(
                 .withColumn("centroid_id", F.lit(None).cast("long"))
                 .withColumn("d2", F.lit(None).cast("long"))
             )
-        packed = spark.createDataFrame(
+        packed = local_df(
+            spark,
             [([cent_state[c] for c in cds], [int(c) for c in cds])],
             f"cvs array<{elem}>, cds array<bigint>",
         )
@@ -2383,8 +2389,8 @@ def sq8_kmeans(
 
     def cents_df() -> DataFrame:
         rows = [(cid, cent_state[cid]) for cid in sorted(cent_state)]
-        return spark.createDataFrame(
-            rows, f"centroid_id long, cent {elem}"
+        return local_df(
+            spark, rows, f"centroid_id long, cent {elem}"
         )
 
     for _ in range(iters):

@@ -17,6 +17,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_example_spark.functions.localrel import local_df
+
 # Marker stopwords per language for the n-gram/stopword language-ID
 # heuristic. Deliberately tiny and public-knowledge (most-frequent words);
 # the point is the operator shape (vectorized per-token membership count),
@@ -1348,8 +1350,12 @@ def _staged_bm25_tf(
         _session_key,
     )
 
+    # no .distinct() before the collect: the set() dedupes driver-side,
+    # and dropping the aggregate lets a LocalRelation query workload
+    # collect on the driver fast path — zero Spark jobs — instead of
+    # paying an Exchange job per serve call (r13, guide §1.2/§2.4: count the jobs, drop the accidental exchange)
     terms = tuple(
-        sorted({r[0] for r in queries.select("term").distinct().collect()})
+        sorted({r[0] for r in queries.select("term").collect()})
     )
 
     def build() -> DataFrame:
@@ -1480,23 +1486,31 @@ def bm25_topk_from_postings(
     """
     spark = postings.sparkSession
     totals = F.broadcast(
-        spark.createDataFrame(
-            [(int(n_docs), int(t_total))], "n_docs bigint, t_total bigint"
+        local_df(
+            spark,
+            [(int(n_docs), int(t_total))],
+            "n_docs bigint, t_total bigint",
         )
     )
-    # semi-join the FULL-VOCABULARY artifact down to the query terms
-    # BEFORE the ranker's df fold — without this, dfreq would aggregate
-    # the entire postings table per probe (Catalyst cannot push a join
+    # restrict the FULL-VOCABULARY artifact to the query terms BEFORE
+    # the ranker's df fold — without this, dfreq would aggregate the
+    # entire postings table per probe (Catalyst cannot push a join
     # through the aggregate), a build-class shuffle for a 3-term query;
     # with it, probe shuffle = matched rows only, as documented. df
-    # values are unchanged (df is per-term-local). The direct path's tf
-    # is already term-restricted, so the filter lives HERE, not in
-    # _bm25_rank (measured: an unconditional semi-join cost s51 ~0.5 s
-    # of pure plan overhead on its already-restricted postings).
-    matched = postings.join(
-        F.broadcast(queries.select("term").distinct()),
-        "term",
-        "left_semi",
+    # values are unchanged (df is per-term-local). The restriction is a
+    # literal ``isin`` (terms collected driver-side — a bounded query
+    # workload, the _staged_bm25_tf sanction) rather than the previous
+    # broadcast semi-join (r13, guide §3.2/§6 predicate pushdown): the predicate pushes
+    # into the postings SCAN (partition/bucket pruning when the
+    # artifact is laid out by term) and drops the per-probe broadcast
+    # build job; NULL terms never matched the semi-join and never
+    # match isin. The direct path's tf is already term-restricted, so
+    # the filter lives HERE, not in _bm25_rank.
+    terms = tuple(
+        sorted({r[0] for r in queries.select("term").collect()})
+    )
+    matched = postings.filter(
+        F.col("term").isin(*terms) if terms else F.lit(False)
     )
     return _bm25_rank(matched, queries, totals, k)
 
@@ -1523,16 +1537,19 @@ def bm25_topk_from_bucketed(
     Ranking is the shared decimal(38,0) arithmetic, so
     bucketed-serve == flat-serve == direct-scan (the s53 law extended;
     pruning is asserted in tests/test_llm_ops.py)."""
+    # set() dedupes driver-side; no .distinct() job (see _staged_bm25_tf)
     terms = tuple(
-        sorted({r[0] for r in queries.select("term").distinct().collect()})
+        sorted({r[0] for r in queries.select("term").collect()})
     )
     postings = spark.table(table)
     matched = postings.filter(
         F.col("term").isin(*terms) if terms else F.lit(False)
     )
     totals = F.broadcast(
-        spark.createDataFrame(
-            [(int(n_docs), int(t_total))], "n_docs bigint, t_total bigint"
+        local_df(
+            spark,
+            [(int(n_docs), int(t_total))],
+            "n_docs bigint, t_total bigint",
         )
     )
     return _bm25_rank(matched, queries, totals, k)
@@ -1549,7 +1566,28 @@ def _bm25_rank(
     path semi-joins the full-vocabulary artifact down first (see
     :func:`bm25_topk_from_postings`); feeding unrestricted postings in
     here would make the df fold aggregate the whole table."""
-    qterms = F.broadcast(queries.select("query_id", "term").distinct())
+    # dedupe the (query_id, term) pairs driver-side (bounded by the
+    # query-workload contract) instead of an in-plan .distinct(): the
+    # aggregate forced an Exchange + job inside every serve call's
+    # broadcast build; a Python set is the same NULL-safe dedupe and
+    # the rebuilt LocalRelation broadcasts without one (r13, guide §2.4)
+    q_schema = queries.select("query_id", "term").schema
+    seen: set = set()
+    pairs = []
+    for r in queries.select("query_id", "term").collect():
+        key = (r["query_id"], r["term"])
+        if key not in seen:
+            seen.add(key)
+            pairs.append(key)
+    qterms = F.broadcast(
+        local_df(
+            queries.sparkSession,
+            pairs,
+            ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in q_schema
+            ),
+        )
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf_micro = (
         F.round(

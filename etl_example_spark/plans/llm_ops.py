@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_example_spark.functions.localrel import local_df
+
 from etl_example_spark.operators import (
     bpe,
     dedup,
@@ -2227,8 +2229,8 @@ BM25_QUERIES: list[tuple[int, str]] = [
 )
 def s51_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
-        BM25_QUERIES, "query_id int, term string"
+    queries = local_df(
+        spark, BM25_QUERIES, "query_id int, term string"
     )
     return text.bm25_topk(docs, queries, k=10).orderBy("query_id", "rk")
 
@@ -2394,8 +2396,8 @@ def s53_bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("t"),
     ).collect()[0]
-    queries = spark.createDataFrame(
-        BM25_SERVE_QUERIES, "query_id int, term string"
+    queries = local_df(
+        spark, BM25_SERVE_QUERIES, "query_id int, term string"
     )
     return text.bm25_topk_from_postings(
         index, queries, int(totals["n"]), int(totals["t"]), k=10
@@ -2495,8 +2497,8 @@ def s57_bm25_bucketed_serve(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     table, n_docs, t_total = _stage_bm25_bucketed(spark, sf_dir)
-    queries = spark.createDataFrame(
-        BM25_SERVE_QUERIES, "query_id int, term string"
+    queries = local_df(
+        spark, BM25_SERVE_QUERIES, "query_id int, term string"
     )
     return text.bm25_topk_from_bucketed(
         spark, table, queries, n_docs, t_total, k=10
@@ -2566,8 +2568,8 @@ def s68_bm25_bucketed_append(
     # add, never a full-corpus re-scan)
     n_old, t_old = totals(old)
     n_new, t_new = totals(new)
-    queries = spark.createDataFrame(
-        BM25_SERVE_QUERIES, "query_id int, term string"
+    queries = local_df(
+        spark, BM25_SERVE_QUERIES, "query_id int, term string"
     )
     return text.bm25_topk_from_bucketed(
         spark, name, queries, n_old + n_new, t_old + t_new, k=10
@@ -2628,8 +2630,8 @@ def s69_bm25_bucketed_compaction(
             F.lit(0),
         ).alias("t"),
     ).collect()[0]
-    queries = spark.createDataFrame(
-        BM25_SERVE_QUERIES, "query_id int, term string"
+    queries = local_df(
+        spark, BM25_SERVE_QUERIES, "query_id int, term string"
     )
     return text.bm25_topk_from_bucketed(
         spark, name, queries, int(row["n"]), int(row["t"]), k=10
@@ -2834,8 +2836,8 @@ def s59_hybrid_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     table, n_docs, t_total = _stage_bm25_bucketed(spark, sf_dir)
-    queries = spark.createDataFrame(
-        HYBRID_SERVE_TERMS, "query_id int, term string"
+    queries = local_df(
+        spark, HYBRID_SERVE_TERMS, "query_id int, term string"
     )
     kw = text.bm25_topk_from_bucketed(
         spark, table, queries, n_docs, t_total, k=20
@@ -7798,7 +7800,7 @@ def d106_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, _perceptron_label(), dim=_PTRON_DIM, epochs=_PTRON_EPOCHS
     )
     rows = [(b, wv) for b, wv in sorted(w.items())]
-    return spark.createDataFrame(rows, "bucket long, w long").orderBy(
+    return local_df(spark, rows, "bucket long, w long").orderBy(
         "bucket"
     )
 
@@ -10415,11 +10417,11 @@ def s71_bm25_bucketed_delete(
     n_del, t_del = totals(deleted)
     tombstones = deleted.select("doc_id")
 
-    queries = spark.createDataFrame(
-        BM25_SERVE_QUERIES, "query_id int, term string"
+    queries = local_df(
+        spark, BM25_SERVE_QUERIES, "query_id int, term string"
     )
     terms = tuple(
-        sorted({r[0] for r in queries.select("term").distinct().collect()})
+        sorted({r[0] for r in queries.select("term").collect()})
     )
     matched = (
         spark.table(name)
@@ -10427,7 +10429,8 @@ def s71_bm25_bucketed_delete(
         .join(F.broadcast(tombstones), "doc_id", "left_anti")
     )
     totals_df = F.broadcast(
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(n_full - n_del, t_full - t_del)],
             "n_docs bigint, t_total bigint",
         )
@@ -10715,11 +10718,11 @@ def s73_bm25_cdc_maintenance(
     n_arr, t_arr = totals(arriving)
     tombstones = gone
 
-    queries = spark.createDataFrame(
-        BM25_SERVE_QUERIES, "query_id int, term string"
+    queries = local_df(
+        spark, BM25_SERVE_QUERIES, "query_id int, term string"
     )
     terms = tuple(
-        sorted({r[0] for r in queries.select("term").distinct().collect()})
+        sorted({r[0] for r in queries.select("term").collect()})
     )
     matched = (
         spark.table(base)
@@ -10730,7 +10733,8 @@ def s73_bm25_cdc_maintenance(
         )
     )
     totals_df = F.broadcast(
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(n1 - n_gone + n_arr, t1 - t_gone + t_arr)],
             "n_docs bigint, t_total bigint",
         )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_example_spark.functions.localrel import local_df
 from etl_example_spark.plans.registry import register
 from etl_example_spark.operators.sketches import (
     CMS_HEAVY_HITTERS_ORACLE,
@@ -1677,8 +1678,8 @@ def st55_stream_bm25_route(
     from etl_example_spark.streaming.sources import read_documents_stream
 
     static = load_table(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
-        BM25_QUERIES, "query_id int, term string"
+    queries = local_df(
+        spark, BM25_QUERIES, "query_id int, term string"
     )
     term_idf, n_docs, t_total = text.bm25_serving_stats(static, queries)
     query_terms: dict[int, list[str]] = {}
@@ -2936,11 +2937,11 @@ def st68_stream_cdc_index_maintenance(
     arrivals = read_slices(arr_dir, "doc_id long").select("doc_id")
     n_arr, t_arr = totals(v2.join(F.broadcast(arrivals), "doc_id"))
 
-    queries = spark.createDataFrame(
-        BM25_SERVE_QUERIES, "query_id int, term string"
+    queries = local_df(
+        spark, BM25_SERVE_QUERIES, "query_id int, term string"
     )
     terms = tuple(
-        sorted({r[0] for r in queries.select("term").distinct().collect()})
+        sorted({r[0] for r in queries.select("term").collect()})
     )
     matched = (
         spark.table(base)
@@ -2953,7 +2954,8 @@ def st68_stream_cdc_index_maintenance(
         )
     )
     totals_df = F.broadcast(
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(n1 - n_gone + n_arr, t1 - t_gone + t_arr)],
             "n_docs bigint, t_total bigint",
         )

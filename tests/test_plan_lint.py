@@ -167,12 +167,6 @@ _SINGLE_PARTITION_WINDOW_BY_DESIGN = {
     # grand total over the per-source aggregate: a mixture has a few
     # dozen sources at any corpus size (key-domain-bounded)
     "d69_domain_shift",
-    # the centroid-coding row_number inside ivf_assign_with_centroids:
-    # its input is the centroid TABLE (≤ n_centroids rows by the IVF
-    # contract). Elsewhere that table descends from a GlobalLimit the
-    # checker recognizes; in s64 it is ivf_train's aggregate output,
-    # so the bound is the key domain, invisible in the plan string.
-    "s64_sampled_quantizer_bound",
 }
 
 
