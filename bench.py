@@ -94,8 +94,11 @@ def main() -> None:
         sf_value = sf_label
 
     # drift factor only claims meaning at the floors' recording point
-    # (sf0.1); at other SFs the canaries still print but the factor is
-    # omitted rather than implying a cross-SF comparison
+    # (sf0.1 AND 32 cores — the r10 sweeps that recorded the floors ran
+    # local[32]); at other SFs or core counts the canaries still print
+    # but the factor is omitted rather than implying a comparison it
+    # cannot support (r13: the driver's lower-core scaling run was
+    # emitting ~1.5 "drift" that was really just 8-vs-32-core scaling)
     canaries = {
         n: per_query[n] for n in CANARY_FLOORS if n in per_query
     }
@@ -112,7 +115,9 @@ def main() -> None:
             ),
             4,
         )
-        if canaries and sf_value == 0.1
+        if canaries
+        and sf_value == 0.1
+        and os.environ.get("SPARK_GRAFT_CPUS", "32") == "32"
         else None
     )
 
