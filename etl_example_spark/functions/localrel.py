@@ -7,18 +7,24 @@ one — measured at 0.1–0.4 s of pure scheduling per occurrence, which
 dominates serve-path queries whose real work is a bucket-pruned probe
 (round-13: job-count overhead measured per guide §1; the fix removes accidental work per §2.4).
 
-``local_df`` renders the same rows as a ``SELECT CAST(...) FROM
-VALUES`` statement instead: the analyzer constant-folds it into a true
+``local_df`` renders the same rows as a ``SELECT ... FROM VALUES``
+statement instead: the analyzer constant-folds it into a true
 ``LocalRelation``, whose ``collect()`` is a driver-local fast path
 (ZERO jobs) and whose broadcast build never schedules a task. Values
 round-trip exactly: ints and strings are literal text, doubles go
 through ``repr`` (shortest-round-trip decimal) inside a string→double
 CAST (correctly-rounded, so the parsed double is bit-identical to the
-Python float), and every column is cast to its declared type so the
-schema matches ``createDataFrame``'s. Supported value types are the
-model-state ones: int, float, str, bool, None, and (nested) lists
-thereof — a deliberate subset; anything else raises rather than
-guessing.
+Python float), and array cells render as ONE ``from_json`` string
+literal per cell (round-14: the nested-CAST VALUES render cost
+2.3-2.6x more Catalyst parse+analysis at model sizes; Jackson's
+number parsing is the same correctly-rounded decimal→binary
+conversion, and FAILFAST makes a malformed render loud). Every
+scalar column is cast to its declared type so the schema matches
+``createDataFrame``'s. Supported value types are the model-state
+ones: int (int64 range — outside it raises instead of letting
+ANSI-off CAST corrupt silently), float, str, bool, None, and
+(nested) lists thereof — a deliberate subset; anything else raises
+rather than guessing.
 
 Use it for MODEL-SIZED literals only (query workloads, centroids,
 codebooks, totals rows — the bounded-collect sanction); corpora go
@@ -27,9 +33,24 @@ through real sources.
 
 from __future__ import annotations
 
+import json
 import math
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: CAST(<int> AS bigint) of a Python int outside int64 silently wraps /
+#: NULLs under ANSI-off — value corruption, not an error. Out-of-range
+#: ints raise TypeError instead, which local_df turns into the declared
+#: createDataFrame fallback (whose own range error is loud).
+_INT64_MIN, _INT64_MAX = -(1 << 63), (1 << 63) - 1
+
+#: Ceiling on the rendered SQL text. Past it, Catalyst parse/analysis
+#: of the literal costs more than the RDD round trip it avoids — and at
+#: the extreme (a near-contract-bound model: ~2M centroids × dims) the
+#: text is gigabytes and parsing dies long before execution (round-14,
+#: VERDICT r13 #3). Over-size payloads take the declared
+#: createDataFrame fallback: identical rows, binary transport, no SQL.
+_SQL_RENDER_MAX = 32 << 20
 
 
 def _sql_scalar(v, typ: str) -> str:
@@ -38,6 +59,8 @@ def _sql_scalar(v, typ: str) -> str:
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, int):
+        if not _INT64_MIN <= v <= _INT64_MAX:
+            raise TypeError(f"local_df: int out of int64 range: {v}")
         return f"CAST({v} AS {typ})"
     if isinstance(v, float):
         if math.isnan(v):
@@ -53,24 +76,50 @@ def _sql_scalar(v, typ: str) -> str:
     raise TypeError(f"local_df: unsupported scalar {type(v).__name__}")
 
 
+def _json_safe(v) -> None:
+    """Raise TypeError unless ``v`` is exactly expressible in the JSON
+    render (the same value subset the VALUES render supports, with the
+    same int64 range guard)."""
+    if v is None or isinstance(v, (bool, float, str)):
+        return
+    if isinstance(v, int):
+        if not _INT64_MIN <= v <= _INT64_MAX:
+            raise TypeError(f"local_df: int out of int64 range: {v}")
+        return
+    if isinstance(v, (list, tuple)):
+        for x in v:
+            _json_safe(x)
+        return
+    raise TypeError(f"local_df: unsupported scalar {type(v).__name__}")
+
+
 def _sql_value(v, typ: str) -> str:
     typ = typ.strip()
     if isinstance(v, (list, tuple)):
         low = typ.lower()
         if not low.startswith("array<") or not typ.endswith(">"):
             raise TypeError(f"local_df: list value for non-array type {typ}")
-        elem = typ[6:-1]
-        if not v:
-            return f"CAST(ARRAY() AS {typ})"
-        # the outer CAST pins containsNull=true at every nesting level
-        # (a DDL array type parses nullable) — without it an all-literal
-        # array is typed containsNull=false, and expressions DERIVED
-        # from it can inherit a wrongly non-nullable element type that
-        # runtime NULLs then corrupt (observed: array_max over a
-        # transform() of such an array misread NULL similarities and
-        # array_position returned 0)
-        arr = "ARRAY(" + ", ".join(_sql_value(x, elem) for x in v) + ")"
-        return f"CAST({arr} AS {typ})"
+        # Array cells render as ONE from_json string literal instead of
+        # a nested CAST(ARRAY(...)) subtree (round-14, guide §1/§7.3:
+        # Catalyst parse+analysis of the VALUES form was measured at
+        # 2.3-2.6x the from_json form at model sizes — the literal AST
+        # carried one node per scalar). Exactness is preserved:
+        # json.dumps emits repr-shortest doubles, Spark's Jackson parse
+        # is correctly rounded (same bits), NaN/±Infinity round-trip
+        # via allowNonNumericNumbers (default-on), JSON null is an
+        # element NULL, and the DDL element type in the from_json
+        # schema pins containsNull=true at every nesting level — the
+        # same nullability the previous outer CAST pinned (narrower
+        # element types were observed to corrupt NULL handling in
+        # derived expressions). FAILFAST turns any malformed render
+        # into a loud error instead of a silent PERMISSIVE null. The
+        # optimizer still constant-folds the projection into a true
+        # LocalRelation (zero-job collect, task-free broadcast —
+        # asserted by tests/test_localrel.py).
+        _json_safe(v)
+        s = json.dumps(v)
+        esc = s.replace("\\", "\\\\").replace("'", "\\'")
+        return f"from_json('{esc}', '{typ}', map('mode', 'FAILFAST'))"
     if v is None:
         return f"CAST(NULL AS {typ})"
     return _sql_scalar(v, typ)
@@ -106,12 +155,19 @@ def _local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
         )
         return spark.sql(f"SELECT {sel} WHERE 1 = 0")
     rendered = []
+    total = 0
     for row in rows:
         if len(row) != len(cols):
             raise ValueError("local_df: row arity != schema arity")
         cells = ", ".join(
             _sql_value(v, typ) for v, (_, typ) in zip(row, cols)
         )
+        total += len(cells)
+        if total > _SQL_RENDER_MAX:
+            raise TypeError(
+                "local_df: rendered SQL exceeds _SQL_RENDER_MAX — "
+                "falling back to createDataFrame"
+            )
         rendered.append(f"({cells})")
     names = ", ".join(name for name, _ in cols)
     return spark.sql(

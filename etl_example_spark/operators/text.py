@@ -1157,9 +1157,17 @@ def bigram_logprob_score(
     Returns (doc_id, n_bigrams, sum_neg_logp_micro, avg_neg_logp_micro)
     for documents with at least one bigram.
     """
+    # Round-14 (guide §5 compute-once): the token table feeds THREE
+    # subtrees of one plan — the bigram probe side, the c12 count
+    # build, and the vocab count — and nothing reuses a common exchange
+    # between them, so the tokenize+explode scan executed three times
+    # per run. Stage it once (the staged-shingles discipline; at 100 TB
+    # this is a written token-table artifact). Measured interleaved
+    # A/B, GC-stabilized (tools/opt_r14_ab.py d83): 1.177s -> 0.864s
+    # median at sf0.1, rows identical.
     base = df.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
-    )
+    ).localCheckpoint(eager=True)
     toks = F.col("_toks")
     bigrams = base.filter(F.size(toks) >= 2).select(
         "doc_id",

@@ -10261,6 +10261,10 @@ def d120_hist_quantile_sketch(
         ORDER BY n.node
     """,
     category="graph",
+    # round-14 (VERDICT r13 item 7): the graph family had zero wall-time
+    # accountability — bench the cheapest member so the iterative
+    # frontier-checkpoint discipline has a driver-measured number
+    bench=True,
 )
 def g05_connected_components(
     spark: SparkSession, sf_dir: str

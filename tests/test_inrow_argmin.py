@@ -82,6 +82,70 @@ def test_ivf_assign_empty_centroid_table_yields_no_rows(spark):
     assert out.columns == ["vec_id", "embedding", "centroid_id", "c_sim"]
 
 
+def test_kernels_identical_across_the_sql_render_threshold(
+    spark, monkeypatch
+):
+    """Round-14 size guard (VERDICT r13 #3/#4): past _SQL_RENDER_MAX the
+    packed model ships via binary createDataFrame instead of VALUES SQL
+    — same kernel expression, bit-identical results. Run both paths on
+    the same inputs and compare row for row."""
+    from etl_example_spark.functions import localrel
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, -0.5 * i, 2.0]) for i in range(1, 9)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0]), (11, [0.0, 1.0, 1.0, 0.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    sub = spark.createDataFrame(
+        [(i, j, [float(i), -float(j)]) for i in range(3) for j in range(2)],
+        "vec_id long, j int, sv array<double>",
+    )
+    cb = spark.createDataFrame(
+        [(j, c, [0.5 * c, float(j)]) for j in range(2) for c in range(3)],
+        "j int, code int, cv array<double>",
+    )
+    normal_assign = sorted(
+        map(repr, S.ivf_assign_with_centroids(emb, cents).collect())
+    )
+    normal_codes = sorted(map(repr, S.pq_encode(sub, cb).collect()))
+    monkeypatch.setattr(localrel, "_SQL_RENDER_MAX", 4)
+    assert (
+        sorted(map(repr, S.ivf_assign_with_centroids(emb, cents).collect()))
+        == normal_assign
+    )
+    assert sorted(map(repr, S.pq_encode(sub, cb).collect())) == normal_codes
+
+
+def test_model_rows_bound_fails_fast_before_collect(spark, monkeypatch):
+    """Round-14 (ADVICE r13): an over-contract centroid table/codebook
+    raises the clear model-size error via a limit(bound) probe instead
+    of materializing unbounded rows on the driver."""
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    sub = spark.createDataFrame(
+        [(1, 0, [1.0])], "vec_id long, j int, sv array<double>"
+    )
+    cb = spark.createDataFrame(
+        [(0, c, [float(c)]) for c in range(4)],
+        "j int, code int, cv array<double>",
+    )
+    monkeypatch.setattr(S, "_MODEL_ROWS_BOUND", 3)
+    with pytest.raises(Exception, match="too many centroids"):
+        S.ivf_assign_with_centroids(emb, cents)
+    with pytest.raises(Exception, match="model-size bound"):
+        S.pq_encode(sub, cb)
+
+
 def test_sq8_assignment_tie_and_null_handling(spark):
     codes = spark.createDataFrame(
         [(1, [5, 5]), (2, None)], "vec_id long, codes array<int>"
