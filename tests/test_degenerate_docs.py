@@ -87,20 +87,30 @@ def _reads_documents(q) -> bool:
 def test_every_documents_query_survives_degenerate_cells(
     spark, degen_sf_dir
 ):
-    con = duckdb_connection(degen_sf_dir)
-    failures = []
-    checked = 0
-    for name, q in load_all().items():
-        if not _reads_documents(q) or name in SKIP:
-            continue
-        checked += 1
-        try:
-            problems = run_differential(spark, con, q, degen_sf_dir)
-            if problems:
-                failures.append(f"{name}: {problems[:2]}")
-        except Exception as exc:  # noqa: BLE001 — collecting all failures
-            failures.append(f"{name}: {type(exc).__name__}: {exc}")
-    assert checked > 60, f"sweep matched too few queries ({checked})"
+    """Thread-pooled (tests/sweep.py); each worker call opens its own
+    DuckDB connection (the connection object is not thread-safe; view
+    registration over parquet is cheap)."""
+    import threading
+
+    from tests.sweep import parallel_sweep
+
+    registry = load_all()
+    local = threading.local()
+
+    def check(name):
+        if not hasattr(local, "con"):
+            local.con = duckdb_connection(degen_sf_dir)
+        problems = run_differential(spark, local.con, registry[name], degen_sf_dir)
+        if problems:
+            return f"{name}: {problems[:2]}"
+        return None
+
+    names = [
+        n for n, q in registry.items()
+        if _reads_documents(q) and n not in SKIP
+    ]
+    assert len(names) > 60, f"sweep matched too few queries ({len(names)})"
+    failures = parallel_sweep(check, names)
     assert not failures, f"{len(failures)} queries diverge:\n" + "\n".join(
         failures
     )

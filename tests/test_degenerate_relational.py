@@ -70,20 +70,26 @@ def _reads_facts(q) -> bool:
 
 
 def test_every_fact_query_survives_null_rows(spark, degen_sf_dir):
-    con = duckdb_connection(degen_sf_dir)
-    failures = []
-    checked = 0
-    for name, q in load_all().items():
-        if not _reads_facts(q):
-            continue
-        checked += 1
-        try:
-            problems = run_differential(spark, con, q, degen_sf_dir)
-            if problems:
-                failures.append(f"{name}: {problems[:2]}")
-        except Exception as exc:  # noqa: BLE001 — collecting all failures
-            failures.append(f"{name}: {type(exc).__name__}: {exc}")
-    assert checked > 40, f"sweep matched too few queries ({checked})"
+    import threading
+
+    from tests.sweep import parallel_sweep
+
+    registry = load_all()
+    local = threading.local()
+
+    def check(name):
+        if not hasattr(local, "con"):
+            local.con = duckdb_connection(degen_sf_dir)
+        problems = run_differential(
+            spark, local.con, registry[name], degen_sf_dir
+        )
+        if problems:
+            return f"{name}: {problems[:2]}"
+        return None
+
+    names = [n for n, q in registry.items() if _reads_facts(q)]
+    assert len(names) > 40, f"sweep matched too few queries ({len(names)})"
+    failures = parallel_sweep(check, names)
     assert not failures, f"{len(failures)} queries diverge:\n" + "\n".join(
         failures
     )

@@ -57,18 +57,26 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
 
 
 def test_every_query_survives_empty_tables(spark, empty_sf_dir):
-    con = duckdb_connection(empty_sf_dir)
-    failures = []
-    for name, q in load_all().items():
-        try:
-            if q.oracle and name not in SKIP_DIFFERENTIAL:
-                problems = run_differential(spark, con, q, empty_sf_dir)
-                if problems:
-                    failures.append(f"{name}: {problems[:2]}")
-            else:
-                q.spark_builder(spark, empty_sf_dir).count()
-        except Exception as exc:  # noqa: BLE001 — collecting all failures
-            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+    import threading
+
+    from tests.sweep import parallel_sweep
+
+    registry = load_all()
+    local = threading.local()
+
+    def check(name):
+        q = registry[name]
+        if q.oracle and name not in SKIP_DIFFERENTIAL:
+            if not hasattr(local, "con"):
+                local.con = duckdb_connection(empty_sf_dir)
+            problems = run_differential(spark, local.con, q, empty_sf_dir)
+            if problems:
+                return f"{name}: {problems[:2]}"
+        else:
+            q.spark_builder(spark, empty_sf_dir).count()
+        return None
+
+    failures = parallel_sweep(check, list(registry))
     assert not failures, "\n".join(failures)
 
 

@@ -31,11 +31,20 @@ def test_matches_duckdb_oracle(spark, con, sf_dir, name):
 
 
 def test_all_queries_return_rows(spark, sf_dir):
-    """Every registered query (oracle or not) runs and yields a stable schema."""
-    for name, q in REGISTRY.items():
-        df = q.spark_builder(spark, sf_dir)
-        assert df.columns, f"{name}: no columns"
+    """Every registered query (oracle or not) runs and yields a stable
+    schema. Thread-pooled (tests/sweep.py): 285 independent queries,
+    previously ~10 sequential minutes of this suite's wall."""
+    from tests.sweep import parallel_sweep
+
+    def check(name):
+        df = REGISTRY[name].spark_builder(spark, sf_dir)
+        if not df.columns:
+            return f"{name}: no columns"
         df.limit(1).collect()
+        return None
+
+    failures = parallel_sweep(check, list(REGISTRY))
+    assert not failures, "\n".join(failures)
 
 
 def test_differential_harness_detects_injected_errors(spark, con, sf_dir):

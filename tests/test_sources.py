@@ -66,13 +66,24 @@ def test_json_schema_projection_prunes_unknown_fields(spark, tmp_path):
 def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
     """Every batch query must avoid CartesianProduct — non-equi pair
     generation is allowed only via broadcast nested-loop (small side
-    bounded), bucket joins, or candidate pre-filters."""
-    for name, q in load_all().items():
-        if q.category == "streaming":
-            continue  # streaming plans are audited by their own tests
+    bounded), bucket joins, or candidate pre-filters. Thread-pooled
+    (tests/sweep.py): ~250 independent plan builds, previously ~4
+    sequential minutes of this suite's wall."""
+    from tests.sweep import parallel_sweep
+
+    registry = load_all()
+
+    def check(name):
+        q = registry[name]
         df = q.spark_builder(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
-        assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
+        if "CartesianProduct" in plan:
+            return f"{name} plans a cartesian:\n{plan}"
+        return None
+
+    batch = [n for n, q in registry.items() if q.category != "streaming"]
+    failures = parallel_sweep(check, batch)
+    assert not failures, "\n".join(failures)
 
 
 class TestPythonDataSources:
