@@ -49,6 +49,21 @@ CANARY_FLOORS: dict[str, float] = {
 def time_query(
     spark, query, sf_dir: str, runs: int = 5, warmups: int = 2
 ) -> float:
+    # Cross-query isolation barrier (round-14, declared in
+    # OPTIMIZATION_r14.md): Spark's ContextCleaner frees the previous
+    # queries' checkpoint/broadcast blocks only after a JVM GC, so
+    # without this, query N's wall includes contention with query
+    # 1..N-1's uncollected garbage — measured at 2-4x inflation for
+    # late-alphabet checkpoint-heavy queries (d97 1.7s fresh vs ~6s
+    # after 30 queries). One explicit GC per QUERY, before its
+    # warm-ups and outside every timed region; the timed method
+    # (double warm-up, median of 5 noop-sink runs) is unchanged, and
+    # within-query garbage across the 7 runs stays in the measurement.
+    import gc
+
+    gc.collect()
+    spark._jvm.System.gc()
+
     def once() -> float:
         t0 = time.perf_counter()
         df = query.spark_builder(spark, sf_dir)
