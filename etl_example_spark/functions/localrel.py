@@ -138,10 +138,7 @@ def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
 
 
 def _local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
-    cols = []
-    for field in _split_top(schema):
-        name, typ = field.strip().split(None, 1)
-        cols.append((name, typ.strip()))
+    cols = [_field_name_type(field) for field in _split_top(schema)]
     # Column TYPES are pinned by the per-cell CASTs, and ARRAY values
     # are cast to their declared type so element nullability matches
     # createDataFrame's (containsNull=true — see _sql_value; narrower
@@ -149,9 +146,15 @@ def _local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     # expressions). Top-level column nullability may still come out
     # NARROWER for all-literal scalar columns — true information about
     # genuinely non-null literals, and no consumer compares it.
+    # column names are backtick-quoted (round-14, ADVICE r13): a
+    # reserved-word or otherwise non-identifier name must not break the
+    # render (backticks inside a name are doubled, the DDL-escape rule)
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
     if not rows:
         sel = ", ".join(
-            f"CAST(NULL AS {typ}) AS {name}" for name, typ in cols
+            f"CAST(NULL AS {typ}) AS {q(name)}" for name, typ in cols
         )
         return spark.sql(f"SELECT {sel} WHERE 1 = 0")
     rendered = []
@@ -169,10 +172,31 @@ def _local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
                 "falling back to createDataFrame"
             )
         rendered.append(f"({cells})")
-    names = ", ".join(name for name, _ in cols)
+    names = ", ".join(q(name) for name, _ in cols)
     return spark.sql(
         f"SELECT * FROM VALUES {', '.join(rendered)} AS t({names})"
     )
+
+
+def _field_name_type(field: str) -> tuple[str, str]:
+    """Split one DDL field into (name, type), honoring backtick-quoted
+    names (doubled backticks escape a literal one — the DDL rule)."""
+    field = field.strip()
+    if field.startswith("`"):
+        chars, i = [], 1
+        while i < len(field):
+            if field[i] == "`":
+                if i + 1 < len(field) and field[i + 1] == "`":
+                    chars.append("`")
+                    i += 2
+                    continue
+                i += 1
+                break
+            chars.append(field[i])
+            i += 1
+        return "".join(chars), field[i:].strip()
+    name, typ = field.split(None, 1)
+    return name, typ.strip()
 
 
 def _split_top(schema: str) -> list[str]:

@@ -219,6 +219,9 @@ class _StagedShingles:
 #: LRU-bounded — evicted entries' checkpoint blocks are freed by the
 #: ContextCleaner once unreferenced.
 _STAGED: OrderedDict[tuple, _StagedShingles] = OrderedDict()
+#: round-14: concurrent registrations (thread-pooled sweeps) must not
+#: race the LRU get-or-create
+_STAGED_LOCK = __import__("threading").Lock()
 #: full corpus + deduped subset (d53) + existing/new splits (d55) can be
 #: live in one verify pass; 8 keeps them all resident without thrash
 _STAGED_MAX = 8
@@ -250,32 +253,33 @@ def staged_shingles(
         text_col,
         id_col,
     )
-    if sem is None or key not in _STAGED:
-        # Restore scan parallelism before the staged artifact is pinned:
-        # a single-file corpus (one row group) arrives as ONE partition,
-        # which would make every downstream pass over the staged index —
-        # the self-join probe, the signature min-aggregate — a single
-        # task regardless of cluster size. At 100 TB the source already
-        # has thousands of splits and this is a no-op.
-        par = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
-            df = df.repartition(par)
-        sets = (
-            df.select(
-                F.col(id_col).alias("doc_id"),
-                word_shingles(text_col, n).alias("sh_set"),
+    with _STAGED_LOCK:
+        if sem is None or key not in _STAGED:
+            # Restore scan parallelism before the staged artifact is pinned:
+            # a single-file corpus (one row group) arrives as ONE partition,
+            # which would make every downstream pass over the staged index —
+            # the self-join probe, the signature min-aggregate — a single
+            # task regardless of cluster size. At 100 TB the source already
+            # has thousands of splits and this is a no-op.
+            par = df.sparkSession.sparkContext.defaultParallelism
+            if df.rdd.getNumPartitions() < par:
+                df = df.repartition(par)
+            sets = (
+                df.select(
+                    F.col(id_col).alias("doc_id"),
+                    word_shingles(text_col, n).alias("sh_set"),
+                )
+                .withColumn("n_shingles", F.size("sh_set"))
+                .localCheckpoint(eager=True)
             )
-            .withColumn("n_shingles", F.size("sh_set"))
-            .localCheckpoint(eager=True)
-        )
-        if sem is None:  # unkeyable input: never cached, never served
-            return _StagedShingles(sets)
-        _STAGED[key] = _StagedShingles(sets)
-        while len(_STAGED) > _STAGED_MAX:
-            _STAGED.popitem(last=False)
-    else:
-        _STAGED.move_to_end(key)
-    return _STAGED[key]
+            if sem is None:  # unkeyable input: never cached, never served
+                return _StagedShingles(sets)
+            _STAGED[key] = _StagedShingles(sets)
+            while len(_STAGED) > _STAGED_MAX:
+                _STAGED.popitem(last=False)
+        else:
+            _STAGED.move_to_end(key)
+        return _STAGED[key]
 
 
 def shingle_index(

@@ -1226,6 +1226,10 @@ def bigram_logprob_score(
 #: postings table; locally localCheckpoint pins it.
 _STAGED_BM25: OrderedDict = OrderedDict()
 _STAGED_BM25_MAX = 8
+#: round-14: the thread-pooled test sweeps run registrations
+#: concurrently; the LRU get-or-create (popitem + move_to_end) is not
+#: thread-safe and an unguarded race double-builds the staged artifact
+_STAGED_BM25_LOCK = __import__("threading").Lock()
 
 
 def bm25_postings(
@@ -1383,20 +1387,21 @@ def _staged_bm25_tf(
         text_col,
         id_col,
     )
-    if key not in _STAGED_BM25:
-        _STAGED_BM25[key] = build()
-        while len(_STAGED_BM25) > _STAGED_BM25_MAX:
-            # eviction drops OUR reference only; the ContextCleaner
-            # frees the checkpoint blocks once the last reference is
-            # gone. A forcible unpersist here would be use-after-free:
-            # localCheckpoint TRUNCATES lineage, so any still-held
-            # DataFrame built over the evicted postings (a bench loop
-            # re-executing an earlier bm25_topk result) would fail with
-            # 'checkpoint block not found' instead of recomputing.
-            _STAGED_BM25.popitem(last=False)
-    else:
-        _STAGED_BM25.move_to_end(key)
-    return _STAGED_BM25[key]
+    with _STAGED_BM25_LOCK:
+        if key not in _STAGED_BM25:
+            _STAGED_BM25[key] = build()
+            while len(_STAGED_BM25) > _STAGED_BM25_MAX:
+                # eviction drops OUR reference only; the ContextCleaner
+                # frees the checkpoint blocks once the last reference is
+                # gone. A forcible unpersist here would be use-after-free:
+                # localCheckpoint TRUNCATES lineage, so any still-held
+                # DataFrame built over the evicted postings (a bench loop
+                # re-executing an earlier bm25_topk result) would fail with
+                # 'checkpoint block not found' instead of recomputing.
+                _STAGED_BM25.popitem(last=False)
+        else:
+            _STAGED_BM25.move_to_end(key)
+        return _STAGED_BM25[key]
 
 
 def bm25_topk(

@@ -2416,6 +2416,13 @@ def s53_bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: intermediate corpus's index.
 _BM25_BUCKETED_STAGED: dict[tuple, tuple] = {}
 
+#: Serializes the catalog-writing get-or-create stagers (round-14: the
+#: thread-pooled test sweeps run registrations concurrently, and two
+#: threads racing the fingerprint check would saveAsTable the SAME
+#: table name at once). One lock for all stagers — staging is rare
+#: (once per (session, corpus)) and correctness beats granularity.
+_STAGE_LOCK = __import__("threading").Lock()
+
 
 def _stage_bm25_bucketed(
     spark: SparkSession, sf_dir: str
@@ -2447,28 +2454,29 @@ def _stage_bm25_bucketed(
     # bytes — re-stages instead of serving a stale index.
     key = (_session_key(spark), sf_dir)
     fingerprint = _input_file_snapshot(docs)
-    if _BM25_BUCKETED_STAGED.get(key) != fingerprint:
-        from etl_example_spark.sources.writers import (
-            drop_table_and_location,
-        )
-        write_bucketed_table(
-            text.bm25_postings(docs, None),
-            name,
-            ["term"],
-            32,
-            sort_by=["term"],
-        )
-        drop_table_and_location(spark, stats_name)
-        docs.select(
-            F.count("*").alias("n_docs"),
-            F.coalesce(
-                F.sum(
-                    text.token_count(F.coalesce(F.col("text"), F.lit("")))
-                ),
-                F.lit(0),
-            ).alias("t_total"),
-        ).write.mode("overwrite").saveAsTable(stats_name)
-        _BM25_BUCKETED_STAGED[key] = fingerprint
+    with _STAGE_LOCK:
+        if _BM25_BUCKETED_STAGED.get(key) != fingerprint:
+            from etl_example_spark.sources.writers import (
+                drop_table_and_location,
+            )
+            write_bucketed_table(
+                text.bm25_postings(docs, None),
+                name,
+                ["term"],
+                32,
+                sort_by=["term"],
+            )
+            drop_table_and_location(spark, stats_name)
+            docs.select(
+                F.count("*").alias("n_docs"),
+                F.coalesce(
+                    F.sum(
+                        text.token_count(F.coalesce(F.col("text"), F.lit("")))
+                    ),
+                    F.lit(0),
+                ).alias("t_total"),
+            ).write.mode("overwrite").saveAsTable(stats_name)
+            _BM25_BUCKETED_STAGED[key] = fingerprint
     stats = spark.table(stats_name).collect()[0]
     return name, int(stats["n_docs"]), int(stats["t_total"])
 
@@ -2680,23 +2688,24 @@ def _stage_ivf_artifacts(
     emb = load_table(spark, sf_dir, "embeddings")
     key = (_session_key(spark), sf_dir)
     fingerprint = _input_file_snapshot(emb)
-    if _IVF_ARTIFACTS_STAGED.get(key) != fingerprint:
-        drop_table_and_location(spark, cents_name)
-        (
-            emb.orderBy("vec_id")
-            .limit(n_centroids)
-            .select(
-                F.col("vec_id").alias("centroid_id"),
-                F.col("embedding").alias("centroid_vec"),
+    with _STAGE_LOCK:
+        if _IVF_ARTIFACTS_STAGED.get(key) != fingerprint:
+            drop_table_and_location(spark, cents_name)
+            (
+                emb.orderBy("vec_id")
+                .limit(n_centroids)
+                .select(
+                    F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("centroid_vec"),
+                )
+                .write.mode("overwrite")
+                .saveAsTable(cents_name)
             )
-            .write.mode("overwrite")
-            .saveAsTable(cents_name)
-        )
-        drop_table_and_location(spark, assign_name)
-        similarity.ivf_assign_with_centroids(
-            emb, spark.table(cents_name)
-        ).write.mode("overwrite").saveAsTable(assign_name)
-        _IVF_ARTIFACTS_STAGED[key] = fingerprint
+            drop_table_and_location(spark, assign_name)
+            similarity.ivf_assign_with_centroids(
+                emb, spark.table(cents_name)
+            ).write.mode("overwrite").saveAsTable(assign_name)
+            _IVF_ARTIFACTS_STAGED[key] = fingerprint
     return spark.table(cents_name), spark.table(assign_name)
 
 

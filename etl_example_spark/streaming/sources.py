@@ -56,9 +56,21 @@ def _staging_dir(sf_dir: str) -> str:
     )
     os.makedirs(staging, exist_ok=True)
     link = os.path.join(staging, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(os.path.abspath(sf_dir), "events.parquet"), link)
+    _symlink_once(
+        os.path.join(os.path.abspath(sf_dir), "events.parquet"), link
+    )
     return staging
+
+
+def _symlink_once(target: str, link: str) -> None:
+    """Race-safe idempotent symlink: the staging dir is keyed by the
+    SOURCE path, so concurrent creators (round-14: the thread-pooled
+    test sweeps run streaming queries in parallel) always want the same
+    link — losing the exists/create race is success, not an error."""
+    try:
+        os.symlink(target, link)
+    except FileExistsError:
+        pass
 
 
 def read_events_stream(
@@ -112,10 +124,9 @@ def _table_staging_dir(sf_dir: str, name: str) -> str:
     staging = os.path.join(tempfile.gettempdir(), "etl_stream_src", slug)
     os.makedirs(staging, exist_ok=True)
     link = os.path.join(staging, f"{name}.parquet")
-    if not os.path.exists(link):
-        os.symlink(
-            os.path.join(os.path.abspath(sf_dir), f"{name}.parquet"), link
-        )
+    _symlink_once(
+        os.path.join(os.path.abspath(sf_dir), f"{name}.parquet"), link
+    )
     return staging
 
 

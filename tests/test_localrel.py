@@ -90,6 +90,20 @@ def test_array_elements_stay_nullable_in_derived_expressions(spark):
     assert row["mx"] is None and row["p"] is None
 
 
+def test_reserved_word_and_odd_column_names(spark):
+    """Round-14 (ADVICE r13): column names are backtick-quoted in the
+    render, so reserved words and non-identifier names survive."""
+    rows = [(1, "x", [2.0])]
+    schema_pairs = [("select", "int"), ("from table", "string"),
+                    ("order", "array<double>")]
+    ddl = ", ".join(f"`{n}` {t}" for n, t in schema_pairs)
+    df = local_df(spark, rows, ddl)
+    assert df.columns == ["select", "from table", "order"]
+    assert df.collect()[0][0] == 1
+    empty = local_df(spark, [], ddl)
+    assert empty.columns == ["select", "from table", "order"]
+
+
 def test_int_outside_int64_raises_instead_of_corrupting(spark):
     """Regression (round-14, VERDICT r13 #4): CAST(<int> AS bigint) of a
     Python int past 2^63 returns NULL under ANSI-off — silent value
